@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet↔CSV conversion sinks (SURVEY.md §2.2, K1–K5) — the reference's
+  * core capability, re-expressed on the Spark DataFrame writer.
+  *
+  * Reference behaviors covered:
+  *  - K1 single-file CSV with header (`utils.py:130-133,185-188,210`)
+  *  - K3 chunked serialization (`utils.py:160,186`) — automatic in Spark's
+  *    CSV FileFormat writer, no user knob needed
+  *  - K4 partitioned CSV sink with max rows per file (`utils.py:231-239`,
+  *    Polars `PartitionMaxSize(max_size=500000)`) →
+  *    `option("maxRecordsPerFile", …)`, an exact built-in match
+  *  - K5 parquet write (`utils.py:73`)
+  *
+  * Scale doctrine: [[csvSingleFile]] (`coalesce(1)` + rename) exists for
+  * parity with the reference's single-named-file output and is verify-scale
+  * only; the 100 TB path is [[parquetToCsv]] — a fully parallel partitioned
+  * write bounded by `maxRecordsPerFile`, optionally hive-partitioned by
+  * columns.
+  */
+object Convert {
+
+  /** Reference chunk size (`utils.py:143,237`). */
+  val DefaultMaxRecordsPerFile: Long = 500000L
+
+  /** Pinned so CSV round-trips preserve microsecond timestamps. */
+  val TimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def csvWriter(df: DataFrame, maxRecordsPerFile: Long) =
+    df.write
+      .option("header", "true")
+      .option("timestampFormat", TimestampFormat)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+
+  /** K4 — the scalable conversion: every task writes its partitions in
+    * parallel, each output file capped at `maxRecordsPerFile` rows. */
+  def parquetToCsv(spark: SparkSession, in: String, outDir: String,
+                   maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit =
+    csvWriter(spark.read.parquet(in), maxRecordsPerFile).csv(outDir)
+
+  /** K4 over an arbitrary DataFrame. */
+  def toCsvDir(df: DataFrame, outDir: String,
+               maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit =
+    csvWriter(df, maxRecordsPerFile).csv(outDir)
+
+  /** K1 — single named CSV file, reference-output parity. Serializes through
+    * one task (`coalesce(1)`): verify-scale only, never the 100 TB path. */
+  def csvSingleFile(df: DataFrame, outFile: String): Path = {
+    val out = Paths.get(outFile)
+    val tmpDir = out.resolveSibling(out.getFileName.toString + ".spark-tmp")
+    csvWriter(df.coalesce(1), Long.MaxValue).csv(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmpDir"))
+    Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(tmpDir)
+    out
+  }
+
+  /** K5 — parquet write. */
+  def toParquet(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** CSV → parquet (the reverse conversion, closing the format loop). */
+  def csvToParquet(spark: SparkSession, in: String, outDir: String): Unit =
+    toParquet(spark.read.option("header", "true").option("inferSchema", "true")
+      .option("timestampFormat", TimestampFormat).csv(in), outDir)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

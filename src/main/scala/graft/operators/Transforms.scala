@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity row transforms (SURVEY.md §2.3–2.5).
+  *
+  *  - P2 suffix filter (`utils.py:37-44`: keep files ending `.parquet`)
+  *  - P3 stem extraction (`utils.py:44`: split at the FIRST dot)
+  *  - O1 ascending sort (`main.py:14`)
+  *  - O2 seeded exact-n sample (`utils.py:73`) — Spark's `sample()` is
+  *    Bernoulli (inexact count), so exact-n is `orderBy(rand(seed)).limit(n)`;
+  *    deterministic for a fixed seed, but the RNG differs from Polars so
+  *    row-identity parity with the reference is impossible by construction
+  *    (SURVEY.md §5.4) — verify count/schema/stats instead.
+  *  - A1 long→wide pivot (`utils.py:28-31`) — Spark pivot requires an
+  *    aggregate; `first` is exact when (index, key) is unique, which is the
+  *    reference's case.
+  */
+object Transforms {
+
+  /** P2: keep rows whose `col` ends with `suffix`. */
+  def filterSuffix(df: DataFrame, colName: String, suffix: String): DataFrame =
+    df.filter(col(colName).endsWith(suffix))
+
+  /** P3: everything before the first '.' — same first-dot semantics as the
+    * reference's `f.split(".")[0]`. */
+  def stem(c: Column): Column = split(c, "\\.").getItem(0)
+
+  /** O1: global ascending sort (range-partitioned shuffle at scale). */
+  def sortAsc(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(col): _*)
+
+  /** O2: seeded exact-n random sample. A full sort by rand is a shuffle of
+    * the whole table; at 100 TB prefer a two-phase variant (per-partition
+    * top-n under rand, then a tiny global top-n), which Catalyst already
+    * produces for orderBy+limit via TakeOrderedAndProject. */
+  def sampleExactN(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** A1: pivot long→wide. `values` should be passed when known — it skips
+    * the extra distinct-values job Spark otherwise runs. */
+  def pivotWide(df: DataFrame, index: String, on: String, value: String,
+                values: Seq[String] = Nil): DataFrame = {
+    val g = df.groupBy(col(index))
+    val p = if (values.nonEmpty) g.pivot(on, values) else g.pivot(on)
+    p.agg(first(col(value)))
+  }
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Convert, Transforms}
+import graft.sources.Scan
+import Q._
+
+/** Reference-parity operators (SURVEY.md §2: scans, sinks, projections,
+  * filters, sorts, sampling, pivot, union-by-name) plus the relational
+  * machinery the scale extensions need (joins, grouped aggregation, window
+  * functions, sessionization, as-of join) — all absent from the reference
+  * (§2.9) but mandated by the north star.
+  *
+  * Every query ends in a deterministic orderBy; float aggregates go through
+  * Q.dsum (exact decimal summation) so results hash-match the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // S1 + O1: full parquet scan, global sort. At scale this is a
+    // range-partitioned shuffle; Spark samples boundaries automatically.
+    QuerySpec("q01_scan_sort",
+      (s, d) => t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    // P1/P2-shape: projection + predicate; both reach the parquet scan
+    // (ReadSchema prunes to 4 columns, PushedFilters carries the predicate).
+    QuerySpec("q02_project_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+             |FROM lineitem WHERE l_quantity > 30
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P2+P3: suffix filter + first-dot stem extraction (the reference's
+    // manifest filtering, re-expressed over the documents fixture).
+    QuerySpec("q03_filter_suffix_stem",
+      (s, d) => {
+        val named = t(s, d, "documents").withColumn("filename",
+          concat_ws(".", col("source"),
+            when(col("doc_id") % 3 === 0, "parquet").otherwise("csv")))
+        Transforms.filterSuffix(named, "filename", ".parquet")
+          .select(col("doc_id"), col("filename"),
+            Transforms.stem(col("filename")).as("stem"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source || '.parquet' AS filename, source AS stem
+             |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // O1 desc + limit: Catalyst plans TakeOrderedAndProject — per-partition
+    // top-k then a tiny driver merge; no full sort at scale.
+    QuerySpec("q04_sort_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100),
+      Some("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
+    // §2.6 union-by-name with missing-column tolerance (reference
+    // union_by_name=true); row set checkable, so oracle-verified.
+    QuerySpec("q05_union_by_name",
+      (s, d) => {
+        val c = t(s, d, "customer").select(
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("side"), col("c_mktsegment").as("mktsegment"))
+        val sup = t(s, d, "supplier").select(
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("side"))
+        c.unionByName(sup, allowMissingColumns = true).orderBy("side", "name")
+      },
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS side,
+             |       c_mktsegment AS mktsegment FROM customer
+             |UNION ALL
+             |SELECT s_name, s_acctbal, 'supplier', CAST(NULL AS VARCHAR) FROM supplier
+             |ORDER BY side, name""".stripMargin)),
+
+    // O2: seeded exact-n sample. Cross-engine RNG parity is impossible
+    // (SURVEY.md §5.4) so the oracle checks the exact-count contract.
+    QuerySpec("q06_sample_count",
+      (s, d) => Transforms.sampleExactN(t(s, d, "lineitem"), 1234, seed = 721L)
+        .agg(count(lit(1)).as("n_rows")),
+      Some("SELECT CAST(least(1234, count(*)) AS BIGINT) AS n_rows FROM lineitem")),
+
+    // A1: long→wide pivot with explicit values (skips the distinct-values
+    // pre-job) — the reference's only true grouped operator.
+    QuerySpec("q07_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='A') AS DOUBLE) AS "A",
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='N') AS DOUBLE) AS "N",
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag='R') AS DOUBLE) AS "R"
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // K4→S4 round-trip: parquet → partitioned CSV (maxRecordsPerFile) →
+    // schema'd CSV scan → aggregate. Proves the conversion core preserves
+    // values (incl. µs timestamps) inside the correctness gate itself.
+    QuerySpec("q08_convert_roundtrip",
+      (s, d) => {
+        val src = t(s, d, "lineitem")
+        val tmp = Files.createTempDirectory("graft_rt").toString + "/lineitem_csv"
+        Convert.toCsvDir(src, tmp)
+        Scan.csvWithSchema(s, src.schema, tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Multi-table join + grouped agg. nation/customer are broadcast (dim
+    // tables); the lineitem⋈orders join shuffles on the shared key once.
+    QuerySpec("q10_join_revenue_by_nation",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            // all-decimal arithmetic: casting the double PRODUCT to decimal
+            // rounds differently in Spark (shortest-string repr, HALF_UP)
+            // vs DuckDB (binary value) at .xx5 boundaries — so cast each
+            // factor first and multiply exactly.
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+                (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Window top-k per group (row_number over partition).
+    QuerySpec("q11_window_topk",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("c_mktsegment", "rnk")
+      },
+      Some("""SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+             |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+             |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin)),
+
+    // TPC-H Q1-shape grouped aggregation (count/sum/avg/min/max) — fully
+    // map-side-combinable; partial aggregation keeps the shuffle tiny.
+    QuerySpec("q12_agg_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Tumbling event-time window (batch shape; the streaming twin lives in
+    // graft.streaming and is exercised by scalatest with a MemoryStream).
+    QuerySpec("q13_events_hourly",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Sessionization: 30-min-gap sessions via lag + running sum windows.
+    QuerySpec("q14_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800L * 1000000L
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_us").isNull, 1)
+              .when(unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), y AS (
+             |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM x
+             |)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end
+             |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // As-of join (most recent prior click per purchase) — an operator Spark
+    // lacks natively, composed from a tagged union + last-ignoreNulls window
+    // (SURVEY.md §7.3: compose built-ins before custom Catalyst).
+    QuerySpec("q15_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click").select(
+          col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"),
+          lit(null).cast("bigint").as("purchase_id"))
+        val purchases = ev.filter(col("event_type") === "purchase").select(
+          col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("bigint").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"),
+          col("event_id").as("purchase_id"))
+        // clicks sort before purchases at equal ts (tag 0 < 1) → ASOF's
+        // "<=" semantics; last(ignoreNulls) carries the latest click forward.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1 && col("asof_click_id").isNotNull)
+          .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+            col("asof_click_id").as("click_id"), col("asof_click_ts").as("click_ts"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             |       c.event_id AS click_id, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY purchase_id""".stripMargin))
+  )
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Scan surface (SURVEY.md §2.1, S1–S4).
+  *
+  * Reference behavior being re-expressed (behavioral cites, not code):
+  *  - S1/S2 eager+lazy parquet scans (`utils.py:131,159,184,210,236`) — Spark
+  *    reads are always lazy, so one entry point covers both shapes.
+  *  - S3 multi-file scan with union-by-name schema merge and per-row file
+  *    provenance (`utils.py:101-105`).
+  *  - S4 header CSV scan with schema inference (`main.py:14`).
+  *
+  * Scale notes: `mergeSchema=true` costs a footer read per file — fine for a
+  * handful of files, wrong for 100 TB; prefer [[parquetWithSchema]] there.
+  */
+object Scan {
+
+  /** S1/S2: parquet scan. Lazy; Catalyst prunes columns and pushes
+    * predicates down to the vectorized parquet reader automatically. */
+  def parquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S1 at 100 TB: explicit schema — no footer sampling over millions of
+    * files, and a stable contract independent of file drift. */
+  def parquetWithSchema(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(schema).parquet(paths: _*)
+
+  /** S3: multi-file scan, union columns by name across files with drifting
+    * schemas, and record each row's source file (reference
+    * `union_by_name=true, filename=true`). */
+  def parquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .withColumn("filename", input_file_name())
+
+  /** S4: CSV with header + content-inferred schema (inference reads the data
+    * twice — verify-scale only; use [[csvWithSchema]] at scale). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** CSV scan with a declared schema — the scalable path. */
+  def csvWithSchema(spark: SparkSession, schema: StructType, path: String,
+                    timestampFormat: String = graft.operators.Convert.TimestampFormat): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .csv(path)
+}
