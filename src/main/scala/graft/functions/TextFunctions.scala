@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface: tokenization,
+  * shingling, cross-engine-stable hashing, language-ID heuristics, quality
+  * ratios, fingerprints.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): at 100 TB these run inside whole-stage codegen over the
+  * vectorized parquet reader, shuffle-free until an explicit groupBy/join.
+  *
+  * Hash discipline: engine-portable hashing goes through md5 (identical hex
+  * output in Spark, DuckDB, Polars, …) reduced to a 60-bit int, rather than
+  * Spark-private xxhash64/murmur — so every derived structure (MinHash,
+  * LSH buckets, fingerprints) is reproducible outside Spark and
+  * oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a single-space-joined text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word k-gram shingles (k consecutive tokens joined by a space), as the
+    * DISTINCT shingle set. Guarded: Spark's `sequence(1, n)` runs DESCENDING
+    * when n < 1, so short texts must short-circuit to an empty array. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
+        .otherwise(array()))
+  }
+
+  /** 60-bit integer hash from the first 15 hex chars of md5 — stable across
+    * engines (DuckDB twin: `('0x' || substr(md5(s),1,15))::BIGINT`). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime 2^31-1: keeps (a*h+b) % P inside int64 without overflow
+    * (a,b,h%P all < 2^31 → product < 2^62). */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic MinHash parameter pairs (a_j, b_j), j < 16. Fixed odd
+    * constants, all < P — shared by the Spark queries and the generated
+    * oracle SQL. */
+  val MinhashA: Seq[Long] = Seq(
+    1103515245L, 1234567891L, 766245317L, 997755331L,
+    622729787L, 961748941L, 589934581L, 314159257L,
+    271828183L, 141421357L, 173205081L, 123456791L,
+    987654323L, 192837465L, 1029384757L, 564738291L)
+  val MinhashB: Seq[Long] = Seq(
+    12345L, 67891L, 24680L, 13579L, 98765L, 43210L, 11111L, 22222L,
+    33333L, 44444L, 55555L, 66666L, 77777L, 88888L, 99999L, 10101L)
+
+  /** j-th MinHash of a shingle-set column: min over shingles of the j-th
+    * universal hash of the shingle's md5Long. Null when the set is empty. */
+  def minhash(shingleSet: Column, j: Int): Column =
+    array_min(transform(shingleSet, s =>
+      (lit(MinhashA(j)) * (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+        + MinhashB(j)) % MinhashP))
+
+  /** Exact Jaccard similarity of two array columns (as double). Integer
+    * |∩| / |∪| division — bit-identical in any engine. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Number of regex matches in a string (codegen'd regexp_count). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Ratio of characters matching a char-class regex. Explicit char classes
+    * only (no \p{...}) so Java-regex Spark and RE2 DuckDB agree. */
+  def charRatio(text: Column, charClass: String): Column =
+    (length(text) - length(regexp_replace(text, charClass, ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Tiny per-language marker-word lists for the heuristic language ID.
+    * Real pipelines use char-n-gram models; the shape (score per language →
+    * argmax) is the same and this stays SQL-expressible for the oracle. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|join|group)\\b",
+    "de" -> "\\b(der|die|das|und|ist|scan|merge)\\b",
+    "es" -> "\\b(el|la|de|que|los|filter|sort)\\b")
+
+  /** Heuristic language guess: argmax of marker-word hit counts; first
+    * language wins ties (greatest(...) compared in declaration order). */
+  def langGuess(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, p) => (l, matchCount(text, p)) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** 60-bit content fingerprint (md5-derived); stable across engines. */
+  def fingerprint(text: Column): Column = md5Long(text)
+
+  /** SimHash over the token multiset: for each of `bits` bit positions, sum
+    * +1/-1 votes from each token's md5-derived hash; bit set iff the vote is
+    * positive. Built from higher-order functions (no UDF); deterministic and
+    * engine-portable, though the oracle-side SQL twin is impractical —
+    * verified by scalatest instead. */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val hashes = transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val n = size(tokens(text))
+    // bit b is set iff a majority of token hashes have bit b set
+    (0 until bits).map { b =>
+      val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1L) === 1L))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash codes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Scan
+import Q._
+
+/** Remaining operator coverage: schema-merge multi-file scan with file
+  * provenance (S3), distinct, rollup, JSON extraction, scalar function
+  * suite — each oracle-checked.
+  */
+object MiscQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // S3: write two parquet files with DRIFTED schemas, scan them as one
+    // table with mergeSchema + input_file_name provenance, and aggregate
+    // per source file. Null patterns prove union-by-name alignment.
+    QuerySpec("q09_merge_schema",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val tmp = Files.createTempDirectory("graft_merge").toString
+        c.select(col("c_custkey"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$tmp/side_a")
+        c.select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").parquet(s"$tmp/side_b")
+        Scan.parquetMerged(s, Seq(s"$tmp/side_a", s"$tmp/side_b"))
+          .withColumn("side", regexp_extract(col("filename"), "side_([ab])", 1))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n"),
+            count(col("c_acctbal")).as("n_acctbal"),
+            count(col("c_mktsegment")).as("n_mkt"),
+            dsum(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy("side")
+      },
+      Some("""SELECT 'a' AS side, count(*) AS n, count(c_acctbal) AS n_acctbal,
+             |  CAST(0 AS BIGINT) AS n_mkt,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer
+             |UNION ALL
+             |SELECT 'b', count(*), CAST(0 AS BIGINT), count(c_mktsegment),
+             |  CAST(NULL AS DOUBLE)
+             |FROM customer ORDER BY side""".stripMargin)),
+
+    // Distinct (shuffle dedup on the projected key set).
+    QuerySpec("q16_distinct",
+      (s, d) => t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Rollup (grouping-set aggregation). NULLS FIRST pinned on both sides —
+    // Spark defaults nulls-first ascending, DuckDB nulls-last.
+    QuerySpec("q17_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // JSON field extraction from the events props column + aggregation.
+    QuerySpec("q18_json_extract",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k"),
+      Some("""SELECT CAST(props->>'k' AS INTEGER) AS k, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // Scalar-function suite: date parts, floor, abs, string ops.
+    QuerySpec("q19_scalar_funcs",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          floor(col("o_totalprice")).as("floor_price"),
+          abs(col("o_totalprice") - 100000.0).as("absdiff"),
+          upper(col("o_orderstatus")).as("stat"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))
+        .orderBy("o_orderkey").limit(1000),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |  day(o_orderdate) AS dom,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+             |  abs(o_totalprice - 100000.0) AS absdiff,
+             |  upper(o_orderstatus) AS stat,
+             |  length(o_orderpriority) AS prio_len,
+             |  o_orderstatus || '-' || o_orderpriority AS tag
+             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin))
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import Q._
+
+/** Multimodal-column surface: binary payloads + typed metadata, frame
+  * sampling via binary slicing, and the partition-batched decode stub.
+  * The byte/metadata/slicing plumbing is oracle-checked (pure arithmetic
+  * over the payload); the decode stub is rows-only + scalatest.
+  */
+object MultimodalQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Asset metadata extraction over binary columns (all codegen'd
+    // expressions; binary length/hash/derived dims).
+    QuerySpec("q50_multimodal_meta",
+      (s, d) => Multimodal.fakeAssets(t(s, d, "documents"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("asset_id") === col("doc_id"))
+        .select(
+          col("asset_id"), col("modality"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          sha2(col("text"), 256).as("sha_hex"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"))
+        .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |       ELSE 'video' END AS modality,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  sha256(text) AS sha_hex,
+             |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+             |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+             |  CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // Frame sampling: fixed-size binary slices via codegen'd substring on
+    // the payload — the video-frame / audio-chunk extraction shape.
+    QuerySpec("q51_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.fakeAssets(t(s, d, "documents")), frameBytes = 256)
+        .select(col("asset_id"), col("frame_idx"),
+          col("frame_len").cast("long").as("frame_len"))
+        .orderBy("asset_id", "frame_idx"),
+      Some("""SELECT doc_id AS asset_id, frame_idx,
+             |  least(256, CAST(octet_length(encode(text)) AS BIGINT) - frame_idx*256) AS frame_len
+             |FROM (SELECT doc_id, text,
+             |        unnest(range((octet_length(encode(text)) + 255) // 256)) AS frame_idx
+             |      FROM documents) x
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // Partition-batched decode stub → 16-dim features. Deterministic but
+    // Scala-defined (no SQL twin): rows-only here, behavior pinned by
+    // MultimodalSpec.
+    QuerySpec("q52_decode_features",
+      (s, d) => {
+        val feats = Multimodal.stubDecodeFeatures(
+          Multimodal.fakeAssets(t(s, d, "documents")), dim = 16)
+        feats.select(col("asset_id"), size(col("features")).as("dim"),
+          round(sqrt(graft.functions.VectorFunctions.dot(
+            col("features").cast("array<double>"),
+            col("features").cast("array<double>"))), 6).as("feat_norm"))
+          .orderBy("asset_id")
+      },
+      None)
+  )
+}

@@ -159,6 +159,7 @@ object RelationalQueries {
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
+          .withColumn("rnk", col("rnk").cast("long"))
           .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
           .orderBy("c_mktsegment", "rnk")
       },
@@ -226,8 +227,8 @@ object RelationalQueries {
              |         ELSE 0 END AS new_s
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |), y AS (
-             |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM x
              |)
              |SELECT user_id, session_id, count(*) AS n_events,

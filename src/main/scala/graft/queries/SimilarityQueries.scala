@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import Q._
+
+/** Similarity search over `embeddings.embedding: array<float>`:
+  * brute-force cosine top-k (the exactness baseline), signed-random-
+  * projection LSH (the bucketed ANN scale path), and IVF-style coarse
+  * quantization (cluster-then-search).
+  *
+  * Scale shape: brute force is O(Q·N) with the query side broadcast —
+  * correct baseline, linear in N. The LSH and IVF variants replace the
+  * cross join with an equi-join on a derived key (bucket / cluster), which
+  * shuffles by key and prunes candidates to one bucket — the 100 TB form.
+  */
+object SimilarityQueries {
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Brute-force cosine top-5 for 10 query vectors: broadcast the tiny
+    // query side, stream the full table once, TakeOrdered per query.
+    QuerySpec("q40_cosine_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .withColumn("rank", col("rank").cast("long"))
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+             |pairs AS (
+             |  SELECT q_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(qv, e.v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+             |), ranked AS (
+             |  SELECT q_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT q_id, rank, neighbor_id, round(cos, 4) AS cos4
+             |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN: 6 hyperplanes → 64 buckets; candidates = same
+    // bucket (equi-join, no cross join). Bucket ids come from Spark-only
+    // constants, so this is rows-only checked; recall vs brute force is
+    // asserted in scalatest instead.
+    QuerySpec("q41_ann_lsh",
+      (s, d) => {
+        val planes = gaussianPlanes(numPlanes = 6, dim = 64)
+        val e = vecs(s, d).withColumn("bucket", lshBucket(col("v"), planes))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        e.join(q, "bucket")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), col("bucket"),
+            round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // IVF-style coarse quantization: 16 codebook vectors (vec_id < 16),
+    // every vector assigned to its nearest centroid via the dot-product
+    // identity (same float composition as the oracle → stable argmin).
+    // Output: cluster occupancy histogram.
+    QuerySpec("q42_ivf_assign",
+      (s, d) => {
+        val e = vecs(s, d)
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("c_id"))
+        e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("c_id"), l2sq(col("v"), col("cv")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("c_id").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |d AS (
+             |  SELECT e.vec_id, c_id,
+             |    list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |      + list_dot_product(cv, cv) AS dist,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |        + list_dot_product(cv, cv), c_id) AS rn
+             |  FROM e CROSS JOIN c
+             |)
+             |SELECT c_id AS cluster_id, count(*) AS n_members
+             |FROM d WHERE rn = 1 GROUP BY c_id ORDER BY cluster_id""".stripMargin))
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import Q._
+
+/** Text-analysis surface over the `documents` fixture: token counting,
+  * quality scoring, language statistics, heuristic language ID, content
+  * fingerprinting. All pure-function pipelines (no shuffle except the
+  * grouped variants), oracle-checked against DuckDB.
+  */
+object TextQueries {
+
+  // Char-class regexes shared verbatim between Spark (Java regex) and the
+  // DuckDB oracle (RE2) — explicit classes, no \p{...} shorthands.
+  private val Vowels = "[aeiou]"
+  private val EnMarkers = "\\b(the|and|of|to|in|join|group)\\b"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Token counting: whitespace tokens, distinct tokens, char recount,
+    // mean token length — all codegen'd, zero shuffles before the sort.
+    QuerySpec("q20_token_stats",
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(tokenSet(col("text"))).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          ((length(col("text")) - (size(tokens(col("text"))) - 1))
+            .cast("double") / size(tokens(col("text"))).cast("double"))
+            .as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  length(text) AS n_chars_actual,
+             |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+             |    / len(string_split(text,' ')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: character-class ratios + marker-word density,
+    // combined into a single score. Int/int double divisions — bit-identical
+    // across engines.
+    QuerySpec("q21_text_quality",
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          charRatio(col("text"), Vowels).as("vowel_ratio"),
+          charRatio(col("text"), " ").as("space_ratio"),
+          (matchCount(col("text"), EnMarkers).cast("double") /
+            size(tokens(col("text"))).cast("double")).as("stopword_ratio"))
+        .withColumn("quality_score",
+          col("vowel_ratio") * 0.25 + col("space_ratio") * 0.25 +
+            col("stopword_ratio") * 0.5)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, vowel_ratio, space_ratio, stopword_ratio,
+             |  vowel_ratio*0.25 + space_ratio*0.25 + stopword_ratio*0.5 AS quality_score
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(length(text) - length(regexp_replace(text, '$Vowels', '', 'g')) AS DOUBLE)/length(text) AS vowel_ratio,
+             |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)/length(text) AS space_ratio,
+             |    CAST(len(regexp_extract_all(text, '$EnMarkers')) AS DOUBLE)
+             |      / len(string_split(text,' ')) AS stopword_ratio
+             |  FROM documents) x ORDER BY doc_id""".stripMargin)),
+
+    // Grouped language statistics (map-side-combinable aggregation).
+    QuerySpec("q22_lang_stats",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+             |  count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Heuristic language ID: marker-hit scores per language, argmax guess,
+    // compared against the labeled lang. The real-pipeline shape (n-gram
+    // scores → argmax) with SQL-expressible scoring.
+    QuerySpec("q23_langid",
+      (s, d) => {
+        val base = t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          matchCount(col("text"), LangMarkers(0)._2).cast("long").as("score_en"),
+          matchCount(col("text"), LangMarkers(1)._2).cast("long").as("score_de"),
+          matchCount(col("text"), LangMarkers(2)._2).cast("long").as("score_es"),
+          langGuess(col("text")).as("guess"))
+        base.withColumn("agrees", (col("guess") === col("lang")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, score_en, score_de, score_es,
+             |  CASE WHEN score_en = best AND score_en > 0 THEN 'en'
+             |       WHEN score_de = best AND score_de > 0 THEN 'de'
+             |       WHEN score_es = best AND score_es > 0 THEN 'es'
+             |       ELSE 'und' END AS guess,
+             |  CASE WHEN (CASE WHEN score_en = best AND score_en > 0 THEN 'en'
+             |       WHEN score_de = best AND score_de > 0 THEN 'de'
+             |       WHEN score_es = best AND score_es > 0 THEN 'es'
+             |       ELSE 'und' END) = lang THEN 1 ELSE 0 END AS agrees
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    len(regexp_extract_all(text, '${LangMarkers(0)._2}')) AS score_en,
+             |    len(regexp_extract_all(text, '${LangMarkers(1)._2}')) AS score_de,
+             |    len(regexp_extract_all(text, '${LangMarkers(2)._2}')) AS score_es,
+             |    greatest(len(regexp_extract_all(text, '${LangMarkers(0)._2}')),
+             |             len(regexp_extract_all(text, '${LangMarkers(1)._2}')),
+             |             len(regexp_extract_all(text, '${LangMarkers(2)._2}'))) AS best
+             |  FROM documents) x ORDER BY doc_id""".stripMargin)),
+
+    // Content fingerprinting: md5-derived 60-bit fingerprint — identical in
+    // any engine with md5 (the cross-engine hash discipline all our
+    // sketches build on).
+    QuerySpec("q24_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          substring(md5(col("text")), 1, 15).as("fp_hex"),
+          fingerprint(col("text")).as("fp_int"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, substr(md5(text),1,15) AS fp_hex,
+             |  ('0x' || substr(md5(text),1,15))::BIGINT AS fp_int
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

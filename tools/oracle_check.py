@@ -87,6 +87,12 @@ def main():
             print(f"[FAIL] {name}: column mismatch spark={s_cols} oracle={o_cols}")
             n_fail += 1
             continue
+        s_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        o_types = dict(zip(o_rel.columns, [str(t) for t in o_rel.types]))
+        type_diff = {c: (s_types[c], o_types[c]) for c in s_types
+                     if s_types[c] != o_types[c]}
+        if type_diff:
+            print(f"[WARN] {name}: dtype diff {type_diff}")
         if len(s_rows) != len(o_rows):
             print(f"[FAIL] {name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
             n_fail += 1
