@@ -1,5 +1,17 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with per-query wall-clock seconds.
+  *
+  * Mirrors the reference's harness shape (time each operation once in a
+  * shared session — `main.py:31-35`): a warm-up action first so the first
+  * timed query doesn't absorb JVM/codegen startup, then every registered
+  * query, plus the reference's actual headline workload (parquet→CSV
+  * conversion, `BASELINE.md`) as `k1_convert_csv`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +19,36 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warm-up: JIT + codegen + FS committer init outside any timed cell
+    // (read path via entry, write path via a small conversion).
+    val convertOut = Files.createTempDirectory("graft_bench_csv").toString
+    try {
+      SparkEntry.entry(spark).count()
+      graft.operators.Convert.parquetToCsv(
+        spark, "/root/testdata/sf0.001/lineitem.parquet", s"$convertOut/warmup")
+    } catch { case _: Throwable => () }
+    val convert = "k1_convert_csv" -> time {
+      try graft.operators.Convert.parquetToCsv(
+        spark, s"$sfDir/lineitem.parquet", s"$convertOut/lineitem")
+      catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
+    } :+ convert
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,14 +28,17 @@ object TextFunctions {
   /** Word k-gram shingles (k consecutive tokens joined by a space), as the
     * DISTINCT shingle set. Guarded: Spark's `sequence(1, n)` runs DESCENDING
     * when n < 1, so short texts must short-circuit to an empty array. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** Shingles from a PRE-TOKENIZED array column — project the token array
+    * in its own select first (see shingleHashSetFromTokens for why). */
+  def shinglesFromTokens(t: Column, k: Int): Column =
     array_distinct(
       when(size(t) >= k,
         transform(sequence(lit(1), size(t) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
         .otherwise(array()))
-  }
 
   /** 60-bit integer hash from the first 15 hex chars of md5 — stable across
     * engines (DuckDB twin: `('0x' || substr(md5(s),1,15))::BIGINT`). */
@@ -61,9 +64,43 @@ object TextFunctions {
   /** j-th MinHash of a shingle-set column: min over shingles of the j-th
     * universal hash of the shingle's md5Long. Null when the set is empty. */
   def minhash(shingleSet: Column, j: Int): Column =
-    array_min(transform(shingleSet, s =>
-      (lit(MinhashA(j)) * (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
-        + MinhashB(j)) % MinhashP))
+    minhashFromHashes(shingleHashes(shingleSet), j)
+
+  /** Pre-reduced shingle hashes (md5Long % P). Computing this ONCE and
+    * deriving every signature from it does one md5 per shingle instead of
+    * one per (shingle × signature) — the dominant cost of the sketch. */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+
+  /** Distinct 60-bit hash set of the k-gram shingles, built in ONE pass:
+    * hash each shingle string immediately (never materializing the string
+    * array) and dedup the LONGS — long equality beats string equality inside
+    * array_distinct, and every downstream consumer (Jaccard on the set,
+    * MinHash via % P) reuses this single array. 60-bit space makes set
+    * collisions negligible (~1e-13 per pair), so Jaccard over hashes equals
+    * Jaccard over shingle strings. */
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    shingleHashSetFromTokens(tokens(text), k)
+
+  /** Same, over a PRE-TOKENIZED array column. Callers should project the
+    * token array in its own select first: expressions referenced inside a
+    * higher-order-function lambda are re-evaluated per element, so an
+    * inlined split(text) turns shingling O(tokens²) per row. Referencing a
+    * materialized attribute keeps it O(tokens). */
+  def shingleHashSetFromTokens(t: Column, k: Int): Column =
+    array_distinct(
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(o => element_at(t, i + o)): _*)), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(typedLit(Seq.empty[Long])))
+
+  /** j-th MinHash from pre-reduced hashes: min of (a_j*h + b_j) % P. */
+  def minhashFromHashes(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h =>
+      (lit(MinhashA(j)) * h + MinhashB(j)) % MinhashP))
 
   /** Exact Jaccard similarity of two array columns (as double). Integer
     * |∩| / |∪| division — bit-identical in any engine. */
@@ -119,5 +156,5 @@ object TextFunctions {
   }
 
   /** Hamming distance between two simhash codes. */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 }

@@ -24,17 +24,16 @@ object DedupQueries {
   private val NumSigs = 8
   private val NumBands = 4 // band size 1 (r=1, b=4): high-recall demo setting
 
-  /** DuckDB twin of TextFunctions.shingles(k=3) + md5Long, as a CTE prefix. */
+  /** DuckDB twin of TextFunctions.shingleHashSet(k=3), as a CTE prefix:
+    * 60-bit md5 hash per 3-gram shingle, distinct per doc. */
   private val shingleCte =
     """WITH sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, len(s)-1),
-      |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))) AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
+      |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
       |), h AS (
-      |  SELECT doc_id,
-      |    ('0x' || substr(md5(shingle),1,15))::BIGINT % 2147483647 AS hp
-      |  FROM sh
+      |  SELECT doc_id, h60 % 2147483647 AS hp FROM sh
       |), sig AS (
       |  SELECT doc_id, """.stripMargin +
       (0 until NumSigs).map(j =>
@@ -47,25 +46,19 @@ object DedupQueries {
     // form groups by md5(content) (fixed-width shuffle key) rather than the
     // content itself; both shown here.
     QuerySpec("q30_dedup_exact",
-      (s, d) => t(s, d, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
-        .select(md5(col("text")).as("text_md5"), col("keep_id"), col("dup_count"))
+      (s, d) => graft.operators.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("keep_id"),
       Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
              |  count(*) AS dup_count
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
-    // MinHash signatures: 8 universal hashes over the 3-gram shingle set.
+    // MinHash signatures: 8 universal hashes over the 3-gram shingle hash
+    // set. One md5 per shingle, then 8 cheap arithmetic mins.
     QuerySpec("q31_minhash_sig",
-      (s, d) => {
-        val sh = t(s, d, "documents")
-          .filter(size(tokens(col("text"))) >= 3)
-          .select(col("doc_id"), shingles(col("text"), 3).as("shset"))
-        sh.select(col("doc_id") +:
-          (0 until NumSigs).map(j => minhash(col("shset"), j).as(s"m$j")): _*)
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", 3),
+        "doc_id", NumSigs)
+        .orderBy("doc_id"),
       Some(shingleCte +
         "\nSELECT * FROM sig ORDER BY doc_id")),
 
@@ -73,32 +66,12 @@ object DedupQueries {
     // keys, equi-join per band (shuffle-partitionable — the scale path),
     // dedup pairs, then exact-Jaccard the survivors.
     QuerySpec("q32_minhash_lsh_pairs",
-      (s, d) => {
-        val docs = t(s, d, "documents").filter(size(tokens(col("text"))) >= 3)
-        val withSets = docs.select(col("doc_id"), shingles(col("text"), 3).as("shset"))
-        val sigs = withSets.select(col("doc_id") +:
-          (0 until NumBands).map(j => minhash(col("shset"), j).as(s"m$j")): _*)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until NumBands).map(j => struct(lit(j).as("band"), col(s"m$j").as("mv"))): _*))
-          .as("bv"))
-          .select(col("doc_id"), col("bv.band").as("band"), col("bv.mv").as("mv"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.mv") === col("b.mv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        cand
-          .join(withSets.withColumnRenamed("doc_id", "a_id")
-            .withColumnRenamed("shset", "a_set"), "a_id")
-          .join(withSets.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("shset", "b_set"), "b_id")
-          .select(col("a_id"), col("b_id"), jaccard(col("a_set"), col("b_set")).as("jac"))
-          .filter(col("jac") >= 0.1)
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3)
+        .orderBy("a_id", "b_id"),
       Some(shingleCte +
         """, sets AS (
-          |  SELECT doc_id, list_distinct(list(shingle)) AS shset FROM sh GROUP BY doc_id
+          |  SELECT doc_id, list(DISTINCT h60) AS shset FROM sh GROUP BY doc_id
           |), bands AS (
           |""".stripMargin +
         (0 until NumBands).map(j =>
@@ -122,8 +95,7 @@ object DedupQueries {
     // SimHash: 16-bit majority-vote sketch per document (near-dup = small
     // hamming distance; pairing happens by code-prefix buckets at scale).
     QuerySpec("q33_simhash",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), simhash(col("text"), 16).as("simhash16"))
+      (s, d) => graft.operators.Dedup.simhashCodes(t(s, d, "documents"), "doc_id", "text", 16)
         .orderBy("doc_id"),
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents
@@ -146,8 +118,9 @@ object DedupQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
           .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("lang"), col("source"),
-            shingles(col("text"), 3).as("shset"))
+            shinglesFromTokens(col("toks"), 3).as("shset"))
         docs.as("a").join(docs.as("b"),
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))

@@ -26,8 +26,13 @@ object RelationalQueries {
     // S1 + O1: full parquet scan, global sort. At scale this is a
     // range-partitioned shuffle; Spark samples boundaries automatically.
     QuerySpec("q01_scan_sort",
-      (s, d) => t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber"),
-      Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+      // the 7-column key leaves ties only between fully-identical rows, so
+      // the hash compare is order-safe.
+      (s, d) => t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate"),
+      Some("""SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber,
+             |  l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate""".stripMargin)),
 
     // P1/P2-shape: projection + predicate; both reach the parquet scan
     // (ReadSchema prunes to 4 columns, PushedFilters carries the predicate).
@@ -35,10 +40,10 @@ object RelationalQueries {
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_quantity") > 30)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
              |FROM lineitem WHERE l_quantity > 30
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin)),
 
     // P2+P3: suffix filter + first-dot stem extraction (the reference's
     // manifest filtering, re-expressed over the documents fixture).

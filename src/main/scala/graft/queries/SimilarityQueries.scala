@@ -30,14 +30,7 @@ object SimilarityQueries {
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(desc("cos"), col("neighbor_id"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            cosine(col("qv"), col("v")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+        graft.operators.Similarity.bruteForceTopK(e, q, 5)
           .withColumn("rank", col("rank").cast("long"))
           .select(col("q_id"), col("rank"), col("neighbor_id"),
             round(col("cos"), 4).as("cos4"))
@@ -63,23 +56,12 @@ object SimilarityQueries {
     // constants, so this is rows-only checked; recall vs brute force is
     // asserted in scalatest instead.
     QuerySpec("q41_ann_lsh",
-      (s, d) => {
-        val planes = gaussianPlanes(numPlanes = 6, dim = 64)
-        val e = vecs(s, d).withColumn("bucket", lshBucket(col("v"), planes))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(desc("cos"), col("neighbor_id"))
-        e.join(q, "bucket")
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor_id"),
-            cosine(col("qv"), col("v")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank"), col("neighbor_id"), col("bucket"),
-            round(col("cos"), 4).as("cos4"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => graft.operators.Similarity
+        .lshTopK(vecs(s, d), numPlanes = 6, dim = 64, k = 3,
+          queryPred = col("vec_id") < 10)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("bucket"),
+          round(col("cos"), 4).as("cos4"))
+        .orderBy("q_id", "rank"),
       None),
 
     // IVF-style coarse quantization: 16 codebook vectors (vec_id < 16),
@@ -91,13 +73,8 @@ object SimilarityQueries {
         val e = vecs(s, d)
         val c = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("c_id"))
-        e.crossJoin(broadcast(c))
-          .select(col("vec_id"), col("c_id"), l2sq(col("v"), col("cv")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("c_id").as("cluster_id"))
+        graft.operators.Similarity.ivfAssign(e, c)
+          .groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy("cluster_id")
       },

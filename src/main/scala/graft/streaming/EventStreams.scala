@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the events shape
+  * (`event_id, ts, user_id, event_type, value`): windowed aggregation with
+  * watermarked late-data handling, and stateful sessionization via
+  * mapGroupsWithState.
+  *
+  * The transforms are defined once and work on BOTH batch and streaming
+  * DataFrames (Spark's unified semantics); q13/q14 are the batch twins the
+  * DuckDB oracle checks, and StreamingSpec drives the same logic through a
+  * real file-source stream with Trigger.AvailableNow.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation with a watermark: counts and
+    * sums per (window, event_type). At scale, state is partitioned by
+    * (window, event_type) across executors and pruned by the watermark. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Open a file-source stream over a directory of parquet event files —
+    * the production shape for continuously-landing data. */
+  def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Run any streaming DataFrame to completion over currently-available
+    * input (Trigger.AvailableNow) into an in-memory table; returns the
+    * result for assertion/inspection. Used by tests and local tooling. */
+  def runAvailableNow(out: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out.sparkSession.table(queryName)
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, session_id: Long, event_id: Long,
+                           ts: Timestamp)
+
+  /** Stateful sessionization (30-min inactivity gap) with
+    * flatMapGroupsWithState: per-user state carries (current session id,
+    * last event time); each micro-batch's events extend or roll the
+    * session. State is partitioned by user_id — the same key the batch
+    * twin (q14) windows over.
+    *
+    * NoTimeout is deliberate: a processing-time timeout makes the engine
+    * keep scheduling batches to fire timeouts, so a Trigger.AvailableNow
+    * run never terminates. Production state eviction belongs in a
+    * watermark-based EventTimeTimeout variant. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val tms = e.ts.getTime
+            val sid = if (s.lastTs == Long.MinValue || tms - s.lastTs > gapMs)
+              s.sessionId + 1 else s.sessionId
+            s = SessionState(sid, tms)
+            SessionUpdate(userId, sid, e.event_id, e.ts)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

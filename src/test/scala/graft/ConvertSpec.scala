@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Convert
+import graft.sources.Scan
+
+/** K1/K3/K4/K5 sinks (SURVEY.md §2.2): CSV round-trips, header, chunked
+  * output, single-file parity. */
+class ConvertSpec extends SparkSpec {
+
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("parquet→CSV→parquet round-trip preserves every row and value") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = lineitem
+    Convert.toCsvDir(src, s"$tmp/csv")
+    val back = Scan.csvWithSchema(spark, src.schema, s"$tmp/csv")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("maxRecordsPerFile caps every output CSV part (K4)") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    Convert.toCsvDir(lineitem, s"$tmp/chunked", maxRecordsPerFile = 1000)
+    val parts = Files.list(Paths.get(s"$tmp/chunked")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.size >= 6) // 6000 rows / 1000
+    parts.foreach { p =>
+      val lines = Files.readAllLines(p).size()
+      assert(lines <= 1001, s"$p has $lines lines") // +1 header
+    }
+  }
+
+  test("every CSV part carries a header row") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    Convert.toCsvDir(lineitem.select("l_orderkey", "l_quantity"), s"$tmp/hdr",
+      maxRecordsPerFile = 1000)
+    val parts = Files.list(Paths.get(s"$tmp/hdr")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      assert(Files.readAllLines(p).get(0) === "l_orderkey,l_quantity")
+    }
+  }
+
+  test("csvSingleFile writes one named file with header (K1 parity)") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    val out = Convert.csvSingleFile(lineitem.limit(50), s"$tmp/lineitem.csv")
+    assert(Files.exists(out))
+    val lines = Files.readAllLines(out)
+    assert(lines.size() === 51)
+    assert(lines.get(0).startsWith("l_orderkey,"))
+    // temp dir cleaned up
+    assert(!Files.exists(Paths.get(s"$tmp/lineitem.csv.spark-tmp")))
+  }
+
+  test("timestamps survive the CSV round-trip at microsecond precision") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = spark.sql(
+      "SELECT timestamp'2024-03-05 01:02:03.123456' AS ts, 1 AS id")
+    Convert.toCsvDir(src, s"$tmp/ts")
+    val back = Scan.csvWithSchema(spark, src.schema, s"$tmp/ts")
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("csvToParquet closes the reverse loop") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    Convert.toCsvDir(src, s"$tmp/csv")
+    Convert.csvToParquet(spark, s"$tmp/csv", s"$tmp/pq")
+    val back = spark.read.parquet(s"$tmp/pq")
+    assert(back.count() === src.count())
+    assert(back.columns.toSeq === src.columns.toSeq)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators: exact keep-min, MinHash LSH recall on planted
+  * near-duplicates, SimHash proximity. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+
+  /** Deterministic random-ish doc from a seed. */
+  private def doc(seed: Int, nTokens: Int = 40): String = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nTokens)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "x")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 3L) // "x": keep 1, 3 copies
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L)
+  }
+
+  test("LSH finds planted near-duplicates and scores them high") {
+    // 30 random docs + 5 planted near-dup pairs (one token changed)
+    val base = (0 until 30).map(i => (i.toLong, doc(i)))
+    val nearDups = (0 until 5).map { i =>
+      val orig = doc(i)
+      val toks = orig.split(" ")
+      toks(toks.length / 2) = "CHANGED"
+      ((100 + i).toLong, toks.mkString(" "))
+    }
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      numBands = 4, minJaccard = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, (100 + i).toLong)),
+        s"planted pair ($i, ${100 + i}) not found; got ${found.mkString(",")}")
+    }
+    // every reported pair is genuinely similar
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("LSH reports no high-jaccard pairs among unrelated docs") {
+    val docs = (0 until 30).map(i => (i.toLong, doc(i, 60))).toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      numBands = 4, minJaccard = 0.8).collect()
+    assert(pairs.isEmpty, s"unexpected pairs: ${pairs.mkString(",")}")
+  }
+
+  test("simhash of a near-duplicate stays within small hamming distance") {
+    val a = doc(7, 50)
+    val b = { val t = a.split(" "); t(10) = "CHANGED"; t.mkString(" ") }
+    val c = doc(99, 50)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val codes = Dedup.simhashCodes(df, "doc_id", "text", 16)
+      .orderBy("doc_id").select("simhash16").as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(codes(0), codes(1)) <= 4,
+      s"near-dup hamming ${ham(codes(0), codes(1))}")
+  }
+
+  test("minhash signature agreement rate tracks jaccard (sketch property)") {
+    // identical docs agree on all signatures
+    val df = Seq((1L, doc(5)), (2L, doc(5))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleSets(df, "doc_id", "text"), "doc_id", 8).orderBy("doc_id").collect()
+    (1 to 8).foreach(j => assert(sigs(0).getLong(j) === sigs(1).getLong(j)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Vector primitives + brute-force/LSH/IVF search operators. */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int = 32): Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(dim)(rng.nextGaussian())
+  }
+
+  private def perturb(v: Array[Double], eps: Double, seed: Int): Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    v.map(_ + eps * rng.nextGaussian())
+  }
+
+  test("cosine of a vector with itself is 1; with its negation -1") {
+    val v = randVec(1)
+    val df = Seq((v, v.map(-_))).toDF("a", "b")
+    val r = df.select(cosine(col("a"), col("a")).as("s"),
+      cosine(col("a"), col("b")).as("n")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("dot/l2sq match direct computation") {
+    val a = Array(1.0, 2.0, 3.0); val b = Array(4.0, 5.0, 6.0)
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(dot(col("a"), col("b")), l2sq(col("a"), col("b"))).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 27.0) // 9+9+9
+  }
+
+  test("bruteForceTopK: planted twin is always the rank-1 neighbor") {
+    val base = (0 until 50).map(i => (i.toLong, randVec(i)))
+    val twins = (0 until 5).map(i => ((100 + i).toLong, perturb(randVec(i), 0.01, 999 + i)))
+    val corpus = (base ++ twins).toDF("vec_id", "v")
+    val queries = base.take(5).map { case (id, v) => (id, v) }
+      .toDF("q_id", "qv")
+    val top1 = Similarity.bruteForceTopK(corpus, queries, 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach(i => assert(top1(i.toLong) === (100 + i).toLong))
+  }
+
+  test("lshBucket puts near-identical vectors in the same bucket most of the time") {
+    val pairs = (0 until 40).map { i =>
+      (i.toLong, randVec(i), perturb(randVec(i), 0.005, 7000 + i))
+    }
+    val planes = gaussianPlanes(6, 32)
+    val df = pairs.map { case (id, a, b) => (id, a, b) }.toDF("id", "a", "b")
+      .select(col("id"), lshBucket(col("a"), planes).as("ba"),
+        lshBucket(col("b"), planes).as("bb"))
+    val same = df.filter(col("ba") === col("bb")).count()
+    assert(same >= 28, s"only $same/40 near-dup pairs share a bucket")
+  }
+
+  test("ivfAssign assigns each centroid to itself at distance ~0") {
+    val vecs = (0 until 20).map(i => (i.toLong, randVec(i))).toDF("vec_id", "v")
+    val cents = (0 until 4).map(i => (i.toLong, randVec(i))).toDF("c_id", "cv")
+    val assign = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "cluster_id", "dist").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0 until 4).foreach { i =>
+      assert(assign(i.toLong)._1 === i.toLong)
+      assert(math.abs(assign(i.toLong)._2) < 1e-9)
+    }
+    assert(assign.size === 20)
+  }
+
+  test("LSH ANN recall vs brute force is reasonable on clustered data") {
+    // clustered corpus: 8 clusters of 12 vectors each around a center
+    val corpus = (0 until 96).map { i =>
+      val c = randVec(i % 8, 32)
+      (i.toLong, perturb(c, 0.05, 5000 + i))
+    }.toDF("vec_id", "v")
+    val exact = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")), 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, numPlanes = 4, dim = 32, k = 3,
+        queryPred = col("vec_id") < 8)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.queries.Q
+import graft.streaming.EventStreams
+
+/** Structured Streaming: file-source stream → watermarked window agg →
+  * memory sink, and stateful sessionization — each compared against the
+  * equivalent batch computation on the same data. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val eventsBatch = Q.events(spark, sfDir)
+
+  test("streamed hourly window agg equals the batch computation") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val src = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value")
+    src.write.parquet(s"$tmp/in")
+
+    // Complete mode: Append would withhold windows the watermark hasn't
+    // finalized, which can never equal the batch result on a finite input.
+    val stream = EventStreams.fileStream(spark, src.schema, s"$tmp/in")
+    val streamed = EventStreams.runAvailableNow(
+      EventStreams.hourlyCounts(stream), "hourly_stream", OutputMode.Complete)
+      .orderBy("hour_start", "event_type")
+      .collect()
+
+    val batch = EventStreams.hourlyCounts(src)
+      .orderBy("hour_start", "event_type")
+      .collect()
+
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionize splits on the inactivity gap") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(10), 10, "click", 1.0),  // same session (gap 10m)
+      EventStreams.Event(3, ts(50), 10, "click", 1.0),  // new session (gap 40m)
+      EventStreams.Event(4, ts(0), 20, "view", 1.0),
+      EventStreams.Event(5, ts(31), 20, "view", 1.0))   // new session (gap 31m)
+
+    val tmp = Files.createTempDirectory("streamspec").toString
+    events.toDF().write.parquet(s"$tmp/in")
+    val stream = EventStreams.fileStream(spark, events.toDF().schema, s"$tmp/in")
+      .as[EventStreams.Event]
+    val out = EventStreams.runAvailableNow(
+      EventStreams.sessionize(stream, gapMinutes = 30).toDF(),
+      "sessions_stream", OutputMode.Append)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(out === Set(
+      (10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 2L),
+      (20L, 4L, 1L), (20L, 5L, 2L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text primitives: tokenization, shingles, hashes, langid, simhash. */
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles builds ordered k-grams, deduplicated") {
+    val out = Seq("a b c d a b c d").toDF("text")
+      .select(shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(out === Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingles of short text is empty, not a descending-sequence blowup") {
+    val out = Seq("a b").toDF("text")
+      .select(shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(out === Seq.empty)
+  }
+
+  test("shingleHashSet equals md5Long of each distinct shingle") {
+    val df = Seq("x y z w").toDF("text")
+    val viaSet = df.select(shingleHashSet(col("text"), 3).as("h"))
+      .as[Seq[Long]].head().toSet
+    val direct = df.select(shingles(col("text"), 3).as("s"))
+      .select(explode(col("s")).as("sh"))
+      .select(md5Long(col("sh")).as("h")).as[Long].collect().toSet
+    assert(viaSet === direct)
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, half-overlap 1/3") {
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b", "c")
+    val r = df.select(
+      jaccard(col("a"), col("b")).as("same"),
+      jaccard(col("a"), col("c")).as("disj"),
+      jaccard(col("a"), array(lit(2L), lit(3L))).as("half")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 1.0 / 3.0)
+  }
+
+  test("minhash: equal texts get equal signatures; signature is stable") {
+    val df = Seq(("a b c d e f", 1), ("a b c d e f", 2), ("q r s t u v", 3))
+      .toDF("text", "id")
+      .select(col("id"), shingles(col("text"), 3).as("hs"))
+      .select(col("id"), minhash(col("hs"), 0).as("m0"), minhash(col("hs"), 1).as("m1"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(1) === rows(1).getLong(1))
+    assert(rows(0).getLong(2) === rows(1).getLong(2))
+    assert(rows(0).getLong(1) !== rows(2).getLong(1))
+  }
+
+  test("simhash: equal texts → hamming 0; different texts → nonzero") {
+    val df = Seq(("the cat sat", "the cat sat", "entirely different words here"))
+      .toDF("a", "b", "c")
+      .select(simhash(col("a")).as("ha"), simhash(col("b")).as("hb"),
+        simhash(col("c")).as("hc"))
+    val r = df.select(hamming(col("ha"), col("hb")), hamming(col("ha"), col("hc"))).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) > 0L)
+  }
+
+  test("langGuess picks the language with most marker hits") {
+    val df = Seq("the cat and the dog of the house", "der hund und die katze ist",
+      "xyzzy plugh").toDF("text")
+      .select(langGuess(col("text")).as("g"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "und"))
+  }
+
+  test("charRatio counts character-class fraction") {
+    val r = Seq("aeiou xyz").toDF("t")
+      .select(charRatio(col("t"), "[aeiou]").as("r")).as[Double].head()
+    assert(r === 5.0 / 9.0)
+  }
+}

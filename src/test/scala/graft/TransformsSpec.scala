@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Transforms
+
+/** P2/P3, O1/O2, A1 transforms (SURVEY.md §2.3–2.5). */
+class TransformsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("filterSuffix keeps only matching rows (P2)") {
+    val df = Seq("a.parquet", "b.csv", "c.parquet").toDF("f")
+    assert(Transforms.filterSuffix(df, "f", ".parquet").as[String].collect().sorted
+      === Array("a.parquet", "c.parquet"))
+  }
+
+  test("stem splits at the FIRST dot, like the reference (P3)") {
+    val df = Seq("name.v2.parquet").toDF("f")
+      .select(Transforms.stem(col("f")).as("s"))
+    assert(df.as[String].head() === "name")
+  }
+
+  test("sampleExactN returns exactly n rows, deterministic per seed (O2)") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def draw(seed: Long) = Transforms.sampleExactN(src, 100, seed)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val s1 = draw(7L); val s2 = draw(7L); val s3 = draw(8L)
+    assert(s1.length === 100)
+    assert(s1 === s2)
+    assert(s1 !== s3) // overwhelmingly likely for distinct seeds
+  }
+
+  test("sampleExactN with n > count returns all rows") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Transforms.sampleExactN(df, 10, 1L).count() === 3)
+  }
+
+  test("pivotWide produces one row per index, one column per key (A1)") {
+    val long = Seq(
+      ("duckdb", 100L, 1.7), ("polars", 100L, 1.2),
+      ("duckdb", 1000L, 2.0), ("polars", 1000L, 1.5))
+      .toDF("method", "size", "time")
+    val wide = Transforms.pivotWide(long, "size", "method", "time",
+      values = Seq("duckdb", "polars")).orderBy("size")
+    assert(wide.columns.toSeq === Seq("size", "duckdb", "polars"))
+    val rows = wide.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 1000L))
+    assert(rows(0).getDouble(1) === 1.7)
+    assert(rows(1).getDouble(2) === 1.5)
+  }
+}
