@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipelines.{BenchGrid, ExtractData}
+
+/** End-to-end mirror of the reference's two entry points: extract → sample
+  * → manifest, then the timed conversion grid → pivoted results.csv. */
+class PipelineSpec extends SparkSpec {
+
+  test("ExtractData writes exact-n samples and a manifest") {
+    val out = Files.createTempDirectory("pipespec").toString
+    val r = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100, 500), outDir = out)
+    assert(r.sampleFiles.map(_._1) === Seq(100L, 500L))
+    assert(Files.exists(Paths.get(r.manifestPath)))
+    val manifest = Files.readAllLines(Paths.get(r.manifestPath))
+    assert(manifest.get(0) === "num_rows,filename")
+    assert(manifest.size() === 3)
+    // sample parquet readable and exact
+    assert(spark.read.parquet(s"$out/samples/sample_100.parquet").count() === 100)
+  }
+
+  test("ExtractData rejects invalid sample sizes (V1)") {
+    val out = Files.createTempDirectory("pipespec").toString
+    intercept[IllegalArgumentException] {
+      ExtractData.run(spark, Seq(s"$sfDir/lineitem.parquet"), Seq(-5), out)
+    }
+  }
+
+  test("BenchGrid times every (method, size) cell and exports pivoted results") {
+    val out = Files.createTempDirectory("pipespec").toString
+    val ex = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100, 300), outDir = out)
+    val wide = BenchGrid.run(spark, ex.manifestPath, s"$out/samples", out)
+    assert(wide.columns.toSeq ===
+      "size" +: BenchGrid.methods.map(_._1))
+    val rows = wide.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 300L))
+    // every cell timed (positive)
+    rows.foreach(r => (1 until r.length).foreach(i => assert(r.getDouble(i) > 0.0)))
+    val resultsCsv = Files.readAllLines(Paths.get(s"$out/results.csv"))
+    assert(resultsCsv.get(0) === "size," + BenchGrid.methods.map(_._1).mkString(","))
+    assert(resultsCsv.size() === 3)
+  }
+}
