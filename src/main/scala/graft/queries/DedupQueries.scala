@@ -142,6 +142,36 @@ object DedupQueries {
              |    / len(list_distinct(list_concat(a.shset, b.shset))) AS jac
              |FROM s3 a JOIN s3 b
              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Embedding-cosine near-dup: within-label blocked pairs above a cosine
+    // threshold. Same blocked-pair scale shape as q34; cosine composed from
+    // the codegen'd native dot expression with the exact oracle formula.
+    QuerySpec("q35_embedding_neardup",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        import graft.plans.GraftFunctions.dotNative
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            col("a.label").as("label"), cos(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .select(col("a_id"), col("b_id"), col("label"), round(col("cos"), 4).as("cos4"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |)
+             |SELECT a_id, b_id, label, round(cos, 4) AS cos4
+             |FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Scan
@@ -75,6 +76,51 @@ object MiscQueries {
       Some("""SELECT CAST(props->>'k' AS INTEGER) AS k, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // Window-function suite: lag/lead/rank/running-count per user over
+    // event time — one state-partition key (user_id), total order inside.
+    QuerySpec("q25_window_suite",
+      (s, d) => {
+        val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val byValue = Window.partitionBy(col("user_id"))
+          .orderBy(desc("value"), col("event_id"))
+        events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(byTime).as("prev_value"),
+            lead(col("value"), 1).over(byTime).as("next_value"),
+            rank().over(byValue).cast("long").as("rnk"),
+            count(lit(1)).over(byTime.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("run_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  lag(value) OVER wt AS prev_value,
+             |  lead(value) OVER wt AS next_value,
+             |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS run_n
+             |FROM events WHERE user_id < 20
+             |WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Set operations: INTERSECT and EXCEPT (distinct semantics) between the
+    // customer and supplier nation-key sets.
+    QuerySpec("q26_setops",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").as("x"))
+        val sup = t(s, d, "supplier").select(col("s_nationkey").as("x"))
+        c.intersect(sup).withColumn("op", lit("intersect"))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .orderBy("op", "x")
+      },
+      Some("""SELECT x, 'intersect' AS op FROM
+             |  (SELECT c_nationkey AS x FROM customer
+             |   INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT x, 'except' FROM
+             |  (SELECT c_nationkey AS x FROM customer
+             |   EXCEPT SELECT s_nationkey FROM supplier)
+             |ORDER BY op, x""".stripMargin)),
 
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
