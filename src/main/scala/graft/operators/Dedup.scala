@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -30,17 +31,48 @@ object Dedup {
       (0 until numSigs).map(j =>
         minhashFromHashes(transform(col("hset"), h => h % MinhashP), j).as(s"m$j")): _*)
 
-  /** LSH candidate pairs (a_id < b_id) sharing any of `numBands` bands,
-    * with exact Jaccard computed on the candidates and filtered. */
+  /** Default cap on LSH bucket size: buckets larger than this are dropped
+    * before the self-join. A hot band value (e.g. a boilerplate shingle
+    * pattern shared by millions of docs) would otherwise make the
+    * within-bucket join quadratic in the bucket; near-dup pairs inside a
+    * dropped bucket are still found through their other b-1 bands. */
+  val DefaultMaxBucketSize: Long = 1000L
+
+  /** LSH candidate pairs (a_id < b_id) sharing any of `numBands` band keys,
+    * with exact Jaccard computed on the candidates and filtered.
+    *
+    * Banding is b×r: each of the `numBands` band keys concatenates
+    * `rowsPerBand` consecutive MinHash values (numSigs = b·r), so a bucket
+    * collision requires r simultaneous signature matches — collision
+    * probability s^r per band for true Jaccard s, keeping buckets sparse at
+    * scale (r=1 single-hash buckets collide on every moderately common
+    * shingle). Oversized buckets are dropped ([[DefaultMaxBucketSize]]).
+    *
+    * The (id, hset) projection — one md5 per shingle, the dominant cost —
+    * is persisted: it feeds the signatures AND both sides of the final
+    * exact-Jaccard join, and would otherwise be recomputed three times.
+    * (At cluster scale prefer checkpointing to break the lineage too.)
+    */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
-               numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3): DataFrame = {
+               numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
+               rowsPerBand: Int = 2,
+               maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    val numSigs = numBands * rowsPerBand
     val sets = shingleSets(docs, idCol, textCol, k)
-    val sigs = minhashSignatures(sets, idCol, numBands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(sets, idCol, numSigs)
     val bands = sigs.select(col(idCol), explode(array(
-      (0 until numBands).map(j => struct(lit(j).as("band"), col(s"m$j").as("mv"))): _*))
+      (0 until numBands).map(j => struct(lit(j).as("band"),
+        concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
       .as("bv"))
       .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val smallBuckets = bands.groupBy(col("band"), col("mv"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") <= maxBucketSize)
+      .select(col("band"), col("mv"))
+    val capped = bands.join(smallBuckets, Seq("band", "mv"))
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.mv") === col("b.mv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))

@@ -58,6 +58,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SRP-banded embedding near-dup pairs — the embedding twin of
+    * [[Dedup.lshPairs]]'s b×r MinHash banding: `planes.length /
+    * planesPerBand` bands, each hashing the vector to a 2^planesPerBand
+    * bucket with signed random projections; a pair is a candidate iff it
+    * shares any band's bucket AND every `blockCols` value; exact cosine is
+    * computed on candidates only.
+    *
+    * Scale shape: buckets come from broadcast plane literals (no shuffle),
+    * candidates from a (band, bucket, blocks) equi-join — shuffle by
+    * derived key, never all-pairs. Recall is governed by bands ×
+    * planesPerBand exactly like MinHash b×r.
+    */
+  def embeddingNearDupPairs(e: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], planes: Seq[Array[Double]], planesPerBand: Int,
+      minCos: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(e.sparkSession)
+    require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
+    val numBands = planes.length / planesPerBand
+    val bands = e.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
+          lshBucket(col(vecCol),
+            planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))): _*))
+          .as("bb"): _*)
+      .select((col(idCol) +: blockCols.map(col)) ++
+        Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*)
+    val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _)
+    val cand = bands.as("a").join(bands.as("b"), cond)
+      .select(Seq(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id")) ++
+        blockCols.map(c => col(s"a.$c").as(c)): _*)
+      .distinct()
+    val va = e.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
+    val vb = e.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(Seq(col("a_id"), col("b_id")) ++ blockCols.map(col) :+
+        cosineNative(col("__av"), col("__bv")).as("cos"): _*)
+      .filter(col("cos") >= minCos)
+  }
+
   /** IVF-style assignment: nearest of the broadcast centroids per vector
     * (same dot-product composition as any SQL oracle → stable argmin). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

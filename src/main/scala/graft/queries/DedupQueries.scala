@@ -21,8 +21,30 @@ import Q._
 object DedupQueries {
 
   private val P = MinhashP
-  private val NumSigs = 8
-  private val NumBands = 4 // band size 1 (r=1, b=4): high-recall demo setting
+  private val NumBands = 4
+  private val RowsPerBand = 2 // b×r banding: 4 bands × 2 rows = 8 signatures
+  private val NumSigs = NumBands * RowsPerBand
+  private val MaxBucket = graft.operators.Dedup.DefaultMaxBucketSize
+
+  /** SRP banding for the embedding near-dup (q35): 3 bands × 4 planes over
+    * the 64-dim embeddings; deterministic seed shared with the oracle SQL
+    * (the planes are rendered into it as literals). */
+  private val NeardupBands = 3
+  private val NeardupPlanesPerBand = 4
+  private val NeardupPlanes: Seq[Array[Double]] =
+    graft.functions.VectorFunctions.gaussianPlanes(NeardupBands * NeardupPlanesPerBand, 64)
+
+  /** DuckDB list literal for one hyperplane. Scala's Double.toString is the
+    * shortest decimal that round-trips, so DuckDB parses back the exact
+    * same IEEE double and the sign of every projection matches Spark's. */
+  private def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** DuckDB twin of VectorFunctions.lshBucket over band `band`'s planes. */
+  private def srpBucketSql(vExpr: String, band: Int): String =
+    (0 until NeardupPlanesPerBand).map { j =>
+      val p = NeardupPlanes(band * NeardupPlanesPerBand + j)
+      s"(CASE WHEN list_dot_product($vExpr, ${planeLit(p)}) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB twin of TextFunctions.shingleHashSet(k=3), as a CTE prefix:
     * 60-bit md5 hash per 3-gram shingle, distinct per doc. */
@@ -39,6 +61,36 @@ object DedupQueries {
       (0 until NumSigs).map(j =>
         s"min((${MinhashA(j)}*hp + ${MinhashB(j)}) % $P) AS m$j").mkString(",\n    ") +
       "\n  FROM h GROUP BY doc_id\n)"
+
+  /** DuckDB twin of Dedup.lshPairs (b×r banding, bucket cap, exact Jaccard
+    * on candidates), as a CTE suite ending in `lsh_pairs(a_id, b_id, jac)`.
+    * Shared by q32 (the raw pair query) and q34 (pairs restricted to equal
+    * (lang, source) blocks). */
+  private val lshCte = shingleCte +
+    """, sets AS (
+      |  SELECT doc_id, list(DISTINCT h60) AS shset FROM sh GROUP BY doc_id
+      |), bands AS (
+      |""".stripMargin +
+    (0 until NumBands).map(j =>
+      s"  SELECT doc_id, $j AS band, m${2 * j}::VARCHAR || '_' || m${2 * j + 1}::VARCHAR AS mv FROM sig")
+      .mkString("\n  UNION ALL\n") +
+    s"""
+      |), bcnt AS (
+      |  SELECT band, mv FROM bands GROUP BY band, mv HAVING count(*) <= $MaxBucket
+      |), capped AS (
+      |  SELECT bands.* FROM bands JOIN bcnt USING (band, mv)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.mv = b.mv AND a.doc_id < b.doc_id
+      |), lsh_pairs AS (
+      |  SELECT a_id, b_id,
+      |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jac
+      |  FROM cand
+      |  JOIN sets sa ON sa.doc_id = a_id
+      |  JOIN sets sb ON sb.doc_id = b_id
+      |)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -62,35 +114,18 @@ object DedupQueries {
       Some(shingleCte +
         "\nSELECT * FROM sig ORDER BY doc_id")),
 
-    // MinHash LSH near-dup candidates: explode signatures into (band, value)
-    // keys, equi-join per band (shuffle-partitionable — the scale path),
-    // dedup pairs, then exact-Jaccard the survivors.
+    // MinHash LSH near-dup candidates: b×r banding (band key = r
+    // concatenated signature values), bucket-size cap, per-band equi-join
+    // (shuffle-partitionable — the scale path), dedup pairs, then
+    // exact-Jaccard the survivors. The shingle sets are persisted inside
+    // the operator (they feed signatures AND the final Jaccard join).
     QuerySpec("q32_minhash_lsh_pairs",
       (s, d) => graft.operators.Dedup.lshPairs(t(s, d, "documents"),
-        "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3)
+        "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+        rowsPerBand = RowsPerBand)
         .orderBy("a_id", "b_id"),
-      Some(shingleCte +
-        """, sets AS (
-          |  SELECT doc_id, list(DISTINCT h60) AS shset FROM sh GROUP BY doc_id
-          |), bands AS (
-          |""".stripMargin +
-        (0 until NumBands).map(j =>
-          s"  SELECT doc_id, $j AS band, m$j AS mv FROM sig").mkString("\n  UNION ALL\n") +
-        """
-          |), cand AS (
-          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.mv = b.mv AND a.doc_id < b.doc_id
-          |)
-          |SELECT a_id, b_id,
-          |  CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
-          |    / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jac
-          |FROM cand
-          |JOIN sets sa ON sa.doc_id = a_id
-          |JOIN sets sb ON sb.doc_id = b_id
-          |WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
-          |    / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.1
-          |ORDER BY a_id, b_id""".stripMargin)),
+      Some(lshCte +
+        "\nSELECT a_id, b_id, jac FROM lsh_pairs WHERE jac >= 0.1 ORDER BY a_id, b_id")),
 
     // SimHash: 16-bit majority-vote sketch per document (near-dup = small
     // hamming distance; pairing happens by code-prefix buckets at scale).
@@ -111,67 +146,76 @@ object DedupQueries {
              |  CAST(sum(CASE WHEN 2*ones > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash16
              |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // n-gram Jaccard within (lang, source) blocks: blocked pairwise
-    // similarity — the block key bounds the quadratic term, and at scale
-    // becomes the shuffle partition key.
+    // n-gram Jaccard near-dups within (lang, source) blocks, via LSH
+    // candidates: the block key is a cheap post-filter on the LSH pair
+    // stream, NOT a join key for all-pairs — block sizes are unbounded at
+    // scale, so the quadratic term must be governed by the banding/bucket
+    // cap (it is: this reuses exactly the q32 machinery), never by block
+    // cardinality.
     QuerySpec("q34_ngram_jaccard",
       (s, d) => {
         val docs = t(s, d, "documents")
-          .filter(size(tokens(col("text"))) >= 3)
-          .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            shinglesFromTokens(col("toks"), 3).as("shset"))
-        docs.as("a").join(docs.as("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.lang").as("lang"), col("a.source").as("source"),
-            jaccard(col("a.shset"), col("b.shset")).as("jac"))
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
+        val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+        pairs
+          .join(meta.select(col("doc_id").as("a_id"),
+            col("lang"), col("source")), "a_id")
+          .join(meta.select(col("doc_id").as("b_id"),
+            col("lang").as("b_lang"), col("source").as("b_source")), "b_id")
+          .filter(col("lang") === col("b_lang") && col("source") === col("b_source"))
+          .select(col("a_id"), col("b_id"), col("lang"), col("source"), col("jac"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH s3 AS (
-             |  SELECT doc_id, lang, source,
-             |    list_distinct(list_transform(range(1, len(s)-1),
-             |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS shset
-             |  FROM (SELECT doc_id, lang, source, string_split(text,' ') AS s
-             |        FROM documents WHERE len(string_split(text,' ')) >= 3)
-             |)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
-             |  a.source AS source,
-             |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-             |    / len(list_distinct(list_concat(a.shset, b.shset))) AS jac
-             |FROM s3 a JOIN s3 b
-             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-             |ORDER BY a_id, b_id""".stripMargin)),
+      Some(lshCte +
+        """
+          |SELECT p.a_id, p.b_id, da.lang AS lang, da.source AS source, p.jac
+          |FROM lsh_pairs p
+          |JOIN documents da ON da.doc_id = p.a_id
+          |JOIN documents db ON db.doc_id = p.b_id
+          |WHERE p.jac >= 0.1 AND da.lang = db.lang AND da.source = db.source
+          |ORDER BY a_id, b_id""".stripMargin)),
 
-    // Embedding-cosine near-dup: within-label blocked pairs above a cosine
-    // threshold. Same blocked-pair scale shape as q34; cosine composed from
-    // the codegen'd native dot expression with the exact oracle formula.
+    // Embedding-cosine near-dup via SRP-banded LSH: 3 bands × 4 signed
+    // random projections bucket each vector (planes are driver constants,
+    // no shuffle to bucket); candidates share a (band, bucket, label) key;
+    // exact cosine on candidates only. The label is part of the candidate
+    // key but the quadratic term is governed by the 2^4 buckets per band,
+    // not by label cardinality — the same b×r discipline as q32/q34. The
+    // oracle embeds the plane vectors as SQL literals (Scala's shortest
+    // round-trip double rendering), so bucketing is bit-reproducible in
+    // DuckDB and the pair set is fully hash-checked.
     QuerySpec("q35_embedding_neardup",
       (s, d) => {
-        graft.plans.GraftFunctions.ensureRegistered(s)
-        import graft.plans.GraftFunctions.dotNative
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
-        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
-        e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            col("a.label").as("label"), cos(col("a.v"), col("b.v")).as("cos"))
-          .filter(col("cos") >= 0.35)
+        graft.operators.Similarity.embeddingNearDupPairs(
+          e, "vec_id", "v", blockCols = Seq("label"),
+          planes = NeardupPlanes, planesPerBand = NeardupPlanesPerBand,
+          minCos = 0.35)
           .select(col("a_id"), col("b_id"), col("label"), round(col("cos"), 4).as("cos4"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-             |p AS (
-             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-             |    list_dot_product(a.v, b.v)
-             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-             |)
-             |SELECT a_id, b_id, label, round(cos, 4) AS cos4
-             |FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin))
+      Some("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),\nbands AS (\n" +
+        (0 until NeardupBands).map(b =>
+          s"  SELECT vec_id, label, $b AS band, ${srpBucketSql("v", b)} AS bkt FROM e")
+          .mkString("\n  UNION ALL\n") +
+        """
+          |), cand AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bkt = b.bkt AND a.label = b.label
+          |      AND a.vec_id < b.vec_id
+          |), p AS (
+          |  SELECT a_id, b_id, cand.label AS label,
+          |    list_dot_product(ea.v, eb.v)
+          |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+          |  FROM cand
+          |  JOIN e ea ON ea.vec_id = a_id
+          |  JOIN e eb ON eb.vec_id = b_id
+          |)
+          |SELECT a_id, b_id, label, round(cos, 4) AS cos4
+          |FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin))
   )
 }
