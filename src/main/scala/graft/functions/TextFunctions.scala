@@ -139,21 +139,35 @@ object TextFunctions {
   /** 60-bit content fingerprint (md5-derived); stable across engines. */
   def fingerprint(text: Column): Column = md5Long(text)
 
-  /** SimHash over the token multiset: for each of `bits` bit positions, sum
-    * +1/-1 votes from each token's md5-derived hash; bit set iff the vote is
-    * positive. Built from higher-order functions (no UDF); deterministic and
-    * engine-portable, though the oracle-side SQL twin is impractical —
-    * verified by scalatest instead. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hashes = transform(tokens(text), t =>
+  /** Token md5-hash ARRAY (multiset — duplicates kept, unlike
+    * [[shingleHashSet]]): the materialization point for SimHash. Project
+    * this into its own column before [[simhashFromHashes]] — the 16+ bit
+    * votes each reference the hash array, and an inlined expression would
+    * re-tokenize and re-hash every token once per bit. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t =>
       conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val n = size(tokens(text))
-    // bit b is set iff a majority of token hashes have bit b set
+
+  /** SimHash bit votes over a MATERIALIZED token-hash array attribute:
+    * bit b is set iff a majority of token hashes have bit b set. `hashes`
+    * must be a projected column (see [[tokenHashes]]), not an inline
+    * expression — HOF lambdas are interpreted and each of the `bits`
+    * filter() calls re-evaluates its input expression. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val n = size(hashes)
     (0 until bits).map { b =>
       val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1L) === 1L))
       when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** SimHash over the token multiset, as a single inline expression.
+    * Convenience form for one-off use; on hot paths project
+    * [[tokenHashes]] first and use [[simhashFromHashes]] (as
+    * Dedup.simhashCodes does) — inline, tokenization and hashing re-run
+    * once per bit position. */
+  def simhash(text: Column, bits: Int = 16): Column =
+    simhashFromHashes(tokenHashes(text), bits)
 
   /** Hamming distance between two simhash codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

@@ -50,4 +50,16 @@ object VectorFunctions {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
+
+  /** DuckDB twin of [[lshBucket]]: renders the planes as SQL list literals.
+    * Scala's Double.toString emits the shortest decimal that round-trips,
+    * so DuckDB parses back bit-identical IEEE doubles; list_dot_product
+    * folds left like [[dot]], so every projection sign — hence every
+    * bucket id — matches Spark's exactly, making SRP-bucketed queries
+    * fully oracle-checkable. */
+  def lshBucketSql(vExpr: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ", ", "]")}::DOUBLE[]) > 0" +
+        s" THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString("(", " + ", ")")
 }

@@ -90,7 +90,50 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(md5(col(textCol)).as("text_md5"), col("keep_id"), col("dup_count"))
 
-  /** Per-doc SimHash codes. */
+  /** Per-doc SimHash codes. The token-hash array is projected into its own
+    * materialized column first (one tokenize + one md5 per token), then the
+    * `bits` bit votes run against that attribute — inline, each vote's
+    * filter() would re-tokenize and re-hash the document (a ~`bits`×
+    * blowup on the 100 TB dedup path). */
   def simhashCodes(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    docs.select(col(idCol), simhash(col(textCol), bits).as(s"simhash$bits"))
+    docs
+      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), simhashFromHashes(col("__th"), bits).as(s"simhash$bits"))
+
+  /** SimHash near-dup pairs via block pigeonhole: split each `bits`-bit
+    * code into `numBlocks` equal blocks; any two codes within hamming
+    * distance `numBlocks - 1` must agree on at least one whole block, so
+    * the per-(block, value) equi-join finds every such pair without an
+    * all-pairs comparison. Exact hamming is then computed on candidates
+    * and filtered to `maxHamming` (must be < numBlocks for guaranteed
+    * recall). Oversized blocks are dropped, same discipline as
+    * [[lshPairs]] — at 2^(bits/numBlocks) values per block the cap is the
+    * guard against degenerate corpora where one code value dominates. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, numBlocks: Int = 4, maxHamming: Int = 3,
+                   maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    require(bits % numBlocks == 0, "bits must split evenly into blocks")
+    require(maxHamming < numBlocks, "pigeonhole recall needs maxHamming < numBlocks")
+    val blockBits = bits / numBlocks
+    val mask = (1L << blockBits) - 1
+    val codeName = s"simhash$bits"
+    val codes = simhashCodes(docs, idCol, textCol, bits)
+    val blocks = codes.select(col(idCol), col(codeName).as("code"), explode(array(
+      (0 until numBlocks).map(j => struct(lit(j).as("blk"),
+        shiftright(col(codeName), j * blockBits).bitwiseAND(mask).as("bv"))): _*)).as("b"))
+      .select(col(idCol), col("code"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+    val smallBlocks = blocks.groupBy(col("blk"), col("bv"))
+      .agg(count(lit(1)).as("blk_n"))
+      .filter(col("blk_n") <= maxBucketSize)
+      .select(col("blk"), col("bv"))
+    val capped = blocks.join(smallBlocks, Seq("blk", "bv"))
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        col("a.code").as("a_code"), col("b.code").as("b_code"))
+      .distinct()
+      .select(col("a_id"), col("b_id"), hamming(col("a_code"), col("b_code")).as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
 }

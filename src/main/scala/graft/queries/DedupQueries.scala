@@ -34,17 +34,10 @@ object DedupQueries {
   private val NeardupPlanes: Seq[Array[Double]] =
     graft.functions.VectorFunctions.gaussianPlanes(NeardupBands * NeardupPlanesPerBand, 64)
 
-  /** DuckDB list literal for one hyperplane. Scala's Double.toString is the
-    * shortest decimal that round-trips, so DuckDB parses back the exact
-    * same IEEE double and the sign of every projection matches Spark's. */
-  private def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]") + "::DOUBLE[]"
-
   /** DuckDB twin of VectorFunctions.lshBucket over band `band`'s planes. */
   private def srpBucketSql(vExpr: String, band: Int): String =
-    (0 until NeardupPlanesPerBand).map { j =>
-      val p = NeardupPlanes(band * NeardupPlanesPerBand + j)
-      s"(CASE WHEN list_dot_product($vExpr, ${planeLit(p)}) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
-    }.mkString("(", " + ", ")")
+    graft.functions.VectorFunctions.lshBucketSql(vExpr,
+      NeardupPlanes.slice(band * NeardupPlanesPerBand, (band + 1) * NeardupPlanesPerBand))
 
   /** DuckDB twin of TextFunctions.shingleHashSet(k=3), as a CTE prefix:
     * 60-bit md5 hash per 3-gram shingle, distinct per doc. */
@@ -145,6 +138,45 @@ object DedupQueries {
              |SELECT doc_id,
              |  CAST(sum(CASE WHEN 2*ones > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash16
              |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs via block pigeonhole: 32-bit codes split into
+    // 4 × 8-bit blocks — hamming ≤ 3 pairs must share a whole block, so
+    // candidate generation is a per-(block, value) equi-join (256 values
+    // per block), never all-pairs; exact hamming filters the candidates.
+    // Fully oracle-checked end to end (codes, blocking, cap, hamming).
+    QuerySpec("q36_simhash_pairs",
+      (s, d) => graft.operators.Dedup.simhashPairs(t(s, d, "documents"),
+        "doc_id", "text", bits = 32, numBlocks = 4, maxHamming = 3)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents
+              |), h AS (
+              |  SELECT doc_id, ('0x' || substr(md5(tk),1,15))::BIGINT AS hv FROM tok
+              |), votes AS (
+              |  SELECT doc_id, b,
+              |    count(*) FILTER (((hv >> b) & 1) = 1) AS ones, count(*) AS n
+              |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+              |  GROUP BY doc_id, b
+              |), codes AS (
+              |  SELECT doc_id,
+              |    CAST(sum(CASE WHEN 2*ones > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS code
+              |  FROM votes GROUP BY doc_id
+              |), blocks AS (
+              |  SELECT doc_id, code, j AS blk, (code >> (j*8)) & 255 AS bv
+              |  FROM codes CROSS JOIN (SELECT unnest(range(4)) AS j) js
+              |), bcnt AS (
+              |  SELECT blk, bv FROM blocks GROUP BY blk, bv HAVING count(*) <= $MaxBucket
+              |), capped AS (
+              |  SELECT blocks.* FROM blocks JOIN bcnt USING (blk, bv)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    a.code AS a_code, b.code AS b_code
+              |  FROM capped a JOIN capped b
+              |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+              |)
+              |SELECT a_id, b_id, CAST(bit_count(xor(a_code, b_code)) AS BIGINT) AS ham
+              |FROM cand WHERE bit_count(xor(a_code, b_code)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     // n-gram Jaccard near-dups within (lang, source) blocks, via LSH
     // candidates: the block key is a cheap post-filter on the LSH pair

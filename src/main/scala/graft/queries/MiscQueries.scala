@@ -66,9 +66,14 @@ object MiscQueries {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     // JSON field extraction from the events props column + aggregation.
+    // One from_json parse with an explicit schema per row — N extracted
+    // fields cost one parse, where per-field get_json_object would re-parse
+    // the document N times (it was the 2nd-slowest bench query that way).
     QuerySpec("q18_json_extract",
       (s, d) => events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
           col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

@@ -12,6 +12,34 @@ import Q._
   */
 object MultimodalQueries {
 
+  private val DecodeDim = 16
+
+  /** DuckDB twin of Multimodal.stubDecodeFeatures → norm: the fixture text
+    * is pure ASCII (verified per scale factor), so byte == char and
+    * `unicode(text[i])` reproduces the stub's `(byte & 0xff)` exactly.
+    * Parity discipline: the per-bin division is done in FLOAT (matching
+    * the stub's float hist), and the squared-norm sum is an explicit
+    * left-associated `f0²+f1²+…` chain — the same index-order fold Spark's
+    * `aggregate` HOF performs — so no aggregation-order nondeterminism. */
+  private val q52Oracle = {
+    val fcols = (0 until DecodeDim).map(j =>
+      s"    CAST(CAST(count(*) FILTER (bin = $j) AS FLOAT)" +
+        s" / CAST(any_value(n) AS FLOAT) AS FLOAT) AS f$j").mkString(",\n")
+    val ss = (0 until DecodeDim).map(j => s"f$j::DOUBLE * f$j::DOUBLE").mkString(" + ")
+    s"""WITH chars AS (
+       |  SELECT doc_id, greatest(len(text), 1) AS n,
+       |    unicode(text[i]) % $DecodeDim AS bin
+       |  FROM (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i FROM documents)
+       |), hv AS (
+       |  SELECT doc_id,
+       |$fcols
+       |  FROM chars GROUP BY doc_id
+       |)
+       |SELECT doc_id AS asset_id, $DecodeDim AS dim,
+       |  round(sqrt($ss), 6) AS feat_norm
+       |FROM hv ORDER BY asset_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Asset metadata extraction over binary columns (all codegen'd
@@ -52,19 +80,20 @@ object MultimodalQueries {
              |      FROM documents) x
              |ORDER BY asset_id, frame_idx""".stripMargin)),
 
-    // Partition-batched decode stub → 16-dim features. Deterministic but
-    // Scala-defined (no SQL twin): rows-only here, behavior pinned by
-    // MultimodalSpec.
+    // Partition-batched decode stub → 16-dim byte-histogram features. The
+    // stub is deterministic arithmetic over the payload bytes, so it has a
+    // full SQL twin (hash-checked); the mapPartitions execution shape is
+    // additionally pinned by MultimodalSpec.
     QuerySpec("q52_decode_features",
       (s, d) => {
         val feats = Multimodal.stubDecodeFeatures(
-          Multimodal.fakeAssets(t(s, d, "documents")), dim = 16)
+          Multimodal.fakeAssets(t(s, d, "documents")), dim = DecodeDim)
         feats.select(col("asset_id"), size(col("features")).as("dim"),
           round(sqrt(graft.functions.VectorFunctions.dot(
             col("features").cast("array<double>"),
             col("features").cast("array<double>"))), 6).as("feat_norm"))
           .orderBy("asset_id")
       },
-      None)
+      Some(q52Oracle))
   )
 }

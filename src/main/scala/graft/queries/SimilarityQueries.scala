@@ -52,17 +52,37 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // LSH-bucketed ANN: 6 hyperplanes → 64 buckets; candidates = same
-    // bucket (equi-join, no cross join). Bucket ids come from Spark-only
-    // constants, so this is rows-only checked; recall vs brute force is
-    // asserted in scalatest instead.
+    // bucket (equi-join, no cross join). The oracle renders the same
+    // hyperplanes as SQL literals (see VectorFunctions.lshBucketSql), so
+    // bucket assignment — and therefore the full ANN result — is
+    // hash-checked; recall vs brute force is additionally asserted in
+    // scalatest.
     QuerySpec("q41_ann_lsh",
       (s, d) => graft.operators.Similarity
         .lshTopK(vecs(s, d), numPlanes = 6, dim = 64, k = 3,
           queryPred = col("vec_id") < 10)
-        .select(col("q_id"), col("rank"), col("neighbor_id"), col("bucket"),
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("bucket"),
           round(col("cos"), 4).as("cos4"))
         .orderBy("q_id", "rank"),
-      None),
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+        "b AS (SELECT vec_id, v, " +
+        graft.functions.VectorFunctions.lshBucketSql("v",
+          graft.functions.VectorFunctions.gaussianPlanes(6, 64)) +
+        """ AS bucket FROM e),
+          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+          |pairs AS (
+          |  SELECT q_id, b.bucket AS bucket, b.vec_id AS neighbor_id,
+          |    list_dot_product(qv, b.v)
+          |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+          |  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> q_id
+          |), ranked AS (
+          |  SELECT q_id, bucket, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM pairs
+          |)
+          |SELECT q_id, rank, neighbor_id, bucket, round(cos, 4) AS cos4
+          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     // IVF-style coarse quantization: 16 codebook vectors (vec_id < 16),
     // every vector assigned to its nearest centroid via the dot-product
