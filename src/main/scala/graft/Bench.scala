@@ -10,9 +10,21 @@ import org.apache.spark.sql.SparkSession
   * shared session — `main.py:31-35`): a warm-up action first so the first
   * timed query doesn't absorb JVM/codegen startup, then every registered
   * query, plus the reference's actual headline workload (parquet→CSV
-  * conversion, `BASELINE.md`) as `k1_convert_csv`.
+  * conversion, `BASELINE.md`) at two scales:
+  *  - `k1_convert_csv`: the sf fixture's lineitem as-is;
+  *  - `k2_convert_csv_10m`: lineitem replicated to the reference's
+  *    published 10M-row class (`README.md:334-340`), so the 2×-of-baseline
+  *    bar is measured at matched scale, not extrapolated. The replica
+  *    build is NOT part of the timed region.
+  *
+  * A query that throws is reported as -1 in `queries` and listed under
+  * `failed` — never as a (fast) success time.
   */
 object Bench {
+
+  /** Rows the reference's headline conversion measures (BASELINE.md). */
+  val MatchedScaleRows = 10000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,8 +36,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    /** (seconds, succeeded) — failures are never reported as timings. */
+    def timed(f: => Unit): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { f; true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     // Warm-up: JIT + codegen + FS committer init outside any timed cell
@@ -36,20 +51,38 @@ object Bench {
       graft.operators.Convert.parquetToCsv(
         spark, "/root/testdata/sf0.001/lineitem.parquet", s"$convertOut/warmup")
     } catch { case _: Throwable => () }
-    val convert = "k1_convert_csv" -> time {
-      try graft.operators.Convert.parquetToCsv(
+    val convert = "k1_convert_csv" -> timed {
+      graft.operators.Convert.parquetToCsv(
         spark, s"$sfDir/lineitem.parquet", s"$convertOut/lineitem")
-      catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time { try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
-    } :+ convert
+    // Matched-scale conversion: replicate lineitem up to ~10M rows
+    // (untimed union+write), one untimed conversion to absorb the replica
+    // write's page-cache flush and JIT at this scale (the baseline numbers
+    // are warm single-run timings too), then time the warm conversion.
+    val matched = "k2_convert_csv_10m" -> (try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val n = math.max(1L, li.count())
+      val rep = math.max(1L, math.min(64L, (MatchedScaleRows + n - 1) / n))
+      val bigPath = s"$convertOut/lineitem_big"
+      (1L to rep).map(_ => li).reduce(_ union _)
+        .write.mode("overwrite").parquet(bigPath)
+      graft.operators.Convert.parquetToCsv(spark, bigPath, s"$convertOut/big_csv_warm")
+      timed {
+        graft.operators.Convert.parquetToCsv(spark, bigPath, s"$convertOut/big_csv")
+      }
+    } catch { case _: Throwable => (0.0, false) })
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed { fn(spark, sfDir).count(); () }
+    } :+ convert :+ matched
+
+    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -31,10 +32,27 @@ object Convert {
   /** Pinned so CSV round-trips preserve microsecond timestamps. */
   val TimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Null renders as a bare empty field, empty STRING as a quoted `""` —
+    * pinned explicitly (SURVEY §7.4.1: null rendering is a reference-parity
+    * trap) so null vs empty-string survives a CSV round-trip; the readers
+    * in [[graft.sources.Scan]] use the mirrored options. */
+  val NullValue = ""
+  val EmptyValue = "\"\""
+
+  /** Reader-side null token: must be a string that never appears as data.
+    * Spark's CSV reader substitutes quoted-empty fields with its
+    * `emptyValue` ("" by default) BEFORE the `nullValue` comparison, so a
+    * reader `nullValue` of "" would collapse `""` (empty string) and a
+    * bare empty field (null) to the same value; with an impossible
+    * sentinel, only genuinely absent fields parse as null. */
+  val ReaderNullSentinel = "\\N"
+
   private def csvWriter(df: DataFrame, maxRecordsPerFile: Long) =
     df.write
       .option("header", "true")
       .option("timestampFormat", TimestampFormat)
+      .option("nullValue", NullValue)
+      .option("emptyValue", EmptyValue)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Overwrite)
 
@@ -50,14 +68,20 @@ object Convert {
     csvWriter(df, maxRecordsPerFile).csv(outDir)
 
   /** K1 — single named CSV file, reference-output parity. Serializes through
-    * one task (`coalesce(1)`): verify-scale only, never the 100 TB path. */
+    * one task (`coalesce(1)`): verify-scale only, never the 100 TB path.
+    * Asserts exactly one part file — silently picking the first of several
+    * would drop data. */
   def csvSingleFile(df: DataFrame, outFile: String): Path = {
     val out = Paths.get(outFile)
     val tmpDir = out.resolveSibling(out.getFileName.toString + ".spark-tmp")
     csvWriter(df.coalesce(1), Long.MaxValue).csv(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmpDir"))
+    val parts = Using.resource(Files.list(tmpDir)) {
+      _.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toList
+    }
+    val part = parts match {
+      case one :: Nil => one
+      case other => sys.error(s"expected exactly one part file under $tmpDir, found ${other.size}")
+    }
     Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(tmpDir)
     out
@@ -73,7 +97,8 @@ object Convert {
       .option("timestampFormat", TimestampFormat).csv(in), outDir)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

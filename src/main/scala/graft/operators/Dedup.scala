@@ -61,12 +61,17 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(sets, idCol, numSigs)
+    // bands is referenced four times (bucket count, cap join, both self-join
+    // sides); persist the small (id, band, mv) projection so the signature
+    // computation — 8 interpreted HOF mins over the shingle arrays — runs
+    // once, not four times.
     val bands = sigs.select(col(idCol), explode(array(
       (0 until numBands).map(j => struct(lit(j).as("band"),
         concat_ws("_",
           (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
       .as("bv"))
       .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = bands.groupBy(col("band"), col("mv"))
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") <= maxBucketSize)
@@ -118,10 +123,14 @@ object Dedup {
     val mask = (1L << blockBits) - 1
     val codeName = s"simhash$bits"
     val codes = simhashCodes(docs, idCol, textCol, bits)
+    // blocks is referenced four times (block count, cap join, both
+    // self-join sides); persist so the `bits` interpreted bit-vote passes
+    // behind simhashCodes run once per document, not four times.
     val blocks = codes.select(col(idCol), col(codeName).as("code"), explode(array(
       (0 until numBlocks).map(j => struct(lit(j).as("blk"),
         shiftright(col(codeName), j * blockBits).bitwiseAND(mask).as("bv"))): _*)).as("b"))
       .select(col(idCol), col("code"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blocks.groupBy(col("blk"), col("bv"))
       .agg(count(lit(1)).as("blk_n"))
       .filter(col("blk_n") <= maxBucketSize)

@@ -44,13 +44,20 @@ object BenchGrid {
       for { (n, f) <- work; (m, _) <- methods } yield (n, f, m))
 
     val byName = methods.toMap
-    // B1/B2: one timed run per (method, dataset) cell
+    // B1/B2: one timed run per (method, dataset) cell. V3: a failing cell
+    // records -1.0 and the grid continues (reference `utils.py:128-137`
+    // try/except/continue semantics) — one bad dataset must not lose the
+    // whole results table.
     val cells = shuffled.map { case (n, file, method) =>
       val in = s"$samplesDir/$file"
       val out = java.nio.file.Files.createTempDirectory("benchgrid").toString
       val t0 = System.nanoTime()
-      byName(method)(spark, in, s"$out/run")
-      (method, n, (System.nanoTime() - t0) / 1e9)
+      scala.util.Try(byName(method)(spark, in, s"$out/run")) match {
+        case scala.util.Success(_) => (method, n, (System.nanoTime() - t0) / 1e9)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[benchgrid] $method on $file failed: ${e.getMessage}")
+          (method, n, -1.0)
+      }
     }
 
     // A2 → A1: accumulate rows, pivot long→wide, O4 sort, K7/K1 export

@@ -40,11 +40,15 @@ object Scan {
   def csvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
-  /** CSV scan with a declared schema — the scalable path. */
+  /** CSV scan with a declared schema — the scalable path. The null token
+    * is an impossible sentinel (see Convert.ReaderNullSentinel) so the
+    * writer's bare-empty nulls and quoted-`""` empty strings round-trip
+    * distinctly. */
   def csvWithSchema(spark: SparkSession, schema: StructType, path: String,
                     timestampFormat: String = graft.operators.Convert.TimestampFormat): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
       .option("timestampFormat", timestampFormat)
+      .option("nullValue", graft.operators.Convert.ReaderNullSentinel)
       .csv(path)
 }

@@ -59,6 +59,27 @@ class ConvertSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$tmp/lineitem.csv.spark-tmp")))
   }
 
+  test("nulls and empty strings survive the CSV round-trip distinctly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = Seq(
+      (1L, Option("hello"), Option(3.5)),
+      (2L, Option(""), None),
+      (3L, None: Option[String], Option(0.0)),
+      (4L, Option("x,y \"quoted\""), None))
+      .toDF("id", "s", "v")
+    Convert.toCsvDir(src, s"$tmp/nulls")
+    val back = Scan.csvWithSchema(spark, src.schema, s"$tmp/nulls")
+    assert(back.count() === 4)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    // null and "" land in different CSV renderings (bare vs quoted field)
+    val row2 = back.filter(col("id") === 2).select("s").as[String].collect()
+    val row3 = back.filter(col("id") === 3).select("s").as[String].collect()
+    assert(row2.toSeq === Seq(""))
+    assert(row3.toSeq === Seq(null))
+  }
+
   test("timestamps survive the CSV round-trip at microsecond precision") {
     val tmp = Files.createTempDirectory("convspec").toString
     val src = spark.sql(

@@ -45,4 +45,21 @@ class PipelineSpec extends SparkSpec {
     assert(resultsCsv.get(0) === "size," + BenchGrid.methods.map(_._1).mkString(","))
     assert(resultsCsv.size() === 3)
   }
+
+  test("BenchGrid survives a poisoned input: bad cells are -1, grid completes (V3)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("pipespec").toString
+    val ex = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100), outDir = out)
+    // poison the manifest with a nonexistent sample file
+    Files.writeString(Paths.get(ex.manifestPath),
+      "num_rows,filename\n100,sample_100.parquet\n999,missing.parquet\n")
+    val wide = BenchGrid.run(spark, ex.manifestPath, s"$out/samples", out)
+    val rows = wide.orderBy("size").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 999L))
+    // good row timed, poisoned row marked -1 in every method column
+    (1 until rows(0).length).foreach(i => assert(rows(0).getDouble(i) > 0.0))
+    (1 until rows(1).length).foreach(i => assert(rows(1).getDouble(i) === -1.0))
+  }
 }
