@@ -22,15 +22,27 @@ object ExtractData {
 
   final case class Result(manifestPath: String, sampleFiles: Seq[(Long, String)])
 
-  /** @param inputs      parquet paths to scan as one merged table
-    * @param sampleSizes exact sample sizes, each written as one parquet dir
-    * @param outDir      output root (samples/ + extracted_files.csv)
-    * @param seed        sampling seed (reference pins 721, `utils.py:73`) */
+  /** @param inputs        parquet paths to scan as one merged table
+    * @param sampleSizes   exact sample sizes, each written as one parquet dir
+    * @param outDir        output root (samples/ + extracted_files.csv)
+    * @param seed          sampling seed (reference pins 721, `utils.py:73`)
+    * @param skipIfPresent V2 gate mirroring `extract_data.py:8-14`: when the
+    *                      manifest already exists, return its contents
+    *                      without re-extracting (idempotent re-runs) */
   def run(spark: SparkSession, inputs: Seq[String], sampleSizes: Seq[Int],
-          outDir: String, seed: Long = 721L): Result = {
+          outDir: String, seed: Long = 721L,
+          skipIfPresent: Boolean = true): Result = {
     require(sampleSizes.nonEmpty, "sampleSizes must be non-empty")
     require(sampleSizes.forall(_ > 0), "sample sizes must be positive") // V1
     Files.createDirectories(Paths.get(outDir))
+
+    val manifestPath = s"$outDir/extracted_files.csv"
+    if (skipIfPresent && Files.exists(Paths.get(manifestPath))) { // V2
+      val existing = Scan.csvInferred(spark, manifestPath)
+        .collect()
+        .map(r => (r.get(0).toString.toLong, r.get(1).toString)).toSeq
+      return Result(manifestPath, existing)
+    }
 
     val merged: DataFrame = Scan.parquetMerged(spark, inputs) // S3
 
@@ -44,10 +56,20 @@ object ExtractData {
 
     // K6: tiny manifest — row-oriented write is fine at this cardinality,
     // but stay in-engine for symmetry with the reference's csv.writer.
-    val manifest = s"$outDir/extracted_files.csv"
     import spark.implicits._
     Convert.csvSingleFile(
-      written.toDF("num_rows", "filename").coalesce(1), manifest)
-    Result(manifest, written)
+      written.toDF("num_rows", "filename").coalesce(1), manifestPath)
+    Result(manifestPath, written)
+  }
+
+  /** Reference-shaped entry over remote sources: stage the URLs to local
+    * files first (HTTP(S) is not a Hadoop FS — SURVEY §2.1 S3), then run
+    * the normal extract. Both the staging and the extract are
+    * skip-if-present, so a re-run touches nothing. */
+  def runFromUrls(spark: SparkSession, urls: Seq[String], sampleSizes: Seq[Int],
+                  outDir: String, stagingDir: String, seed: Long = 721L,
+                  skipIfPresent: Boolean = true): Result = {
+    val staged = graft.sources.Stage.fetchToLocal(urls, stagingDir, skipIfPresent)
+    run(spark, staged.map(_.toString), sampleSizes, outDir, seed, skipIfPresent)
   }
 }

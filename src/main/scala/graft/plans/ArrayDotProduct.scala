@@ -23,8 +23,12 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   * embeddings is such a path).
   *
   * Null contract: null array → null result (BinaryExpression's null
-  * handling); null ELEMENTS are not expected in embedding data and read as
-  * 0.0, matching ArrayData.getDouble.
+  * handling); MISMATCHED lengths → null, never a silently-truncated
+  * product (DuckDB's list_dot_product raises there — a dimension bug in
+  * embedding data must surface, not produce wrong cosines; null is the
+  * Spark-idiomatic signal and any downstream filter/agg drops it). Null
+  * ELEMENTS are not expected in embedding data and read as 0.0, matching
+  * ArrayData.getDouble.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -35,16 +39,21 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,12 +62,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -62,10 +62,17 @@ object EventStreams {
     * session. State is partitioned by user_id — the same key the batch
     * twin (q14) windows over.
     *
-    * NoTimeout is deliberate: a processing-time timeout makes the engine
-    * keep scheduling batches to fire timeouts, so a Trigger.AvailableNow
-    * run never terminates. Production state eviction belongs in a
-    * watermark-based EventTimeTimeout variant. */
+    * NoTimeout variant: state is never evicted — correct for bounded
+    * replays (Trigger.AvailableNow test/backfill runs, where a
+    * processing-time timeout would keep the engine scheduling batches
+    * forever); long-running streams use [[sessionizeWithTimeout]].
+    *
+    * Cross-batch ordering assumption (both variants): events are sorted
+    * by event time WITHIN a micro-batch, but a batch is assumed not to
+    * arrive before an earlier-timestamped event of a later batch —
+    * i.e. late data beyond the batch boundary joins the session state as
+    * it stands. Bound that lateness with the watermark in
+    * [[sessionizeWithTimeout]]. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
@@ -83,6 +90,42 @@ object EventStreams {
           }
           state.update(s)
           out.iterator
+      }
+  }
+
+  /** Production sessionization: same semantics as [[sessionize]], plus
+    * watermark-driven state eviction. The input must carry an event-time
+    * watermark (applied here); each update arms an EventTimeTimeout at
+    * lastTs + gap, so once the watermark passes a user's session gap the
+    * state is removed — per-user state is bounded by active users inside
+    * the watermark horizon instead of growing forever. A timed-out user's
+    * next event simply starts session ids from a fresh state, which is
+    * exactly the > gap semantics. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
+                            watermark: String = "2 hours"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              val tms = e.ts.getTime
+              val sid = if (s.lastTs == Long.MinValue || tms - s.lastTs > gapMs)
+                s.sessionId + 1 else s.sessionId
+              s = SessionState(sid, tms)
+              SessionUpdate(userId, sid, e.event_id, e.ts)
+            }
+            state.update(s)
+            if (s.lastTs != Long.MinValue) state.setTimeoutTimestamp(s.lastTs + gapMs)
+            out.iterator
+          }
       }
   }
 }

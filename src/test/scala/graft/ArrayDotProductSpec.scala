@@ -46,6 +46,24 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("mismatched dimensions yield null (never silent truncation), in eval and codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    // constant-folded path (interpreted eval)
+    val folded = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(1.0d)) AS d").head()
+    assert(folded.isNullAt(0))
+    // column path (whole-stage codegen)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(GraftFunctions.dotNative(col("a"), col("b")).as("d"))
+    assert(df.head().isNullAt(0))
+    // equal dims still compute
+    val ok = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(GraftFunctions.dotNative(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(ok === 11.0)
+  }
+
   test("ensureRegistered is idempotent") {
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark)

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.pipelines.{BenchGrid, ExtractData}
 
@@ -44,6 +45,49 @@ class PipelineSpec extends SparkSpec {
     val resultsCsv = Files.readAllLines(Paths.get(s"$out/results.csv"))
     assert(resultsCsv.get(0) === "size," + BenchGrid.methods.map(_._1).mkString(","))
     assert(resultsCsv.size() === 3)
+  }
+
+  test("ExtractData skips re-extraction when the manifest exists (V2)") {
+    val out = Files.createTempDirectory("pipespec").toString
+    val first = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100), outDir = out)
+    val mtime = Files.getLastModifiedTime(Paths.get(first.manifestPath))
+    val second = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100), outDir = out)
+    assert(second.sampleFiles === first.sampleFiles)
+    assert(Files.getLastModifiedTime(Paths.get(second.manifestPath)) === mtime)
+    // explicit opt-out re-extracts
+    val third = ExtractData.run(spark,
+      inputs = Seq(s"$sfDir/lineitem.parquet"),
+      sampleSizes = Seq(100), outDir = out, skipIfPresent = false)
+    assert(Files.getLastModifiedTime(Paths.get(third.manifestPath)) !== mtime)
+  }
+
+  test("Stage.fetchToLocal stages multi-URL sources and ExtractData runs from them (S3)") {
+    val src = Files.createTempDirectory("pipespec_src").toString
+    val staging = Files.createTempDirectory("pipespec_stage").toString
+    val out = Files.createTempDirectory("pipespec_out").toString
+    // two "remote" parquet files, served as file:// URLs
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.limit(300).coalesce(1).write.mode("overwrite").parquet(s"$src/part_a.parquet")
+    li.limit(200).coalesce(1).write.mode("overwrite").parquet(s"$src/part_b.parquet")
+    def onePart(dir: String): String =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next().toString
+    val urls = Seq(
+      s"file://${onePart(s"$src/part_a.parquet")}",
+      s"file://${onePart(s"$src/part_b.parquet")}")
+    val staged = graft.sources.Stage.fetchToLocal(urls, staging)
+    assert(staged.forall(Files.exists(_)))
+    // staging is idempotent (V2): second fetch leaves mtimes untouched
+    val mtimes = staged.map(Files.getLastModifiedTime(_))
+    val again = graft.sources.Stage.fetchToLocal(urls, staging)
+    assert(again.map(Files.getLastModifiedTime(_)) === mtimes)
+    val r = ExtractData.runFromUrls(spark, urls, Seq(50), out, staging)
+    assert(r.sampleFiles.map(_._1) === Seq(50L))
+    assert(spark.read.parquet(s"$out/samples/sample_50.parquet").count() === 50)
   }
 
   test("BenchGrid survives a poisoned input: bad cells are -1, grid completes (V3)") {

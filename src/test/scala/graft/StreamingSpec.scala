@@ -63,4 +63,28 @@ class StreamingSpec extends SparkSpec {
       (10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 2L),
       (20L, 4L, 1L), (20L, 5L, 2L)))
   }
+
+  test("sessionizeWithTimeout (EventTimeTimeout) matches NoTimeout on bounded input") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(10), 10, "click", 1.0),
+      EventStreams.Event(3, ts(50), 10, "click", 1.0),
+      EventStreams.Event(4, ts(0), 20, "view", 1.0),
+      EventStreams.Event(5, ts(31), 20, "view", 1.0))
+
+    val tmp = Files.createTempDirectory("streamspec").toString
+    events.toDF().write.parquet(s"$tmp/in")
+    val stream = EventStreams.fileStream(spark, events.toDF().schema, s"$tmp/in")
+      .as[EventStreams.Event]
+    val out = EventStreams.runAvailableNow(
+      EventStreams.sessionizeWithTimeout(stream, gapMinutes = 30).toDF(),
+      "sessions_timeout_stream", OutputMode.Append)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(out === Set(
+      (10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 2L),
+      (20L, 4L, 1L), (20L, 5L, 2L)))
+  }
 }
