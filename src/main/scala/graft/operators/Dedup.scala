@@ -89,6 +89,56 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation. Input is any (a_id, b_id) pair frame
+    * (e.g. [[lshPairs]] output); result is (doc_id, cluster_id) for every
+    * doc appearing in at least one pair, cluster_id = the smallest doc_id
+    * in the component — the canonical survivor a dedup pipeline keeps.
+    *
+    * Each iteration is one equi-join + groupBy shuffle keyed by vertex id
+    * (the scale-safe shape); iterations needed = component diameter, which
+    * for near-dup clusters is small. The driver only coordinates the loop
+    * and reads a 1-row convergence probe — no data flows through it.
+    * Each iteration's labels are EAGERLY localCheckpoint'ed: iterative
+    * DataFrames otherwise accumulate one join per iteration into a single
+    * ever-growing plan, which blows up analysis/codegen memory long before
+    * data size matters (on a cluster, prefer reliable `checkpoint()` with
+    * a checkpoint dir — same lineage-truncation role, executor-failure
+    * safe). (At extreme diameters, swap in the large-star/small-star
+    * variant; the per-iteration shuffle shape is the same.)
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
+      .unionByName(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("t"), col("label").as("tlabel")), Seq("t"))
+        .groupBy(col("s"))
+        .agg(min(col("tlabel")).as("nmin"))
+        .select(col("s").as("id"), col("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist() // labels is checkpointed — no longer depends on edges
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact dedup: one surviving row (min id) per distinct content value. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol))

@@ -46,4 +46,23 @@ object Transforms {
     val p = if (values.nonEmpty) g.pivot(on, values) else g.pivot(on)
     p.agg(first(col(value)))
   }
+
+  /** Deterministic md5-derived bucket of a key in [0, 100) — the basis for
+    * reproducible, engine-portable sampling (DuckDB twin:
+    * `('0x' || substr(md5(key::VARCHAR),1,15))::BIGINT % 100`). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  /** Deterministic hash-based sample: keeps rows whose key bucket falls
+    * under `pct` (a per-row expression — pass a constant for a uniform
+    * sample or a stratum-dependent CASE for stratified curation).
+    *
+    * This is the curation-grade sampling a training-data pipeline needs
+    * where seeded-RNG sampling ([[sampleExactN]]) can't serve: membership
+    * is a pure function of the key, so it is reproducible across engines
+    * and runs, stable under data reordering, join-consistent across
+    * derived tables of the same key, and extending the pct only ADDS rows
+    * (nested samples). No shuffle — a codegen'd filter over the scan. */
+  def hashSample(df: DataFrame, key: Column, pct: Column): DataFrame =
+    df.filter(hashBucket(key) < pct)
 }

@@ -139,6 +139,32 @@ object DedupQueries {
              |  CAST(sum(CASE WHEN 2*ones > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash16
              |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Duplicate clusters: connected components over the LSH near-dup
+    // pairs via iterative min-label propagation (one join+groupBy shuffle
+    // per iteration, iterations = component diameter); cluster_id = min
+    // doc_id in the component — the canonical survivor. The oracle walks
+    // the same graph with a recursive reachability CTE.
+    QuerySpec("q37_dup_clusters",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        graft.operators.Dedup.dupClusters(pairs).orderBy("doc_id")
+      },
+      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """
+          |, e AS (
+          |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
+          |  UNION ALL
+          |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+          |), reach AS (
+          |  SELECT DISTINCT s AS src, s AS node FROM e
+          |  UNION
+          |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+          |)
+          |SELECT src AS doc_id, min(node) AS cluster_id
+          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup pairs via block pigeonhole: 32-bit codes split into
     // 4 × 8-bit blocks — hamming ≤ 3 pairs must share a whole block, so
     // candidate generation is a per-(block, value) equi-join (256 values

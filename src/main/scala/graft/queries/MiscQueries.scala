@@ -127,6 +127,32 @@ object MiscQueries {
              |   EXCEPT SELECT s_nationkey FROM supplier)
              |ORDER BY op, x""".stripMargin)),
 
+    // Deterministic hash-stratified sample: md5-derived bucket of doc_id
+    // under a per-lang percentage. Unlike the seeded-RNG sample (O2/q06,
+    // engine-private ordering → count-only checkable), membership is a
+    // pure function of the key — reproducible across engines, stable
+    // under reordering, nested across pct increases — so the SAMPLE
+    // ITSELF is hash-checked row for row. No shuffle: a codegen'd filter.
+    QuerySpec("q38_hash_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pct = when(col("lang") === "en", 40)
+          .when(col("lang") === "de", 20).otherwise(10)
+        graft.operators.Transforms.hashSample(docs, col("doc_id"), pct)
+          .select(col("doc_id"), col("lang"),
+            graft.operators.Transforms.hashBucket(col("doc_id")).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bucket
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang, bucket FROM b
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 40
+             |                    WHEN lang = 'de' THEN 20 ELSE 10 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")

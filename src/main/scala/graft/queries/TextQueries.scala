@@ -19,6 +19,52 @@ object TextQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // Corpus TF-IDF top terms per language: explode tokens (one shuffle to
+    // the (lang, tok) grouping), document frequency per token, score =
+    // tf · N / df composed identically on both engines (pure integer
+    // arithmetic inside doubles — bit-exact, unlike ln-based idf whose
+    // libm rounding is engine-private), top-5 per lang by window rank.
+    QuerySpec("q27_tfidf_topterms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("lang"), col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfd = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df_docs"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(desc("score"), col("tok"))
+        tf.join(dfd, "tok").crossJoin(nd)
+          .withColumn("score",
+            col("tf").cast("double") * col("n_docs") / col("df_docs"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("tok"), col("tf"),
+            col("df_docs"), col("score"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH tokd AS (
+             |  SELECT lang, doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+             |), tf AS (
+             |  SELECT lang, tok, count(*) AS tf FROM tokd GROUP BY lang, tok
+             |), dfd AS (
+             |  SELECT tok, count(DISTINCT doc_id) AS df_docs FROM tokd GROUP BY tok
+             |), nd AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT lang, tok, tf, df_docs,
+             |    CAST(tf AS DOUBLE) * n_docs / df_docs AS score
+             |  FROM tf JOIN dfd USING (tok) CROSS JOIN nd
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY score DESC, tok) AS rank
+             |  FROM scored
+             |)
+             |SELECT lang, rank, tok, tf, df_docs, score
+             |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
     // Token counting: whitespace tokens, distinct tokens, char recount,
     // mean token length — all codegen'd, zero shuffles before the sort.
     QuerySpec("q20_token_stats",

@@ -30,6 +30,15 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose `keys` were already seen,
+    * with state pruned by the event-time watermark
+    * (dropDuplicatesWithinWatermark) — the streaming twin of the batch
+    * exact-dedup operator (Dedup.exact / dropDuplicates). State is the
+    * seen-key set within the watermark horizon, partitioned by key. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Open a file-source stream over a directory of parquet event files —
     * the production shape for continuously-landing data. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

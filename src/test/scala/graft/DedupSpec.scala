@@ -55,6 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty, s"unexpected pairs: ${pairs.mkString(",")}")
   }
 
+  test("dupClusters labels connected components with the min doc_id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, and 20-20 self-free singleton pair graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)))
+  }
+
+  test("dupClusters converges on a long chain (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(chain).collect()
+    assert(out.length === 12)
+    out.foreach(r => assert(r.getLong(1) === 0L))
+  }
+
   test("simhash of a near-duplicate stays within small hamming distance") {
     val a = doc(7, 50)
     val b = { val t = a.split(" "); t(10) = "CHANGED"; t.mkString(" ") }

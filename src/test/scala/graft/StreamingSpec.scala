@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
       (20L, 4L, 1L), (20L, 5L, 2L)))
   }
 
+  test("streamed dedup within watermark equals batch distinct") {
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 10, "click", 1.0),
+      EventStreams.Event(1, ts(1), 10, "click", 1.0),   // dup event_id
+      EventStreams.Event(2, ts(5), 10, "click", 2.0),
+      EventStreams.Event(3, ts(9), 20, "view", 3.0),
+      EventStreams.Event(3, ts(9), 20, "view", 3.0))    // exact dup
+    val tmp = Files.createTempDirectory("streamspec").toString
+    events.toDF().write.parquet(s"$tmp/in")
+    val stream = EventStreams.fileStream(spark, events.toDF().schema, s"$tmp/in")
+    val out = EventStreams.runAvailableNow(
+      EventStreams.dedupStream(stream, Seq("event_id")),
+      "dedup_stream", OutputMode.Append)
+      .select("event_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionizeWithTimeout (EventTimeTimeout) matches NoTimeout on bounded input") {
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
     val events = Seq(

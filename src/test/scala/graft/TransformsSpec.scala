@@ -36,6 +36,21 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.sampleExactN(df, 10, 1L).count() === 3)
   }
 
+  test("hashSample is deterministic, nested across pct, and order-stable") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    def ids(pct: Int) = Transforms.hashSample(src, col("doc_id"), lit(pct))
+      .select("doc_id").as[Long].collect().toSet
+    val p10a = ids(10); val p10b = ids(10); val p30 = ids(30)
+    assert(p10a === p10b)                       // reproducible
+    assert(p10a.subsetOf(p30))                  // nested: more pct only adds
+    assert(p30.size > p10a.size)
+    // order-stable: shuffling input rows yields the same membership
+    val shuffled = Transforms.hashSample(
+      src.orderBy(rand(3L)), col("doc_id"), lit(10))
+      .select("doc_id").as[Long].collect().toSet
+    assert(shuffled === p10a)
+  }
+
   test("pivotWide produces one row per index, one column per key (A1)") {
     val long = Seq(
       ("duckdb", 100L, 1.7), ("polars", 100L, 1.2),
