@@ -65,6 +65,41 @@ object MiscQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Semi/anti joins: existence filtering without duplication — the
+    // "keep documents that have/lack a match" primitive (Spark plans a
+    // broadcast/shuffled semi join, never materializing the probe side).
+    QuerySpec("q28_semi_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").select(col("o_custkey"))
+        def agg(j: String, tag: String) =
+          c.join(o, col("c_custkey") === col("o_custkey"), j)
+            .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+            .withColumn("op", lit(tag))
+        agg("left_semi", "semi").unionByName(agg("left_anti", "anti"))
+          .select(col("op"), col("c_mktsegment"), col("n"))
+          .orderBy("op", "c_mktsegment")
+      },
+      Some("""SELECT 'semi' AS op, c_mktsegment, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment
+             |UNION ALL
+             |SELECT 'anti', c_mktsegment, count(*) FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment
+             |ORDER BY op, c_mktsegment""".stripMargin)),
+
+    // Cube (full grouping-set lattice; rollup's big sibling — q17).
+    QuerySpec("q29_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // JSON field extraction from the events props column + aggregation.
     // One from_json parse with an explicit schema per row — N extracted
     // fields cost one parse, where per-field get_json_object would re-parse
