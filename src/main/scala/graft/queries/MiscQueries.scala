@@ -188,6 +188,92 @@ object MiscQueries {
              |                    WHEN lang = 'de' THEN 20 ELSE 10 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Portable histogram: fixed-width binning by floor arithmetic (no
+    // engine-specific width_bucket), counts + exact decimal sums per bin.
+    QuerySpec("q39_histogram",
+      (s, d) => t(s, d, "lineitem")
+        .select(floor((col("l_quantity") - 1.0) / 5.0).cast("long").as("bin"),
+          col("l_quantity"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Exact-moment descriptive stats: mean/variance/stddev composed from
+    // decimal Σx and Σx² (exact, partition-order-free) with the final
+    // double arithmetic written identically on both engines — the
+    // scale-safe alternative to builtin var_samp/stddev, whose distributed
+    // co-moment accumulation is not bit-reproducible across engines.
+    QuerySpec("q43_group_stats",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = col("l_quantity").cast(DecimalType(18, 2))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec).as("sxd"),
+            sum(dec * dec).as("sx2d"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sxd").cast("double") / col("n").cast("double")).as("mean"),
+            ((col("n").cast("double") * col("sx2d").cast("double")
+              - col("sxd").cast("double") * col("sxd").cast("double"))
+              / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+              .as("var_samp"),
+            sqrt((col("n").cast("double") * col("sx2d").cast("double")
+              - col("sxd").cast("double") * col("sxd").cast("double"))
+              / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+              .as("stddev"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sxd,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))
+             |      * CAST(l_quantity AS DECIMAL(18,2))) AS sx2d
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag, n,
+             |  CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |  (CAST(n AS DOUBLE) * CAST(sx2d AS DOUBLE)
+             |     - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_samp,
+             |  sqrt((CAST(n AS DOUBLE) * CAST(sx2d AS DOUBLE)
+             |     - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Salted two-phase aggregation (skew mitigation): result must be
+    // bit-identical to the plain one-phase GROUP BY the oracle runs —
+    // decimal sums are associative, so the salt fan-out is semantically
+    // invisible.
+    QuerySpec("q44_salted_agg",
+      (s, d) => graft.operators.Skew.saltedDsum(
+        t(s, d, "lineitem"), Seq("l_returnflag"), col("l_quantity"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated quartiles per group (percentile ≡ DuckDB
+    // quantile_cont: linear interpolation on the sorted values).
+    QuerySpec("q45_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
