@@ -143,6 +143,32 @@ object MiscQueries {
              |WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // RANGE-frame window: trailing 1-hour sum per user over event time.
+    // The frame key is integer epoch-seconds on BOTH engines (Spark's
+    // cast(ts as long) truncation mirrored as epoch_us // 1000000), and
+    // the windowed sum runs in exact decimal — Spark's sliding-frame
+    // add/subtract accumulation order is not float-reproducible, decimal
+    // is order-free.
+    QuerySpec("q46_range_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long")).rangeBetween(-3600, 0)
+        events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("trailing_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS trailing_sum
+             |FROM events WHERE user_id < 10
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // Set operations: INTERSECT and EXCEPT (distinct semantics) between the
     // customer and supplier nation-key sets.
     QuerySpec("q26_setops",

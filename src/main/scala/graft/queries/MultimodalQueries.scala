@@ -80,6 +80,33 @@ object MultimodalQueries {
              |      FROM documents) x
              |ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    // Resize planning: target dimensions fitting 224×224 while preserving
+    // aspect ratio — the metadata half of an image-resize stage (the pixel
+    // kernel itself is the decode stub's concern); identical double
+    // arithmetic on both engines.
+    QuerySpec("q53_resize_plan",
+      (s, d) => {
+        val a = Multimodal.fakeAssets(t(s, d, "documents"))
+        val w = col("meta.width").cast("double")
+        val h = col("meta.height").cast("double")
+        val scale = least(lit(224.0) / w, lit(224.0) / h)
+        a.select(col("asset_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          greatest(lit(1L), floor(w * scale)).as("out_w"),
+          greatest(lit(1L), floor(h * scale)).as("out_h"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS asset_id,
+             |    CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+             |    CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+             |  FROM documents
+             |)
+             |SELECT asset_id, width, height,
+             |  CAST(greatest(1, floor(width * least(224.0 / width, 224.0 / height))) AS BIGINT) AS out_w,
+             |  CAST(greatest(1, floor(height * least(224.0 / width, 224.0 / height))) AS BIGINT) AS out_h
+             |FROM m ORDER BY asset_id""".stripMargin)),
+
     // Partition-batched decode stub → 16-dim byte-histogram features. The
     // stub is deterministic arithmetic over the payload bytes, so it has a
     // full SQL twin (hash-checked); the mapPartitions execution shape is

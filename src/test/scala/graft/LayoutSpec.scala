@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Bucketed-layout co-located joins: the pay-the-shuffle-once discipline.
+  * The decisive assertion is on the PLAN — a bucketed fact–fact join must
+  * contain no Exchange — because that is the property that survives a
+  * 100× scale-up, not the row counts. */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans with zero Exchange and matches the shuffled join") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+
+    Layout.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Layout.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 8)
+
+    // At fixture size Spark would broadcast one side; disable that to get
+    // the fact-fact scenario bucketing exists for (neither side fits in
+    // a broadcast at 100 TB).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.bucketedEquiJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan was:\n$plan")
+
+      // same answer as the plain (shuffling) join
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() === expected)
+      assert(expected > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    Layout.writeBucketed(n, "nation_b4", "n_nationkey", 4)
+    Layout.writeBucketed(n, "nation_b2", "n_nationkey", 2)
+    val j = Layout.bucketedEquiJoin(spark, "nation_b4", "nation_b2", "n_nationkey")
+    assert(j.count() === n.count())
+  }
+}
