@@ -169,6 +169,34 @@ object MiscQueries {
              |FROM events WHERE user_id < 10
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Interval (range) join: each purchase joined to the views by the
+    // same user in the preceding hour — the attribution shape. The join
+    // condition is an equi-key (user_id) plus a time-range predicate;
+    // Spark hash-partitions on the equi-key and range-filters within the
+    // partition (never a cross join), and the same pipeline runs as a
+    // watermarked stream-stream join (StreamingSpec twin).
+    QuerySpec("q47_interval_join",
+      (s, d) => {
+        val e = events(s, d).filter(col("user_id") < 20)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+        p.join(v, Seq("user_id"))
+          .filter(col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+          .select(col("user_id"), col("purchase_id"), col("view_id"))
+          .orderBy("user_id", "purchase_id", "view_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+             |FROM (SELECT * FROM events WHERE user_id < 20 AND event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE user_id < 20 AND event_type = 'view') v
+             |  ON v.user_id = p.user_id
+             | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+             |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)),
+
     // Set operations: INTERSECT and EXCEPT (distinct semantics) between the
     // customer and supplier nation-key sets.
     QuerySpec("q26_setops",

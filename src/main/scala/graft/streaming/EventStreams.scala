@@ -39,6 +39,21 @@ object EventStreams {
                   watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join (the attribution shape):
+    * purchases joined to same-user views in the preceding hour. Inputs
+    * must expose (p_user, purchase_id, p_ts) and (v_user, view_id, v_ts).
+    * Both sides carry event-time watermarks plus the time-range join
+    * condition, so Spark can bound the join state: a buffered view is
+    * droppable once the watermark passes v_ts + 1h. Batch twin: q47. */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val v = views.withWatermark("v_ts", watermark)
+    p.join(v,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Open a file-source stream over a directory of parquet event files —
     * the production shape for continuously-landing data. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

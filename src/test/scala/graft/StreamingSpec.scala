@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join equals the batch interval join (q47 twin)") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val e = eventsBatch.filter(col("user_id") < 20)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    p.write.parquet(s"$tmp/p"); v.write.parquet(s"$tmp/v")
+
+    val streamed = EventStreams.runAvailableNow(
+      EventStreams.attributionJoin(
+        EventStreams.fileStream(spark, p.schema, s"$tmp/p"),
+        EventStreams.fileStream(spark, v.schema, s"$tmp/v")),
+      "attribution_stream", OutputMode.Append)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batch = EventStreams.attributionJoin(p, v)
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionizeWithTimeout (EventTimeTimeout) matches NoTimeout on bounded input") {
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
     val events = Seq(
