@@ -328,6 +328,79 @@ object MiscQueries {
              |  quantile_cont(l_quantity, 0.75) AS p75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Full-outer join with null-side coalescing: per-nation customer vs
+    // (restricted) supplier counts — rows survive from both unmatched
+    // sides.
+    QuerySpec("q48_outer_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("key")).agg(count(lit(1)).as("n_cust"))
+        val su = t(s, d, "supplier").filter(col("s_nationkey") < 10)
+          .groupBy(col("s_nationkey").as("key")).agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("key"), "full_outer")
+          .select(col("key"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("key")
+      },
+      Some("""SELECT COALESCE(c.key, s.key) AS key,
+             |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS key, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |FULL JOIN (SELECT s_nationkey AS key, count(*) AS n_supp
+             |           FROM supplier WHERE s_nationkey < 10 GROUP BY 1) s
+             |  ON c.key = s.key
+             |ORDER BY key""".stripMargin)),
+
+    // Null-handling surface (DataFrameNaFunctions): derive nulls
+    // deterministically, then fill one column and drop rows on another —
+    // the data-cleaning primitives of a curation pipeline.
+    QuerySpec("q49_na_clean",
+      (s, d) => {
+        val df = t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount"))
+            .as("disc"),
+          when(col("l_tax") > 0.05, lit(null)).otherwise(col("l_tax")).as("tax"))
+        df.na.fill(Map("disc" -> -1.0)).na.drop(Seq("tax"))
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            dsum(col("disc")).as("sum_disc"),
+            dsum(col("tax")).as("sum_tax"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(COALESCE(disc, -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+             |  CAST(sum(CAST(tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+             |FROM (
+             |  SELECT CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS disc,
+             |         CASE WHEN l_tax > 0.05 THEN NULL ELSE l_tax END AS tax
+             |  FROM lineitem
+             |) WHERE tax IS NOT NULL""".stripMargin)),
+
+    // Unpivot (melt): the inverse of A1's pivot — wide metric columns back
+    // to (key, metric, value) rows; portable oracle via UNION ALL.
+    QuerySpec("q54_unpivot",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val wide = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price")), "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_returnflag,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price', sum_price FROM w
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
