@@ -99,6 +99,30 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** IVF search: assign corpus AND queries to their nearest centroid,
+    * then rank by exact cosine WITHIN the query's cluster only — the
+    * candidate set shrinks from N to N/k per query and the join is an
+    * equi-join on cluster_id (shuffle by cluster — the IVF scale path;
+    * probe more clusters by relaxing the assignment to rn <= nprobe).
+    * The assignment frame is persisted: it feeds both the query side and
+    * the candidate side of the cluster join. */
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, k: Int,
+                queryPred: org.apache.spark.sql.Column): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, centroids)
+      .select(col("vec_id"), col("v"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cluster_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("neighbor_id"))
+    assigned.join(q, "cluster_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cluster_id"), col("vec_id").as("neighbor_id"),
+        cosineNative(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style assignment: nearest of the broadcast centroids per vector
     * (same dot-product composition as any SQL oracle → stable argmin). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

@@ -84,6 +84,53 @@ object SimilarityQueries {
           |SELECT q_id, rank, neighbor_id, bucket, round(cos, 4) AS cos4
           |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // IVF search: nearest-centroid assignment for corpus and queries, then
+    // exact cosine ranking restricted to the query's cluster — candidates
+    // shrink from N to ~N/16 per query, joined on cluster_id. Fully
+    // oracle-checked (assignment argmin and cosine both compose the same
+    // float arithmetic as the SQL twin).
+    QuerySpec("q55_ivf_search",
+      (s, d) => {
+        val e = vecs(s, d)
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.operators.Similarity
+          .ivfSearch(e, c, k = 3,
+            queryPred = col("vec_id") >= 100 && col("vec_id") < 110)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cluster_id"),
+            round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |d AS (
+             |  SELECT e.vec_id, c_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |        + list_dot_product(cv, cv), c_id) AS rn
+             |  FROM e CROSS JOIN c
+             |),
+             |assign AS (SELECT vec_id, c_id AS cluster_id FROM d WHERE rn = 1),
+             |q AS (SELECT a.vec_id AS q_id, e.v AS qv, a.cluster_id
+             |      FROM assign a JOIN e ON e.vec_id = a.vec_id
+             |      WHERE a.vec_id >= 100 AND a.vec_id < 110),
+             |pairs AS (
+             |  SELECT q.q_id, q.cluster_id, a.vec_id AS neighbor_id,
+             |    list_dot_product(qv, e.v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM q
+             |  JOIN assign a ON a.cluster_id = q.cluster_id
+             |  JOIN e ON e.vec_id = a.vec_id
+             |  WHERE a.vec_id <> q.q_id
+             |), ranked AS (
+             |  SELECT q_id, cluster_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT q_id, rank, neighbor_id, cluster_id, round(cos, 4) AS cos4
+             |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // IVF-style coarse quantization: 16 codebook vectors (vec_id < 16),
     // every vector assigned to its nearest centroid via the dot-product
     // identity (same float composition as the oracle → stable argmin).

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
@@ -80,6 +80,28 @@ class StreamingSpec extends SparkSpec {
       "dedup_stream", OutputMode.Append)
       .select("event_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming parquet sink with checkpoint writes durable, complete output") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val src = eventsBatch.filter(col("user_id") < 50)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    src.write.parquet(s"$tmp/in")
+    val stream = EventStreams.fileStream(spark, src.schema, s"$tmp/in")
+      .filter(col("event_type") =!= "error")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val expected = src.filter(col("event_type") =!= "error").count()
+    assert(out.count() === expected)
+    assert(expected > 0)
+    assert(Files.exists(Paths.get(s"$tmp/ckpt"))) // restart-resumable
   }
 
   test("stream-stream interval join equals the batch interval join (q47 twin)") {
