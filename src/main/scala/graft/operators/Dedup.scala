@@ -115,6 +115,14 @@ object Dedup {
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    // Convergence probe: labels only ever DECREASE (least of own and
+    // neighbor min), so the label sum is strictly monotone while anything
+    // changes — comparing sums is a single-stage aggregate per iteration
+    // instead of a join. Decimal sum: overflow-safe at any scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -127,12 +135,10 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     edges.unpersist() // labels is checkpointed — no longer depends on edges

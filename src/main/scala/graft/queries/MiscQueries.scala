@@ -401,6 +401,31 @@ object MiscQueries {
              |SELECT l_returnflag, 'sum_price', sum_price FROM w
              |ORDER BY l_returnflag, metric""".stripMargin)),
 
+    // Array-function suite over tokenized text: size, indexing, sort,
+    // slice, membership, distinct-count — Spark array functions against
+    // DuckDB list functions (binary string ordering on both engines).
+    QuerySpec("q56_array_funcs",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n"),
+          element_at(col("toks"), 1).as("first_tok"),
+          slice(sort_array(col("toks")), 1, 3).as("sorted3"),
+          element_at(sort_array(col("toks"), asc = false), 1).as("max_tok"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(array_distinct(col("toks"))).cast("long").as("dset_n"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(s) AS n,
+             |  s[1] AS first_tok,
+             |  (list_sort(s))[1:3] AS sorted3,
+             |  (list_reverse_sort(s))[1] AS max_tok,
+             |  list_contains(s, 'the') AS has_the,
+             |  len(list_distinct(s)) AS dset_n
+             |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
