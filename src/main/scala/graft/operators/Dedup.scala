@@ -108,8 +108,13 @@ object Dedup {
     * variant; the per-iteration shuffle shape is the same.)
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
-      .unionByName(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+    // Undirect the edges in ONE pass over `pairs` (explode of both
+    // orientations) — a union of two selects would evaluate the pair
+    // pipeline (potentially a full LSH run) twice.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("s"), col("b_id").as("t")),
+        struct(col("b_id").as("s"), col("a_id").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("s").as("id")).distinct()

@@ -426,6 +426,45 @@ object MiscQueries {
              |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Regex suite: group extraction, global replacement, match counting —
+    // explicit char classes; DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all semantics.
+    QuerySpec("q57_regex_suite",
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)orde", 1).as("pre_orde"),
+          regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+          regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("double_vowels"))
+        .orderBy("doc_id").limit(300),
+      Some("""SELECT doc_id,
+             |  regexp_extract(text, '([a-z]+)orde', 1) AS pre_orde,
+             |  regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+             |  len(regexp_extract_all(text, '[aeiou]{2}')) AS double_vowels
+             |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin)),
+
+    // Date arithmetic suite: add/diff/trunc/last-day over order dates.
+    QuerySpec("q58_date_funcs",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate"),
+          date_add(col("o_orderdate"), 30).as("due"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+            .cast("long").as("age_days"),
+          trunc(col("o_orderdate"), "month").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"))
+        .orderBy("o_orderkey").limit(1000),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(o_orderdate AS DATE) + 30 AS due,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS age_days,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm
+             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
