@@ -58,6 +58,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means iterations — the IVF codebook trainer. Each
+    * iteration: assign every vector to its nearest centroid (broadcast
+    * centroids, one corpus pass — [[ivfAssign]]), then recompute each
+    * centroid as the per-cluster positional mean (posexplode → one
+    * groupBy(cluster, pos) shuffle — partial aggregation map-side, never
+    * a vector collect). Centroids come back to the driver only as k tiny
+    * rows per iteration; the corpus never does. Deterministic given the
+    * initial centroids (positional means via AVG are stable in one
+    * engine; cross-engine bit-parity is NOT claimed — verified by
+    * convergence properties in SimilaritySpec, not a DuckDB oracle).
+    * Empty clusters keep their previous centroid. */
+  def kmeansIterate(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var c = init.select(col("c_id"), col("cv")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, c)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+        .select(col("cluster_id").as("c_id"), col("mv"))
+      c = c.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    c
+  }
+
+  /** Mean squared distance of every vector to its assigned centroid —
+    * the k-means objective, for convergence monitoring. */
+  def distortion(corpus: DataFrame, centroids: DataFrame): Double =
+    ivfAssign(corpus, centroids)
+      .agg(avg(col("dist"))).head().getDouble(0)
+
   /** SRP-banded embedding near-dup pairs — the embedding twin of
     * [[Dedup.lshPairs]]'s b×r MinHash banding: `planes.length /
     * planesPerBand` bands, each hashing the vector to a 2^planesPerBand

@@ -73,6 +73,33 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.size === 20)
   }
 
+  test("kmeansIterate recovers planted cluster centers and lowers distortion") {
+    // 4 planted clusters of 25 points; init centroids = one (perturbed)
+    // member of each cluster
+    val corpus = (0 until 100).map { i =>
+      val center = randVec(i % 4, 16)
+      (i.toLong, perturb(center, 0.1, 9000 + i))
+    }.toDF("vec_id", "v")
+    val init = (0 until 4).map { i =>
+      (i.toLong, perturb(randVec(i, 16), 0.5, 100 + i))
+    }.toDF("c_id", "cv")
+
+    val d0 = Similarity.distortion(corpus, init)
+    val trained = Similarity.kmeansIterate(corpus, init, iters = 5)
+    val d1 = Similarity.distortion(corpus, trained)
+    assert(d1 < d0, s"distortion should drop: $d0 -> $d1")
+
+    // each trained centroid sits near its planted center (within the
+    // perturbation scale), and all 4 survive
+    val cents = trained.orderBy("c_id").as[(Long, Array[Double])].collect()
+    assert(cents.length === 4)
+    cents.foreach { case (cid, cv) =>
+      val truth = randVec(cid.toInt, 16)
+      val dist = math.sqrt(cv.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(dist < 0.5, s"centroid $cid off by $dist")
+    }
+  }
+
   test("LSH ANN recall vs brute force is reasonable on clustered data") {
     // clustered corpus: 8 clusters of 12 vectors each around a center
     val corpus = (0 until 96).map { i =>
