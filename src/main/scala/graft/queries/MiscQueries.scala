@@ -465,6 +465,66 @@ object MiscQueries {
              |  year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm
              |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
 
+    // Map-function suite: per-user event_type→count maps built in-engine
+    // (map_from_entries over sorted collected structs), then key lookup,
+    // cardinality, and sorted key join — the typed-metadata access
+    // pattern. DuckDB map extraction returns a single-element list, hence
+    // (m['k'])[1].
+    QuerySpec("q59_map_funcs",
+      (s, d) => {
+        val per = events(s, d).filter(col("user_id") < 30)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        per.groupBy(col("user_id"))
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .select(col("user_id"),
+            size(map_keys(col("m"))).cast("long").as("n_types"),
+            element_at(col("m"), "click").as("clicks"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("types"))
+          .orderBy("user_id")
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, event_type, count(*) AS n
+             |  FROM events WHERE user_id < 30 GROUP BY 1, 2
+             |), mp AS (
+             |  SELECT user_id,
+             |    MAP(list(event_type ORDER BY event_type),
+             |        list(n ORDER BY event_type)) AS m
+             |  FROM per GROUP BY user_id
+             |)
+             |SELECT user_id,
+             |  len(map_keys(m)) AS n_types,
+             |  (m['click'])[1] AS clicks,
+             |  array_to_string(list_sort(map_keys(m)), ',') AS types
+             |FROM mp ORDER BY user_id""".stripMargin)),
+
+    // Stopword filtering with an order-preserving, duplicate-preserving
+    // lambda filter (array_except would dedup) — the token-cleaning step
+    // of a text pipeline.
+    QuerySpec("q60_stopword_filter",
+      (s, d) => {
+        val stop = Seq("the", "and", "of", "to", "in")
+        t(s, d, "documents")
+          .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            filter(col("toks"), tk => !tk.isin(stop: _*)).as("kept"))
+          .select(col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept"),
+            array_join(slice(col("kept"), 1, 5), " ").as("first5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(kept) AS n_kept,
+             |  array_to_string(kept[1:5], ' ') AS first5
+             |FROM (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '),
+             |      x -> x NOT IN ('the', 'and', 'of', 'to', 'in')) AS kept
+             |  FROM documents
+             |)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
