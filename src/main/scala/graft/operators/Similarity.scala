@@ -112,6 +112,8 @@ object Similarity {
     GraftFunctions.ensureRegistered(e.sparkSession)
     require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
     val numBands = planes.length / planesPerBand
+    // both self-join sides read this; persist so the numBands ×
+    // planesPerBand projection dots run once per vector
     val bands = e.select(
       (col(idCol) +: blockCols.map(col)) :+
         explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
@@ -120,6 +122,7 @@ object Similarity {
           .as("bb"): _*)
       .select((col(idCol) +: blockCols.map(col)) ++
         Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
       (col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _)
@@ -136,20 +139,28 @@ object Similarity {
   }
 
   /** IVF search: assign corpus AND queries to their nearest centroid,
-    * then rank by exact cosine WITHIN the query's cluster only — the
-    * candidate set shrinks from N to N/k per query and the join is an
-    * equi-join on cluster_id (shuffle by cluster — the IVF scale path;
-    * probe more clusters by relaxing the assignment to rn <= nprobe).
-    * The assignment frame is persisted: it feeds both the query side and
-    * the candidate side of the cluster join. */
+    * then rank by exact cosine WITHIN the query's probed clusters only —
+    * the candidate set shrinks from N to ~nprobe·N/k per query and the
+    * join is an equi-join on cluster_id (shuffle by cluster — the IVF
+    * scale path). `nprobe` > 1 lets a query search its nprobe nearest
+    * clusters, recovering neighbors that fell across a centroid boundary
+    * (the standard IVF recall knob). The corpus assignment frame is
+    * persisted: it feeds both the query side and the candidate side. */
   def ivfSearch(corpus: DataFrame, centroids: DataFrame, k: Int,
-                queryPred: org.apache.spark.sql.Column): DataFrame = {
+                queryPred: org.apache.spark.sql.Column,
+                nprobe: Int = 1): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val assigned = ivfAssign(corpus, centroids)
       .select(col("vec_id"), col("v"), col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cluster_id"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
+    val q = corpus.filter(queryPred).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        l2sqNative(col("v"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_id").as("cluster_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("neighbor_id"))
     assigned.join(q, "cluster_id")
       .filter(col("vec_id") =!= col("q_id"))

@@ -100,6 +100,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSearch finds in-cluster neighbors; nprobe=2 recall >= nprobe=1") {
+    val corpus = (0 until 96).map { i =>
+      val c = randVec(i % 8, 32)
+      (i.toLong, perturb(c, 0.05, 7000 + i))
+    }.toDF("vec_id", "v")
+    val cents = (0 until 8).map(i => (i.toLong, randVec(i, 32))).toDF("c_id", "cv")
+    val exact = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")), 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfSearch(corpus, cents, k = 3,
+          queryPred = col("vec_id") < 8, nprobe = np)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r1 >= 0.5, s"nprobe=1 recall $r1 too low on well-separated clusters")
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("LSH ANN recall vs brute force is reasonable on clustered data") {
     // clustered corpus: 8 clusters of 12 vectors each around a center
     val corpus = (0 until 96).map { i =>
