@@ -525,6 +525,40 @@ object MiscQueries {
              |)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Explicit GROUPING SETS through the SQL surface (spark.sql over a
+    // registered view) — the engine's queries are DataFrame-first, but
+    // the SQL entry point must work identically for users porting SQL.
+    QuerySpec("q61_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                |FROM lineitem_v
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Collection aggregates: distinct-set and ordered-list collection per
+    // group, rendered deterministically (sorted) for the oracle.
+    QuerySpec("q62_collect_aggs",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sort_array(collect_set(col("source"))).as("sources"),
+          count(lit(1)).as("n_docs"),
+          sort_array(collect_list(col("doc_id"))).getItem(0).as("min_doc"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  list_sort(list(DISTINCT source)) AS sources,
+             |  count(*) AS n_docs,
+             |  min(doc_id) AS min_doc
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
