@@ -35,6 +35,30 @@ object Scan {
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
       .withColumn("filename", input_file_name())
 
+  /** Register every fixture table under `sfDir` as a temp view (named by
+    * table), so `spark.sql` users query the same data the DataFrame
+    * surface does (see q61). Missing files are skipped. The events table
+    * goes through the nanos-safe read (same truncation as
+    * graft.queries.Q.events — Spark 4 rejects TIMESTAMP(NANOS) outright). */
+  def registerViews(spark: SparkSession, sfDir: String): Seq[String] = {
+    val plain = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    val registered = plain.filter { t =>
+      val p = s"$sfDir/$t.parquet"
+      val exists = new java.io.File(p).exists()
+      if (exists) spark.read.parquet(p).createOrReplaceTempView(t)
+      exists
+    }
+    val eventsPath = s"$sfDir/events.parquet"
+    if (new java.io.File(eventsPath).exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(eventsPath)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .createOrReplaceTempView("events")
+      registered :+ "events"
+    } else registered
+  }
+
   /** S4: CSV with header + content-inferred schema (inference reads the data
     * twice — verify-scale only; use [[csvWithSchema]] at scale). */
   def csvInferred(spark: SparkSession, path: String): DataFrame =

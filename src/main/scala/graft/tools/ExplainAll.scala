@@ -10,7 +10,9 @@ object ExplainAll {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    val names = if (args.nonEmpty) args.toSet else Set("q10_join_revenue_by_nation", "q32_minhash_lsh_pairs", "q40_cosine_topk", "q02_project_filter")
+    val names = if (args.nonEmpty) args.toSet else Set(
+      "q02_project_filter", "q10_join_revenue_by_nation", "q32_minhash_lsh_pairs",
+      "q40_cosine_topk", "q44_salted_agg", "q55_ivf_search")
     graft.SparkEntry.allSpecs.filter(s => names(s.name)).foreach { s =>
       println(s"===== ${s.name} =====")
       println(s.fn(spark, d).queryExecution.explainString(

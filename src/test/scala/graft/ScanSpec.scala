@@ -46,6 +46,15 @@ class ScanSpec extends SparkSpec {
     assert(df.head().getLong(0) === 100L)
   }
 
+  test("registerViews exposes every fixture table to spark.sql, events nanos-safe") {
+    val names = Scan.registerViews(spark, sfDir)
+    assert(names.contains("lineitem") && names.contains("events"))
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    // events ts is usable as a proper timestamp through SQL
+    val r = spark.sql("SELECT min(ts) FROM events").head()
+    assert(r.get(0).isInstanceOf[java.sql.Timestamp])
+  }
+
   test("parquet scans prune columns and push predicates down to the reader") {
     val plan = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_quantity") > 30)
