@@ -139,6 +139,30 @@ object TextFunctions {
   /** 60-bit content fingerprint (md5-derived); stable across engines. */
   def fingerprint(text: Column): Column = md5Long(text)
 
+  /** ORDERED k-gram shingle hash sequence (no distinct — position
+    * matters). `t` must be a materialized token-array attribute. */
+  def shingleHashSeqFromTokens(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => conv(substring(md5(concat_ws(" ",
+          (0 until k).map(o => element_at(t, i + o)): _*)), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(typedLit(Seq.empty[Long]))
+
+  /** Winnowing fingerprints (MOSS-style): min hash of every window of
+    * `w` consecutive shingle hashes, deduped — a content-defined
+    * fingerprint set whose size adapts to document length and which two
+    * documents share in proportion to their overlapping runs. `hs` must
+    * be a MATERIALIZED ordered-hash attribute ([[shingleHashSeqFromTokens]]
+    * projected first — lambda-scope discipline). */
+  def winnowFingerprints(hs: Column, w: Int): Column =
+    array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(1), size(hs) - (w - 1)),
+          j => array_min(slice(hs, j, lit(w)))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(typedLit(Seq.empty[Long]))))
+
   /** Token md5-hash ARRAY (multiset — duplicates kept, unlike
     * [[shingleHashSet]]): the materialization point for SimHash. Project
     * this into its own column before [[simhashFromHashes]] — the 16+ bit

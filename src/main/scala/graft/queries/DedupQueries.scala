@@ -234,6 +234,42 @@ object DedupQueries {
           |WHERE p.jac >= 0.1 AND da.lang = db.lang AND da.source = db.source
           |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS): min hash per sliding window of 4
+    // consecutive 3-gram hashes — a content-defined fingerprint set that
+    // two documents share in proportion to overlapping runs. Sorted
+    // renderings on both engines (Spark array_distinct keeps first
+    // occurrence, DuckDB list_distinct is unordered — only the sorted
+    // set is comparable).
+    QuerySpec("q63_winnowing",
+      (s, d) => {
+        val w = 4
+        t(s, d, "documents")
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), shingleHashSeqFromTokens(col("toks"), 3).as("hs"))
+          .select(col("doc_id"),
+            sort_array(winnowFingerprints(col("hs"), w)).as("fps"))
+          .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+            col("fps"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3
+             |), hs AS (
+             |  SELECT doc_id, list_transform(range(1, len(s) - 1),
+             |    i -> ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]), 1, 15))::BIGINT) AS h
+             |  FROM toks
+             |), fp AS (
+             |  SELECT doc_id, list_sort(list_distinct(
+             |    CASE WHEN len(h) >= 4
+             |         THEN list_transform(range(1, len(h) - 2), j -> list_min(h[j:j+3]))
+             |         WHEN len(h) > 0 THEN [list_min(h)]
+             |         ELSE [] END)) AS fps
+             |  FROM hs
+             |)
+             |SELECT doc_id, len(fps) AS n_fp, fps FROM fp ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup via SRP-banded LSH: 3 bands × 4 signed
     // random projections bucket each vector (planes are driver constants,
     // no shuffle to bucket); candidates share a (band, bucket, label) key;

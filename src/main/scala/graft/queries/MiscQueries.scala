@@ -559,6 +559,29 @@ object MiscQueries {
              |  min(doc_id) AS min_doc
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match each other — the semantics plain equi-joins silently drop.
+    QuerySpec("q64_nullsafe_join",
+      (s, d) => {
+        val a = t(s, d, "nation")
+          .select(when(col("n_regionkey") === 2, lit(null))
+            .otherwise(col("n_regionkey")).as("k"), col("n_nationkey"))
+        val b = t(s, d, "region")
+          .select(when(col("r_regionkey") === 2, lit(null))
+            .otherwise(col("r_regionkey")).as("k"), col("r_regionkey"))
+        a.as("a").join(b.as("b"), col("a.k") <=> col("b.k"))
+          .groupBy(col("a.k").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("""SELECT a.k AS k, count(*) AS n
+             |FROM (SELECT CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k,
+             |             n_nationkey FROM nation) a
+             |JOIN (SELECT CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS k,
+             |             r_regionkey FROM region) b
+             |  ON a.k IS NOT DISTINCT FROM b.k
+             |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
