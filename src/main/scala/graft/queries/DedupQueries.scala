@@ -250,7 +250,8 @@ object DedupQueries {
           .select(col("doc_id"),
             sort_array(winnowFingerprints(col("hs"), w)).as("fps"))
           .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-            col("fps"))
+            // joined string, not a raw array: scalar types for the row hash
+            array_join(col("fps"), ",").as("fps"))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (
@@ -268,7 +269,9 @@ object DedupQueries {
              |         ELSE [] END)) AS fps
              |  FROM hs
              |)
-             |SELECT doc_id, len(fps) AS n_fp, fps FROM fp ORDER BY doc_id""".stripMargin)),
+             |SELECT doc_id, len(fps) AS n_fp,
+             |  array_to_string(fps, ',') AS fps
+             |FROM fp ORDER BY doc_id""".stripMargin)),
 
     // Embedding-cosine near-dup via SRP-banded LSH: 3 bands × 4 signed
     // random projections bucket each vector (planes are driver constants,

@@ -411,7 +411,9 @@ object MiscQueries {
           col("doc_id"),
           size(col("toks")).cast("long").as("n"),
           element_at(col("toks"), 1).as("first_tok"),
-          slice(sort_array(col("toks")), 1, 3).as("sorted3"),
+          // joined string, not a raw array: keeps the driver's row hasher
+          // on scalar types
+          array_join(slice(sort_array(col("toks")), 1, 3), ",").as("sorted3"),
           element_at(sort_array(col("toks"), asc = false), 1).as("max_tok"),
           array_contains(col("toks"), "the").as("has_the"),
           size(array_distinct(col("toks"))).cast("long").as("dset_n"))
@@ -419,7 +421,7 @@ object MiscQueries {
       Some("""SELECT doc_id,
              |  len(s) AS n,
              |  s[1] AS first_tok,
-             |  (list_sort(s))[1:3] AS sorted3,
+             |  array_to_string((list_sort(s))[1:3], ',') AS sorted3,
              |  (list_reverse_sort(s))[1] AS max_tok,
              |  list_contains(s, 'the') AS has_the,
              |  len(list_distinct(s)) AS dset_n
@@ -549,12 +551,12 @@ object MiscQueries {
       (s, d) => t(s, d, "documents")
         .groupBy(col("lang"))
         .agg(
-          sort_array(collect_set(col("source"))).as("sources"),
+          array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
           count(lit(1)).as("n_docs"),
           sort_array(collect_list(col("doc_id"))).getItem(0).as("min_doc"))
         .orderBy("lang"),
       Some("""SELECT lang,
-             |  list_sort(list(DISTINCT source)) AS sources,
+             |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
              |  count(*) AS n_docs,
              |  min(doc_id) AS min_doc
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
