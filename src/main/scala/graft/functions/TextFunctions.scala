@@ -178,6 +178,8 @@ object TextFunctions {
     * expression — HOF lambdas are interpreted and each of the `bits`
     * filter() calls re-evaluates its input expression. */
   def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60,
+      s"simhash bits must be in [1, 60] — the md5-derived hashes carry 60 bits (got $bits)")
     val n = size(hashes)
     (0 until bits).map { b =>
       val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1L) === 1L))

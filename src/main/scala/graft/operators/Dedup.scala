@@ -26,10 +26,13 @@ object Dedup {
       .select(col(idCol), shingleHashSetFromTokens(col("toks"), k).as("hset"))
 
   /** MinHash signatures m0..m{n-1} from the shingle-hash sets. */
-  def minhashSignatures(sets: DataFrame, idCol: String, numSigs: Int): DataFrame =
+  def minhashSignatures(sets: DataFrame, idCol: String, numSigs: Int): DataFrame = {
+    require(numSigs <= MinhashA.length,
+      s"only ${MinhashA.length} hash-family parameter pairs are defined (got $numSigs)")
     sets.select(col(idCol) +:
       (0 until numSigs).map(j =>
         minhashFromHashes(transform(col("hset"), h => h % MinhashP), j).as(s"m$j")): _*)
+  }
 
   /** Default cap on LSH bucket size: buckets larger than this are dropped
     * before the self-join. A hot band value (e.g. a boilerplate shingle
