@@ -60,10 +60,15 @@ object Bench {
     // (untimed union+write), one untimed conversion to absorb the replica
     // write's page-cache flush and JIT at this scale (the baseline numbers
     // are warm single-run timings too), then time the warm conversion.
+    // The replica's ACTUAL row count is reported as k2_rows — replication
+    // is capped at 64×, so a tiny fixture dir yields a sub-10M replica and
+    // the output must say so rather than implying matched scale.
+    var k2Rows = 0L
     val matched = "k2_convert_csv_10m" -> (try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val n = math.max(1L, li.count())
       val rep = math.max(1L, math.min(64L, (MatchedScaleRows + n - 1) / n))
+      k2Rows = n * rep
       val bigPath = s"$convertOut/lineitem_big"
       (1L to rep).map(_ => li).reduce(_ union _)
         .write.mode("overwrite").parquet(bigPath)
@@ -82,7 +87,7 @@ object Bench {
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,7 +55,13 @@ object Dedup {
     * is persisted: it feeds the signatures AND both sides of the final
     * exact-Jaccard join, and would otherwise be recomputed three times.
     * (At cluster scale prefer checkpointing to break the lineage too.)
-    */
+    *
+    * Cache lifecycle: the persisted intermediates (here and in
+    * [[simhashPairs]] / Similarity.embeddingNearDupPairs) stay registered
+    * for the session — Spark's cache is keyed by analyzed plan, so
+    * repeated calls over the SAME input reuse one entry, but unrelated
+    * corpora accumulate; long-lived sessions should
+    * `spark.catalog.clearCache()` between unrelated dedup runs. */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
                numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
                rowsPerBand: Int = 2,
@@ -128,11 +134,13 @@ object Dedup {
     // changes — comparing sums is a single-stage aggregate per iteration
     // instead of a join. Decimal sum: overflow-safe at any scale.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      df.agg(coalesce(
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))) // empty frame sums to null otherwise
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var i = 0
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty // no pairs → no loop
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("t"), col("label").as("tlabel")), Seq("t"))

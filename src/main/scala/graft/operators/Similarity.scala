@@ -144,15 +144,15 @@ object Similarity {
     * join is an equi-join on cluster_id (shuffle by cluster — the IVF
     * scale path). `nprobe` > 1 lets a query search its nprobe nearest
     * clusters, recovering neighbors that fell across a centroid boundary
-    * (the standard IVF recall knob). The corpus assignment frame is
-    * persisted: it feeds both the query side and the candidate side. */
+    * (the standard IVF recall knob). */
   def ivfSearch(corpus: DataFrame, centroids: DataFrame, k: Int,
                 queryPred: org.apache.spark.sql.Column,
                 nprobe: Int = 1): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // single consumer (the cluster join's candidate side — the query side
+    // computes its own nprobe assignment); no persist needed
     val assigned = ivfAssign(corpus, centroids)
       .select(col("vec_id"), col("v"), col("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
     val q = corpus.filter(queryPred).crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("c_id"),

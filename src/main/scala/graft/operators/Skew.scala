@@ -26,16 +26,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Skew {
 
-  /** Two-phase salted sum+count of `value` per `keys`. The salt is an
-    * arbitrary deterministic row fan-out (md5 of the value rendered to
-    * string); ANY assignment works — decimal addition is associative, so
-    * the merged result is invariant to how rows landed in salt buckets. */
+  /** Two-phase salted sum+count of `value` per `keys`. The salt must be
+    * ROW-unique-ish, not value-derived: a hot key whose rows share few
+    * distinct values (flags, counts) would otherwise collapse into a
+    * couple of salt buckets and stay hot. `rand(seed)` fans every row out
+    * uniformly regardless of its content; ANY assignment is
+    * correctness-neutral — decimal addition is associative, so the merged
+    * result is invariant to how rows landed in salt buckets (a task retry
+    * reshuffling its partition's salts re-aggregates the whole partition
+    * either way). */
   def saltedDsum(df: DataFrame, keys: Seq[String], value: Column,
-                 salts: Int = 16): DataFrame = {
+                 salts: Int = 16, seed: Long = 7L): DataFrame = {
     val partial = df
-      .withColumn("__salt",
-        pmod(conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(salts.toLong)))
+      .withColumn("__salt", floor(rand(seed) * salts).cast("int"))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
       .agg(sum(value.cast(DecimalType(18, 2))).as("__psum"),
         count(lit(1)).as("__pn"))

@@ -49,9 +49,10 @@ object Transforms {
 
   /** Deterministic md5-derived bucket of a key in [0, 100) — the basis for
     * reproducible, engine-portable sampling (DuckDB twin:
-    * `('0x' || substr(md5(key::VARCHAR),1,15))::BIGINT % 100`). */
+    * `('0x' || substr(md5(key::VARCHAR),1,15))::BIGINT % 100`). Built on
+    * the one shared 60-bit md5 idiom (TextFunctions.md5Long). */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    graft.functions.TextFunctions.md5Long(key.cast("string")) % 100
 
   /** Deterministic hash-based sample: keeps rows whose key bucket falls
     * under `pct` (a per-row expression — pass a constant for a uniform

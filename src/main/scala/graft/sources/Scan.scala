@@ -51,10 +51,9 @@ object Scan {
     }
     val eventsPath = s"$sfDir/events.parquet"
     if (new java.io.File(eventsPath).exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(eventsPath)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .createOrReplaceTempView("events")
+      // one shared nanos-safe reader — drift between the SQL view and the
+      // DataFrame surface would silently break oracle parity
+      graft.queries.Q.events(spark, sfDir).createOrReplaceTempView("events")
       registered :+ "events"
     } else registered
   }

@@ -21,18 +21,30 @@ object Stage {
 
   /** Download each URL to `dir/<basename>`, skipping names already
     * present (V2 gate — re-runs are free). Returns local paths in input
-    * order. Any JVM-openable URL scheme works (file://, https://, …). */
+    * order. Any JVM-openable URL scheme works (file://, https://, …).
+    *
+    * Downloads land in a `.part` temp name and move into place only on
+    * success, so an interrupted fetch never leaves a truncated file that
+    * the skip gate would treat as complete. URLs sharing a basename map
+    * to the same target — rejected rather than silently aliased. */
   def fetchToLocal(urls: Seq[String], dir: String,
                    skipIfPresent: Boolean = true): Seq[Path] = {
+    val names = urls.map(u => Paths.get(new URI(u).getPath).getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"URL basenames collide: ${names.diff(names.distinct).distinct.mkString(", ")}")
     val d = Files.createDirectories(Paths.get(dir))
-    urls.map { u =>
-      val uri = new URI(u)
-      val name = Paths.get(uri.getPath).getFileName.toString
+    urls.zip(names).map { case (u, name) =>
       val target = d.resolve(name)
       if (!(skipIfPresent && Files.exists(target))) {
-        val in: InputStream = uri.toURL.openStream()
-        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
+        val tmp = d.resolve(name + ".part")
+        val in: InputStream = new URI(u).toURL.openStream()
+        try {
+          Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        } finally {
+          in.close()
+          Files.deleteIfExists(tmp)
+        }
       }
       target
     }

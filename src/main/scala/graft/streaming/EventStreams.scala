@@ -117,14 +117,19 @@ object EventStreams {
       }
   }
 
-  /** Production sessionization: same semantics as [[sessionize]], plus
-    * watermark-driven state eviction. The input must carry an event-time
-    * watermark (applied here); each update arms an EventTimeTimeout at
-    * lastTs + gap, so once the watermark passes a user's session gap the
-    * state is removed — per-user state is bounded by active users inside
-    * the watermark horizon instead of growing forever. A timed-out user's
-    * next event simply starts session ids from a fresh state, which is
-    * exactly the > gap semantics. */
+  /** Production sessionization with watermark-driven state eviction. The
+    * input must carry an event-time watermark (applied here); each update
+    * arms an EventTimeTimeout at lastTs + gap, so once the watermark
+    * passes a user's session gap the state is removed — per-user state is
+    * bounded by active users inside the watermark horizon instead of
+    * growing forever.
+    *
+    * Session identity differs from [[sessionize]] BY DESIGN: a per-user
+    * counter cannot survive eviction (a timed-out user's fresh state
+    * would restart at 1 and collide with their earlier sessions), so here
+    * `session_id` is the session's START TIME in epoch millis — unique
+    * and monotone per user across any number of evictions, with no state
+    * beyond the current session. */
   def sessionizeWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
                             watermark: String = "2 hours"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -138,13 +143,14 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            // sessionId field carries the session-start epoch millis
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue))
             val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
               val tms = e.ts.getTime
-              val sid = if (s.lastTs == Long.MinValue || tms - s.lastTs > gapMs)
-                s.sessionId + 1 else s.sessionId
-              s = SessionState(sid, tms)
-              SessionUpdate(userId, sid, e.event_id, e.ts)
+              val start = if (s.lastTs == Long.MinValue || tms - s.lastTs > gapMs)
+                tms else s.sessionId
+              s = SessionState(start, tms)
+              SessionUpdate(userId, start, e.event_id, e.ts)
             }
             state.update(s)
             if (s.lastTs != Long.MinValue) state.setTimeoutTimestamp(s.lastTs + gapMs)

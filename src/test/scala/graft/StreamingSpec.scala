@@ -129,8 +129,9 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("sessionizeWithTimeout (EventTimeTimeout) matches NoTimeout on bounded input") {
-    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+  test("sessionizeWithTimeout groups like NoTimeout; ids are eviction-safe start times") {
+    def tsm(min: Long) = 1700000000000L + min * 60000L
+    def ts(min: Long) = new Timestamp(tsm(min))
     val events = Seq(
       EventStreams.Event(1, ts(0), 10, "click", 1.0),
       EventStreams.Event(2, ts(10), 10, "click", 1.0),
@@ -148,8 +149,10 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_id", "session_id")
       .as[(Long, Long, Long)].collect().toSet
 
+    // session_id = session-start epoch millis (survives state eviction,
+    // unlike a per-user counter); grouping matches the NoTimeout variant
     assert(out === Set(
-      (10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 2L),
-      (20L, 4L, 1L), (20L, 5L, 2L)))
+      (10L, 1L, tsm(0)), (10L, 2L, tsm(0)), (10L, 3L, tsm(50)),
+      (20L, 4L, tsm(0)), (20L, 5L, tsm(31))))
   }
 }
