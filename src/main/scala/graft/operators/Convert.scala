@@ -87,9 +87,25 @@ object Convert {
     out
   }
 
+  /** K4 variant — hive-partitioned CSV sink: one `col=value/` directory
+    * per partition-column value, files capped by `maxRecordsPerFile`.
+    * Downstream scans prune whole directories on partition predicates —
+    * the layout that makes "reprocess one language/day" touch only that
+    * slice of a 100 TB output. */
+  def toCsvPartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit =
+    csvWriter(df, maxRecordsPerFile).partitionBy(partitionCols: _*).csv(outDir)
+
   /** K5 — parquet write. */
   def toParquet(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** K5 variant — hive-partitioned parquet write (see [[toCsvPartitioned]]
+    * for the layout rationale; partition values become directory keys and
+    * are pruned at scan time via PartitionFilters). */
+  def toParquetPartitioned(df: DataFrame, outDir: String,
+                           partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(outDir)
 
   /** CSV → parquet (the reverse conversion, closing the format loop). */
   def csvToParquet(spark: SparkSession, in: String, outDir: String): Unit =

@@ -89,6 +89,30 @@ class ConvertSpec extends SparkSpec {
     assert(back.exceptAll(src).count() === 0)
   }
 
+  test("hive-partitioned sinks lay out col=value dirs and prune on read") {
+    val tmp = Files.createTempDirectory("convspec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+
+    Convert.toParquetPartitioned(docs, s"$tmp/pq", Seq("lang"))
+    val langDirs = Files.list(Paths.get(s"$tmp/pq")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSeq
+    assert(langDirs.nonEmpty)
+
+    // partition pruning: the filtered scan reads only the matching dir
+    val one = langDirs.head.stripPrefix("lang=")
+    val scan = spark.read.parquet(s"$tmp/pq").filter(col("lang") === one)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in plan:\n$plan")
+    assert(scan.count() === docs.filter(col("lang") === one).count())
+
+    Convert.toCsvPartitioned(docs, s"$tmp/csv", Seq("lang"), maxRecordsPerFile = 100)
+    val csvLangDirs = Files.list(Paths.get(s"$tmp/csv")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSeq
+    assert(csvLangDirs.toSet === langDirs.toSet)
+  }
+
   test("csvToParquet closes the reverse loop") {
     val tmp = Files.createTempDirectory("convspec").toString
     val src = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
