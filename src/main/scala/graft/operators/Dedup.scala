@@ -161,6 +161,17 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Apply duplicate clusters to the corpus: keep only canonical rows
+    * (cluster members whose id IS the cluster id, plus every row that was
+    * never paired). A left-anti join against the non-canonical ids — the
+    * terminal step of the near-dup pipeline: detect ([[lshPairs]]) →
+    * cluster ([[dupClusters]]) → apply. */
+  def applyClusters(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact dedup: one surviving row (min id) per distinct content value. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol))

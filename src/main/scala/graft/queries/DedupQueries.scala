@@ -165,6 +165,38 @@ object DedupQueries {
           |SELECT src AS doc_id, min(node) AS cluster_id
           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    // The full near-dup pipeline applied: detect (LSH pairs) → cluster
+    // (connected components) → drop non-canonical members via left-anti
+    // join. Output = the deduplicated corpus, the artifact a training-data
+    // pipeline actually ships.
+    QuerySpec("q65_dedup_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        graft.operators.Dedup.applyClusters(docs, "doc_id", clusters)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """
+          |, e AS (
+          |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
+          |  UNION ALL
+          |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+          |), reach AS (
+          |  SELECT DISTINCT s AS src, s AS node FROM e
+          |  UNION
+          |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+          |), clusters AS (
+          |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+          |)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+          |                  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup pairs via block pigeonhole: 32-bit codes split into
     // 4 × 8-bit blocks — hamming ≤ 3 pairs must share a whole block, so
     // candidate generation is a per-(block, value) equi-join (256 values
