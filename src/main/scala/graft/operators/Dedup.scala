@@ -17,13 +17,19 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** doc_id + distinct 60-bit shingle-hash set (one md5 pass, see
-    * TextFunctions.shingleHashSetFromTokens for the projection discipline). */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+  /** doc_id + distinct 60-bit shingle-hash set. The hashing runs through
+    * the native graft_shingle_hashes kernel (one JVM loop + one reused
+    * MessageDigest per row — bit-identical to the HOF formulation, which
+    * remains in TextFunctions as the cross-checked reference); distinct
+    * via the codegen'd array_distinct over the long array. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs
       .filter(size(split(col(textCol), " ")) >= k)
       .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol), shingleHashSetFromTokens(col("toks"), k).as("hset"))
+      .select(col(idCol), array_distinct(
+        graft.plans.GraftFunctions.shingleHashesNative(col("toks"), k)).as("hset"))
+  }
 
   /** MinHash signatures m0..m{n-1} from the shingle-hash sets. */
   def minhashSignatures(sets: DataFrame, idCol: String, numSigs: Int): DataFrame = {

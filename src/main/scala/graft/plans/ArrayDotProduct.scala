@@ -85,7 +85,11 @@ object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotently register graft functions into a live session (for
     * sessions not launched with spark.sql.extensions=graft.plans.
@@ -101,6 +105,13 @@ object GraftFunctions {
     * GraftExtensions on the session). */
   def dotNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Column-level native ordered shingle-hash sequence (requires
+    * ensureRegistered / GraftExtensions on the session). Bit-identical to
+    * TextFunctions.shingleHashSeqFromTokens; one JVM loop per row. */
+  def shingleHashesNative(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingle_hashes",
+      tokens, org.apache.spark.sql.functions.lit(k))
 }
 
 /** SparkSessionExtensions entry point: launch any session with

@@ -275,10 +275,12 @@ object DedupQueries {
     QuerySpec("q63_winnowing",
       (s, d) => {
         val w = 4
+        graft.plans.GraftFunctions.ensureRegistered(s)
         t(s, d, "documents")
           .filter(size(tokens(col("text"))) >= 3)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), shingleHashSeqFromTokens(col("toks"), 3).as("hs"))
+          .select(col("doc_id"),
+            graft.plans.GraftFunctions.shingleHashesNative(col("toks"), 3).as("hs"))
           .select(col("doc_id"),
             sort_array(winnowFingerprints(col("hs"), w)).as("fps"))
           .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
