@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) === 0L))
   }
 
+  test("dupClusters on an empty pair frame returns an empty result (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dupClusters(empty).count() === 0)
+  }
+
+  test("applyClusters keeps canonical members and never-paired rows") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.applyClusters(docs, "doc_id", Dedup.dupClusters(pairs))
+      .select("doc_id").as[Long].collect().sorted
+    // clusters {1,2,3} keep 1, {5,6} keep 5; 4 was never paired
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
   test("simhash of a near-duplicate stays within small hamming distance") {
     val a = doc(7, 50)
     val b = { val t = a.split(" "); t(10) = "CHANGED"; t.mkString(" ") }

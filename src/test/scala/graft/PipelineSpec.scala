@@ -90,6 +90,26 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/samples/sample_50.parquet").count() === 50)
   }
 
+  test("Stage.fetchToLocal leaves no .part temp files and rejects basename collisions") {
+    val src = Files.createTempDirectory("stagespec_src")
+    val staging = Files.createTempDirectory("stagespec_out").toString
+    Files.writeString(src.resolve("a.txt"), "payload")
+    val staged = graft.sources.Stage.fetchToLocal(
+      Seq(s"file://${src.resolve("a.txt")}"), staging)
+    assert(Files.readString(staged.head) === "payload")
+    val leftovers = Files.list(Paths.get(staging)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".part")).toSeq
+    assert(leftovers.isEmpty, s"temp files left behind: $leftovers")
+    // two URLs mapping to one basename must be rejected, not aliased
+    val other = Files.createTempDirectory("stagespec_src2")
+    Files.writeString(other.resolve("a.txt"), "different")
+    intercept[IllegalArgumentException] {
+      graft.sources.Stage.fetchToLocal(
+        Seq(s"file://${src.resolve("a.txt")}", s"file://${other.resolve("a.txt")}"),
+        staging)
+    }
+  }
+
   test("BenchGrid survives a poisoned input: bad cells are -1, grid completes (V3)") {
     import spark.implicits._
     val out = Files.createTempDirectory("pipespec").toString
