@@ -139,6 +139,15 @@ object TextFunctions {
   /** 60-bit content fingerprint (md5-derived); stable across engines. */
   def fingerprint(text: Column): Column = md5Long(text)
 
+  /** Canonical text normalization for near-exact dedup: lowercase, strip
+    * everything outside [a-z0-9 ], collapse runs of spaces, trim. Two
+    * documents differing only in case/punctuation/spacing normalize to
+    * the same string. Explicit char classes; DuckDB twin uses the same
+    * regexes with the 'g' flag (Spark replaces all matches by default). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]+", " "), " +", " "))
+
   /** ORDERED k-gram shingle hash sequence (no distinct — position
     * matters). `t` must be a materialized token-array attribute. */
   def shingleHashSeqFromTokens(t: Column, k: Int): Column =

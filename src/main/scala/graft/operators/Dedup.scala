@@ -184,6 +184,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(md5(col(textCol)).as("text_md5"), col("keep_id"), col("dup_count"))
 
+  /** Near-exact dedup by normalized content: case, punctuation, and
+    * whitespace differences collapse before grouping
+    * (TextFunctions.normalizeText) — the standard first dedup pass of a
+    * training-data pipeline, cheaper and stricter than MinHash. Same
+    * groupBy-on-derived-key shuffle shape as [[exact]]. */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(md5(col("__norm")).as("norm_md5"), col("keep_id"), col("dup_count"))
+
   /** Per-doc SimHash codes. The token-hash array is projected into its own
     * materialized column first (one tokenize + one md5 per token), then the
     * `bits` bit votes run against that attribute — inline, each vote's

@@ -97,6 +97,21 @@ object DedupQueries {
              |  count(*) AS dup_count
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    // Near-exact dedup on NORMALIZED content: case/punctuation/whitespace
+    // differences collapse before the hash-groupBy — the standard cheap
+    // first pass before MinHash.
+    QuerySpec("q66_dedup_normalized",
+      (s, d) => graft.operators.Dedup.exactNormalized(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("keep_id"),
+      Some("""SELECT md5(n) AS norm_md5, min(doc_id) AS keep_id,
+             |  count(*) AS dup_count
+             |FROM (SELECT doc_id,
+             |        trim(regexp_replace(regexp_replace(lower(text),
+             |          '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS n
+             |      FROM documents)
+             |GROUP BY n ORDER BY keep_id""".stripMargin)),
+
     // MinHash signatures: 8 universal hashes over the 3-gram shingle hash
     // set. One md5 per shingle, then 8 cheap arithmetic mins.
     QuerySpec("q31_minhash_sig",

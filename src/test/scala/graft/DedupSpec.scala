@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) === 0L))
   }
 
+  test("exactNormalized collapses case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO -- WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 3L)
+    assert(out(1).getLong(1) === 4L && out(1).getLong(2) === 1L)
+  }
+
   test("dupClusters on an empty pair frame returns an empty result (no NPE)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
