@@ -584,6 +584,33 @@ object MiscQueries {
              |  ON a.k IS NOT DISTINCT FROM b.k
              |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin)),
 
+    // Aggregate suite: arg-max/arg-min (max_by/min_by ≡ DuckDB
+    // arg_max/arg_min — the selector metric embeds the row id so ties
+    // cannot introduce nondeterminism), boolean aggregates, and
+    // conditional counting.
+    QuerySpec("q67_agg_suite",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), length(col("text")).as("len"))
+        .withColumn("metric", col("len") * 100000 + col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          max_by(col("doc_id"), col("metric")).as("longest_doc"),
+          min_by(col("doc_id"), col("metric")).as("shortest_doc"),
+          bool_and(col("len") > 50).as("all_gt50"),
+          bool_or(col("len") > 400).as("any_gt400"),
+          count(when(col("len") > 200, 1)).as("n_gt200"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  arg_max(doc_id, metric) AS longest_doc,
+             |  arg_min(doc_id, metric) AS shortest_doc,
+             |  bool_and(len > 50) AS all_gt50,
+             |  bool_or(len > 400) AS any_gt400,
+             |  count(*) FILTER (len > 200) AS n_gt200
+             |FROM (SELECT lang, doc_id, length(text) AS len,
+             |        length(text) * 100000 + doc_id AS metric
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Scalar-function suite: date parts, floor, abs, string ops.
     QuerySpec("q19_scalar_funcs",
       (s, d) => t(s, d, "orders")
