@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.SparkSession
 
@@ -15,7 +15,18 @@ import org.apache.spark.sql.SparkSession
   *  - `k2_convert_csv_10m`: lineitem replicated to the reference's
   *    published 10M-row class (`README.md:334-340`), so the 2×-of-baseline
   *    bar is measured at matched scale, not extrapolated. The replica
-  *    build is NOT part of the timed region.
+  *    build is NOT part of the timed region; k2 is the min of two warm
+  *    runs (the baseline's published numbers are warm timings too), with
+  *    each run's 1.4 GB CSV output deleted before the next starts — on a
+  *    disk-backed temp dir, a prior run's dirty pages otherwise flush
+  *    during the timed region and inflate it by seconds.
+  *
+  * Output discipline: the harness that collects this output keeps only a
+  * bounded tail of stdout, so the stdout JSON line reports a FIXED
+  * headline subset of queries (the scale-shape-interesting ones — joins,
+  * conversions, the dedup/ANN family) and stays parseable no matter how
+  * many queries register. The complete per-query map is written to
+  * `bench_full.json` in the working directory.
   *
   * A query that throws is reported as -1 in `queries` and listed under
   * `failed` — never as a (fast) success time.
@@ -24,6 +35,31 @@ object Bench {
 
   /** Rows the reference's headline conversion measures (BASELINE.md). */
   val MatchedScaleRows = 10000000L
+
+  /** Queries always present in the stdout JSON line (plus any failures).
+    * Everything else is timed too, but reported only in bench_full.json —
+    * the stdout line must fit a bounded log tail. */
+  val Headline: Seq[String] = Seq(
+    "q01_scan_sort", "q08_convert_roundtrip", "q09_merge_schema",
+    "q10_join_revenue_by_nation", "q11_window_topk", "q12_agg_pricing_summary",
+    "q13_events_hourly", "q14_sessionize", "q15_asof_join", "q18_json_extract",
+    "q27_tfidf_topterms", "q30_dedup_exact", "q31_minhash_sig",
+    "q32_minhash_lsh_pairs", "q33_simhash", "q34_ngram_jaccard",
+    "q35_embedding_neardup", "q36_simhash_pairs", "q37_dup_clusters",
+    "q40_cosine_topk", "q41_ann_lsh", "q42_ivf_assign", "q55_ivf_search",
+    "q65_dedup_apply", "q66_dedup_normalized",
+    "k1_convert_csv", "k2_convert_csv_10m")
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p))
+      scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
+        .foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,13 +79,17 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // Warm-up: JIT + codegen + FS committer init outside any timed cell
-    // (read path via entry, write path via a small conversion).
+    // Warm-up: JIT + codegen + FS committer init outside any timed cell —
+    // the read path via entry, the CSV write path via a small conversion,
+    // and the PARQUET write path (q09 stages parquet sides on first call;
+    // without this it absorbs the cold ParquetOutputFormat init).
     val convertOut = Files.createTempDirectory("graft_bench_csv").toString
     try {
       SparkEntry.entry(spark).count()
       graft.operators.Convert.parquetToCsv(
         spark, "/root/testdata/sf0.001/lineitem.parquet", s"$convertOut/warmup")
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .write.mode("overwrite").parquet(s"$convertOut/warmup_pq")
     } catch { case _: Throwable => () }
     val convert = "k1_convert_csv" -> timed {
       graft.operators.Convert.parquetToCsv(
@@ -57,12 +97,13 @@ object Bench {
     }
 
     // Matched-scale conversion: replicate lineitem up to ~10M rows
-    // (untimed union+write), one untimed conversion to absorb the replica
-    // write's page-cache flush and JIT at this scale (the baseline numbers
-    // are warm single-run timings too), then time the warm conversion.
-    // The replica's ACTUAL row count is reported as k2_rows — replication
-    // is capped at 64×, so a tiny fixture dir yields a sub-10M replica and
-    // the output must say so rather than implying matched scale.
+    // (untimed union+write), one untimed conversion to absorb JIT at this
+    // scale, then two timed warm conversions — reported as their min. The
+    // replica's ACTUAL row count is reported as k2_rows — replication is
+    // capped at 64×, so a tiny fixture dir yields a sub-10M replica and
+    // the output must say so rather than implying matched scale. Every
+    // conversion's output is deleted before the next run so its dirty
+    // pages can be dropped instead of flushed mid-measurement.
     var k2Rows = 0L
     val matched = "k2_convert_csv_10m" -> (try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -72,22 +113,42 @@ object Bench {
       val bigPath = s"$convertOut/lineitem_big"
       (1L to rep).map(_ => li).reduce(_ union _)
         .write.mode("overwrite").parquet(bigPath)
-      graft.operators.Convert.parquetToCsv(spark, bigPath, s"$convertOut/big_csv_warm")
-      timed {
-        graft.operators.Convert.parquetToCsv(spark, bigPath, s"$convertOut/big_csv")
+      val outPath = java.nio.file.Paths.get(s"$convertOut/big_csv")
+      deleteRecursively(java.nio.file.Paths.get(s"$convertOut/lineitem"))
+      def once(): (Double, Boolean) = {
+        val r = timed {
+          graft.operators.Convert.parquetToCsv(spark, bigPath, outPath.toString)
+        }
+        deleteRecursively(outPath)
+        r
       }
+      once() // warm at this scale, untimed
+      val (a, okA) = once()
+      val (b, okB) = once()
+      (math.min(a, b), okA && okB)
     } catch { case _: Throwable => (0.0, false) })
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed { fn(spark, sfDir).count(); () }
     } :+ convert :+ matched
 
-    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+    def entries(rs: Seq[(String, (Double, Boolean))]): String =
+      rs.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+        .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}""")
+    val headlineSet = Headline.toSet
+    val reported = results.filter { case (k, (_, ok)) => headlineSet(k) || !ok }
+    val othersTotal = results
+      .collect { case (k, (v, true)) if !headlineSet(k) => v }.sum
+
+    // Complete per-query map — the stdout line only carries the headline.
+    Files.write(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

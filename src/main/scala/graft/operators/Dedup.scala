@@ -31,13 +31,22 @@ object Dedup {
         graft.plans.GraftFunctions.shingleHashesNative(col("toks"), k)).as("hset"))
   }
 
-  /** MinHash signatures m0..m{n-1} from the shingle-hash sets. */
+  /** MinHash signatures m0..m{n-1} from the shingle-hash sets. Runs
+    * through the native graft_minhash kernel (one JVM loop per row —
+    * bit-identical to the HOF formulation
+    * `minhashFromHashes(transform(hset, _ % P), j)`, which remains in
+    * TextFunctions as the cross-checked reference); the signature array is
+    * materialized first, then split into scalar columns by codegen'd
+    * element_at. */
   def minhashSignatures(sets: DataFrame, idCol: String, numSigs: Int): DataFrame = {
     require(numSigs <= MinhashA.length,
       s"only ${MinhashA.length} hash-family parameter pairs are defined (got $numSigs)")
-    sets.select(col(idCol) +:
-      (0 until numSigs).map(j =>
-        minhashFromHashes(transform(col("hset"), h => h % MinhashP), j).as(s"m$j")): _*)
+    graft.plans.GraftFunctions.ensureRegistered(sets.sparkSession)
+    sets
+      .select(col(idCol),
+        graft.plans.GraftFunctions.minhashNative(col("hset"), numSigs).as("__sig"))
+      .select(col(idCol) +:
+        (0 until numSigs).map(j => element_at(col("__sig"), j + 1).as(s"m$j")): _*)
   }
 
   /** Default cap on LSH bucket size: buckets larger than this are dropped
@@ -63,30 +72,27 @@ object Dedup {
     * (At cluster scale prefer checkpointing to break the lineage too.)
     *
     * Cache lifecycle: the persisted intermediates (here and in
-    * [[simhashPairs]] / Similarity.embeddingNearDupPairs) stay registered
-    * for the session — Spark's cache is keyed by analyzed plan, so
-    * repeated calls over the SAME input reuse one entry, but unrelated
-    * corpora accumulate; long-lived sessions should
-    * `spark.catalog.clearCache()` between unrelated dedup runs. */
+    * [[simhashPairs]] / Similarity.embeddingNearDupPairs) are registered
+    * with [[OperatorCaches]] — call `OperatorCaches.release()` after
+    * materializing the result to drop them (long-lived sessions running
+    * unrelated corpora would otherwise accumulate cache entries). */
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
                numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
                rowsPerBand: Int = 2,
                maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
     val numSigs = numBands * rowsPerBand
-    val sets = shingleSets(docs, idCol, textCol, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
     val sigs = minhashSignatures(sets, idCol, numSigs)
     // bands is referenced four times (bucket count, cap join, both self-join
     // sides); persist the small (id, band, mv) projection so the signature
     // computation — 8 interpreted HOF mins over the shingle arrays — runs
     // once, not four times.
-    val bands = sigs.select(col(idCol), explode(array(
+    val bands = OperatorCaches.persistTracked(sigs.select(col(idCol), explode(array(
       (0 until numBands).map(j => struct(lit(j).as("band"),
         concat_ws("_",
           (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
       .as("bv"))
-      .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv")))
     val smallBuckets = bands.groupBy(col("band"), col("mv"))
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") <= maxBucketSize)
@@ -164,6 +170,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist() // labels is checkpointed — no longer depends on edges
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within maxIter=$maxIter label-propagation " +
+          "iterations — a component's diameter exceeds the budget; raise maxIter " +
+          "(or switch to the large-star/small-star variant for extreme graphs) " +
+          "rather than shipping non-minimal cluster labels")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -195,15 +207,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(md5(col("__norm")).as("norm_md5"), col("keep_id"), col("dup_count"))
 
-  /** Per-doc SimHash codes. The token-hash array is projected into its own
-    * materialized column first (one tokenize + one md5 per token), then the
-    * `bits` bit votes run against that attribute — inline, each vote's
-    * filter() would re-tokenize and re-hash the document (a ~`bits`×
-    * blowup on the 100 TB dedup path). */
-  def simhashCodes(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    docs
-      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
-      .select(col(idCol), simhashFromHashes(col("__th"), bits).as(s"simhash$bits"))
+  /** Per-doc SimHash codes, via the native graft_simhash kernel: one
+    * tokenize + one md5 + one vote-accumulation pass per document inside
+    * whole-stage codegen — bit-identical to the HOF reference
+    * (`simhashFromHashes(tokenHashes(text), bits)`, which would walk the
+    * hash array once per bit through interpreted lambdas; parity asserted
+    * in NativeSketchSpec). */
+  def simhashCodes(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+      graft.plans.GraftFunctions.simhashNative(
+        split(col(textCol), " "), bits).as(s"simhash$bits"))
+  }
 
   /** SimHash near-dup pairs via block pigeonhole: split each `bits`-bit
     * code into `numBlocks` equal blocks; any two codes within hamming
@@ -226,11 +241,11 @@ object Dedup {
     // blocks is referenced four times (block count, cap join, both
     // self-join sides); persist so the `bits` interpreted bit-vote passes
     // behind simhashCodes run once per document, not four times.
-    val blocks = codes.select(col(idCol), col(codeName).as("code"), explode(array(
-      (0 until numBlocks).map(j => struct(lit(j).as("blk"),
-        shiftright(col(codeName), j * blockBits).bitwiseAND(mask).as("bv"))): _*)).as("b"))
-      .select(col(idCol), col("code"), col("b.blk").as("blk"), col("b.bv").as("bv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocks = OperatorCaches.persistTracked(
+      codes.select(col(idCol), col(codeName).as("code"), explode(array(
+        (0 until numBlocks).map(j => struct(lit(j).as("blk"),
+          shiftright(col(codeName), j * blockBits).bitwiseAND(mask).as("bv"))): _*)).as("b"))
+      .select(col(idCol), col("code"), col("b.blk").as("blk"), col("b.bv").as("bv")))
     val smallBlocks = blocks.groupBy(col("blk"), col("bv"))
       .agg(count(lit(1)).as("blk_n"))
       .filter(col("blk_n") <= maxBucketSize)

@@ -113,16 +113,16 @@ object Similarity {
     require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
     val numBands = planes.length / planesPerBand
     // both self-join sides read this; persist so the numBands ×
-    // planesPerBand projection dots run once per vector
-    val bands = e.select(
+    // planesPerBand projection dots run once per vector (tracked — release
+    // via OperatorCaches.release() after materializing the result)
+    val bands = graft.operators.OperatorCaches.persistTracked(e.select(
       (col(idCol) +: blockCols.map(col)) :+
         explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
           lshBucket(col(vecCol),
             planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))): _*))
           .as("bb"): _*)
       .select((col(idCol) +: blockCols.map(col)) ++
-        Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*))
     val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
       (col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _)

@@ -88,8 +88,48 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs.head, exprs(1))),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        // k is baked into the expression at resolution time, so it must be
+        // a literal — fail analysis with a clear message rather than
+        // letting a column argument hit eval() unresolved (and silently
+        // freeze a per-row k even if it were evaluable).
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_shingle_hashes expects 2 arguments (tokens, k), got ${exprs.length}")
+        val kExpr = exprs(1)
+        val kVal = if (kExpr.foldable) kExpr.eval() else null
+        kVal match {
+          case n: Number => ShingleHashes(exprs.head, n.intValue())
+          case _ => throw new IllegalArgumentException(
+            "graft_shingle_hashes: k must be an integer literal (a foldable " +
+              s"integral expression); got ${kExpr.sql}")
+        }
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashCode].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) =>
+        SimHashCode(exprs.head, foldableInt(exprs, 1, "graft_simhash", "bits"))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) =>
+        MinHashSigs(exprs.head, foldableInt(exprs, 1, "graft_minhash", "numSigs"))))
+
+  /** Resolve argument `idx` as a required integer literal, with a clear
+    * analysis-time error otherwise (same contract as graft_shingle_hashes'
+    * k — these parameters are baked into the expression tree). */
+  private def foldableInt(exprs: Seq[Expression], idx: Int,
+                          fn: String, arg: String): Int = {
+    if (exprs.length != idx + 1)
+      throw new IllegalArgumentException(
+        s"$fn expects ${idx + 1} arguments (..., $arg), got ${exprs.length}")
+    val e = exprs(idx)
+    (if (e.foldable) e.eval() else null) match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal (a foldable integral " +
+          s"expression); got ${e.sql}")
+    }
+  }
 
   /** Idempotently register graft functions into a live session (for
     * sessions not launched with spark.sql.extensions=graft.plans.
@@ -112,6 +152,20 @@ object GraftFunctions {
   def shingleHashesNative(tokens: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingle_hashes",
       tokens, org.apache.spark.sql.functions.lit(k))
+
+  /** Column-level native SimHash over a token array. Bit-identical to
+    * TextFunctions.simhashFromHashes(tokenHashes(…), bits); one JVM loop
+    * per row instead of `bits` interpreted filter passes. */
+  def simhashNative(tokens: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash",
+      tokens, org.apache.spark.sql.functions.lit(bits))
+
+  /** Column-level native MinHash signature vector over a 60-bit hash-set
+    * array. Bit-identical to the HOF formulation in
+    * Dedup.minhashSignatures's reference path; null on empty sets. */
+  def minhashNative(hashes: Column, numSigs: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash",
+      hashes, org.apache.spark.sql.functions.lit(numSigs))
 }
 
 /** SparkSessionExtensions entry point: launch any session with

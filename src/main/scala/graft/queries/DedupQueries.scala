@@ -65,7 +65,11 @@ object DedupQueries {
       |), bands AS (
       |""".stripMargin +
     (0 until NumBands).map(j =>
-      s"  SELECT doc_id, $j AS band, m${2 * j}::VARCHAR || '_' || m${2 * j + 1}::VARCHAR AS mv FROM sig")
+      // band key generated from RowsPerBand — one source of truth with the
+      // Spark side's concat_ws over m{j*r}..m{j*r+r-1}
+      s"  SELECT doc_id, $j AS band, " +
+        (0 until RowsPerBand).map(r => s"m${j * RowsPerBand + r}::VARCHAR")
+          .mkString(" || '_' || ") + " AS mv FROM sig")
       .mkString("\n  UNION ALL\n") +
     s"""
       |), bcnt AS (

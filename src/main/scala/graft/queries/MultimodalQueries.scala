@@ -25,7 +25,12 @@ object MultimodalQueries {
     val fcols = (0 until DecodeDim).map(j =>
       s"    CAST(CAST(count(*) FILTER (bin = $j) AS FLOAT)" +
         s" / CAST(any_value(n) AS FLOAT) AS FLOAT) AS f$j").mkString(",\n")
+    val coal = (0 until DecodeDim).map(j =>
+      s"    COALESCE(hv.f$j, CAST(0 AS FLOAT)) AS f$j").mkString(",\n")
     val ss = (0 until DecodeDim).map(j => s"f$j::DOUBLE * f$j::DOUBLE").mkString(" + ")
+    // hv is LEFT-joined back to documents: range(1, len+1) yields no rows
+    // for empty text, but the Spark stub still emits a zero-norm feature
+    // row for every asset — the join keeps row counts identical.
     s"""WITH chars AS (
        |  SELECT doc_id, greatest(len(text), 1) AS n,
        |    unicode(text[i]) % $DecodeDim AS bin
@@ -34,10 +39,14 @@ object MultimodalQueries {
        |  SELECT doc_id,
        |$fcols
        |  FROM chars GROUP BY doc_id
+       |), feat AS (
+       |  SELECT d.doc_id,
+       |$coal
+       |  FROM documents d LEFT JOIN hv ON hv.doc_id = d.doc_id
        |)
        |SELECT doc_id AS asset_id, $DecodeDim AS dim,
        |  round(sqrt($ss), 6) AS feat_norm
-       |FROM hv ORDER BY asset_id""".stripMargin
+       |FROM feat ORDER BY asset_id""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
