@@ -12,7 +12,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def allSpecs: Seq[QuerySpec] =
     RelationalQueries.specs ++ MiscQueries.specs ++ TextQueries.specs ++
-      DedupQueries.specs ++ SimilarityQueries.specs ++ MultimodalQueries.specs
+      DedupQueries.specs ++ SimilarityQueries.specs ++ MultimodalQueries.specs ++
+      QualityQueries.specs ++ FormatQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

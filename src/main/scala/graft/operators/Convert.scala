@@ -112,6 +112,20 @@ object Convert {
     toParquet(spark.read.option("header", "true").option("inferSchema", "true")
       .option("timestampFormat", TimestampFormat).csv(in), outDir)
 
+  /** JSON-lines sink: one JSON object per row, files capped like the CSV
+    * sink — the interchange format most ingestion pipelines speak. Same
+    * parallel-partitioned write shape as [[toCsvDir]]. */
+  def toJsonl(df: DataFrame, outDir: String,
+              maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("timestampFormat", TimestampFormat)
+      .mode(SaveMode.Overwrite).json(outDir)
+
+  /** ORC sink (the other columnar format Spark ships natively). */
+  def toOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(outDir)
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)

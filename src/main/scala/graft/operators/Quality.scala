@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators for the training-data pipeline: repetition
+  * signals (the Gopher-rules family), PII scrubbing, and deterministic
+  * stratified sampling.
+  *
+  * Scale shapes: the repetition signals are one explode + two groupBy
+  * shuffles keyed by doc (partial aggregation map-side); the scrub is
+  * pure codegen'd regexp over a single pass; the sampler is a stateless
+  * hash filter — no shuffle at all, and the same rows are kept on any
+  * cluster size or partitioning (seeded-RNG samples are NOT stable across
+  * partitionings; content-hash gates are).
+  */
+object Quality {
+
+  /** Engine-portable 60-bit hash (md5-derived, same discipline as
+    * TextFunctions.md5Long). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-document repetition/quality signals in the Gopher-rules shape:
+    *  - `dup_token_frac`: 1 − distinct/total tokens (high = repetitive)
+    *  - `top_bigram_frac`: occurrences of the most frequent bigram over
+    *    all bigram slots (boilerplate detector)
+    *  - `mean_token_len`: (chars − spaces) / tokens — the text is
+    *    single-space tokenized, so token length sum = len − (n−1) without
+    *    a second array pass
+    *  - `flagged`: true when any signal crosses its threshold — the rows
+    *    a quality filter would drop.
+    *
+    * The bigram top-count runs explode → count(doc, bigram) → max per
+    * doc: two partial-aggregated shuffles keyed by doc_id, never a
+    * per-row interpreted sort. Documents with <2 tokens contribute no
+    * bigrams and re-enter via left join with zero counts.
+    */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
+                    maxDupTokenFrac: Double = 0.6,
+                    maxTopBigramFrac: Double = 0.18,
+                    minMeanTokenLen: Double = 3.0,
+                    maxMeanTokenLen: Double = 10.0): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+        (length(col("__text")) - (size(col("__toks")) - 1)).cast("long").as("__sum_len"),
+        col("__toks"))
+    val bigrams = base
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1)))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_bigrams"))
+    val joined = base.join(bigrams, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_frac"),
+        coalesce(col("top_cnt").cast("double") / col("n_bigrams").cast("double"), lit(0.0))
+          .as("top_bigram_frac"),
+        (col("__sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_token_len"))
+    joined.withColumn("flagged",
+      col("dup_token_frac") > maxDupTokenFrac ||
+        col("top_bigram_frac") > maxTopBigramFrac ||
+        col("mean_token_len") < minMeanTokenLen ||
+        col("mean_token_len") > maxMeanTokenLen)
+  }
+
+  /** PII patterns, scrubbed in a fixed order. Explicit char classes only
+    * (no \w, no \p{...}) so Java-regex Spark and RE2 oracles agree. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[a-z0-9./_-]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails, URLs, and phone-shaped tokens from `textCol`, emitting
+    * the redaction counts per category and the scrubbed text. One
+    * codegen'd pass per pattern, applied email → url → phone (order
+    * matters: a URL containing an @ must not be half-eaten by the email
+    * pass — emails go first, then URLs over what remains). */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, UrlPattern, "<URL>")
+    val t3 = regexp_replace(t2, PhonePattern, "<PHONE>")
+    df
+      .withColumn("n_email", regexp_count(t0, lit(EmailPattern)))
+      .withColumn("n_url", regexp_count(t1, lit(UrlPattern)))
+      .withColumn("n_phone", regexp_count(t2, lit(PhonePattern)))
+      .withColumn("scrubbed", t3)
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * md5("salt|id") mod 100 < rate(stratum). The gate depends only on row
+    * identity — reproducible across engines, partitionings, and reruns
+    * (the property that makes a 100 TB sample auditable), unlike
+    * seeded-RNG `sample()` whose draw order is partition-dependent.
+    * `rates` maps stratum value → percentage [0,100]; unlisted strata use
+    * `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           rates: Seq[(String, Int)], defaultRate: Int,
+                           salt: String = "strat"): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.foldRight(lit(defaultRate)) { case ((k, r), acc) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(md5Long(concat(lit(salt + "|"), col(idCol))), lit(100L)) < rate)
+  }
+}

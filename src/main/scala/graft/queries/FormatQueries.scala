@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Convert
+import graft.sources.Scan
+import Q._
+
+/** Interchange-format round-trips (JSON-lines, ORC) plus the
+  * approximate-vs-exact sketch contract and the typed custom Aggregator —
+  * oracles aggregate the same parquet source directly, so a round-trip
+  * that drops or mangles rows hash-mismatches.
+  */
+object FormatQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // JSONL sink → schema'd JSONL scan → aggregate. Inference is never
+    // used (scale doctrine: schema-on-read over millions of JSON files
+    // costs a second full pass and unions drifted types).
+    QuerySpec("q71_jsonl_roundtrip",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tmp = Files.createTempDirectory("graft_jsonl").toString
+        Convert.toJsonl(docs, s"$tmp/docs")
+        Scan.jsonlWithSchema(s, docs.schema, s"$tmp/docs")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ORC sink → ORC scan → aggregate (the other native columnar format;
+    // column pruning and predicate pushdown reach its reader like
+    // parquet's).
+    QuerySpec("q72_orc_roundtrip",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tmp = Files.createTempDirectory("graft_orc").toString
+        Convert.toOrc(docs, s"$tmp/docs")
+        Scan.orc(s, s"$tmp/docs")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Approximate distinct-count (HyperLogLog++) against the exact count:
+    // the oracle pins the exact side and the 5%-tolerance contract — the
+    // sketch itself is engine-private, its ERROR BOUND is the portable
+    // fact. (At these cardinalities Spark's HLL++ sparse mode is exact,
+    // so the flag is deterministically true.)
+    QuerySpec("q73_approx_distinct",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("text")).as("exact_distinct"),
+          approx_count_distinct(col("text"), 0.01).as("__approx"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("__approx") - col("exact_distinct")) <=
+            col("exact_distinct").cast("double") * 0.05).as("within_tol"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(DISTINCT text) AS exact_distinct,
+             |  true AS within_tol
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Typed custom Aggregator (the Dataset-side escalation path):
+    // deterministic mean/variance via exact integer-cents accumulation —
+    // float avg/var_samp are partition-order-dependent and can never
+    // hash-match an oracle; this formulation is bit-reproducible in any
+    // engine (see ExactMoments).
+    QuerySpec("q74_exact_moments",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"))
+          .as[(String, Double)]
+          .groupByKey(_._1)
+          .agg(graft.functions.ExactMoments.of2.toColumn.name("m"))
+          .select(col("key").as("l_returnflag"), col("m.n").as("n"),
+            round(col("m.mean"), 6).as("mean_qty"),
+            round(col("m.varSamp"), 6).as("var_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+             |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  round(s / n, 6) AS mean_qty,
+             |  round((ss - s * s / n) / (n - 1), 6) AS var_qty
+             |FROM a ORDER BY l_returnflag""".stripMargin))
+  )
+}

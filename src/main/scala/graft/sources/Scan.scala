@@ -63,6 +63,19 @@ object Scan {
   def csvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** JSON-lines scan with a declared schema (schema inference over JSON
+    * reads everything twice AND unions drifting types — never at scale). */
+  def jsonlWithSchema(spark: SparkSession, schema: StructType, path: String,
+                      timestampFormat: String = graft.operators.Convert.TimestampFormat): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", timestampFormat)
+      .json(path)
+
+  /** ORC scan — columnar like parquet: pruned columns and pushed
+    * predicates reach the ORC reader the same way. */
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
   /** CSV scan with a declared schema — the scalable path. The null token
     * is an impossible sentinel (see Convert.ReaderNullSentinel) so the
     * writer's bare-empty nulls and quoted-`""` empty strings round-trip
