@@ -170,8 +170,11 @@ object GraftFunctions {
 
 /** SparkSessionExtensions entry point: launch any session with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` to get the
-  * graft function surface in SQL and DataFrame code. */
+  * graft function surface in SQL/DataFrame code plus the custom physical
+  * operators (TopKPerKeyStrategy). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

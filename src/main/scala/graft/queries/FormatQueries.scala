@@ -70,6 +70,26 @@ object FormatQueries {
              |  true AS within_tol
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // The custom whole-operator path (LogicalPlan + SparkStrategy +
+    // SparkPlan via SparkSessionExtensions): per-key top-k with map-side
+    // bounded heaps — shuffles only ≤ k·keys·partitions survivor rows and
+    // never sorts a group, where the window formulation (q11) shuffles and
+    // sorts EVERY row. Same result contract under a total order; the
+    // oracle is the row_number formulation.
+    QuerySpec("q75_topk_native",
+      (s, d) => graft.plans.TopKPerKeyPlans.topKPerKey(
+        t(s, d, "orders"), Seq("o_orderpriority"),
+        Seq(desc("o_totalprice"), col("o_orderkey")), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), desc("o_totalprice"), col("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) x
+             |WHERE rnk <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // Typed custom Aggregator (the Dataset-side escalation path):
     // deterministic mean/variance via exact integer-cents accumulation —
     // float avg/var_samp are partition-order-dependent and can never
