@@ -5,9 +5,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, NullsFirst, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NullsFirst, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator escalation (SURVEY §7.3 rung (c) — custom LogicalPlan +
@@ -108,7 +109,70 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rewrite (the Rule[LogicalPlan] rung of the escalation
+  * ladder): recognize the canonical window top-k idiom —
+  *
+  *   Project(cols…, Filter(rn <= k, Window([row_number() AS rn], part, ord)))
+  *
+  * where the rank column is used ONLY by the filter and then dropped —
+  * and replace it with [[TopKPerKey]], turning a
+  * shuffle-everything + sort-every-group plan into the two-phase
+  * bounded-heap operator. Fires only when:
+  *  - the window computes exactly one expression, a bare row_number;
+  *  - the filter bounds it by a literal (rn <= k, rn < k, rn = 1, and
+  *    mirrored forms);
+  *  - the project above references nothing the window added (so the rank
+  *    values themselves are dead — selection, not ranking).
+  * Under a total order the kept set is identical; under ties both
+  * formulations are nondeterministic in the same way (row_number's tie
+  * choice is partition-order-dependent too).
+  *
+  * Opt-in per session: GraftExtensions injects it, or
+  * [[TopKPerKeyPlans.ensureRewrite]] adds it to experimental
+  * extraOptimizations of a live session.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  /** Extract k such that the condition means rank <= k. */
+  private def rankBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, _), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond, w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), _)), part, ord, child, _)))
+        if ord.nonEmpty =>
+      val rn = w.windowOutputSet.head
+      val usesRank = projectList.exists(_.references.contains(rn))
+      rankBound(cond, rn) match {
+        case Some(k) if k >= 1 && !usesRank =>
+          Project(projectList, TopKPerKey(part, ord, k, child))
+        case _ => p
+      }
+  }
+}
+
 object TopKPerKeyPlans {
+
+  /** Idempotently add the window-top-k rewrite (and the strategy it
+    * plans into) to a live session. */
+  def ensureRewrite(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(WindowTopKRewrite))
+      spark.experimental.extraOptimizations = cur :+ WindowTopKRewrite
+  }
+
+  /** Remove the rewrite from a live session (test/aux hook). */
+  def removeRewrite(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == WindowTopKRewrite)
 
   /** Idempotently add the strategy to a live session (for sessions not
     * launched with spark.sql.extensions=graft.plans.GraftExtensions). */

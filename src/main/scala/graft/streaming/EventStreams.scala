@@ -54,6 +54,16 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a STATIC dimension table (user → segment, asset → metadata, …).
+    * Stateless — no watermark needed on the static side, no join state
+    * buffered; at scale the dimension broadcasts to every task exactly
+    * like its batch twin (q10's broadcast-dim shape), re-resolved per
+    * micro-batch so a refreshed dim path picks up new snapshots. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    joinKey: String): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey), "left")
+
   /** Open a file-source stream over a directory of parquet event files —
     * the production shape for continuously-landing data. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

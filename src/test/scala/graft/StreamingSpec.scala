@@ -155,4 +155,32 @@ class StreamingSpec extends SparkSpec {
       (10L, 1L, tsm(0)), (10L, 2L, tsm(0)), (10L, 3L, tsm(50)),
       (20L, 4L, tsm(0)), (20L, 5L, tsm(31))))
   }
+
+  test("stream-static enrichment join equals the batch broadcast join") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val src = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(2000)
+    src.write.parquet(s"$tmp/in")
+    // static dim: user_id → segment (some users deliberately missing so
+    // the left join's null path is exercised)
+    val dim = spark.range(0, 30).toDF("user_id")
+      .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
+
+    val stream = EventStreams.fileStream(spark, src.schema, s"$tmp/in")
+    val streamed = EventStreams.runAvailableNow(
+      EventStreams.enrichWithDim(stream, dim, "user_id")
+        .groupBy("segment").agg(count(lit(1)).as("n")),
+      "enrich_stream", OutputMode.Complete)
+      .orderBy(asc_nulls_first("segment"))
+      .as[(String, Long)].collect()
+
+    val batch = EventStreams.enrichWithDim(src, dim, "user_id")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("segment"))
+      .as[(String, Long)].collect()
+
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(_._2).sum === src.count())
+    assert(streamed.nonEmpty)
+  }
 }

@@ -79,6 +79,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top1.toSeq === Seq(1, 3)) // tie on value broken by ascending id
   }
 
+  test("WindowTopKRewrite turns the row_number idiom into the native operator") {
+    try {
+      TopKPerKeyPlans.ensureRewrite(spark)
+      val df = sample
+      val idiom = windowTopK(df, "key", 3) // rank filtered then dropped
+      val optimized = idiom.queryExecution.optimizedPlan
+      assert(optimized.collectFirst { case t: graft.plans.TopKPerKey => t }.nonEmpty,
+        s"rewrite did not fire:\n$optimized")
+      // results equal the un-rewritten formulation
+      TopKPerKeyPlans.removeRewrite(spark)
+      val plain = windowTopK(df, "key", 3).orderBy("key", "id").collect()
+      TopKPerKeyPlans.ensureRewrite(spark)
+      val rewritten = windowTopK(df, "key", 3).orderBy("key", "id").collect()
+      assert(rewritten.toSeq === plain.toSeq)
+
+      // guard: when the rank column IS used downstream, no rewrite
+      val w = Window.partitionBy(col("key")).orderBy(desc("value"), col("id"))
+      val keepsRank = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .select(col("key"), col("__rn"))
+      assert(keepsRank.queryExecution.optimizedPlan
+        .collectFirst { case t: graft.plans.TopKPerKey => t }.isEmpty,
+        "must not rewrite when rank values are referenced")
+    } finally TopKPerKeyPlans.removeRewrite(spark)
+  }
+
   test("unknown key or order column fails fast with a clear message") {
     val tiny = Seq((1, "a", 5.0)).toDF("id", "key", "value")
     val e1 = intercept[IllegalArgumentException] {
