@@ -96,6 +96,81 @@ object Quality {
       .withColumn("scrubbed", t3)
   }
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitting step of a training pipeline. Each document yields
+    * ceil((n−overlap)/(size−overlap)) chunks of up to `size` tokens,
+    * consecutive chunks sharing `overlap` tokens. Pure per-row HOF
+    * arithmetic over a materialized token array (no shuffle); emits
+    * (id, chunk_id, chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val n = size(col("__toks"))
+    // 1 if n <= chunkSize else 2 + floor((n - chunkSize - 1) / stride),
+    // in integer arithmetic (Column '/' is double division — cast back)
+    val nChunks =
+      when(n <= chunkSize, lit(1))
+        .otherwise(lit(2) + ((n - chunkSize - 1) / stride).cast("int"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkSize)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Contiguous sequence packing: assign documents (in `orderCol` order)
+    * to training bins of `budget` tokens — bin id = the bin the doc's
+    * first token lands in after concatenating the ordered corpus. One
+    * window cumsum (single shuffle by the implicit total order), the
+    * packing every "concat then split into context windows" pipeline
+    * performs, made explicit and auditable. */
+  def packContiguous(docs: DataFrame, idCol: String, textCol: String,
+                     budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"),
+        ((col("__end") - col("n_tokens")) / budget).cast("long").as("bin_id"))
+  }
+
+  /** Deterministic train/val/test split: md5-gated per-row assignment
+    * (train below `trainPct`, val next `valPct`, else test) — the same
+    * reproducibility contract as [[stratifiedHashSample]]. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 90, valPct: Int = 5,
+                salt: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val h = pmod(md5Long(concat(lit(salt + "|"), col(idCol))), lit(100L))
+    df.withColumn("split",
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Benchmark decontamination: training docs sharing at least one
+    * word-`k`-gram with any benchmark doc. Both sides reduce to their
+    * 60-bit shingle-hash sets; the overlap is an equi-join ON THE HASH
+    * (shuffle partitioned by hash — never doc×doc), then a distinct count
+    * per contaminated training doc. The standard n-gram-overlap
+    * decontamination pass of an LLM data pipeline at its scale shape. */
+  def contaminatedDocs(training: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val th = Dedup.shingleSets(training, idCol, textCol, k)
+      .select(col(idCol), explode(col("hset")).as("h"))
+    val bh = Dedup.shingleSets(benchmark, idCol, textCol, k)
+      .select(explode(col("hset")).as("h")).distinct()
+    th.join(bh, "h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5("salt|id") mod 100 < rate(stratum). The gate depends only on row
     * identity — reproducible across engines, partitionings, and reruns

@@ -111,6 +111,95 @@ object QualityQueries {
               |  md5(regexp_replace(t2, '${Quality.PhonePattern}', '<PHONE>', 'g')) AS scrub_md5
               |FROM scrub2 ORDER BY doc_id""".stripMargin)),
 
+    // Fixed-size token chunking with overlap (64-token chunks, 16-token
+    // overlap): the context-window splitting step. Pure per-row HOF
+    // slicing — no shuffle; chunk text pinned by md5.
+    QuerySpec("q76_chunk_split",
+      (s, d) => Quality.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+             |), c AS (
+             |  SELECT doc_id, i AS chunk_id, s[(i*48+1):(i*48+64)] AS chunk
+             |  FROM (SELECT doc_id, s,
+             |          unnest(range(CASE WHEN len(s) <= 64 THEN 1
+             |                            ELSE 2 + (len(s) - 65) // 48 END)) AS i
+             |        FROM toks)
+             |)
+             |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Contiguous sequence packing into 512-token training bins: one
+    // window cumsum in doc_id order (the explicit form of concat-then-
+    // split packing), then per-bin occupancy.
+    QuerySpec("q77_pack_bins",
+      (s, d) => Quality.packContiguous(t(s, d, "documents"), "doc_id", "text",
+        budget = 512)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy("bin_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST((sum(n_tokens) OVER (ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_id
+             |  FROM t
+             |)
+             |SELECT bin_id, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM c GROUP BY bin_id ORDER BY bin_id""".stripMargin)),
+
+    // Deterministic 90/5/5 train/val/test split: md5-gated, so the
+    // assignment is stable across engines, partitionings, and reruns —
+    // the property that makes a split auditable.
+    QuerySpec("q78_train_split",
+      (s, d) => Quality.hashSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 100 AS hv
+             |  FROM documents
+             |)
+             |SELECT CASE WHEN hv < 90 THEN 'train'
+             |            WHEN hv < 95 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM h GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing any word-8-gram
+    // with the benchmark subset (doc_id % 10 = 0). Both sides reduce to
+    // 60-bit shingle hashes; overlap = equi-join ON THE HASH (shuffle by
+    // hash, never doc×doc).
+    QuerySpec("q79_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Quality.contaminatedDocs(train, bench, "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      },
+      Some("WITH sh AS (\n" +
+        "  SELECT doc_id, ('0x' || substr(md5(" +
+        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        """), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+          |        WHERE len(s) >= 8)
+          |), tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
+          |bm AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+          |SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared_ngrams
+          |FROM tr JOIN bm USING (h)
+          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified sampling: per-language keep rates gated on
     // a content hash — reproducible on any partitioning/engine, unlike
     // seeded RNG sampling (q06's count contract is the closest RNG gets).

@@ -93,6 +93,62 @@ class QualitySpec extends SparkSpec {
     assert(byLang("fr") > 310 && byLang("fr") < 440)
   }
 
+  test("chunkTokens covers every token with the declared overlap") {
+    // 100 tokens, chunk 64 / overlap 16 (stride 48) → chunks at 1 and 49
+    val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Quality.chunkTokens(doc, "doc_id", "text", 64, 16)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(chunks.length === 2)
+    assert(chunks(0)._2 === 64L && chunks(0)._3.startsWith("w1 ") &&
+      chunks(0)._3.endsWith(" w64"))
+    assert(chunks(1)._2 === 52L && chunks(1)._3.startsWith("w49 ") &&
+      chunks(1)._3.endsWith(" w100"))
+    // short doc → exactly one whole-doc chunk
+    val short = Quality.chunkTokens(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 64, 16)
+      .collect()
+    assert(short.length === 1 && short(0).getAs[Long]("chunk_tokens") === 3L)
+  }
+
+  test("packContiguous bins follow the running token offset") {
+    val docs = Seq((1L, 300), (2L, 300), (3L, 300), (4L, 50))
+      .map { case (id, n) => (id, (1 to n).map(_ => "t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val bins = Quality.packContiguous(docs, "doc_id", "text", budget = 512)
+      .orderBy("doc_id").select("doc_id", "bin_id").as[(Long, Long)].collect()
+    // starts at offsets 0, 300, 600, 900 → bins 0, 0, 1, 1
+    assert(bins.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("hashSplit is exhaustive, deterministic, and near the declared rates") {
+    val df = spark.range(0, 10000).toDF("doc_id")
+    val counts = Quality.hashSplit(df, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(counts("train") > 8700 && counts("train") < 9300)
+    assert(counts("val") > 300 && counts("val") < 700)
+    assert(counts("test") > 300 && counts("test") < 700)
+    val again = Quality.hashSplit(df.repartition(13), "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
+  test("contaminatedDocs finds exactly the docs sharing a k-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"),       // shares 3-grams of the run
+      (2L, "alpha gamma beta delta epsilon"),   // same words, no shared 3-gram
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = Quality.contaminatedDocs(train, bench, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // doc 1 shares "alpha beta gamma" and "beta gamma delta" → 2 hashes
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
   test("exact-moments aggregator matches decimal arithmetic on a known set") {
     import graft.functions.ExactMoments
     val ds = Seq(("A", 1.25), ("A", 2.75), ("A", 4.00), ("B", 10.10))
