@@ -1,0 +1,136 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.operators.Snapshots
+import Q._
+
+/** Snapshot/changelog surface: upsert (CDC apply), SCD2 validity
+  * intervals, snapshot diffing, and corrupt-tolerant JSONL ingestion —
+  * each derived deterministically from the fixtures so the DuckDB oracle
+  * replays the same generations.
+  */
+object SnapshotQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Upsert: updates (every even orderkey, price doubled) merge over a
+    // base (orderkeys not divisible by 4). Update rows win on key
+    // collision; unmatched base survives; unmatched updates insert.
+    QuerySpec("q80_upsert",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val base = o.filter(pmod(col("o_orderkey"), lit(4)) =!= 0)
+        val updates = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        Snapshots.upsert(base, updates, Seq("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_orderkey % 4 <> 0
+             |), upd AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |), merged AS (
+             |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL SELECT * FROM upd
+             |)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // SCD2 validity intervals from the event log: per-user event_type
+    // change rows, each closed by the next change (null = current). One
+    // window pass partitioned by user; (ts, event_id) is the total order.
+    QuerySpec("q81_scd2",
+      (s, d) => Snapshots.scd2(
+        Q.events(s, d).filter(col("user_id") < 20),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "valid_from"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE user_id < 20
+             |), changes AS (
+             |  SELECT user_id, event_type, ts, event_id FROM e
+             |  WHERE prev IS NULL OR prev <> event_type
+             |)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |FROM changes ORDER BY user_id, valid_from""".stripMargin)),
+
+    // Snapshot diff between two derived generations of part: keys only
+    // in the next are added, only in the prev removed, price-changed rows
+    // changed (null-safe compare), the rest unchanged.
+    QuerySpec("q82_snapshot_diff",
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+        val prev = p.filter(pmod(col("p_partkey"), lit(3)) =!= 0)
+        val next = p.filter(pmod(col("p_partkey"), lit(5)) =!= 0)
+          .withColumn("p_retailprice",
+            when(pmod(col("p_partkey"), lit(7)) === 0, col("p_retailprice") + 1)
+              .otherwise(col("p_retailprice")))
+        Snapshots.diff(prev, next, Seq("p_partkey"), Seq("p_retailprice"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH prev AS (
+             |  SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 3 <> 0
+             |), next AS (
+             |  SELECT p_partkey,
+             |    CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 1
+             |         ELSE p_retailprice END AS p_retailprice
+             |  FROM part WHERE p_partkey % 5 <> 0
+             |), j AS (
+             |  SELECT CASE WHEN p.p_partkey IS NULL THEN 'added'
+             |              WHEN n.p_partkey IS NULL THEN 'removed'
+             |              WHEN p.p_retailprice IS NOT DISTINCT FROM n.p_retailprice
+             |                THEN 'unchanged'
+             |              ELSE 'changed' END AS status
+             |  FROM prev p FULL OUTER JOIN next n ON p.p_partkey = n.p_partkey
+             |)
+             |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Corrupt-tolerant JSONL ingestion: every 13th line is broken JSON;
+    // PERMISSIVE parsing routes bad lines to the corrupt-record column
+    // instead of failing the scan — counts per disposition. (The parsed
+    // frame is cached first: Spark refuses filters on only the internal
+    // corrupt-record column of a live scan.)
+    QuerySpec("q83_json_corrupt",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tmp = Files.createTempDirectory("graft_badjson").toString
+        docs.select(
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", BROKEN")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+            .as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val schema = StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("lang", StringType),
+          StructField("_corrupt_record", StringType)))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$tmp/in")
+          .cache()
+        parsed
+          .select(when(col("_corrupt_record").isNull, lit("good"))
+            .otherwise(lit("corrupt")).as("disposition"))
+          .groupBy("disposition").agg(count(lit(1)).as("n"))
+          .orderBy("disposition")
+      },
+      Some("""SELECT CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'good' END
+             |  AS disposition, count(*) AS n
+             |FROM documents GROUP BY disposition ORDER BY disposition""".stripMargin))
+  )
+}
