@@ -122,12 +122,18 @@ object Quality {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
-  /** Contiguous sequence packing: assign documents (in `orderCol` order)
-    * to training bins of `budget` tokens — bin id = the bin the doc's
+  /** Contiguous sequence packing: assign documents (in id order) to
+    * training bins of `budget` tokens — bin id = the bin the doc's
     * first token lands in after concatenating the ordered corpus. One
-    * window cumsum (single shuffle by the implicit total order), the
-    * packing every "concat then split into context windows" pipeline
-    * performs, made explicit and auditable. */
+    * global-window cumsum, the packing every "concat then split into
+    * context windows" pipeline performs, made explicit and auditable.
+    *
+    * Scale note: a global running sum plans a SinglePartition exchange,
+    * but only the (id, n_tokens) pairs flow through it — text never
+    * moves. Past the point where even that is too much, range-partition
+    * by id, cumsum within each range, and add broadcast per-range prefix
+    * offsets (two passes, no single-partition stage); bin ids are
+    * identical. */
   def packContiguous(docs: DataFrame, idCol: String, textCol: String,
                      budget: Int = 512): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

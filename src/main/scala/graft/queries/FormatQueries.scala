@@ -70,6 +70,31 @@ object FormatQueries {
              |  true AS within_tol
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Approximate percentile (quantile sketch) under a RANK-tolerance
+    // contract: the sketch value itself is engine-private, but the
+    // fraction of rows at or below it must sit within 1 percentage point
+    // of the target rank (accuracy 10000 → ε = 1e-4, so the 1 pp bound is
+    // generous) — the portable fact the oracle pins, like q73's HLL
+    // contract.
+    QuerySpec("q85_approx_percentile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val ap = li.groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__amed"))
+        li.join(ap, "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") <= col("__amed"), 1L).otherwise(0L))
+              .as("__below"))
+          .select(col("l_returnflag"), col("n"),
+            (col("__below").cast("double") / col("n").cast("double"))
+              .between(0.49, 0.51).as("rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, true AS rank_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // The custom whole-operator path (LogicalPlan + SparkStrategy +
     // SparkPlan via SparkSessionExtensions): per-key top-k with map-side
     // bounded heaps — shuffles only ≤ k·keys·partitions survivor rows and

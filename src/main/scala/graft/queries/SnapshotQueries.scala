@@ -99,6 +99,43 @@ object SnapshotQueries {
              |)
              |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin)),
 
+    // Time-series resample with gap fill: hourly event counts per type
+    // over a COMPLETE hour spine (sequence from min to max hour ×
+    // distinct types), missing cells zero-filled — the resample step that
+    // turns an event log into a regular series. The spine is a 1-row agg
+    // exploded then cross-joined with the tiny type dim; counts join in
+    // by (hour, type).
+    QuerySpec("q84_gapfill",
+      (s, d) => {
+        val e = Q.events(s, d).filter(col("user_id") < 10)
+          .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        val counts = e.groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val hours = e.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+        val types = e.select(col("event_type")).distinct()
+        hours.crossJoin(types)
+          .join(counts, Seq("hour", "event_type"), "left")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT date_trunc('hour', ts) AS hour, event_type
+             |  FROM events WHERE user_id < 10
+             |), c AS (
+             |  SELECT hour AS chour, event_type AS ctype, count(*) AS n
+             |  FROM e GROUP BY hour, event_type
+             |), spine AS (
+             |  SELECT unnest(generate_series(min(hour), max(hour),
+             |    INTERVAL 1 HOUR)) AS hour FROM e
+             |), types AS (SELECT DISTINCT event_type FROM e)
+             |SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN c ON c.chour = s.hour AND c.ctype = t.event_type
+             |ORDER BY hour, event_type""".stripMargin)),
+
     // Corrupt-tolerant JSONL ingestion: every 13th line is broken JSON;
     // PERMISSIVE parsing routes bad lines to the corrupt-record column
     // instead of failing the scan — counts per disposition. (The parsed
