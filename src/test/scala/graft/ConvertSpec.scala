@@ -122,4 +122,19 @@ class ConvertSpec extends SparkSpec {
     assert(back.count() === src.count())
     assert(back.columns.toSeq === src.columns.toSeq)
   }
+
+  test("parquet codec knob round-trips and actually changes the files") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = lineitem.select("l_orderkey", "l_returnflag")
+    for (codec <- Seq("snappy", "zstd", "none")) {
+      Convert.toParquet(src, s"$tmp/$codec", codec)
+      val back = spark.read.parquet(s"$tmp/$codec")
+      assert(back.count() === src.count(), s"row loss under codec=$codec")
+    }
+    def suffixes(dir: String) = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toList
+    assert(suffixes(s"$tmp/zstd").forall(_.contains("zstd")))
+    assert(suffixes(s"$tmp/snappy").forall(_.contains("snappy")))
+  }
 }
