@@ -179,6 +179,140 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental (bipartite) LSH dedup: candidate pairs between NEW
+    * documents and an EXISTING corpus — never new×new or corpus×corpus.
+    * The shape of a production ingest step: dedup today's crawl against
+    * the accumulated corpus without re-pairing the corpus with itself.
+    * Same b×r banding, bucket cap (applied on the corpus side, whose
+    * buckets carry the scale risk), and exact-Jaccard rescoring as
+    * [[lshPairs]]; output (new_id, corpus_id, jac). Both frames must
+    * share the (idCol, textCol) shape; ids may overlap (they are
+    * namespaced by side, not compared). */
+  def lshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String,
+                      numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
+                      rowsPerBand: Int = 2,
+                      maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    val numSigs = numBands * rowsPerBand
+    def bands(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
+      val sigs = minhashSignatures(sets, idCol, numSigs)
+      val b = sigs.select(col(idCol), explode(array(
+        (0 until numBands).map(j => struct(lit(j).as("band"),
+          concat_ws("_",
+            (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
+        .as("bv"))
+        .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
+      (sets, b)
+    }
+    val (newSets, newBands) = bands(newDocs)
+    val (corpusSets, corpusBandsRaw) = bands(corpus)
+    val corpusBands = OperatorCaches.persistTracked(corpusBandsRaw)
+    val smallBuckets = corpusBands.groupBy(col("band"), col("mv"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") <= maxBucketSize)
+      .select(col("band"), col("mv"))
+    val cand = newBands.as("a")
+      .join(corpusBands.join(smallBuckets, Seq("band", "mv")).as("b"),
+        col("a.band") === col("b.band") && col("a.mv") === col("b.mv"))
+      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("corpus_id"))
+      .distinct()
+    cand
+      .join(newSets.select(col(idCol).as("new_id"), col("hset").as("a_set")), "new_id")
+      .join(corpusSets.select(col(idCol).as("corpus_id"), col("hset").as("b_set")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("a_set"), col("b_set")).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
+  /** Connected components by alternating large-star/small-star rounds —
+    * the documented scale path past [[dupClusters]]'s min-label
+    * propagation: label propagation needs one round PER unit of component
+    * diameter, while star contraction converges in O(log n) rounds on any
+    * graph shape (each round pulls whole neighborhoods onto their
+    * minimum). Same output contract as [[dupClusters]]: (doc_id,
+    * cluster_id = component minimum) for every doc in ≥1 pair; equality
+    * on arbitrary graphs is property-tested in DedupSpec.
+    *
+    * Per round: large-star hangs every LARGER neighbor of u onto
+    * min(Γ(u) ∪ u); small-star hangs the smaller neighbors and u itself
+    * onto the minimum of the smaller neighborhood. Both are one
+    * groupBy(node) + one join keyed by node — the same shuffle shape as
+    * label propagation, just O(log n) of them. Each round's edge set is
+    * eagerly localCheckpoint'ed (lineage truncation, as in
+    * [[dupClusters]]); convergence = the undirected edge set stops
+    * changing (count + orientation-canonical checksum).
+    */
+  def dupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // orientation-canonical fingerprint of the undirected edge set:
+    // (count, Σ md5_60(min‖max)) — decimal sum, overflow-safe
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(conv(substring(md5(concat_ws("_",
+          least(col("u"), col("v")), greatest(col("u"), col("v")))), 1, 15), 16, 10)
+          .cast(DecimalType(38, 0))), lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    def symmetric(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min over full neighborhood ∪ self; (v, m) for v > u
+      val mLarge = edges.groupBy(col("u"))
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      val afterLarge = symmetric(
+        edges.filter(col("v") > col("u"))
+          .join(mLarge, "u")
+          .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      // small-star: m(u) = min over SMALLER neighborhood ∪ self;
+      // (v, m) for smaller v, plus (u, m)
+      val smaller = afterLarge.filter(col("v") < col("u"))
+      val mSmall = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = symmetric(
+        smaller.join(mSmall, "u")
+          .select(explode(array(
+            struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u"), col("m").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v")))
+        .localCheckpoint()
+      val fpNew = fingerprint(afterSmall)
+      converged = fpNew == fp
+      fp = fpNew
+      edges = afterSmall
+      round += 1
+    }
+    if (!converged && fp._1 != 0L)
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge within maxRounds=$maxRounds — " +
+          "pathological input; raise maxRounds")
+    edges.groupBy(col("u"))
+      .agg(min(col("v")).as("__mv"))
+      .select(col("u").as("doc_id"),
+        least(col("__mv"), col("u")).as("cluster_id"))
+  }
+
   /** Apply duplicate clusters to the corpus: keep only canonical rows
     * (cluster members whose id IS the cluster id, plus every row that was
     * never paired). A left-anti join against the non-canonical ids — the

@@ -255,6 +255,51 @@ object DedupQueries {
               |FROM cand WHERE bit_count(xor(a_code, b_code)) <= 3
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Incremental dedup: NEW docs (doc_id % 5 = 0) paired against the
+    // EXISTING corpus (the rest) — bipartite band join only, never
+    // new×new or corpus×corpus; bucket cap on the corpus side. The
+    // production ingest shape: dedup today's batch against the
+    // accumulated corpus.
+    QuerySpec("q86_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nw = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        graft.operators.Dedup.lshPairsAgainst(nw, corpus, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(shingleCte +
+        """, sets AS (
+          |  SELECT doc_id, list(DISTINCT h60) AS shset FROM sh GROUP BY doc_id
+          |), bands AS (
+          |""".stripMargin +
+        (0 until NumBands).map(j =>
+          s"  SELECT doc_id, $j AS band, " +
+            (0 until RowsPerBand).map(r => s"m${j * RowsPerBand + r}::VARCHAR")
+              .mkString(" || '_' || ") + " AS mv FROM sig")
+          .mkString("\n  UNION ALL\n") +
+        s"""
+          |), nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+          |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+          |bcnt AS (
+          |  SELECT band, mv FROM cb GROUP BY band, mv HAVING count(*) <= $MaxBucket
+          |), capped AS (
+          |  SELECT cb.* FROM cb JOIN bcnt USING (band, mv)
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          |  FROM nb a JOIN capped b ON a.band = b.band AND a.mv = b.mv
+          |), p AS (
+          |  SELECT new_id, corpus_id,
+          |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+          |      / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jac
+          |  FROM cand
+          |  JOIN sets sa ON sa.doc_id = new_id
+          |  JOIN sets sb ON sb.doc_id = corpus_id
+          |)
+          |SELECT new_id, corpus_id, jac FROM p WHERE jac >= 0.1
+          |ORDER BY new_id, corpus_id""".stripMargin)),
+
     // n-gram Jaccard near-dups within (lang, source) blocks, via LSH
     // candidates: the block key is a cheap post-filter on the LSH pair
     // stream, NOT a join key for all-pairs — block sizes are unbounded at

@@ -77,6 +77,55 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) === 0L))
   }
 
+  test("dupClustersStar equals label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val pairs = (1 to 300).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+      .toDF("a_id", "b_id")
+    val prop = Dedup.dupClusters(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toSet
+    val star = Dedup.dupClustersStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(star === prop)
+  }
+
+  test("dupClustersStar converges in O(log n) rounds where propagation cannot") {
+    import spark.implicits._
+    // diameter-60 chain: label propagation's default maxIter=20 must
+    // surface non-convergence; star contraction finishes comfortably
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    intercept[IllegalStateException] { Dedup.dupClusters(chain).collect() }
+    val out = Dedup.dupClustersStar(chain).as[(Long, Long)].collect()
+    assert(out.length === 60)
+    assert(out.forall(_._2 === 0L))
+  }
+
+  test("lshPairsAgainst pairs only across sides") {
+    import spark.implicits._
+    val mk = (id: Long, words: String) => (id, words)
+    val nw = Seq(
+      mk(100L, "the quick brown fox jumps over the lazy dog again today"),
+      mk(101L, "completely unrelated content with different words entirely here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      mk(2L, "the quick brown fox jumps over the lazy dog again today"),
+      mk(3L, "another separate corpus document with its own vocabulary")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshPairsAgainst(nw, corpus, "doc_id", "text",
+      minJaccard = 0.3)
+      .orderBy("new_id", "corpus_id")
+      .as[(Long, Long, Double)].collect()
+    // 100 matches corpus 1 and 2 (near/exact dup); 101 matches nothing;
+    // corpus 1–2 (near-dups of each other) are NOT paired
+    assert(out.map(p => (p._1, p._2)).toSeq === Seq((100L, 1L), (100L, 2L)))
+    assert(out.forall(_._3 >= 0.3))
+  }
+
   test("exactNormalized collapses case/punctuation/whitespace variants") {
     val docs = Seq(
       (1L, "Hello,  World!"),
