@@ -47,19 +47,16 @@ object Bench {
     "q32_minhash_lsh_pairs", "q33_simhash", "q34_ngram_jaccard",
     "q35_embedding_neardup", "q36_simhash_pairs", "q37_dup_clusters",
     "q40_cosine_topk", "q41_ann_lsh", "q42_ivf_assign", "q55_ivf_search",
-    "q65_dedup_apply", "q66_dedup_normalized",
+    "q65_dedup_apply", "q66_dedup_normalized", "q68_gopher_quality",
+    "q75_topk_native", "q79_decontaminate", "q80_upsert", "q84_gapfill",
+    "q86_dedup_incremental",
     "k1_convert_csv", "k2_convert_csv_10m")
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p))
-      scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
-        .foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.operators.Convert.deleteRecursively(p)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,10 +46,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // getOrCreate may return a pre-existing session whose builder confs
-    // (incl. extensions) did NOT apply — make the graft surface present
-    // either way.
+    // (incl. extensions) did NOT apply — make the FULL graft surface
+    // (functions, strategy, AND the window-top-k rewrite the builder
+    // advertises) present either way, so fresh and reused sessions plan
+    // identically.
     graft.plans.GraftFunctions.ensureRegistered(spark)
-    graft.plans.TopKPerKeyPlans.ensureStrategy(spark)
+    graft.plans.TopKPerKeyPlans.ensureRewrite(spark) // includes the strategy
     spark
   }
 }

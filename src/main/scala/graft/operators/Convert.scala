@@ -129,7 +129,7 @@ object Convert {
   def toOrc(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(outDir)
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Using.resource(Files.list(p))(_.iterator().asScala.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)

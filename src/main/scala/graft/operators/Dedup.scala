@@ -76,23 +76,40 @@ object Dedup {
     * with [[OperatorCaches]] — call `OperatorCaches.release()` after
     * materializing the result to drop them (long-lived sessions running
     * unrelated corpora would otherwise accumulate cache entries). */
-  def lshPairs(docs: DataFrame, idCol: String, textCol: String,
-               numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
-               rowsPerBand: Int = 2,
-               maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
-    val numSigs = numBands * rowsPerBand
-    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
-    val sigs = minhashSignatures(sets, idCol, numSigs)
-    // bands is referenced four times (bucket count, cap join, both self-join
-    // sides); persist the small (id, band, mv) projection so the signature
-    // computation — 8 interpreted HOF mins over the shingle arrays — runs
-    // once, not four times.
-    val bands = OperatorCaches.persistTracked(sigs.select(col(idCol), explode(array(
+  /** The ONE source of the b×r band-key layout on the Spark side
+    * (mirrored by the oracle generator in DedupQueries): each band key
+    * concatenates `rowsPerBand` consecutive signature values with "_".
+    * Returns the exploded (id, band, mv) frame from a signature frame. */
+  private def bandFrame(sigs: DataFrame, idCol: String,
+                        numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol), explode(array(
       (0 until numBands).map(j => struct(lit(j).as("band"),
         concat_ws("_",
           (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
       .as("bv"))
-      .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv")))
+      .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
+
+  /** Persisted (shingle-set frame, band frame) for one side of an LSH
+    * pairing — the shared front half of [[lshPairs]] and
+    * [[lshPairsAgainst]]. Both frames are multiply referenced downstream
+    * (signatures feed the bands; sets feed the exact-Jaccard joins). */
+  private def lshSides(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
+    val sigs = minhashSignatures(sets, idCol, numBands * rowsPerBand)
+    val bands = OperatorCaches.persistTracked(
+      bandFrame(sigs, idCol, numBands, rowsPerBand))
+    (sets, bands)
+  }
+
+  def lshPairs(docs: DataFrame, idCol: String, textCol: String,
+               numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
+               rowsPerBand: Int = 2,
+               maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    // sets and bands are persisted inside lshSides: bands is referenced
+    // four times (bucket count, cap join, both self-join sides) and sets
+    // three (signatures + both exact-Jaccard joins).
+    val (sets, bands) = lshSides(docs, idCol, textCol, k, numBands, rowsPerBand)
     val smallBuckets = bands.groupBy(col("band"), col("mv"))
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") <= maxBucketSize)
@@ -193,21 +210,8 @@ object Dedup {
                       numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
                       rowsPerBand: Int = 2,
                       maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
-    val numSigs = numBands * rowsPerBand
-    def bands(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
-      val sigs = minhashSignatures(sets, idCol, numSigs)
-      val b = sigs.select(col(idCol), explode(array(
-        (0 until numBands).map(j => struct(lit(j).as("band"),
-          concat_ws("_",
-            (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}")): _*).as("mv"))): _*))
-        .as("bv"))
-        .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
-      (sets, b)
-    }
-    val (newSets, newBands) = bands(newDocs)
-    val (corpusSets, corpusBandsRaw) = bands(corpus)
-    val corpusBands = OperatorCaches.persistTracked(corpusBandsRaw)
+    val (newSets, newBands) = lshSides(newDocs, idCol, textCol, k, numBands, rowsPerBand)
+    val (corpusSets, corpusBands) = lshSides(corpus, idCol, textCol, k, numBands, rowsPerBand)
     val smallBuckets = corpusBands.groupBy(col("band"), col("mv"))
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") <= maxBucketSize)

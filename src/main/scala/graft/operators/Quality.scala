@@ -41,14 +41,18 @@ object Quality {
                     maxTopBigramFrac: Double = 0.18,
                     minMeanTokenLen: Double = 3.0,
                     maxMeanTokenLen: Double = 10.0): DataFrame = {
-    val base = docs
+    // base feeds BOTH the bigram aggregation and the join probe side —
+    // persist (tracked) so the corpus is scanned and tokenized once, not
+    // twice (same discipline as the dedup operators' shared projections;
+    // release via OperatorCaches.release()).
+    val base = OperatorCaches.persistTracked(docs
       .select(col(idCol), col(textCol).as("__text"),
         split(col(textCol), " ").as("__toks"))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
         (length(col("__text")) - (size(col("__toks")) - 1)).cast("long").as("__sum_len"),
-        col("__toks"))
+        col("__toks")))
     val bigrams = base
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol), explode(transform(

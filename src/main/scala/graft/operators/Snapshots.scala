@@ -31,9 +31,15 @@ object Snapshots {
   def scd2(events: DataFrame, entityCol: String, attrCol: String,
            tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    // change detection must be null-safe: a transition INTO a null
+    // attribute is a real change (prev =!= null would evaluate to null
+    // and silently drop it), and lag()'s null cannot distinguish "no
+    // previous row" from "previous value was null" — row_number marks
+    // the true first row.
     val changes = events
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
     val wc = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
@@ -48,11 +54,17 @@ object Snapshots {
     * diff correctly. */
   def diff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
            compareCols: Seq[String]): DataFrame = {
-    val p = prev.select((keyCols ++ compareCols).map(c => col(c).as(s"p_$c")): _*)
-    val n = next.select((keyCols ++ compareCols).map(c => col(c).as(s"n_$c")): _*)
+    // presence is detected by explicit marker columns, not key
+    // null-ness: a legitimately null-keyed row must still read as
+    // present on its side. (Null keys never MATCH across sides — ===
+    // join semantics — so such rows always diff as removed/added.)
+    val p = prev.select(((keyCols ++ compareCols).map(c => col(c).as(s"p_$c")) :+
+      lit(true).as("__in_prev")): _*)
+    val n = next.select(((keyCols ++ compareCols).map(c => col(c).as(s"n_$c")) :+
+      lit(true).as("__in_next")): _*)
     val joinCond = keyCols.map(c => col(s"p_$c") === col(s"n_$c")).reduce(_ && _)
-    val inPrev = col(s"p_${keyCols.head}").isNotNull
-    val inNext = col(s"n_${keyCols.head}").isNotNull
+    val inPrev = coalesce(col("__in_prev"), lit(false))
+    val inNext = coalesce(col("__in_next"), lit(false))
     val same = compareCols.map(c => col(s"p_$c") <=> col(s"n_$c")).reduce(_ && _)
     p.join(n, joinCond, "full_outer")
       .withColumn("status",

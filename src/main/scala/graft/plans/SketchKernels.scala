@@ -116,16 +116,20 @@ object SketchKernels {
 
   /** One row's SimHash code: per-bit majority over all token hashes
     * (duplicates kept — it's a multiset vote; ties clear the bit, matching
-    * `ones*2 > n`). */
+    * `ones*2 > n`). Null ELEMENTS count toward n but cast no votes —
+    * exactly the HOF reference's behavior (md5(null) → null hash, which
+    * every per-bit filter() excludes while size() still counts it). */
   def simhash(tokens: ArrayData, bits: Int): Long = {
     val n = tokens.numElements()
     val counts = new Array[Int](bits)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      val h = md5Long60(md, tokens.getUTF8String(i).toString.getBytes(StandardCharsets.UTF_8))
-      var j = 0
-      while (j < bits) { if (((h >>> j) & 1L) == 1L) counts(j) += 1; j += 1 }
+      if (!tokens.isNullAt(i)) {
+        val h = md5Long60(md, tokens.getUTF8String(i).toString.getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < bits) { if (((h >>> j) & 1L) == 1L) counts(j) += 1; j += 1 }
+      }
       i += 1
     }
     var code = 0L
@@ -134,23 +138,28 @@ object SketchKernels {
     code
   }
 
-  /** One row's MinHash signature vector; null for an empty hash set
-    * (HOF parity: array_min over empty is null). */
+  /** One row's MinHash signature vector; null for an empty or all-null
+    * hash set (HOF parity: array_min is null over empty and SKIPS null
+    * elements otherwise — transform maps null → null, min ignores it). */
   def minhash(hashes: ArrayData, numSigs: Int): ArrayData = {
     val n = hashes.numElements()
-    if (n == 0) return null
     val out = Array.fill(numSigs)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val hp = hashes.getLong(i) % P
-      var j = 0
-      while (j < numSigs) {
-        val v = (A(j) * hp + B(j)) % P
-        if (v < out(j)) out(j) = v
-        j += 1
+      if (!hashes.isNullAt(i)) {
+        any = true
+        val hp = hashes.getLong(i) % P
+        var j = 0
+        while (j < numSigs) {
+          val v = (A(j) * hp + B(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return null
     new GenericArrayData(out)
   }
 }

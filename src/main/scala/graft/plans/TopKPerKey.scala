@@ -133,26 +133,31 @@ object TopKPerKeyStrategy extends SparkStrategy {
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
-  /** Extract k such that the condition means rank <= k. */
-  private def rankBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
-    case EqualTo(Literal(1, _), a: Attribute) if a.semanticEquals(rn) => Some(1)
-    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+  /** Extract k such that the condition means rank <= k. Long arithmetic:
+    * `rn < Int.MinValue` must stay an always-false bound, not wrap to
+    * top-Int.MaxValue. */
+  private def rankBound(cond: Expression, rn: Attribute): Option[Long] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k.toLong)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k.toLong - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1L)
+    case EqualTo(Literal(1, _), a: Attribute) if a.semanticEquals(rn) => Some(1L)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k.toLong)
+    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k.toLong - 1)
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), _)), part, ord, child, _)))
-        if ord.nonEmpty =>
+        if ord.nonEmpty && part.nonEmpty =>
+      // part.nonEmpty: a GLOBAL top-k (empty partitionSpec) belongs to
+      // TakeOrderedAndProject, and TopKPerKey's final-phase
+      // ClusteredDistribution(Nil) is not even constructible.
       val rn = w.windowOutputSet.head
       val usesRank = projectList.exists(_.references.contains(rn))
       rankBound(cond, rn) match {
-        case Some(k) if k >= 1 && !usesRank =>
-          Project(projectList, TopKPerKey(part, ord, k, child))
+        case Some(k) if k >= 1L && k <= Int.MaxValue && !usesRank =>
+          Project(projectList, TopKPerKey(part, ord, k.toInt, child))
         case _ => p
       }
   }

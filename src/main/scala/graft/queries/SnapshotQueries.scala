@@ -155,11 +155,14 @@ object SnapshotQueries {
           StructField("doc_id", org.apache.spark.sql.types.LongType),
           StructField("lang", StringType),
           StructField("_corrupt_record", StringType)))
-        val parsed = s.read.schema(schema)
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(s"$tmp/in")
-          .cache()
+        // tracked persist (not a bare .cache()): each call reads a fresh
+        // temp dir, so untracked entries would accumulate per call in a
+        // long-lived session; OperatorCaches.release() drops them
+        val parsed = graft.operators.OperatorCaches.persistTracked(
+          s.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(s"$tmp/in"))
         parsed
           .select(when(col("_corrupt_record").isNull, lit("good"))
             .otherwise(lit("corrupt")).as("disposition"))

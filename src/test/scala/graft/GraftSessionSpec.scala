@@ -8,8 +8,16 @@ import org.apache.spark.sql.functions._
   * not apply. */
 class GraftSessionSpec extends SparkSpec {
 
+  // local() enables the window-top-k rewrite; detach it after each test
+  // so the shared test session's planning stays vanilla for other suites
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally graft.plans.TopKPerKeyPlans.removeRewrite(spark)
+
   test("local() session exposes graft functions and the top-k operator") {
     val s = GraftSession.local("graft-session-spec", 4)
+    assert(s.experimental.extraOptimizations
+      .contains(graft.plans.WindowTopKRewrite))
     // functions callable from SQL
     val dot = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
       .head().getDouble(0)

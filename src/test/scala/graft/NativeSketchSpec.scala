@@ -67,6 +67,34 @@ class NativeSketchSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENTS match HOF semantics: counted in simhash n, skipped by minhash") {
+    GraftFunctions.ensureRegistered(spark)
+    // simhash: null token votes for nothing but counts toward n — HOF
+    // twin = simhashFromHashes over transform(toks, md5Long) (md5(null)
+    // is a null hash; filter() excludes it, size() counts it)
+    val toks = Seq(Tuple1(Seq[String]("a", null, "b", null, null)))
+      .toDF("toks")
+      .withColumn("__th", transform(col("toks"), t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+    val (nat, hof) = toks.select(
+      GraftFunctions.simhashNative(col("toks"), 16),
+      TextFunctions.simhashFromHashes(col("__th"), 16))
+      .as[(Long, Long)].head()
+    assert(nat === hof)
+    // minhash: null hashes skipped (array_min skips nulls); all-null → null
+    val hs = Seq(Tuple1(Seq[java.lang.Long](5L, null, 9L)))
+      .toDF("hset")
+    val (mn, mh) = hs.select(
+      GraftFunctions.minhashNative(col("hset"), 4),
+      array((0 until 4).map(j => TextFunctions.minhashFromHashes(
+        transform(col("hset"), h => h % TextFunctions.MinhashP), j)): _*))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(mn === mh)
+    val allNull = Seq(Tuple1(Seq[java.lang.Long](null, null))).toDF("hset")
+      .select(GraftFunctions.minhashNative(col("hset"), 4)).collect()
+    assert(allNull.head.isNullAt(0))
+  }
+
   test("minhash of an empty hash set is null (array_min-over-empty parity)") {
     GraftFunctions.ensureRegistered(spark)
     val r = Seq(Tuple1(Seq.empty[Long])).toDF("hset")

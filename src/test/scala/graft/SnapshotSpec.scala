@@ -40,6 +40,35 @@ class SnapshotSpec extends SparkSpec {
       (20L, "error", ts(1), None)))
   }
 
+  test("scd2 opens intervals for transitions into null and not for null runs") {
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, Some("a"), ts(0), 1L),
+      (1L, None, ts(10), 2L),      // change INTO null
+      (1L, None, ts(15), 3L),      // null run — no change
+      (1L, Some("a"), ts(20), 4L), // change back
+      (2L, Option.empty[String], ts(0), 5L)) // first row with null attr
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Snapshots.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp])].collect()
+    assert(out.toSeq === Seq(
+      (1L, Some("a"), ts(0), Some(ts(10))),
+      (1L, None, ts(10), Some(ts(20))),
+      (1L, Some("a"), ts(20), None),
+      (2L, None, ts(0), None)))
+  }
+
+  test("diff treats null-keyed rows as present on their side") {
+    val prev = Seq((Option(1), "x"), (Option.empty[Int], "y")).toDF("k", "v")
+    val next = Seq((Option(1), "x")).toDF("k", "v")
+    val out = Snapshots.diff(prev, next, Seq("k"), Seq("v"))
+      .orderBy(asc_nulls_first("k"))
+      .as[(Option[Int], String)].collect()
+    // the null-keyed row exists only in prev → removed (not 'added')
+    assert(out.toSeq === Seq((None, "removed"), (Some(1), "unchanged")))
+  }
+
   test("diff assigns added/removed/changed/unchanged with null-safe compare") {
     val prev = Seq((1, Some(1.0)), (2, Some(2.0)), (3, None), (4, Some(4.0)))
       .toDF("k", "price")

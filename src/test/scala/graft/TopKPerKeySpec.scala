@@ -94,6 +94,17 @@ class TopKPerKeySpec extends SparkSpec {
       val rewritten = windowTopK(df, "key", 3).orderBy("key", "id").collect()
       assert(rewritten.toSeq === plain.toSeq)
 
+      // guard: a GLOBAL (un-partitioned) top-k must NOT rewrite — it
+      // belongs to TakeOrderedAndProject, and an empty clustering is not
+      // even constructible for the final phase
+      val wg = Window.orderBy(desc("value"), col("id"))
+      val globalTopK = df.withColumn("__rn", row_number().over(wg))
+        .filter(col("__rn") <= 3).drop("__rn")
+      assert(globalTopK.queryExecution.optimizedPlan
+        .collectFirst { case t: graft.plans.TopKPerKey => t }.isEmpty,
+        "must not rewrite a global top-k")
+      assert(globalTopK.count() === 3)
+
       // guard: when the rank column IS used downstream, no rewrite
       val w = Window.partitionBy(col("key")).orderBy(desc("value"), col("id"))
       val keepsRank = df.withColumn("__rn", row_number().over(w))
