@@ -157,6 +157,74 @@ object SimilarityQueries {
              |  FROM e CROSS JOIN c
              |)
              |SELECT c_id AS cluster_id, count(*) AS n_members
-             |FROM d WHERE rn = 1 GROUP BY c_id ORDER BY cluster_id""".stripMargin))
+             |FROM d WHERE rn = 1 GROUP BY c_id ORDER BY cluster_id""".stripMargin)),
+
+    // Scalar (int8-style) quantization of the embedding space: per-dim
+    // min/max from one posexplode aggregation, affine quantize each cell
+    // to 0..255, report per-label reconstruction stats using only
+    // order-independent aggregates (count / max / saturation counts —
+    // never a float sum, which would be partition-order-dependent). The
+    // compression step a 100 TB vector store applies before ANN.
+    QuerySpec("q87_vector_quantize",
+      (s, d) => {
+        val cells = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        val ranges = cells.groupBy(col("dim"))
+          .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val q = cells.join(ranges, "dim")
+          .withColumn("qv",
+            when(col("hi") === col("lo"), lit(0))
+              .otherwise(round((col("x") - col("lo"))
+                / (col("hi") - col("lo")) * 255).cast("int")))
+          .withColumn("deq",
+            col("lo") + col("qv").cast("double") / 255.0 * (col("hi") - col("lo")))
+        q.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(max(abs(col("x") - col("deq"))), 9).as("max_abs_err"),
+            sum(when(col("qv") === 0 || col("qv") === 255, 1L).otherwise(0L))
+              .as("n_saturated"))
+          .orderBy("label")
+      },
+      Some("""WITH cells AS (
+             |  SELECT vec_id, label, i - 1 AS dim, v[i]::DOUBLE AS x
+             |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             |          unnest(range(1, len(embedding) + 1)) AS i
+             |        FROM embeddings)
+             |), r AS (
+             |  SELECT dim, min(x) AS lo, max(x) AS hi FROM cells GROUP BY dim
+             |), q AS (
+             |  SELECT label, x, lo, hi,
+             |    CASE WHEN hi = lo THEN 0
+             |         ELSE CAST(round((x - lo) / (hi - lo) * 255) AS INTEGER) END AS qv
+             |  FROM cells JOIN r USING (dim)
+             |), e AS (
+             |  SELECT label, qv,
+             |    abs(x - (lo + qv::DOUBLE / 255.0 * (hi - lo))) AS err
+             |  FROM q
+             |)
+             |SELECT label, count(*) AS n_cells,
+             |  round(max(err), 9) AS max_abs_err,
+             |  CAST(sum(CASE WHEN qv IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_saturated
+             |FROM e GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Sort-merge join path: the big-big join strategy (both sides hinted
+    // MERGE) — shuffle both sides by the join key, sort, streaming merge;
+    // the plan Spark picks when neither side fits a broadcast. Results
+    // are strategy-invariant; JoinSpec asserts the SortMergeJoin appears.
+    QuerySpec("q88_smj_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem").hint("MERGE")
+        val o = t(s, d, "orders").hint("MERGE")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

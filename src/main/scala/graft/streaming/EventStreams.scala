@@ -64,6 +64,42 @@ object EventStreams {
                     joinKey: String): DataFrame =
     events.join(broadcast(dim), Seq(joinKey), "left")
 
+  /** Streaming CDC apply: each micro-batch UPSERTS into a parquet-
+    * resident base via `foreachBatch` + [[graft.operators.Snapshots.upsert]]
+    * — last write per key wins across batches. Without a transactional
+    * table format the merge rewrites the base: the new generation is
+    * written to a staging dir and swapped in only after the write
+    * succeeds, so a mid-write failure leaves the previous generation
+    * intact (write-stage-swap, the same discipline as Stage's downloads).
+    * Rewrite cost is proportional to the BASE, so this fits dimension/
+    * state tables, not the 100 TB fact store — there, partition the base
+    * and rewrite only the partitions a batch touches (or use a
+    * transactional format). Returns the started query; await it to
+    * drain (Trigger.AvailableNow for bounded input). */
+  def upsertSink(stream: DataFrame, keyCols: Seq[String], baseDir: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val base = new java.io.File(baseDir)
+        val merged =
+          if (base.exists()) {
+            val existing = spark.read.parquet(baseDir)
+            graft.operators.Snapshots.upsert(existing, batch, keyCols)
+          } else batch
+        val staging = baseDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val old = baseDir + ".old"
+        graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
+        if (base.exists()) base.renameTo(new java.io.File(old))
+        new java.io.File(staging).renameTo(base)
+        graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
+        ()
+      }
+      .start()
+
   /** Open a file-source stream over a directory of parquet event files —
     * the production shape for continuously-landing data. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

@@ -156,6 +156,33 @@ class StreamingSpec extends SparkSpec {
       (20L, 4L, tsm(0)), (20L, 5L, tsm(31))))
   }
 
+  test("upsertSink applies streamed CDC batches over a parquet base") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val base = s"$tmp/base"
+    // generation 0: seed the base directly
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(base)
+    // batch 1 arrives on the stream: update k=2, insert k=4
+    val updates1 = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    updates1.write.parquet(s"$tmp/in")
+    val q1 = EventStreams.upsertSink(
+      EventStreams.fileStream(spark, updates1.schema, s"$tmp/in"),
+      Seq("k"), base, s"$tmp/ckpt")
+    q1.awaitTermination()
+    assert(spark.read.parquet(base).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // batch 2: a later AvailableNow run picks up only the NEW file
+    // (checkpoint remembers batch 1) and applies it over the new base
+    Seq((4L, "DD"), (5L, "E")).toDF("k", "v")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = EventStreams.upsertSink(
+      EventStreams.fileStream(spark, updates1.schema, s"$tmp/in"),
+      Seq("k"), base, s"$tmp/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(base).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "DD"), (5L, "E")))
+  }
+
   test("stream-static enrichment join equals the batch broadcast join") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val src = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value")
