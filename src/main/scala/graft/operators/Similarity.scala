@@ -138,6 +138,44 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Bipartite SRP near-dup: NEW vectors paired against an EXISTING
+    * corpus only (the embedding twin of Dedup.lshPairsAgainst — semantic
+    * test-set-leakage / incremental-ingest checks). Both sides bucket
+    * with the same plane literals; candidates share any band's bucket
+    * (plus every `blockCols` value); exact cosine rescored on candidates.
+    * Never new×new or corpus×corpus. */
+  def embeddingNearDupAgainst(newE: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, blockCols: Seq[String],
+      planes: Seq[Array[Double]], planesPerBand: Int,
+      minCos: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(newE.sparkSession)
+    require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
+    val numBands = planes.length / planesPerBand
+    def bandSide(e: DataFrame): DataFrame =
+      graft.operators.OperatorCaches.persistTracked(e.select(
+        (col(idCol) +: blockCols.map(col)) :+
+          explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
+            lshBucket(col(vecCol),
+              planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))): _*))
+            .as("bb"): _*)
+        .select((col(idCol) +: blockCols.map(col)) ++
+          Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*))
+    val a = bandSide(newE)
+    val b = bandSide(corpus)
+    val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
+    val cand = a.as("a").join(b.as("b"), cond)
+      .select(Seq(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("corpus_id")) ++
+        blockCols.map(c => col(s"a.$c").as(c)): _*)
+      .distinct()
+    val va = newE.select(col(idCol).as("new_id"), col(vecCol).as("__av"))
+    val vb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__bv"))
+    cand.join(va, "new_id").join(vb, "corpus_id")
+      .select(Seq(col("new_id"), col("corpus_id")) ++ blockCols.map(col) :+
+        cosineNative(col("__av"), col("__bv")).as("cos"): _*)
+      .filter(col("cos") >= minCos)
+  }
+
   /** IVF search: assign corpus AND queries to their nearest centroid,
     * then rank by exact cosine WITHIN the query's probed clusters only —
     * the candidate set shrinks from N to ~nprobe·N/k per query and the

@@ -216,6 +216,83 @@ object DedupQueries {
           |                  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
           |ORDER BY doc_id""".stripMargin)),
 
+    // Duplicate-cluster size distribution: how much of the corpus sits in
+    // clusters of each size — the dedup-yield report every pipeline run
+    // emits (reuses the q37 component machinery; singletons are docs in
+    // no pair and appear as size 1 via the corpus left join).
+    QuerySpec("q89_cluster_sizes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        val withSingles = docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        withSingles.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """
+          |, e AS (
+          |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
+          |  UNION ALL
+          |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+          |), reach AS (
+          |  SELECT DISTINCT s AS src, s AS node FROM e
+          |  UNION
+          |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+          |), clusters AS (
+          |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+          |), cid AS (
+          |  SELECT COALESCE(c.cluster_id, d.doc_id) AS cid
+          |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+          |), sizes AS (
+          |  SELECT cid, count(*) AS sz FROM cid GROUP BY cid
+          |)
+          |SELECT sz AS cluster_size, count(*) AS n_clusters
+          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
+    // Semantic decontamination in embedding space: NEW vectors
+    // (vec_id % 10 = 0) SRP-bucket-joined against the corpus (the rest)
+    // only — the embedding twin of q86's bipartite ingest shape, catching
+    // test-set leakage that paraphrasing hides from n-gram overlap.
+    QuerySpec("q90_embedding_decontam",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val nw = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        graft.operators.Similarity.embeddingNearDupAgainst(
+          nw, corpus, "vec_id", "v", blockCols = Seq.empty,
+          planes = NeardupPlanes, planesPerBand = NeardupPlanesPerBand,
+          minCos = 0.35)
+          .select(col("new_id"), col("corpus_id"), round(col("cos"), 4).as("cos4"))
+          .orderBy("new_id", "corpus_id")
+      },
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\nbands AS (\n" +
+        (0 until NeardupBands).map(b =>
+          s"  SELECT vec_id, $b AS band, ${srpBucketSql("v", b)} AS bkt FROM e")
+          .mkString("\n  UNION ALL\n") +
+        """
+          |), cand AS (
+          |  SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS corpus_id
+          |  FROM (SELECT * FROM bands WHERE vec_id % 10 = 0) a
+          |  JOIN (SELECT * FROM bands WHERE vec_id % 10 <> 0) b
+          |    ON a.band = b.band AND a.bkt = b.bkt
+          |), p AS (
+          |  SELECT new_id, corpus_id,
+          |    list_dot_product(ea.v, eb.v)
+          |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+          |  FROM cand
+          |  JOIN e ea ON ea.vec_id = new_id
+          |  JOIN e eb ON eb.vec_id = corpus_id
+          |)
+          |SELECT new_id, corpus_id, round(cos, 4) AS cos4
+          |FROM p WHERE cos >= 0.35 ORDER BY new_id, corpus_id""".stripMargin)),
+
     // SimHash near-dup pairs via block pigeonhole: 32-bit codes split into
     // 4 × 8-bit blocks — hamming ≤ 3 pairs must share a whole block, so
     // candidate generation is a per-(block, value) equi-join (256 values
