@@ -93,8 +93,13 @@ object EventStreams {
         merged.write.mode("overwrite").parquet(staging)
         val old = baseDir + ".old"
         graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
-        if (base.exists()) base.renameTo(new java.io.File(old))
-        new java.io.File(staging).renameTo(base)
+        // File.renameTo returns false on failure — a silent false here
+        // would drop the merged generation, so fail the batch loudly
+        // (the checkpoint will replay it) instead
+        if (base.exists() && !base.renameTo(new java.io.File(old)))
+          throw new java.io.IOException(s"could not move $baseDir aside to $old")
+        if (!new java.io.File(staging).renameTo(base))
+          throw new java.io.IOException(s"could not promote $staging to $baseDir")
         graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
         ()
       }
