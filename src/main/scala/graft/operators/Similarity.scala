@@ -106,16 +106,15 @@ object Similarity {
     * derived key, never all-pairs. Recall is governed by bands ×
     * planesPerBand exactly like MinHash b×r.
     */
-  def embeddingNearDupPairs(e: DataFrame, idCol: String, vecCol: String,
-      blockCols: Seq[String], planes: Seq[Array[Double]], planesPerBand: Int,
-      minCos: Double): DataFrame = {
-    GraftFunctions.ensureRegistered(e.sparkSession)
+  /** The ONE source of the SRP band projection: (id, blocks…, band, bkt)
+    * exploded per band, persisted (tracked) — join sides consume it
+    * multiply in both the self-join and bipartite pairings. */
+  private def srpBandProjection(e: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], planes: Seq[Array[Double]],
+      planesPerBand: Int): DataFrame = {
     require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
     val numBands = planes.length / planesPerBand
-    // both self-join sides read this; persist so the numBands ×
-    // planesPerBand projection dots run once per vector (tracked — release
-    // via OperatorCaches.release() after materializing the result)
-    val bands = graft.operators.OperatorCaches.persistTracked(e.select(
+    graft.operators.OperatorCaches.persistTracked(e.select(
       (col(idCol) +: blockCols.map(col)) :+
         explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
           lshBucket(col(vecCol),
@@ -123,6 +122,13 @@ object Similarity {
           .as("bb"): _*)
       .select((col(idCol) +: blockCols.map(col)) ++
         Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*))
+  }
+
+  def embeddingNearDupPairs(e: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], planes: Seq[Array[Double]], planesPerBand: Int,
+      minCos: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(e.sparkSession)
+    val bands = srpBandProjection(e, idCol, vecCol, blockCols, planes, planesPerBand)
     val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
       (col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _)
@@ -149,19 +155,8 @@ object Similarity {
       planes: Seq[Array[Double]], planesPerBand: Int,
       minCos: Double): DataFrame = {
     GraftFunctions.ensureRegistered(newE.sparkSession)
-    require(planes.length % planesPerBand == 0, "planes must split evenly into bands")
-    val numBands = planes.length / planesPerBand
-    def bandSide(e: DataFrame): DataFrame =
-      graft.operators.OperatorCaches.persistTracked(e.select(
-        (col(idCol) +: blockCols.map(col)) :+
-          explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
-            lshBucket(col(vecCol),
-              planes.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))): _*))
-            .as("bb"): _*)
-        .select((col(idCol) +: blockCols.map(col)) ++
-          Seq(col("bb.band").as("band"), col("bb.bkt").as("bkt")): _*))
-    val a = bandSide(newE)
-    val b = bandSide(corpus)
+    val a = srpBandProjection(newE, idCol, vecCol, blockCols, planes, planesPerBand)
+    val b = srpBandProjection(corpus, idCol, vecCol, blockCols, planes, planesPerBand)
     val cond = (Seq(col("a.band") === col("b.band"), col("a.bkt") === col("b.bkt")) ++
       blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
     val cand = a.as("a").join(b.as("b"), cond)

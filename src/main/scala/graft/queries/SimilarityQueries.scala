@@ -167,9 +167,12 @@ object SimilarityQueries {
     // compression step a 100 TB vector store applies before ANN.
     QuerySpec("q87_vector_quantize",
       (s, d) => {
-        val cells = t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        // cells feeds the per-dim range aggregation AND the quantize
+        // join — persist (tracked) so the posexplode runs once
+        val cells = graft.operators.OperatorCaches.persistTracked(
+          t(s, d, "embeddings")
+            .select(col("vec_id"), col("label"),
+              posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x"))))
         val ranges = cells.groupBy(col("dim"))
           .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
         val q = cells.join(ranges, "dim")

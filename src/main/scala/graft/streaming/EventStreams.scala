@@ -66,41 +66,68 @@ object EventStreams {
 
   /** Streaming CDC apply: each micro-batch UPSERTS into a parquet-
     * resident base via `foreachBatch` + [[graft.operators.Snapshots.upsert]]
-    * — last write per key wins across batches. Without a transactional
-    * table format the merge rewrites the base: the new generation is
-    * written to a staging dir and swapped in only after the write
-    * succeeds, so a mid-write failure leaves the previous generation
-    * intact (write-stage-swap, the same discipline as Stage's downloads).
-    * Rewrite cost is proportional to the BASE, so this fits dimension/
-    * state tables, not the 100 TB fact store — there, partition the base
-    * and rewrite only the partitions a batch touches (or use a
-    * transactional format). Returns the started query; await it to
-    * drain (Trigger.AvailableNow for bounded input). */
+    * — last write per key wins. Within one micro-batch, the winner per
+    * key is the max of `seqCol` when given (the production CDC contract:
+    * a change-sequence / LSN column); without one, duplicate keys in a
+    * single batch reduce arbitrarily (documented, not silent: multiple
+    * same-key records in one batch have no order to honor).
+    *
+    * Without a transactional table format the merge rewrites the base:
+    * the new generation is written to a staging dir and swapped in via
+    * `Files.move` only after the write succeeds (move base→.old, then
+    * staging→base, then drop .old). A crash between the moves is
+    * RECOVERED on replay: a missing base with a surviving `.old` is
+    * restored before merging, so no generation is ever lost. Rewrite
+    * cost is proportional to the BASE, so this fits dimension/state
+    * tables, not the 100 TB fact store — there, partition the base and
+    * rewrite only the partitions a batch touches (or use a transactional
+    * format). Returns the started query; await it to drain
+    * (Trigger.AvailableNow for bounded input). */
   def upsertSink(stream: DataFrame, keyCols: Seq[String], baseDir: String,
-                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                 checkpointDir: String,
+                 seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import java.nio.file.{Files => NioFiles, Paths}
         val spark = batch.sparkSession
-        val base = new java.io.File(baseDir)
+        val basePath = Paths.get(baseDir)
+        val oldPath = Paths.get(baseDir + ".old")
+        // crash recovery: base missing but .old present → the previous
+        // promote died between the two moves; restore the surviving
+        // generation before merging (a leftover .old WITH a base is the
+        // opposite case — promote succeeded, cleanup didn't — drop it)
+        if (!NioFiles.exists(basePath) && NioFiles.exists(oldPath))
+          NioFiles.move(oldPath, basePath)
+        else if (NioFiles.exists(oldPath))
+          graft.operators.Convert.deleteRecursively(oldPath)
+        // reduce the batch to one record per key (max seqCol when given)
+        val reduced = seqCol match {
+          case Some(sc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+              .orderBy(org.apache.spark.sql.functions.col(sc).desc)
+            batch.withColumn("__rn",
+              org.apache.spark.sql.functions.row_number().over(w))
+              .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+              .drop("__rn")
+          case None => batch.dropDuplicates(keyCols)
+        }
         val merged =
-          if (base.exists()) {
+          if (NioFiles.exists(basePath)) {
             val existing = spark.read.parquet(baseDir)
-            graft.operators.Snapshots.upsert(existing, batch, keyCols)
-          } else batch
-        val staging = baseDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        val old = baseDir + ".old"
-        graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
-        // File.renameTo returns false on failure — a silent false here
-        // would drop the merged generation, so fail the batch loudly
-        // (the checkpoint will replay it) instead
-        if (base.exists() && !base.renameTo(new java.io.File(old)))
-          throw new java.io.IOException(s"could not move $baseDir aside to $old")
-        if (!new java.io.File(staging).renameTo(base))
-          throw new java.io.IOException(s"could not promote $staging to $baseDir")
-        graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(old))
+            graft.operators.Snapshots.upsert(existing, reduced, keyCols)
+          } else reduced
+        val staging = Paths.get(baseDir + ".staging")
+        graft.operators.Convert.deleteRecursively(staging)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        // stage-swap via NIO moves (throw descriptive IOExceptions; the
+        // checkpoint replays a failed batch, and the recovery block above
+        // handles a death between the two moves)
+        if (NioFiles.exists(basePath)) NioFiles.move(basePath, oldPath)
+        NioFiles.move(staging, basePath)
+        graft.operators.Convert.deleteRecursively(oldPath)
         ()
       }
       .start()

@@ -183,6 +183,25 @@ class StreamingSpec extends SparkSpec {
       === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "DD"), (5L, "E")))
   }
 
+  test("upsertSink resolves same-key records within one batch by seqCol") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val base = s"$tmp/base"
+    // one AvailableNow run over BOTH files → a single micro-batch holding
+    // two records for k=2; the seq column must pick the winner
+    Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "seq")
+      .write.parquet(s"$tmp/in")
+    Seq((2L, "B2", 20L), (3L, "c", 20L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(s"$tmp/in")
+    val schema = Seq((0L, "", 0L)).toDF("k", "v", "seq").schema
+    val q = EventStreams.upsertSink(
+      EventStreams.fileStream(spark, schema, s"$tmp/in"),
+      Seq("k"), base, s"$tmp/ckpt", seqCol = Some("seq"))
+    q.awaitTermination()
+    val out = spark.read.parquet(base).orderBy("k")
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq === Seq((1L, "a", 10L), (2L, "B2", 20L), (3L, "c", 20L)))
+  }
+
   test("stream-static enrichment join equals the batch broadcast join") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val src = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value")
