@@ -34,4 +34,36 @@ object Layout {
   def bucketedEquiJoin(spark: SparkSession, left: String, right: String,
                        key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytesPerFile` files (streaming pipelines and per-batch
+    * upserts accrete small files; scans then pay one task + one footer
+    * per file). Rewrites through a staging dir and swaps only after the
+    * write succeeds — a crash leaves the original layout intact. Returns
+    * (filesBefore, filesAfter). Partition count = ceil(bytes/target),
+    * coalesce (no shuffle) when shrinking. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.walk(Paths.get(p)))(
+        _.iterator().asScala.filter(f => f.getFileName.toString.startsWith("part-")).toList)
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(Files.size).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
+    val df = spark.read.parquet(dir)
+    val compacted =
+      if (target < before.size) df.coalesce(target)
+      else df.repartition(target)
+    val staging = dir + ".compacting"
+    Convert.deleteRecursively(Paths.get(staging))
+    compacted.write.mode(SaveMode.Overwrite).parquet(staging)
+    val old = dir + ".old"
+    Convert.deleteRecursively(Paths.get(old))
+    Files.move(Paths.get(dir), Paths.get(old))
+    Files.move(Paths.get(staging), Paths.get(dir))
+    Convert.deleteRecursively(Paths.get(old))
+    (before.size, parquetFiles(dir).size)
+  }
 }

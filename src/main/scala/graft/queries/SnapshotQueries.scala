@@ -99,6 +99,26 @@ object SnapshotQueries {
              |)
              |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin)),
 
+    // One-pass data profile: the column-level health summary a pipeline
+    // emits per corpus generation — row/null/distinct counts and ranges,
+    // all exact and order-independent (no float aggregates).
+    QuerySpec("q91_profile",
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")),
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(count(*) - count(text) AS BIGINT) AS null_text,
+             |  count(DISTINCT lang) AS n_langs,
+             |  count(DISTINCT source) AS n_sources,
+             |  count(DISTINCT text) AS n_distinct_texts,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents""".stripMargin)),
+
     // Time-series resample with gap fill: hourly event counts per type
     // over a COMPLETE hour spine (sequence from min to max hour ×
     // distinct types), missing cells zero-filled — the resample step that

@@ -45,4 +45,20 @@ class LayoutSpec extends SparkSpec {
     val j = Layout.bucketedEquiJoin(spark, "nation_b4", "nation_b2", "n_nationkey")
     assert(j.count() === n.count())
   }
+
+  test("compact shrinks a small-files directory without losing rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(20).write.parquet(s"$tmp/frag")
+    val before = docs.orderBy("doc_id").collect()
+    val (nBefore, nAfter) = Layout.compact(spark, s"$tmp/frag",
+      targetBytesPerFile = 1L << 30)
+    assert(nBefore === 20)
+    assert(nAfter === 1)
+    val after = spark.read.parquet(s"$tmp/frag").orderBy("doc_id").collect()
+    assert(after.toSeq === before.toSeq)
+    // staging/old leftovers cleaned up
+    assert(!new java.io.File(s"$tmp/frag.compacting").exists())
+    assert(!new java.io.File(s"$tmp/frag.old").exists())
+  }
 }
