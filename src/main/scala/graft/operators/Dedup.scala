@@ -127,6 +127,71 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Sorted-neighborhood near-dup pairs: the classic windowed-blocking
+    * alternative to LSH (Hernández/Stolfo SNM). Documents are ranked in a
+    * TOTAL order by a bounded normalized sort key (first 64 chars of the
+    * [[normalizeText]] form, ties broken by id); every pair within `window`
+    * positions is a candidate; candidates are confirmed by exact Jaccard
+    * over the k-gram shingle sets. Near-identical texts sort adjacent, so
+    * the window catches them with O(n·window) candidates — no similarity
+    * metric needed to block, which makes SNM the cheap complement to LSH
+    * when duplicates share prefixes (crawl snapshots, versioned docs).
+    *
+    * Scale shape: the global rank is computed distributed — range-
+    * repartition on the (bounded-width!) sort key, per-partition
+    * enumeration, plus a P-entry cumulative-offset map from the driver
+    * (partition COUNTS cross the driver, never rows). The windowed
+    * self-join is an equi-join on ⌊rank/window⌋ block keys (each left row
+    * emits its own and the next block key, so cross-block neighbors meet);
+    * every block holds ≤ window rows, so no bucket is ever hot. Both
+    * shuffles move only (id, 64-char key) — the text stays columnar at
+    * the scan.
+    */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 6, minJaccard: Double = 0.1,
+                          k: Int = 3, keyLen: Int = 64,
+                          rangePartitions: Int = 0): DataFrame = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    val spark = docs.sparkSession
+    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
+    val parts =
+      if (rangePartitions > 0) rangePartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = docs.select(col(idCol),
+      substring(normalizeText(col(textCol)), 1, keyLen).as("__sk"))
+    // (sk, id) is a total order (ids unique), so the global rank below is
+    // well-defined and partitioning-invariant.
+    val ranged = OperatorCaches.persistTracked(
+      keyed.repartitionByRange(parts, col("__sk"), col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sortedPids = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      sortedPids.zip(sortedPids.scanLeft(0L)((a, p) => a + counts(p))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__sk"), col(idCol))
+    val ranked = ranged
+      .withColumn("__rn",
+        row_number().over(w).cast("long") +
+          element_at(typedLit(offsets), col("__pid")))
+      .select(col(idCol), col("__rn"))
+    val blk = (rn: Column) => floor(rn / lit(window)).cast("long")
+    val left = ranked.select(col(idCol).as("a_id"), col("__rn").as("a_rn"),
+        explode(array(blk(col("__rn")), blk(col("__rn")) + 1)).as("__blk"))
+    val right = ranked.select(col(idCol).as("b_id"), col("__rn").as("b_rn"),
+      blk(col("__rn")).as("__blk"))
+    val cand = left.join(right, "__blk")
+      .filter(col("b_rn") > col("a_rn") &&
+        col("b_rn") - col("a_rn") < window)
+      .select(col("a_id"), col("b_id"))
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("hset").as("a_set")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("hset").as("b_set")), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("a_set"), col("b_set")).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation. Input is any (a_id, b_id) pair frame
     * (e.g. [[lshPairs]] output); result is (doc_id, cluster_id) for every

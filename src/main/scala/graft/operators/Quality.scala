@@ -181,6 +181,43 @@ object Quality {
       .agg(countDistinct(col("h")).as("n_shared_ngrams"))
   }
 
+  /** [[contaminatedDocs]] with a Bloom prefilter on the training side —
+    * the shape that survives 100 TB of training data.
+    *
+    * The exact-join formulation shuffles EVERY training shingle hash to
+    * its reducer; at corpus scale that is the full token stream crossing
+    * the wire to intersect with a benchmark set millions of times smaller.
+    * Here the benchmark hashes are folded into a driver-built Bloom filter
+    * (~1.2 bytes/item at 1% fpp — a few MB for a benchmark suite), shipped
+    * to every task as a binary literal, and probed by Spark's codegen'd
+    * might-contain expression; only the hashes that pass (true overlaps +
+    * fpp of the rest) enter the confirming equi-join. False positives are
+    * eliminated there, so the result is bit-identical to the exact
+    * operator — the filter changes the data volume, never the answer.
+    * Same contract as [[contaminatedDocs]]: (idCol, n_shared_ngrams).
+    */
+  def bloomContaminatedDocs(training: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, k: Int = 8,
+                            fpp: Double = 0.01): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(training.sparkSession)
+    val th = Dedup.shingleSets(training, idCol, textCol, k)
+      .select(col(idCol), explode(col("hset")).as("h"))
+    // Distinct benchmark hashes feed the Bloom build AND the confirm join.
+    val bh = OperatorCaches.persistTracked(
+      Dedup.shingleSets(benchmark, idCol, textCol, k)
+        .select(explode(col("hset")).as("h")).distinct())
+    val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    th.filter(graft.plans.GraftFunctions.mightContainNative(lit(bytes), col("h")))
+      .join(bh, "h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5("salt|id") mod 100 < rate(stratum). The gate depends only on row
     * identity — reproducible across engines, partitionings, and reruns

@@ -67,7 +67,9 @@ object Similarity {
     * rows per iteration; the corpus never does. Deterministic given the
     * initial centroids (positional means via AVG are stable in one
     * engine; cross-engine bit-parity is NOT claimed — verified by
-    * convergence properties in SimilaritySpec, not a DuckDB oracle).
+    * convergence properties in SimilaritySpec, not a DuckDB oracle; see
+    * [[kmeansStep]] for the fixed-point variant whose step IS
+    * bit-reproducible and oracle-checked).
     * Empty clusters keep their previous centroid. */
   def kmeansIterate(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var c = init.select(col("c_id"), col("cv")).localCheckpoint()
@@ -213,5 +215,41 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster_id"), col("dist"))
+  }
+
+  /** One Lloyd (k-means) iteration with REPRODUCIBLE arithmetic — the
+    * deterministic complement of [[kmeansIterate]] (which trains with
+    * float avg: fine within one engine, but partition-order-dependent in
+    * the last bits). Assigns every vector to its nearest centroid
+    * ([[ivfAssign]] — broadcast centroids, one streaming pass), then
+    * recomputes each centroid as the per-dimension mean of its members.
+    * Returns (cluster_id, dim, c_new, n_members); clusters that attracted
+    * no members emit no rows (callers keep the old centroid or reseed —
+    * the usual Lloyd conventions).
+    *
+    * The mean uses FIXED-POINT accumulation: each component is snapped to
+    * a 1e-6 grid (`floor(x·1e6 + 0.5)` — exact IEEE ops) and summed as
+    * integers, so the sum — hence the centroid — is bit-identical on any
+    * partitioning, any reducer order, and any engine. Naive float sums
+    * make k-means non-reproducible at cluster scale (partition order
+    * changes the rounding); a 1e-6 grid on unit-scale embeddings costs
+    * nothing in cluster quality and buys exact reproducibility — the same
+    * trick deterministic-training pipelines use for gradient reduction.
+    *
+    * Scale shape: one broadcast-assign pass + one shuffle keyed by
+    * (cluster_id, dim) with map-side partial sums — k·d result rows, never
+    * a vector collected to the driver. Chain calls for multiple
+    * iterations; each is one job and the output feeds back as `centroids`.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+                 quantScale: Long = 1000000L): DataFrame = {
+    ivfAssign(corpus, centroids)
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(floor(col("x") * quantScale + lit(0.5d))).as("qsum"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        (col("qsum").cast("double") / col("n_members") / quantScale).as("c_new"),
+        col("n_members"))
   }
 }

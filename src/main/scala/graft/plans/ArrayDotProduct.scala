@@ -112,7 +112,22 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>
-        MinHashSigs(exprs.head, foldableInt(exprs, 1, "graft_minhash", "numSigs"))))
+        MinHashSigs(exprs.head, foldableInt(exprs, 1, "graft_minhash", "numSigs"))),
+    // Spark's own runtime-filter probe expression (codegen'd, deserializes
+    // the sketch once per task): exposed as a function so library code can
+    // broadcast a driver-built BloomFilter as a binary literal and probe it
+    // without a Scala UDF. Args: (serialized filter BINARY, value BIGINT).
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_might_contain expects 2 arguments (filter, value), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }))
 
   /** Resolve argument `idx` as a required integer literal, with a clear
     * analysis-time error otherwise (same contract as graft_shingle_hashes'
@@ -166,6 +181,15 @@ object GraftFunctions {
   def minhashNative(hashes: Column, numSigs: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       hashes, org.apache.spark.sql.functions.lit(numSigs))
+
+  /** Column-level Bloom-filter membership probe over a BIGINT column.
+    * `filter` is the serialized sketch (normally a binary literal of a
+    * driver-built `org.apache.spark.util.sketch.BloomFilter`); the probe
+    * runs Spark's codegen'd BloomFilterMightContain, so the filter rides
+    * the task binary like any broadcast and deserializes once per task. */
+  def mightContainNative(filter: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_might_contain",
+      filter, value)
 }
 
 /** SparkSessionExtensions entry point: launch any session with

@@ -407,6 +407,40 @@ object DedupQueries {
           |WHERE p.jac >= 0.1 AND da.lang = db.lang AND da.source = db.source
           |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Sorted-neighborhood near-dup pairs: rank docs by a bounded
+    // normalized sort key, candidate = within 6 positions, confirm by
+    // exact Jaccard. The rank is computed DISTRIBUTED on the Spark side
+    // (range partition + per-partition enumeration + offset map); the
+    // oracle's single window function is the semantic twin.
+    QuerySpec("q93_sorted_neighborhood",
+      (s, d) => graft.operators.Dedup.sortedNeighborPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        window = 6, minJaccard = 0.1, k = 3)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH nrm AS (
+             |  SELECT doc_id, substr(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), 1, 64) AS sk
+             |  FROM documents
+             |), rnk AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM nrm
+             |), cand AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM rnk a JOIN rnk b ON b.rn > a.rn AND b.rn - a.rn < 6
+             |), shn AS (
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
+             |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+             |), st AS (SELECT doc_id, list(DISTINCT h60) AS shset FROM shn GROUP BY doc_id)
+             |SELECT * FROM (
+             |  SELECT a_id, b_id,
+             |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jac
+             |  FROM cand
+             |  JOIN st sa ON sa.doc_id = a_id
+             |  JOIN st sb ON sb.doc_id = b_id
+             |) WHERE jac >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
+
     // Winnowing fingerprints (MOSS): min hash per sliding window of 4
     // consecutive 3-gram hashes — a content-defined fingerprint set that
     // two documents share in proportion to overlapping runs. Sorted

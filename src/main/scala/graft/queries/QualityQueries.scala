@@ -200,6 +200,32 @@ object QualityQueries {
           |FROM tr JOIN bm USING (h)
           |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Decontamination at the 100 TB shape: identical semantics to q79 but
+    // the training side is prefiltered through a broadcast Bloom filter of
+    // the benchmark hashes before the confirming equi-join — only true
+    // overlaps (+ ~1% fpp) of the training token stream ever shuffle. The
+    // oracle is the EXACT join: the Bloom stage must not change the answer.
+    QuerySpec("q92_bloom_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        Quality.bloomContaminatedDocs(train, bench, "doc_id", "text", k = 6)
+          .orderBy("doc_id")
+      },
+      Some("WITH sh AS (\n" +
+        "  SELECT doc_id, ('0x' || substr(md5(" +
+        (0 until 6).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        """), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 4)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+          |        WHERE len(s) >= 6)
+          |), tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 7 <> 0),
+          |bm AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0)
+          |SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared_ngrams
+          |FROM tr JOIN bm USING (h)
+          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified sampling: per-language keep rates gated on
     // a content hash — reproducible on any partitioning/engine, unlike
     // seeded RNG sampling (q06's count contract is the closest RNG gets).

@@ -228,6 +228,39 @@ object SimilarityQueries {
       Some("""SELECT o_orderpriority, count(*) AS n,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // One k-means Lloyd iteration over the embedding table (seeds = the
+    // first 16 vectors, as q42): nearest-centroid assign via broadcast +
+    // per-(cluster, dim) FIXED-POINT mean — integer sums on a 1e-6 grid,
+    // so the new centroids are bit-identical on any partitioning/engine
+    // (naive float means are partition-order-dependent and would never
+    // hash-match). 16×64 result rows.
+    QuerySpec("q94_kmeans_step",
+      (s, d) => {
+        val e = vecs(s, d)
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.operators.Similarity.kmeansStep(e, c)
+          .orderBy("cluster_id", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |d AS (
+             |  SELECT e.vec_id, e.v, c_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |        + list_dot_product(cv, cv), c_id) AS rn
+             |  FROM e CROSS JOIN c
+             |), a AS (SELECT vec_id, v, c_id AS cluster_id FROM d WHERE rn = 1),
+             |x AS (
+             |  SELECT cluster_id, i - 1 AS dim,
+             |    CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM (SELECT cluster_id, v, unnest(range(1, len(v) + 1)) AS i FROM a)
+             |)
+             |SELECT cluster_id, dim,
+             |  (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) / 1000000 AS c_new,
+             |  count(*) AS n_members
+             |FROM x GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin))
   )
 }

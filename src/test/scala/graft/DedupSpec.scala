@@ -167,6 +167,28 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming ${ham(codes(0), codes(1))}")
   }
 
+  test("sortedNeighborPairs finds adjacent near-dups and is partitioning-invariant") {
+    import spark.implicits._
+    // Near-identical texts (shared prefix) sort adjacent regardless of id;
+    // the unrelated doc sits far away in sort order.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (99L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (50L, "zz completely unrelated words over here today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+        window = 2, minJaccard = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // a_id = lower RANK (sort order), not lower id: "…eta iota" < "…eta theta"
+    assert(out === Seq((99L, 10L)))
+    // rank is a total order → result is invariant to input partitioning
+    val re = Dedup.sortedNeighborPairs(docs.repartition(7), "doc_id", "text",
+        window = 2, minJaccard = 0.3, rangePartitions = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(re === out)
+    graft.operators.OperatorCaches.release()
+  }
+
   test("minhash signature agreement rate tracks jaccard (sketch property)") {
     // identical docs agree on all signatures
     val df = Seq((1L, doc(5)), (2L, doc(5))).toDF("doc_id", "text")

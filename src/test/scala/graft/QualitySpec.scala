@@ -149,6 +149,35 @@ class QualitySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("bloomContaminatedDocs equals the exact operator and prunes the probe side") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val exact = Quality.contaminatedDocs(train, bench, "doc_id", "text", k = 6)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val bloomed = Quality.bloomContaminatedDocs(train, bench, "doc_id", "text", k = 6)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // The Bloom stage is a pure prefilter: bit-identical result.
+    assert(bloomed === exact)
+    assert(exact.nonEmpty) // fixture must actually exercise the overlap path
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("bloom prefilter passes a superset of true overlaps and a fraction of the rest") {
+    import graft.plans.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    (0L until 100L).foreach(bf.putLong)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val probe = spark.range(0, 10000).select(col("id"))
+      .filter(GraftFunctions.mightContainNative(lit(bytes), col("id")))
+      .as[Long].collect()
+    // no false negatives …
+    assert((0L until 100L).forall(probe.contains))
+    // … and the pass-through rate on non-members is in the fpp ballpark
+    assert(probe.length < 100 + 600)
+  }
+
   test("exact-moments aggregator matches decimal arithmetic on a known set") {
     import graft.functions.ExactMoments
     val ds = Seq(("A", 1.25), ("A", 2.75), ("A", 4.00), ("B", 10.10))

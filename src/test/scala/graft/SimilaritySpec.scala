@@ -100,6 +100,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansStep computes exact fixed-point means and is partitioning-invariant") {
+    val corpus = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(1.0, 1.0)),       // cluster 0
+      (2L, Array(9.0, 9.0)), (3L, Array(11.0, 11.0))      // cluster 1
+    ).toDF("vec_id", "v")
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)))
+      .toDF("c_id", "cv")
+    val out = Similarity.kmeansStep(corpus, cents)
+      .orderBy("cluster_id", "dim")
+      .select("cluster_id", "dim", "c_new", "n_members")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 0.5, 2L), (0L, 1L, 0.5, 2L),
+      (1L, 0L, 10.0, 2L), (1L, 1L, 10.0, 2L)))
+    // bit-identical on a different partitioning (the point of fixed-point sums)
+    val re = Similarity.kmeansStep(corpus.repartition(5), cents)
+      .orderBy("cluster_id", "dim")
+      .select("cluster_id", "dim", "c_new", "n_members")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(re === out)
+  }
+
   test("ivfSearch finds in-cluster neighbors; nprobe=2 recall >= nprobe=1") {
     val corpus = (0 until 96).map { i =>
       val c = randVec(i % 8, 32)
