@@ -35,6 +35,23 @@ object Layout {
                        key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Range-partitioned sorted parquet write: rows are range-partitioned on
+    * `sortCol` into ~`numFiles` files and sorted inside each, so every
+    * file covers a DISJOINT value range and every row group's parquet
+    * min/max stats are tight. A later scan with a predicate on `sortCol`
+    * then skips whole files and row groups at the reader (the engine's
+    * filter pushdown is already proven in ScanSpec/PLANS.md q02 — this op
+    * supplies the layout that makes those stats selective). The 100 TB
+    * habit: sort event/time-keyed tables on the query key at WRITE time;
+    * a needle query then reads one file instead of all of them.
+    * LayoutSpec asserts the disjoint-ranges property from the written
+    * files' own stats. */
+  def sortedWrite(df: DataFrame, dir: String, sortCol: String,
+                  numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetBytesPerFile` files (streaming pipelines and per-batch
     * upserts accrete small files; scans then pay one task + one footer

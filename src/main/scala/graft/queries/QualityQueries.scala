@@ -226,6 +226,50 @@ object QualityQueries {
           |FROM tr JOIN bm USING (h)
           |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The full cleaning pipeline in ONE query — token gate → normalized
+    // dedup (keep-min) → benchmark decontamination — then corpus stats per
+    // source. Exists to prove the stages COMPOSE (each is oracle-checked
+    // alone: q66, q79); the oracle chains the same stages as CTEs.
+    QuerySpec("q96_corpus_clean",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        graft.operators.CorpusClean.clean(train, bench, "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+          .orderBy("source")
+      },
+      Some("WITH gated AS (\n" +
+        """  SELECT doc_id, text, source FROM documents
+          |  WHERE doc_id % 10 <> 0
+          |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM (
+          |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+          |    FROM gated) GROUP BY nk
+          |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+          |sh AS (
+          |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
+        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        """), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+          |        WHERE len(s) >= 8)
+          |), bm AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+          |cont AS (
+          |  SELECT DISTINCT sh.doc_id FROM sh JOIN bm USING (h)
+          |  JOIN dd ON dd.doc_id = sh.doc_id
+          |), fin AS (
+          |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
+          |  WHERE cont.doc_id IS NULL
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
+
     // Deterministic stratified sampling: per-language keep rates gated on
     // a content hash — reproducible on any partitioning/engine, unlike
     // seeded RNG sampling (q06's count contract is the closest RNG gets).

@@ -171,6 +171,32 @@ object TextQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, substr(md5(text),1,15) AS fp_hex,
              |  ('0x' || substr(md5(text),1,15))::BIGINT AS fp_int
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index term statistics: doc_freq / total_tf / deterministic
+    // top posting per term. Two exchanges end to end (see
+    // operators.InvertedIndex); the oracle's window mirrors the
+    // tie-broken top-posting rank exactly.
+    QuerySpec("q95_inverted_index",
+      (s, d) => graft.operators.InvertedIndex.termStats(
+        t(s, d, "documents"), "doc_id", "text", minDf = 2L)
+        .orderBy("term"),
+      Some("""WITH tf AS (
+             |  SELECT term, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents)
+             |  WHERE len(term) > 0 GROUP BY term, doc_id
+             |), r AS (
+             |  SELECT term, doc_id, tf,
+             |    row_number() OVER (PARTITION BY term
+             |      ORDER BY tf DESC, doc_id) AS rn
+             |  FROM tf
+             |)
+             |SELECT term, count(*) AS doc_freq,
+             |  CAST(sum(tf) AS BIGINT) AS total_tf,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc,
+             |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf
+             |FROM r GROUP BY term HAVING count(*) >= 2
+             |ORDER BY term""".stripMargin))
   )
 }

@@ -46,6 +46,29 @@ class LayoutSpec extends SparkSpec {
     assert(j.count() === n.count())
   }
 
+  test("sortedWrite produces disjoint per-file ranges and keeps every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Layout.sortedWrite(li, s"$tmp/sorted", "l_shipdate", numFiles = 4)
+    val files = new java.io.File(s"$tmp/sorted").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length >= 2) // range partitioner may merge tiny ranges
+    // per-file (min, max) of the sort column, from the data each file holds
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("l_shipdate"),
+          org.apache.spark.sql.functions.max("l_shipdate")).head()
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(!hiA.isAfter(loB), s"file ranges overlap: $hiA vs $loB")
+      case _ =>
+    }
+    // no rows lost or duplicated
+    assert(spark.read.parquet(s"$tmp/sorted").count() === li.count())
+  }
+
   test("compact shrinks a small-files directory without losing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

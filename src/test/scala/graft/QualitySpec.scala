@@ -163,6 +163,22 @@ class QualitySpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("CorpusClean.clean applies gate, dedup, and decontamination in order") {
+    import graft.operators.CorpusClean
+    val bench = Seq((100L, (1 to 12).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "too short"),                                          // gated out (<10 tokens)
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")),             // survives
+      (3L, (1 to 11).map(i => s"w$i").mkString(" ") + "!"),       // normalized dup of 2 → dropped
+      (4L, (1 to 11).map(i => s"x$i").mkString(" ")),             // survives
+      (5L, (1 to 8).map(i => s"b$i").mkString(" ") + " y z w")    // shares an 8-gram with bench → dropped
+    ).toDF("doc_id", "text")
+    val kept = CorpusClean.clean(docs, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L))
+  }
+
   test("bloom prefilter passes a superset of true overlaps and a fraction of the rest") {
     import graft.plans.GraftFunctions
     GraftFunctions.ensureRegistered(spark)

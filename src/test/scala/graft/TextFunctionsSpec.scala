@@ -9,6 +9,30 @@ class TextFunctionsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("invertedIndex termStats: hand-checked stats, deterministic top posting") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana cherry"),
+      (4L, "apple")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.InvertedIndex.termStats(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("term")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // apple: df=3 (docs 1,2,4), tf=4, top = doc 1 (tf 2)
+    // banana: df=2 (docs 1,3), tf=3, top = doc 3 (tf 2)
+    // cherry: df=2 (docs 2,3), tf=2, top = doc 2 (tf 1, tie → min id)
+    assert(out === Seq(
+      ("apple", 3L, 4L, 1L, 2L),
+      ("banana", 2L, 3L, 3L, 2L),
+      ("cherry", 2L, 2L, 2L, 1L)))
+    // window + final agg share the term partitioning: ≤ 2 exchanges total
+    val plan = graft.operators.InvertedIndex.termStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan had $exchanges:\n$plan")
+  }
+
   test("shingles builds ordered k-grams, deduplicated") {
     val out = Seq("a b c d a b c d").toDF("text")
       .select(shingles(col("text"), 3).as("s")).as[Seq[String]].head()
