@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.normalizeText
+import graft.plans.GraftFunctions.normalizeNative
 
 /** The end-to-end corpus-cleaning pass a training-data pipeline runs
   * before tokenization, composed from the engine's own operators:
@@ -28,12 +28,13 @@ object CorpusClean {
   def clean(docs: DataFrame, benchmark: DataFrame, idCol: String,
             textCol: String, minTokens: Int = 10, maxTokens: Int = 1000,
             k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val gated = docs.filter(
       size(split(col(textCol), " ")).between(minTokens, maxTokens))
     // keep-min per normalized content; the group key is the md5 of the
     // normalized text — fixed-width shuffle key, never the text itself
     val keepIds = gated
-      .select(col(idCol), md5(normalizeText(col(textCol))).as("__nk"))
+      .select(col(idCol), md5(normalizeNative(col(textCol))).as("__nk"))
       .groupBy(col("__nk"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))

@@ -157,8 +157,15 @@ object Dedup {
     val parts =
       if (rangePartitions > 0) rangePartitions
       else spark.sessionState.conf.numShufflePartitions
+    // The sort key normalizes only a bounded RAW prefix (4×keyLen chars —
+    // headroom for punctuation the normalizer strips) before truncating to
+    // keyLen: O(1) regex work per row instead of O(doc length), which is
+    // what keeps key extraction flat when documents are 100 KB, and keeps
+    // the double evaluation under the range exchange (sampling pass +
+    // shuffle pass) free.
     val keyed = docs.select(col(idCol),
-      substring(normalizeText(col(textCol)), 1, keyLen).as("__sk"))
+      substring(graft.plans.GraftFunctions.normalizeNative(
+        substring(col(textCol), 1, keyLen * 4)), 1, keyLen).as("__sk"))
     // (sk, id) is a total order (ids unique), so the global rank below is
     // well-defined and partitioning-invariant.
     val ranged = OperatorCaches.persistTracked(
@@ -400,15 +407,20 @@ object Dedup {
       .select(md5(col(textCol)).as("text_md5"), col("keep_id"), col("dup_count"))
 
   /** Near-exact dedup by normalized content: case, punctuation, and
-    * whitespace differences collapse before grouping
-    * (TextFunctions.normalizeText) — the standard first dedup pass of a
-    * training-data pipeline, cheaper and stricter than MinHash. Same
-    * groupBy-on-derived-key shuffle shape as [[exact]]. */
-  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+    * whitespace differences collapse before grouping — the standard first
+    * dedup pass of a training-data pipeline, cheaper and stricter than
+    * MinHash. Same groupBy-on-derived-key shuffle shape as [[exact]].
+    * Normalization runs the native graft_normalize kernel (one byte pass;
+    * bit-identical to TextFunctions.normalizeText's regex form, which the
+    * oracle mirrors — parity in NativeSketchSpec). */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+        graft.plans.GraftFunctions.normalizeNative(col(textCol)).as("__norm"))
       .groupBy(col("__norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(md5(col("__norm")).as("norm_md5"), col("keep_id"), col("dup_count"))
+  }
 
   /** Per-doc SimHash codes, via the native graft_simhash kernel: one
     * tokenize + one md5 + one vote-accumulation pass per document inside

@@ -113,6 +113,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>
         MinHashSigs(exprs.head, foldableInt(exprs, 1, "graft_minhash", "numSigs"))),
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_normalize expects 1 argument (text), got ${exprs.length}")
+        NormalizeText(exprs.head)
+      }),
     // Spark's own runtime-filter probe expression (codegen'd, deserializes
     // the sketch once per task): exposed as a function so library code can
     // broadcast a driver-built BloomFilter as a binary literal and probe it
@@ -181,6 +189,13 @@ object GraftFunctions {
   def minhashNative(hashes: Column, numSigs: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash",
       hashes, org.apache.spark.sql.functions.lit(numSigs))
+
+  /** Column-level native text normalization (requires ensureRegistered /
+    * GraftExtensions on the session). Byte-identical to
+    * TextFunctions.normalizeText's regex formulation (the oracle twin);
+    * one byte pass + one allocation per row — see plans.NormalizeText. */
+  def normalizeNative(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_normalize", text)
 
   /** Column-level Bloom-filter membership probe over a BIGINT column.
     * `filter` is the serialized sketch (normally a binary literal of a

@@ -96,6 +96,47 @@ case class MinHashSigs(child: Expression, numSigs: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Native one-pass text normalization: lowercase, collapse every run of
+  * characters outside [a-z0-9] to a single space, trim — byte-identical
+  * to the reference regex form `trim(regexp_replace(regexp_replace(
+  * lower(s), "[^a-z0-9 ]+", " "), " +", " "))` (TextFunctions
+  * .normalizeText, which remains as the cross-checked reference and as
+  * the oracle's SQL twin), in ONE byte-level pass with one output
+  * allocation instead of two java.util.regex matcher/StringBuffer walks.
+  *
+  * The lowercase step reuses UTF8String.toLowerCase — the exact code
+  * Spark's `lower()` runs — so unicode case mapping can never diverge
+  * from the reference; every byte of a multi-byte character is ≥ 0x80
+  * and therefore a separator in BOTH formulations. Normalization is the
+  * near-exact-dedup hot path (q66/q93/q96): two regex passes per
+  * document dominate those operators' profiles, and regex throughput
+  * additionally anti-scales with threads on some virtualized hosts
+  * (PERF_NOTES.md) — a plain byte loop does neither.
+  * Parity is property-tested in NativeSketchSpec.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_normalize expects string, got ${other.simpleString(10)}")
+    }
+
+  override def prettyName: String = "graft_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    SketchKernels.normalize(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SketchKernels.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object SketchKernels {
 
   private val P = TextFunctions.MinhashP
@@ -161,5 +202,32 @@ object SketchKernels {
     }
     if (!any) return null
     new GenericArrayData(out)
+  }
+
+  /** One row's canonical normalization (see [[NormalizeText]]): lowercase
+    * via UTF8String.toLowerCase (Spark `lower()` parity), then a single
+    * byte pass keeping [a-z0-9], collapsing separator runs to one space,
+    * emitting no leading/trailing space. Output is pure ASCII, length ≤
+    * input bytes, one allocation. */
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = c
+        o += 1
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
   }
 }

@@ -418,11 +418,12 @@ object DedupQueries {
         window = 6, minJaccard = 0.1, k = 3)
         .orderBy("a_id", "b_id"),
       Some("""WITH nrm AS (
-             |  SELECT doc_id, substr(trim(regexp_replace(regexp_replace(lower(text),
+             |  SELECT doc_id, substr(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 256)),
              |    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), 1, 64) AS sk
              |  FROM documents
              |), rnk AS (
-             |  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM nrm
+             |  SELECT doc_id, row_number() OVER (ORDER BY sk NULLS FIRST, doc_id) AS rn
+             |  FROM nrm
              |), cand AS (
              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
              |  FROM rnk a JOIN rnk b ON b.rn > a.rn AND b.rn - a.rn < 6

@@ -230,6 +230,25 @@ object SimilarityQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Shuffle-hash join path — the third join strategy (broadcast: q10,
+    // sort-merge: q88): both sides shuffle on the key but the build side
+    // hashes instead of sorting — the right pick when one side is far
+    // smaller than the other yet too big to broadcast. Strategy-invariant
+    // results; JoinSpec asserts ShuffledHashJoin appears in the plan.
+    QuerySpec("q97_shj_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part").hint("SHUFFLE_HASH")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // One k-means Lloyd iteration over the embedding table (seeds = the
     // first 16 vectors, as q42): nearest-centroid assign via broadcast +
     // per-(cluster, dim) FIXED-POINT mean — integer sums on a 1e-6 grid,

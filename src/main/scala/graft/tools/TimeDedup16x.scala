@@ -61,6 +61,14 @@ object TimeDedup16x {
         graft.operators.Dedup.simhashPairs(big2, "doc_id", "text").count()
       }
       graft.operators.OperatorCaches.release()
+      timed(s"sortedNeighborPairs 1x (round $round)") {
+        graft.operators.Dedup.sortedNeighborPairs(docs, "doc_id", "text").count()
+      }
+      graft.operators.OperatorCaches.release()
+      timed(s"sortedNeighborPairs 16x (round $round)") {
+        graft.operators.Dedup.sortedNeighborPairs(big2, "doc_id", "text").count()
+      }
+      graft.operators.OperatorCaches.release()
       spark.catalog.clearCache()
     }
     spark.stop()

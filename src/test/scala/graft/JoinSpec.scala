@@ -21,4 +21,20 @@ class JoinSpec extends SparkSpec {
       .orderBy("o_orderpriority")
     assert(df.collect().toSeq === unhinted.collect().toSeq)
   }
+
+  test("q97 plans a shuffled hash join and matches the unhinted result") {
+    val spec = graft.SparkEntry.allSpecs.find(_.name == "q97_shj_join").get
+    val df = spec.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$plan")
+
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+    val unhinted = l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Q.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+    assert(df.collect().toSeq === unhinted.collect().toSeq)
+  }
 }

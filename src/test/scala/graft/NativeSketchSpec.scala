@@ -124,6 +124,38 @@ class NativeSketchSpec extends SparkSpec {
     assert(bad.getMessage.contains("integer literal"))
   }
 
+  test("native normalize is identical to the regex formulation on nasty strings") {
+    GraftFunctions.ensureRegistered(spark)
+    val hand = Seq(
+      "", " ", "   ", "!!!", "a", "A!B?  c9 ",
+      "  Hello,   World!! 42 ",
+      "Ünïcödé ß İstanbul ÆØÅ",              // multibyte + special case maps
+      "tabs\tand\nnewlines\r\nmixed",
+      "0123456789 ABC xyz", "---a---", "a.b,c;d:e",
+      "ends with punct!", "!starts with punct",
+      "ＦＵＬＬｗｉｄｔｈ１２３")                 // fullwidth forms lower to non-ASCII
+    val rand = sample(for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, Gen.frequency(
+        6 -> word, 2 -> Gen.const("!?."), 1 -> Gen.const("  "),
+        1 -> Gen.oneOf("ß", "İ", "Σ", "ǅ", " ")))
+    } yield ws.mkString(" "), 200, 20260812L)
+    val df = (hand ++ rand).zipWithIndex.map(_.swap).toDF("i", "t")
+    val mismatches = df.select(col("i"),
+        TextFunctions.normalizeText(col("t")).as("ref"),
+        GraftFunctions.normalizeNative(col("t")).as("nat"))
+      .filter(!(col("ref") <=> col("nat")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"normalize parity broken: ${mismatches.take(5).mkString("; ")}")
+    // null passes through as null on both paths
+    val nulls = Seq((1, Option.empty[String])).toDF("i", "t")
+      .select(TextFunctions.normalizeText(col("t")).as("ref"),
+        GraftFunctions.normalizeNative(col("t")).as("nat"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("end-to-end: Dedup.simhashCodes and minhashSignatures survive the swap") {
     val docs = Seq((1L, "a b c a"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
     val codes = graft.operators.Dedup.simhashCodes(docs, "doc_id", "text", 16)
