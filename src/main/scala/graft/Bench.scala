@@ -125,8 +125,13 @@ object Bench {
       (math.min(a, b), okA && okB)
     } catch { case _: Throwable => (0.0, false) })
 
+    // Operator-persisted intermediates (LSH bands, shingle sets, SNM rank
+    // frames) are released after each query: timings stay standalone (no
+    // cross-query cache reuse) and a 97-query run can't accrete caches.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed { fn(spark, sfDir).count(); () }
+      val r = name -> timed { fn(spark, sfDir).count(); () }
+      graft.operators.OperatorCaches.release()
+      r
     } :+ convert :+ matched
 
     def entries(rs: Seq[(String, (Double, Boolean))]): String =
