@@ -29,8 +29,13 @@ object CorpusClean {
             textCol: String, minTokens: Int = 10, maxTokens: Int = 1000,
             k: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val gated = docs.filter(
-      size(split(col(textCol), " ")).between(minTokens, maxTokens))
+    // gated feeds the dedup key branch AND both sides of the downstream
+    // joins (≥3 evaluations of the scan + token gate without it);
+    // deduped feeds the decontamination shingling and the final anti-join.
+    // Both are persistTracked — release via OperatorCaches like the other
+    // multi-consumer operators.
+    val gated = OperatorCaches.persistTracked(docs.filter(
+      size(split(col(textCol), " ")).between(minTokens, maxTokens)))
     // keep-min per normalized content; the group key is the md5 of the
     // normalized text — fixed-width shuffle key, never the text itself
     val keepIds = gated
@@ -38,7 +43,8 @@ object CorpusClean {
       .groupBy(col("__nk"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
+    val deduped = OperatorCaches.persistTracked(
+      gated.join(keepIds, Seq(idCol), "left_semi"))
     val contaminated = Quality
       .contaminatedDocs(deduped, benchmark, idCol, textCol, k)
       .select(col(idCol))

@@ -129,8 +129,11 @@ object Dedup {
 
   /** Sorted-neighborhood near-dup pairs: the classic windowed-blocking
     * alternative to LSH (Hernández/Stolfo SNM). Documents are ranked in a
-    * TOTAL order by a bounded normalized sort key (first 64 chars of the
-    * [[normalizeText]] form, ties broken by id); every pair within `window`
+    * TOTAL order by a bounded normalized sort key — the [[normalizeText]]
+    * form of the first `4·keyLen` RAW chars, truncated to `keyLen` (the
+    * raw-prefix bound keeps key extraction O(1) per row; a prefix that is
+    * >75% strippable punctuation yields a shorter key, an accepted
+    * blocking trade-off), ties broken by id. Every pair within `window`
     * positions is a candidate; candidates are confirmed by exact Jaccard
     * over the k-gram shingle sets. Near-identical texts sort adjacent, so
     * the window catches them with O(n·window) candidates — no similarity

@@ -52,20 +52,47 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
-  /** Small-files compaction: rewrite a parquet directory into
+  /** Small-files compaction: rewrite a FLAT parquet directory into
     * ~`targetBytesPerFile` files (streaming pipelines and per-batch
     * upserts accrete small files; scans then pay one task + one footer
-    * per file). Rewrites through a staging dir and swaps only after the
-    * write succeeds — a crash leaves the original layout intact. Returns
+    * per file). Rewrites through a staging dir; the swap restores the
+    * original directory (and throws) if the final rename fails, so no
+    * failure mode leaves `dir` silently missing. A hard crash can still
+    * land between the two renames — the data then sits intact at
+    * `dir+".old"`, which the next compact() call refuses to clobber
+    * (loud IllegalStateException naming the recovery path) rather than
+    * guessing which copy is authoritative. Hive-partitioned layouts
+    * (`key=value` subdirectories) are rejected: a flat rewrite would
+    * silently inline the partition columns and drop pruning. Returns
     * (filesBefore, filesAfter). Partition count = ceil(bytes/target),
     * coalesce (no shuffle) when shrinking. */
   def compact(spark: SparkSession, dir: String,
               targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val old = dir + ".old"
+    if (Files.exists(Paths.get(old)))
+      throw new IllegalStateException(
+        s"compact: $old exists — a previous compaction crashed mid-swap. " +
+          s"Inspect it (it holds the pre-compaction data); restore it to $dir " +
+          "or delete it, then retry.")
+    val partitionDirs = scala.util.Using.resource(Files.list(Paths.get(dir)))(
+      _.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("=")).toList)
+    require(partitionDirs.isEmpty,
+      s"compact only supports flat parquet layouts; $dir has hive partition " +
+        s"subdirectories (${partitionDirs.take(3).map(_.getFileName).mkString(", ")}…) " +
+        "— compact each partition directory individually to preserve pruning.")
+    // exclude in-flight/committer leftovers (_temporary, hidden dirs)
     def parquetFiles(p: String): Seq[java.nio.file.Path] =
       scala.util.Using.resource(Files.walk(Paths.get(p)))(
-        _.iterator().asScala.filter(f => f.getFileName.toString.startsWith("part-")).toList)
+        _.iterator().asScala.filter { f =>
+          f.getFileName.toString.startsWith("part-") &&
+            !(0 until f.getNameCount).exists { i =>
+              val seg = f.getName(i).toString
+              seg.startsWith("_") || seg.startsWith(".")
+            }
+        }.toList)
     val before = parquetFiles(dir)
     val totalBytes = before.map(Files.size).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
@@ -76,10 +103,15 @@ object Layout {
     val staging = dir + ".compacting"
     Convert.deleteRecursively(Paths.get(staging))
     compacted.write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = dir + ".old"
-    Convert.deleteRecursively(Paths.get(old))
     Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(staging), Paths.get(dir))
+    try Files.move(Paths.get(staging), Paths.get(dir))
+    catch { case e: Throwable =>
+      // restore the original layout before propagating — the swap must
+      // never leave `dir` missing when the caller can still be told
+      Files.move(Paths.get(old), Paths.get(dir))
+      throw new IllegalStateException(
+        s"compact: staging→live rename failed for $dir; original layout restored", e)
+    }
     Convert.deleteRecursively(Paths.get(old))
     (before.size, parquetFiles(dir).size)
   }

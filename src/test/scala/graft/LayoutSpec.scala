@@ -69,6 +69,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sorted").count() === li.count())
   }
 
+  test("compact refuses hive-partitioned layouts and crashed-swap leftovers") {
+    val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.partitionBy("lang").parquet(s"$tmp/hive")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$tmp/hive")
+    }
+    assert(e1.getMessage.contains("hive partition"))
+
+    docs.limit(10).write.parquet(s"$tmp/flat")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/flat.old"))
+    val e2 = intercept[IllegalStateException] {
+      Layout.compact(spark, s"$tmp/flat")
+    }
+    assert(e2.getMessage.contains("crashed mid-swap"))
+  }
+
   test("compact shrinks a small-files directory without losing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
