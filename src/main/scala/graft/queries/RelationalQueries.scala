@@ -207,6 +207,33 @@ object RelationalQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // Sliding (hopping) event-time windows: 1-hour windows every 15
+    // minutes — each event lands in 4 overlapping windows. Spark's
+    // window() generator expands the 4 memberships at the scan (epoch-
+    // aligned starts); the oracle derives the same 4 starts per event
+    // arithmetically. The trend-smoothing aggregation shape of a
+    // monitoring pipeline; null-ts rows are excluded explicitly (the
+    // generator drops them, SQL must match).
+    QuerySpec("q98_sliding_window",
+      (s, d) => events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH e AS (
+             |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+             |           - i * INTERVAL '15 minutes' AS win_start,
+             |         event_type, value
+             |  FROM events, unnest(range(0, 4)) AS t(i)
+             |  WHERE ts IS NOT NULL
+             |)
+             |SELECT win_start, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // Sessionization: 30-min-gap sessions via lag + running sum windows.
     QuerySpec("q14_sessionize",
       (s, d) => {

@@ -69,6 +69,38 @@ object TimeDedup16x {
         graft.operators.Dedup.sortedNeighborPairs(big2, "doc_id", "text").count()
       }
       graft.operators.OperatorCaches.release()
+      // decontamination: exact hash join vs Bloom-prefiltered — the shapes
+      // whose gap WIDENS with corpus size (the bloom probe prunes the
+      // training-side shuffle; at 16x the training stream is 16x, the
+      // benchmark side constant)
+      val bench16 = big2.filter(col("doc_id") % 100 === 0)
+      val train16 = big2.filter(col("doc_id") % 100 =!= 0)
+      timed(s"contaminatedDocs exact 16x (round $round)") {
+        graft.operators.Quality.contaminatedDocs(
+          train16, bench16, "doc_id", "text", 8).count()
+      }
+      graft.operators.OperatorCaches.release()
+      timed(s"bloomContaminatedDocs 16x (round $round)") {
+        graft.operators.Quality.bloomContaminatedDocs(
+          train16, bench16, "doc_id", "text", 8).count()
+      }
+      graft.operators.OperatorCaches.release()
+      if (round == 1) {
+        // the scale argument in rows: how much of the training-side hash
+        // stream the Bloom probe keeps out of the confirming shuffle
+        val th = graft.operators.Dedup.shingleSets(train16, "doc_id", "text", 8)
+          .select(col("doc_id"), explode(col("hset")).as("h"))
+        val bh = graft.operators.Dedup.shingleSets(bench16, "doc_id", "text", 8)
+          .select(explode(col("hset")).as("h")).distinct()
+        val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), 0.01)
+        val bytes = { val o = new java.io.ByteArrayOutputStream(); bloom.writeTo(o); o.toByteArray }
+        val total = th.count()
+        val kept = th.filter(graft.plans.GraftFunctions.mightContainNative(
+          org.apache.spark.sql.functions.lit(bytes), col("h"))).count()
+        println(f"BLOOM selectivity: $kept%,d of $total%,d training hashes " +
+          f"(${100.0 * kept / total}%.2f%%) reach the confirm shuffle; " +
+          f"filter size ${bytes.length}%,d bytes")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
