@@ -70,6 +70,32 @@ object FormatQueries {
              |  true AS within_tol
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // MERGEABLE sketches — the property that makes approximation work on
+    // a cluster: per-(lang, source) HLL partials (Datasketches
+    // hll_sketch_agg) are UNIONED per lang and only then estimated,
+    // mirroring the partial→final topology of a 1000-executor rollup
+    // (sketches cross the wire, rows never do). Contract like q73: the
+    // merged estimate must sit within 5% of exact.
+    QuerySpec("q99_hll_merge",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val partials = docs
+          .groupBy(col("lang"), col("source"))
+          .agg(expr("hll_sketch_agg(text, 14)").as("sk"))
+        val merged = partials.groupBy(col("lang"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+        val exact = docs.groupBy(col("lang"))
+          .agg(countDistinct(col("text")).as("exact_distinct"))
+        merged.join(exact, "lang")
+          .select(col("lang"), col("exact_distinct"),
+            (abs(col("__est") - col("exact_distinct")) <=
+              col("exact_distinct").cast("double") * 0.05).as("within_tol"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(DISTINCT text) AS exact_distinct,
+             |  true AS within_tol
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Approximate percentile (quantile sketch) under a RANK-tolerance
     // contract: the sketch value itself is engine-private, but the
     // fraction of rows at or below it must sit within 1 percentage point
