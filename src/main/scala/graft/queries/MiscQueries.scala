@@ -209,6 +209,35 @@ object MiscQueries {
              | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
              |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)),
 
+    // PURE range join (no equi-key): price lookups against overlapping
+    // intervals. Spark would plan the raw predicate join as a nested loop
+    // — operators.RangeJoin bins both sides and equi-joins on the bin id
+    // (residual containment filter after), the 100 TB shape. JoinSpec
+    // asserts no NestedLoop/Cartesian appears in the plan.
+    QuerySpec("q100_range_join_binned",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_extendedprice"))
+        val iv = t(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(229)) === 0)
+          .select(col("o_orderkey").as("iv_id"),
+            (col("o_totalprice") * 0.45).as("lo"),
+            (col("o_totalprice") * 0.55).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+            li, "l_extendedprice", iv, "lo", "hi", binWidth = 10000.0)
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("iv_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey AS iv_id, o_totalprice*0.45 AS lo,
+             |         o_totalprice*0.55 AS hi
+             |  FROM orders WHERE o_orderkey % 229 = 0)
+             |SELECT iv_id, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN iv
+             |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+             |GROUP BY iv_id ORDER BY iv_id""".stripMargin)),
+
     // Set operations: INTERSECT and EXCEPT (distinct semantics) between the
     // customer and supplier nation-key sets.
     QuerySpec("q26_setops",

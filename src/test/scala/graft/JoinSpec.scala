@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
   * a SortMergeJoin, and strategy choice never changes results. */
 class JoinSpec extends SparkSpec {
 
+  import spark.implicits._
+
   test("q88 plans a sort-merge join and matches the unhinted result") {
     val spec = graft.SparkEntry.allSpecs.find(_.name == "q88_smj_join").get
     val df = spec.fn(spark, sfDir)
@@ -20,6 +22,29 @@ class JoinSpec extends SparkSpec {
         graft.queries.Q.dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy("o_orderpriority")
     assert(df.collect().toSeq === unhinted.collect().toSeq)
+  }
+
+  test("binned range join avoids nested-loop plans and matches the naive join") {
+    import graft.operators.RangeJoin
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val iv = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        (col("o_totalprice") * 0.45).as("lo"),
+        (col("o_totalprice") * 0.55).as("hi"))
+    val binned = RangeJoin.pointInInterval(li, "l_extendedprice", iv, "lo", "hi", 5000.0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to an all-pairs plan:\n$plan")
+    val got = binned.select("l_orderkey", "l_linenumber", "iv_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val naive = li.join(iv,
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+      .select("l_orderkey", "l_linenumber", "iv_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === naive)
+    assert(naive.nonEmpty)
   }
 
   test("q97 plans a shuffled hash join and matches the unhinted result") {
