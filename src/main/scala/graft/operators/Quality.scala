@@ -202,20 +202,45 @@ object Quality {
     graft.plans.GraftFunctions.ensureRegistered(training.sparkSession)
     val th = Dedup.shingleSets(training, idCol, textCol, k)
       .select(col(idCol), explode(col("hset")).as("h"))
-    // Distinct benchmark hashes feed the Bloom build AND the confirm join.
-    val bh = OperatorCaches.persistTracked(
-      Dedup.shingleSets(benchmark, idCol, textCol, k)
-        .select(explode(col("hset")).as("h")).distinct())
-    val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val (bh, bytes) = benchBloom(benchmark, idCol, textCol, k, fpp)
     th.filter(graft.plans.GraftFunctions.mightContainNative(lit(bytes), col("h")))
       .join(bh, "h")
       .groupBy(col(idCol))
       .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+  }
+
+  /** Distinct benchmark shingle hashes (persistTracked — they feed the
+    * Bloom build AND the confirm join) plus the serialized Bloom filter
+    * over them. One source of the filter-construction policy for
+    * [[bloomContaminatedDocs]] and [[bloomPrefilterStats]]. */
+  private def benchBloom(benchmark: DataFrame, idCol: String, textCol: String,
+                         k: Int, fpp: Double): (DataFrame, Array[Byte]) = {
+    val bh = OperatorCaches.persistTracked(
+      Dedup.shingleSets(benchmark, idCol, textCol, k)
+        .select(explode(col("hset")).as("h")).distinct())
+    val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    (bh, bos.toByteArray)
+  }
+
+  /** Measurement hook for the prefilter's shuffle-volume claim:
+    * (total training hashes, hashes passing the Bloom probe, serialized
+    * filter size in bytes) under exactly the filter
+    * [[bloomContaminatedDocs]] would build — evidence stays in sync with
+    * the operator by construction. */
+  def bloomPrefilterStats(training: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, k: Int = 8,
+                          fpp: Double = 0.01): (Long, Long, Int) = {
+    graft.plans.GraftFunctions.ensureRegistered(training.sparkSession)
+    val (_, bytes) = benchBloom(benchmark, idCol, textCol, k, fpp)
+    val th = OperatorCaches.persistTracked(
+      Dedup.shingleSets(training, idCol, textCol, k)
+        .select(col(idCol), explode(col("hset")).as("h")))
+    val total = th.count()
+    val kept = th.filter(
+      graft.plans.GraftFunctions.mightContainNative(lit(bytes), col("h"))).count()
+    (total, kept, bytes.length)
   }
 
   /** Deterministic stratified sampling: keep a row iff

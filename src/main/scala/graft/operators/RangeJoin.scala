@@ -26,17 +26,21 @@ object RangeJoin {
   /** Rows of `points` × `intervals` with
     * `points(pointCol)` ∈ [`intervals(loCol)`, `intervals(hiCol)`] —
     * every column of both inputs is kept (the caller aggregates).
-    * Requires lo ≤ hi on every interval row (rows violating it are
-    * dropped by the bin sequence, matching the empty-interval semantics
-    * of the predicate form). */
+    * Inverted intervals (lo > hi) produce no bins and therefore no rows,
+    * matching the empty-interval semantics of the predicate form (an
+    * unguarded 2-arg sequence() would instead count DOWN through them).
+    * Neither input may already contain a `__bin` column. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "pointInInterval reserves the column name __bin; rename it on the inputs")
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
     val binnedIv = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(when(loBin <= hiBin, sequence(loBin, hiBin))
+        .otherwise(typedLit(Seq.empty[Long]))))
     val binnedPts = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     binnedPts.join(binnedIv, Seq("__bin"))

@@ -86,8 +86,12 @@ object FormatQueries {
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
         val exact = docs.groupBy(col("lang"))
           .agg(countDistinct(col("text")).as("exact_distinct"))
-        merged.join(exact, "lang")
-          .select(col("lang"), col("exact_distinct"),
+        // null-safe join key: a NULL-lang group must still pair up with
+        // its exact twin (a plain equi-join would silently drop it,
+        // diverging from the oracle's single-table GROUP BY); explicit
+        // aliases because both sides share the docs lineage
+        merged.as("m").join(exact.as("e"), col("m.lang") <=> col("e.lang"))
+          .select(col("e.lang").as("lang"), col("exact_distinct"),
             (abs(col("__est") - col("exact_distinct")) <=
               col("exact_distinct").cast("double") * 0.05).as("within_tol"))
           .orderBy("lang")

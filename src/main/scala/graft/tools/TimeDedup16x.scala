@@ -87,19 +87,15 @@ object TimeDedup16x {
       graft.operators.OperatorCaches.release()
       if (round == 1) {
         // the scale argument in rows: how much of the training-side hash
-        // stream the Bloom probe keeps out of the confirming shuffle
-        val th = graft.operators.Dedup.shingleSets(train16, "doc_id", "text", 8)
-          .select(col("doc_id"), explode(col("hset")).as("h"))
-        val bh = graft.operators.Dedup.shingleSets(bench16, "doc_id", "text", 8)
-          .select(explode(col("hset")).as("h")).distinct()
-        val bloom = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), 0.01)
-        val bytes = { val o = new java.io.ByteArrayOutputStream(); bloom.writeTo(o); o.toByteArray }
-        val total = th.count()
-        val kept = th.filter(graft.plans.GraftFunctions.mightContainNative(
-          org.apache.spark.sql.functions.lit(bytes), col("h"))).count()
+        // stream the Bloom probe keeps out of the confirming shuffle —
+        // measured via the operator's own stats hook so the evidence can't
+        // drift from bloomContaminatedDocs' actual filter construction
+        val (total, kept, filterBytes) = graft.operators.Quality
+          .bloomPrefilterStats(train16, bench16, "doc_id", "text", 8)
+        graft.operators.OperatorCaches.release()
         println(f"BLOOM selectivity: $kept%,d of $total%,d training hashes " +
           f"(${100.0 * kept / total}%.2f%%) reach the confirm shuffle; " +
-          f"filter size ${bytes.length}%,d bytes")
+          f"filter size $filterBytes%,d bytes")
       }
       spark.catalog.clearCache()
     }

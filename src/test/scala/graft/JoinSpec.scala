@@ -45,6 +45,18 @@ class JoinSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got === naive)
     assert(naive.nonEmpty)
+    // multiplicity too, not just set equality — a duplicate-emitting bin
+    // scheme must fail here, not be masked by toSet (the fixture itself
+    // has repeated (orderkey, linenumber) rows, so compare row COUNTS)
+    val naiveCount = li.join(iv,
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+      .count()
+    assert(binned.count() === naiveCount)
+    // inverted intervals contribute nothing (documented empty-interval
+    // semantics; an unguarded sequence() would count down through them)
+    val inverted = iv.select(col("iv_id"), col("hi").as("lo"), col("lo").as("hi"))
+    assert(RangeJoin.pointInInterval(li, "l_extendedprice", inverted,
+      "lo", "hi", 5000.0).count() === 0L)
   }
 
   test("q97 plans a shuffled hash join and matches the unhinted result") {
