@@ -209,6 +209,48 @@ object MiscQueries {
              | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
              |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)),
 
+    // Equi-DEPTH histogram (complement of q39's fixed-width): decile
+    // boundaries from one exact interpolated-percentile aggregation
+    // (cross-engine stable — q45's contract), then every row assigned by
+    // comparing against the 9 boundary values. NO global sort: the scale
+    // path is agg → 9 scalars → codegen'd when-chain, a single pass.
+    QuerySpec("q102_equidepth_histogram",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_extendedprice"))
+        val qs = li.agg(expr(
+            "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+          .head().getSeq[Double](0)
+        val bucket = qs.map(b =>
+            when(col("l_extendedprice") > lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+        li.groupBy(bucket.cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo_price"),
+            max(col("l_extendedprice")).as("hi_price"))
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (
+             |  SELECT quantile_cont(l_extendedprice,
+             |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+             |  FROM lineitem
+             |), b AS (
+             |  SELECT l_extendedprice,
+             |    CAST((CASE WHEN l_extendedprice > qs[1] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[2] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[3] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[4] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[5] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[6] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[7] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[8] THEN 1 ELSE 0 END +
+             |          CASE WHEN l_extendedprice > qs[9] THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS bucket
+             |  FROM lineitem, q
+             |)
+             |SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo_price,
+             |  max(l_extendedprice) AS hi_price
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // PURE range join (no equi-key): price lookups against overlapping
     // intervals. Spark would plan the raw predicate join as a nested loop
     // — operators.RangeJoin bins both sides and equi-joins on the bin id

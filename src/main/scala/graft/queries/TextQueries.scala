@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -197,6 +198,47 @@ object TextQueries {
              |  max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc,
              |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf
              |FROM r GROUP BY term HAVING count(*) >= 2
-             |ORDER BY term""".stripMargin))
+             |ORDER BY term""".stripMargin)),
+
+    // Vocabulary coverage curve: the smallest frequency-ranked vocabulary
+    // covering 50/90/99% of all token occurrences — the tokenizer-sizing
+    // question. All-integer arithmetic (100·cum >= pct·total), so the
+    // answer is exact on any engine. The window ranks the VOCABULARY
+    // (≪ corpus; the corpus itself is reduced by the groupBy first), so
+    // the single-partition window holds terms, never tokens.
+    QuerySpec("q101_vocab_coverage",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(desc("n"), col("term"))
+        val ranked = tf
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cum",
+            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = tf.agg(sum(col("n")).as("t"))
+        val pcts = s.range(0, 3).select(
+          element_at(typedLit(Seq(50L, 90L, 99L)), col("id").cast("int") + 1).as("pct"))
+        ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+          .filter(col("cum") * 100 >= col("pct") * col("t"))
+          .groupBy(col("pct"))
+          .agg(min(col("rn")).as("vocab_size"))
+          .orderBy("pct")
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |  WHERE len(term) > 0 GROUP BY term
+             |), r AS (
+             |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rn,
+             |    sum(n) OVER (ORDER BY n DESC, term
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM tf
+             |), tot AS (SELECT sum(n) AS t FROM tf)
+             |SELECT CAST(p.pct AS BIGINT) AS pct, min(rn) AS vocab_size
+             |FROM r, tot, (VALUES (50), (90), (99)) p(pct)
+             |WHERE cum * 100 >= p.pct * t
+             |GROUP BY p.pct ORDER BY pct""".stripMargin))
   )
 }

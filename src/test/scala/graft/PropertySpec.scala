@@ -126,6 +126,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin.pointInInterval equals the naive predicate join on random intervals") {
+    import graft.operators.RangeJoin
+    // random points; random intervals including empty, inverted, huge,
+    // negative, and zero-width — every shape the bin arithmetic must survive
+    val pts = sample(Gen.choose(-1000.0, 1000.0), 400, 31L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, math.rint(v * 8) / 8) }
+    val ivs = sample(for {
+      a <- Gen.choose(-1200.0, 1200.0)
+      w <- Gen.oneOf(Gen.choose(0.0, 5.0), Gen.choose(-300.0, 300.0),
+        Gen.const(0.0), Gen.const(2500.0))
+    } yield (a, a + w), 120, 32L)
+      .zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, math.rint(lo * 8) / 8, math.rint(hi * 8) / 8) }
+    val p = pts.toDF("p_id", "x")
+    val iv = ivs.toDF("iv_id", "lo", "hi")
+    for (binWidth <- Seq(0.125, 7.3, 1000.0)) {
+      val binned = RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", binWidth)
+        .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+      val naive = p.join(iv, col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(binned === naive, s"binWidth=$binWidth")
+    }
+  }
+
   test("graft_dot equals an exact Scala left-fold on random vectors") {
     GraftFunctions.ensureRegistered(spark)
     val vec: Gen[Array[Double]] =
