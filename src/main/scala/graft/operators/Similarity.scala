@@ -252,4 +252,17 @@ object Similarity {
         (col("qsum").cast("double") / col("n_members") / quantScale).as("c_new"),
         col("n_members"))
   }
+
+  /** Reshape a [[kmeansStep]] result back into the (c_id, cv) centroid
+    * frame [[ivfAssign]]/[[kmeansStep]] consume — so reproducible Lloyd
+    * steps chain: `centroidsFromStep(kmeansStep(corpus, c))` is one full
+    * deterministic iteration. Dimension order is restored by sorting the
+    * collected (dim, value) structs — collect_list order is
+    * partition-dependent, the sort makes the array exact. */
+  def centroidsFromStep(step: DataFrame): DataFrame =
+    step.groupBy(col("cluster_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c_new")))),
+        s => s.getField("c_new")).as("cv"))
+      .select(col("cluster_id").as("c_id"), col("cv"))
 }

@@ -122,6 +122,24 @@ class SimilaritySpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("chained kmeansStep iterations lower distortion like kmeansIterate") {
+    val corpus = (0 until 100).map { i =>
+      val center = randVec(i % 4, 16)
+      (i.toLong, perturb(center, 0.1, 7000 + i))
+    }.toDF("vec_id", "v")
+    val init = (0 until 4).map { i =>
+      (i.toLong, perturb(randVec(i, 16), 0.5, 300 + i))
+    }.toDF("c_id", "cv")
+    val d0 = Similarity.distortion(corpus, init)
+    var c = init
+    for (_ <- 1 to 3)
+      c = Similarity.centroidsFromStep(Similarity.kmeansStep(corpus, c))
+        .localCheckpoint()
+    val d1 = Similarity.distortion(corpus, c)
+    assert(d1 < d0, s"distortion should drop: $d0 -> $d1")
+    assert(c.count() === 4)
+  }
+
   test("ivfSearch finds in-cluster neighbors; nprobe=2 recall >= nprobe=1") {
     val corpus = (0 until 96).map { i =>
       val c = randVec(i % 8, 32)

@@ -183,6 +183,27 @@ class StreamingSpec extends SparkSpec {
       === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "DD"), (5L, "E")))
   }
 
+  test("compact after streamed upserts folds accreted files without changing data") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val base = s"$tmp/base"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(base)
+    // three upsert generations, each leaving its own file generation
+    for (g <- 1 to 3) {
+      val up = Seq((g * 10L, s"g$g")).toDF("k", "v")
+      up.write.mode("append").parquet(s"$tmp/in")
+      EventStreams.upsertSink(
+        EventStreams.fileStream(spark, up.schema, s"$tmp/in"),
+        Seq("k"), base, s"$tmp/ckpt").awaitTermination()
+    }
+    val expect = spark.read.parquet(base).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    val (nBefore, nAfter) = graft.operators.Layout.compact(
+      spark, base, targetBytesPerFile = 1L << 30)
+    assert(nAfter < nBefore)
+    assert(spark.read.parquet(base).orderBy("k")
+      .as[(Long, String)].collect().toSeq === expect)
+  }
+
   test("upsertSink resolves same-key records within one batch by seqCol") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
