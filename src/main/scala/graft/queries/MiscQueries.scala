@@ -209,6 +209,53 @@ object MiscQueries {
              | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
              |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)),
 
+    // Per-row group standardization (z-score): the feature-engineering
+    // normalize step. Group moments come from ONE decimal-exact
+    // aggregation (q43's co-moment discipline — order-independent), get
+    // broadcast back, and every row is standardized in the scan pass —
+    // two jobs total, no window over the fact table. Deterministic output
+    // order over every column (the fixture has repeated PK rows).
+    QuerySpec("q103_zscore",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+        val dec = col("l_quantity").cast(DecimalType(18, 2))
+        val nd = col("n").cast("double")
+        val stats = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(dec).as("sxd"),
+            sum(dec * dec).as("sx2d"))
+          .select(col("l_returnflag"),
+            (col("sxd").cast("double") / nd).as("mean"),
+            sqrt((nd * col("sx2d").cast("double")
+              - col("sxd").cast("double") * col("sxd").cast("double"))
+              / (nd * (nd - 1.0))).as("sd"))
+        li.join(broadcast(stats), "l_returnflag")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"),
+            ((col("l_quantity") - col("mean")) / col("sd")).as("z"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sxd,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))
+             |      * CAST(l_quantity AS DECIMAL(18,2))) AS sx2d
+             |  FROM lineitem GROUP BY l_returnflag
+             |), st AS (
+             |  SELECT l_returnflag,
+             |    CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    sqrt((CAST(n AS DOUBLE) * CAST(sx2d AS DOUBLE)
+             |      - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+             |  FROM m
+             |)
+             |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+             |  (l_quantity - mean) / sd AS z
+             |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+             |ORDER BY l.l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
     // Equi-DEPTH histogram (complement of q39's fixed-width): decile
     // boundaries from one exact interpolated-percentile aggregation
     // (cross-engine stable — q45's contract), then every row assigned by
