@@ -243,6 +243,30 @@ object Quality {
     (total, kept, bytes.length)
   }
 
+  /** Deterministic training shuffle: the final pre-training step — a
+    * reproducible pseudo-random permutation of the corpus into `nShards`
+    * shards with a stable position inside each. The permutation key is
+    * md5("salt|id") (engine-portable, partitioning-invariant — the same
+    * discipline as [[stratifiedHashSample]]), so any engine, any cluster
+    * size, any rerun produces the identical shard layout; seeded-RNG
+    * shuffles do not survive a repartition, let alone an engine swap.
+    * shard = key mod nShards; position = rank of the key inside the
+    * shard (a per-shard window — parallel across shards, never a global
+    * sort). Ties are impossible: distinct ids give distinct 60-bit keys
+    * (collision odds at corpus scale are ~n²/2^61 — and a collision only
+    * swaps two neighbors). */
+  def trainingShuffle(docs: DataFrame, idCol: String, nShards: Int,
+                      salt: String = "shuf"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val key = md5Long(concat(lit(salt + "|"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), key.as("__key"))
+      .withColumn("__shard", pmod(col("__key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("__shard").as("shard"), col("pos"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5("salt|id") mod 100 < rate(stratum). The gate depends only on row
     * identity — reproducible across engines, partitionings, and reruns

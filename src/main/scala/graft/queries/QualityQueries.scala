@@ -270,6 +270,22 @@ object QualityQueries {
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Deterministic training shuffle: reproducible pseudo-random
+    // permutation into 8 shards + stable in-shard position — the layout a
+    // training data loader reads. Hash-keyed, so the identical layout
+    // falls out of any engine/partitioning (the oracle proves it).
+    QuerySpec("q104_training_shuffle",
+      (s, d) => Quality.trainingShuffle(
+        t(s, d, "documents"), "doc_id", nShards = 8)
+        .orderBy("shard", "pos"),
+      Some("""SELECT doc_id, k % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+             |    AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |        ('0x' || substr(md5('shuf|' || doc_id), 1, 15))::BIGINT AS k
+             |      FROM documents)
+             |ORDER BY shard, pos""".stripMargin)),
+
     // Deterministic stratified sampling: per-language keep rates gated on
     // a content hash — reproducible on any partitioning/engine, unlike
     // seeded RNG sampling (q06's count contract is the closest RNG gets).

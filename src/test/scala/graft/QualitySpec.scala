@@ -136,6 +136,22 @@ class QualitySpec extends SparkSpec {
     assert(again === counts)
   }
 
+  test("trainingShuffle is a partitioning-invariant permutation with dense positions") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Quality.trainingShuffle(docs, "doc_id", nShards = 4)
+      .orderBy("shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    // every doc appears exactly once
+    assert(a.map(_._1).distinct.size === docs.count())
+    // positions are dense 1..n per shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size).toSeq)
+    }
+    // identical layout on a different input partitioning
+    val b = Quality.trainingShuffle(docs.repartition(13), "doc_id", nShards = 4)
+      .orderBy("shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(b === a)
+  }
+
   test("contaminatedDocs finds exactly the docs sharing a k-gram") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
