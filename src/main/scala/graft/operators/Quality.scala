@@ -243,6 +243,30 @@ object Quality {
     (total, kept, bytes.length)
   }
 
+  /** Intra-document dedup: drop repeated sentences WITHIN each document
+    * (the boilerplate/navigation-chrome remover that runs before
+    * corpus-level dedup), keeping each sentence's first occurrence and
+    * reassembling in original order. One explode + two groupBy shuffles
+    * keyed by doc — same scale shape as [[gopherSignals]]; the rebuilt
+    * text never leaves the executors except as requested output.
+    * Returns (idCol, n_sentences, n_unique, cleaned). */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = ". "): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val sent = docs.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "snt")))
+    val firsts = sent.groupBy(col(idCol), col("snt"))
+      .agg(min(col("pos")).as("pos"))
+    val rebuilt = firsts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_unique"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("snt")))),
+          s => s.getField("snt")), sep).as("cleaned"))
+    docs.select(col(idCol),
+        size(split(col(textCol), sepRegex)).cast("long").as("n_sentences"))
+      .join(rebuilt, Seq(idCol))
+  }
+
   /** Deterministic training shuffle: the final pre-training step — a
     * reproducible pseudo-random permutation of the corpus into `nShards`
     * shards with a stable position inside each. The permutation key is

@@ -270,6 +270,33 @@ object QualityQueries {
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Intra-document sentence dedup: repeated-boilerplate removal inside
+    // each doc, first occurrence kept, original order reassembled. The
+    // cleaned text is md5'd in the output (scalar hashing discipline);
+    // the oracle rebuilds with an ORDER BY-qualified string_agg.
+    QuerySpec("q105_intradoc_dedup",
+      (s, d) => Quality.dedupSentences(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_unique"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH sent AS (
+             |  SELECT doc_id, i AS pos, s[i] AS snt
+             |  FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+             |       unnest(range(1, len(s) + 1)) AS t(i)
+             |), f AS (
+             |  SELECT doc_id, snt, min(pos) AS pos FROM sent GROUP BY doc_id, snt
+             |), r AS (
+             |  SELECT doc_id, count(*) AS n_unique,
+             |    md5(string_agg(snt, '. ' ORDER BY pos)) AS cleaned_md5
+             |  FROM f GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, CAST(len(string_split(d.text, '. ')) AS BIGINT)
+             |    AS n_sentences,
+             |  r.n_unique, r.cleaned_md5
+             |FROM documents d JOIN r ON r.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Deterministic training shuffle: reproducible pseudo-random
     // permutation into 8 shards + stable in-shard position — the layout a
     // training data loader reads. Hash-keyed, so the identical layout

@@ -136,6 +136,19 @@ class QualitySpec extends SparkSpec {
     assert(again === counts)
   }
 
+  test("dedupSentences keeps first occurrences in original order") {
+    val docs = Seq(
+      (1L, "buy now. great deal. buy now. call us. great deal"),
+      (2L, "unique one. unique two")
+    ).toDF("doc_id", "text")
+    val out = Quality.dedupSentences(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 3L, "buy now. great deal. call us"),
+      (2L, 2L, 2L, "unique one. unique two")))
+  }
+
   test("trainingShuffle is a partitioning-invariant permutation with dense positions") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Quality.trainingShuffle(docs, "doc_id", nShards = 4)
