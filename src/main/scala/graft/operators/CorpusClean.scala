@@ -29,13 +29,15 @@ object CorpusClean {
             textCol: String, minTokens: Int = 10, maxTokens: Int = 1000,
             k: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // gated feeds the dedup key branch AND both sides of the downstream
-    // joins (≥3 evaluations of the scan + token gate without it);
-    // deduped feeds the decontamination shingling and the final anti-join.
-    // Both are persistTracked — release via OperatorCaches like the other
-    // multi-consumer operators.
-    val gated = OperatorCaches.persistTracked(docs.filter(
-      size(split(col(textCol), " ")).between(minTokens, maxTokens)))
+    // gated/deduped are multiply consumed but deliberately NOT persisted:
+    // both recompute as a columnar scan + codegen'd filter/semi-join with
+    // no shuffle, and caching full text rows costs ~3× more in cold
+    // columnar serialization than the recomputes save (measured,
+    // PERF_NOTES.md "CorpusClean persist experiment"). The genuinely
+    // expensive intermediates (shingle-hash streams) live behind the
+    // decontamination join keyed by hash, not here.
+    val gated = docs.filter(
+      size(split(col(textCol), " ")).between(minTokens, maxTokens))
     // keep-min per normalized content; the group key is the md5 of the
     // normalized text — fixed-width shuffle key, never the text itself
     val keepIds = gated
@@ -43,8 +45,7 @@ object CorpusClean {
       .groupBy(col("__nk"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = OperatorCaches.persistTracked(
-      gated.join(keepIds, Seq(idCol), "left_semi"))
+    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
     val contaminated = Quality
       .contaminatedDocs(deduped, benchmark, idCol, textCol, k)
       .select(col(idCol))

@@ -256,15 +256,19 @@ object Quality {
     val sent = docs.select(col(idCol),
       posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "snt")))
     val firsts = sent.groupBy(col(idCol), col("snt"))
-      .agg(min(col("pos")).as("pos"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("cnt"))
+    // n_sentences = Σ occurrence counts — carried through the existing
+    // aggregation, so the text column is scanned exactly once
     val rebuilt = firsts.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_unique"),
+      .agg(sum(col("cnt")).as("n_sentences"),
+        count(lit(1)).as("n_unique"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("snt")))),
           s => s.getField("snt")), sep).as("cleaned"))
-    docs.select(col(idCol),
-        size(split(col(textCol), sepRegex)).cast("long").as("n_sentences"))
-      .join(rebuilt, Seq(idCol))
+    // left join from the (id-only, text-pruned) doc list: a null-text doc
+    // re-enters with null stats instead of silently vanishing — the same
+    // convention as gopherSignals' zero-count re-entry
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
   }
 
   /** Deterministic training shuffle: the final pre-training step — a
@@ -282,6 +286,9 @@ object Quality {
   def trainingShuffle(docs: DataFrame, idCol: String, nShards: Int,
                       salt: String = "shuf"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    require(!Set("pos", "shard", "__key", "__shard").contains(idCol),
+      s"trainingShuffle reserves the column names pos/shard/__key/__shard; " +
+        s"rename the id column (got '$idCol')")
     val key = md5Long(concat(lit(salt + "|"), col(idCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(col("__key"), col(idCol))

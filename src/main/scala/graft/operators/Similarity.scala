@@ -255,14 +255,26 @@ object Similarity {
 
   /** Reshape a [[kmeansStep]] result back into the (c_id, cv) centroid
     * frame [[ivfAssign]]/[[kmeansStep]] consume — so reproducible Lloyd
-    * steps chain: `centroidsFromStep(kmeansStep(corpus, c))` is one full
-    * deterministic iteration. Dimension order is restored by sorting the
-    * collected (dim, value) structs — collect_list order is
-    * partition-dependent, the sort makes the array exact. */
-  def centroidsFromStep(step: DataFrame): DataFrame =
-    step.groupBy(col("cluster_id"))
+    * steps chain: `centroidsFromStep(kmeansStep(corpus, c), c)` is one
+    * full deterministic iteration. Dimension order is restored by sorting
+    * the collected (dim, value) structs — collect_list order is
+    * partition-dependent, the sort makes the array exact. Pass `prev`
+    * (the centroids the step ran with) to keep empty clusters at their
+    * previous position — [[kmeansIterate]]'s convention; without it a
+    * cluster that attracted no members disappears and every later
+    * iteration runs with permanently shrunken k. */
+  def centroidsFromStep(step: DataFrame, prev: Option[DataFrame] = None): DataFrame = {
+    val updated = step.groupBy(col("cluster_id"))
       .agg(transform(
         sort_array(collect_list(struct(col("dim"), col("c_new")))),
         s => s.getField("c_new")).as("cv"))
       .select(col("cluster_id").as("c_id"), col("cv"))
+    prev match {
+      case None => updated
+      case Some(p) =>
+        p.select(col("c_id"), col("cv").as("__prev"))
+          .join(updated.select(col("c_id"), col("cv").as("__new")), Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("__new"), col("__prev")).as("cv"))
+    }
+  }
 }

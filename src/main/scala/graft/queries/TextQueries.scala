@@ -213,14 +213,18 @@ object TextQueries {
           .filter(length(col("term")) > 0)
           .groupBy(col("term")).agg(count(lit(1)).as("n"))
         val w = Window.orderBy(desc("n"), col("term"))
+        // total = an unbounded frame over the SAME single-partition window
+        // the ranking already pays for — the term-frequency aggregation
+        // runs once, not once per branch
         val ranked = tf
           .withColumn("rn", row_number().over(w).cast("long"))
           .withColumn("cum",
             sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val tot = tf.agg(sum(col("n")).as("t"))
+          .withColumn("t",
+            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         val pcts = s.range(0, 3).select(
           element_at(typedLit(Seq(50L, 90L, 99L)), col("id").cast("int") + 1).as("pct"))
-        ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+        ranked.crossJoin(broadcast(pcts))
           .filter(col("cum") * 100 >= col("pct") * col("t"))
           .groupBy(col("pct"))
           .agg(min(col("rn")).as("vocab_size"))

@@ -133,11 +133,18 @@ class SimilaritySpec extends SparkSpec {
     val d0 = Similarity.distortion(corpus, init)
     var c = init
     for (_ <- 1 to 3)
-      c = Similarity.centroidsFromStep(Similarity.kmeansStep(corpus, c))
+      c = Similarity.centroidsFromStep(Similarity.kmeansStep(corpus, c), Some(c))
         .localCheckpoint()
     val d1 = Similarity.distortion(corpus, c)
     assert(d1 < d0, s"distortion should drop: $d0 -> $d1")
     assert(c.count() === 4)
+    // a far-away seed attracts no members; with prev it survives in place
+    val withDead = init.unionByName(
+      Seq((99L, Array.fill(16)(1e6))).toDF("c_id", "cv"))
+    val kept = Similarity.centroidsFromStep(
+      Similarity.kmeansStep(corpus, withDead), Some(withDead))
+    assert(kept.count() === 5)
+    assert(kept.filter(col("c_id") === 99L).count() === 1)
   }
 
   test("ivfSearch finds in-cluster neighbors; nprobe=2 recall >= nprobe=1") {
