@@ -53,6 +53,11 @@ object Convert {
       .option("timestampFormat", TimestampFormat)
       .option("nullValue", NullValue)
       .option("emptyValue", EmptyValue)
+      // the WRITER defaults these to true and silently trims string cells;
+      // a conversion must write the bytes it was given (round-trip parity
+      // asserted in ConvertSpec's torture test)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Overwrite)
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,17 @@ object Snapshots {
       .select(col(entityCol), col(attrCol),
         col(tsCol).as("valid_from"), col("valid_to"))
   }
+
+  /** Time-travel read over an [[scd2]] interval frame: the rows valid at
+    * instant `at` — i.e. the table as it stood then. A half-open interval
+    * check (`valid_from <= at < valid_to`, open-ended rows with null
+    * `valid_to` always current), so consecutive versions never overlap at
+    * the boundary instant. Pure filter: pushes into the interval frame's
+    * scan, no shuffle — reconstructing ANY historical generation costs
+    * one pass regardless of history depth. */
+  def asOf(intervals: DataFrame, at: Column): DataFrame =
+    intervals.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 
   /** Snapshot diff: per-key status between two generations — `added`
     * (only in `next`), `removed` (only in `prev`), `changed` (both, any

@@ -67,6 +67,35 @@ object SnapshotQueries {
              |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
              |FROM changes ORDER BY user_id, valid_from""".stripMargin)),
 
+    // Time-travel read: the q81 SCD2 history filtered to the rows valid
+    // at one instant — the per-user current event_type as of Jan 15 noon.
+    // A pure pushed-down filter over the interval frame: any historical
+    // generation reconstructs in one pass.
+    QuerySpec("q106_scd2_asof",
+      (s, d) => Snapshots.asOf(
+        Snapshots.scd2(Q.events(s, d).filter(col("user_id") < 20),
+          "user_id", "event_type", "ts", "event_id"),
+        lit("2024-01-15 12:00:00").cast("timestamp"))
+        .orderBy("user_id", "valid_from"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE user_id < 20
+             |), changes AS (
+             |  SELECT user_id, event_type, ts, event_id FROM e
+             |  WHERE prev IS NULL OR prev <> event_type
+             |), iv AS (
+             |  SELECT user_id, event_type, ts AS valid_from,
+             |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS valid_to
+             |  FROM changes
+             |)
+             |SELECT * FROM iv
+             |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+             |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+             |ORDER BY user_id, valid_from""".stripMargin)),
+
     // Snapshot diff between two derived generations of part: keys only
     // in the next are added, only in the prev removed, price-changed rows
     // changed (null-safe compare), the rest unchanged.

@@ -81,10 +81,16 @@ object Scan {
     * writer's bare-empty nulls and quoted-`""` empty strings round-trip
     * distinctly. */
   def csvWithSchema(spark: SparkSession, schema: StructType, path: String,
-                    timestampFormat: String = graft.operators.Convert.TimestampFormat): DataFrame =
+                    timestampFormat: String = graft.operators.Convert.TimestampFormat,
+                    multiLine: Boolean = false): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
       .option("timestampFormat", timestampFormat)
       .option("nullValue", graft.operators.Convert.ReaderNullSentinel)
+      // multiLine parses quoted embedded newlines correctly but reads
+      // each FILE as one unsplittable unit — at scale leave it off unless
+      // string columns can actually contain line breaks (the writer
+      // quotes them; the default line-mode reader would shear the record)
+      .option("multiLine", multiLine)
       .csv(path)
 }

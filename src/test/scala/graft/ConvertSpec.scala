@@ -80,6 +80,26 @@ class ConvertSpec extends SparkSpec {
     assert(row3.toSeq === Seq(null))
   }
 
+  test("CSV torture round-trip: embedded newlines, quotes, separators, unicode") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("convspec").toString
+    val src = Seq(
+      (1L, "line one\nline two"),
+      (2L, "crlf\r\nline"),
+      (3L, "tab\there, comma, \"quotes\" and 'apostrophes'"),
+      (4L, "ünïcödé — em-dash and ß"),
+      (5L, "trailing spaces   "),
+      (6L, "\"fully quoted\"")
+    ).toDF("id", "s")
+    Convert.toCsvDir(src, s"$tmp/torture")
+    // embedded newlines need the multiLine reader (the writer quotes them)
+    val back = Scan.csvWithSchema(spark, src.schema, s"$tmp/torture",
+      multiLine = true)
+    assert(back.count() === 6)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("timestamps survive the CSV round-trip at microsecond precision") {
     val tmp = Files.createTempDirectory("convspec").toString
     val src = spark.sql(
