@@ -51,9 +51,13 @@ object Snapshots {
     * instant `at` — i.e. the table as it stood then. A half-open interval
     * check (`valid_from <= at < valid_to`, open-ended rows with null
     * `valid_to` always current), so consecutive versions never overlap at
-    * the boundary instant. Pure filter: pushes into the interval frame's
-    * scan, no shuffle — reconstructing ANY historical generation costs
-    * one pass regardless of history depth. */
+    * the boundary instant. Pure filter, no shuffle of its own. The
+    * scan-pruning payoff applies when `intervals` is a MATERIALIZED
+    * history table (the usual shape — SCD2 frames are built once and
+    * persisted): then the predicates push into the parquet scan and any
+    * historical generation reconstructs in one pruned pass. Composed
+    * directly over [[scd2]] the window still processes the full log
+    * first — build once, store, then time-travel. */
   def asOf(intervals: DataFrame, at: Column): DataFrame =
     intervals.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
