@@ -49,7 +49,9 @@ object Bench {
     "q40_cosine_topk", "q41_ann_lsh", "q42_ivf_assign", "q55_ivf_search",
     "q65_dedup_apply", "q66_dedup_normalized", "q68_gopher_quality",
     "q75_topk_native", "q79_decontaminate", "q80_upsert", "q84_gapfill",
-    "q86_dedup_incremental",
+    "q86_dedup_incremental", "q92_bloom_decontam", "q93_sorted_neighborhood",
+    "q94_kmeans_step", "q96_corpus_clean", "q100_range_join_binned",
+    "q104_training_shuffle",
     "k1_convert_csv", "k2_convert_csv_10m")
 
   private def fmt(v: Double): String = BigDecimal(v)
