@@ -209,6 +209,32 @@ object MiscQueries {
              | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
              |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)),
 
+    // Relative-rank window family (complements q25's lag/lead/rank/count):
+    // percent_rank, cume_dist, ntile quartiles, dense_rank — all over a
+    // TOTAL per-user order (unique tie-break), so the peer-group-sensitive
+    // functions are deterministic and engine-portable.
+    QuerySpec("q108_rank_suite",
+      (s, d) => {
+        val byValue = Window.partitionBy(col("user_id"))
+          .orderBy(desc("value"), col("event_id"))
+        events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"),
+            percent_rank().over(byValue).as("pr"),
+            cume_dist().over(byValue).as("cd"),
+            ntile(4).over(byValue).cast("long").as("quartile"),
+            dense_rank().over(byValue).cast("long").as("drnk"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd,
+             |  ntile(4) OVER w AS quartile,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY value DESC, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // Per-row group standardization (z-score): the feature-engineering
     // normalize step. Group moments come from ONE decimal-exact
     // aggregation (q43's co-moment discipline — order-independent), get
