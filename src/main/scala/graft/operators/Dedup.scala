@@ -202,6 +202,43 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Edit-distance (Levenshtein ≤ `maxDist`) pairs for entity resolution
+    * — matching names/titles/IDs that differ by a typo. Pigeonhole
+    * blocking: split every string into `maxDist+1` equal segments; any
+    * pair within `maxDist` SUBSTITUTION edits must agree exactly on at
+    * least one segment (k edits can touch at most k of k+1 pieces), so an
+    * equi-join on (segment-slot, segment-value, length) finds every such
+    * pair — shuffle by derived key, never all-pairs — and the codegen'd
+    * `levenshtein` confirm filters to true matches. Insert/delete edits
+    * shift segment boundaries and are only caught opportunistically; the
+    * guarantee is substitution-complete (the dominant typo class for
+    * fixed-format identifiers), stated here because the recall contract
+    * IS the operator's semantics. maxDist=1 currently (2 segments);
+    * the pattern generalizes by adding slots. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "editDistancePairs currently implements maxDist = 1")
+    val len = length(col(strCol))
+    val halfLen = (len / 2).cast("int")
+    val keyed = df.select(col(idCol), col(strCol), len.as("__len"),
+      substr(col(strCol), lit(1), halfLen).as("__h0"),
+      substr(col(strCol), halfLen + 1, len).as("__h1"))
+    val sides = keyed.select(col(idCol), col(strCol), col("__len"),
+      explode(array(
+        struct(lit(0).as("slot"), col("__h0").as("seg")),
+        struct(lit(1).as("slot"), col("__h1").as("seg")))).as("__k"))
+      .select(col(idCol), col(strCol), col("__len"),
+        col("__k.slot").as("__slot"), col("__k.seg").as("__seg"))
+    sides.as("a").join(sides.as("b"),
+        col("a.__slot") === col("b.__slot") && col("a.__seg") === col("b.__seg") &&
+          col("a.__len") === col("b.__len") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        levenshtein(col(s"a.$strCol"), col(s"b.$strCol")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation. Input is any (a_id, b_id) pair frame
     * (e.g. [[lshPairs]] output); result is (doc_id, cluster_id) for every

@@ -442,6 +442,33 @@ object DedupQueries {
              |  JOIN st sb ON sb.doc_id = b_id
              |) WHERE jac >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
 
+    // Edit-distance entity resolution: supplier names within one
+    // substitution of each other, candidates from pigeonhole segment
+    // blocking (agree on half + equal length), confirmed by levenshtein —
+    // identical DP distance in both engines.
+    QuerySpec("q109_editdist_pairs",
+      (s, d) => graft.operators.Dedup.editDistancePairs(
+        t(s, d, "supplier"), "s_suppkey", "s_name")
+        .orderBy("a_id", "b_id"),
+      Some("""WITH k AS (
+             |  SELECT s_suppkey, s_name, len(s_name) AS l,
+             |    substr(s_name, 1, len(s_name) // 2) AS h0,
+             |    substr(s_name, len(s_name) // 2 + 1, len(s_name)) AS h1
+             |  FROM supplier
+             |), sides AS (
+             |  SELECT s_suppkey, s_name, l, 0 AS slot, h0 AS seg FROM k
+             |  UNION ALL
+             |  SELECT s_suppkey, s_name, l, 1 AS slot, h1 AS seg FROM k
+             |), cand AS (
+             |  SELECT DISTINCT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+             |    CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+             |  FROM sides a JOIN sides b
+             |    ON a.slot = b.slot AND a.seg = b.seg AND a.l = b.l
+             |   AND a.s_suppkey < b.s_suppkey
+             |)
+             |SELECT a_id, b_id, dist FROM cand WHERE dist <= 1
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // Winnowing fingerprints (MOSS): min hash per sliding window of 4
     // consecutive 3-gram hashes — a content-defined fingerprint set that
     // two documents share in proportion to overlapping runs. Sorted

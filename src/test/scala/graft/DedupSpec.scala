@@ -189,6 +189,20 @@ class DedupSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("editDistancePairs finds all substitution-1 pairs and no false positives") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "alpha-001"), (2L, "alpha-002"),  // dist 1 (last char)
+      (3L, "alpha-101"),                     // dist 1 from 1 (first half)
+      (4L, "bravo-001"),                     // dist 5 from alphas
+      (5L, "alpha-0012")                     // different length → excluded
+    ).toDF("id", "name")
+    val out = Dedup.editDistancePairs(names, "id", "name")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // 1↔2 differ in the second half, 1↔3 in the first, 2↔3 differ by TWO
+    assert(out === Set((1L, 2L), (1L, 3L)))
+  }
+
   test("minhash signature agreement rate tracks jaccard (sketch property)") {
     // identical docs agree on all signatures
     val df = Seq((1L, doc(5)), (2L, doc(5))).toDF("doc_id", "text")
