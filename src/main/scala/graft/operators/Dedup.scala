@@ -205,18 +205,25 @@ object Dedup {
   /** Edit-distance (Levenshtein ≤ `maxDist`) pairs for entity resolution
     * — matching names/titles/IDs that differ by a typo. Pigeonhole
     * blocking: split every string into `maxDist+1` equal segments; any
-    * pair within `maxDist` SUBSTITUTION edits must agree exactly on at
-    * least one segment (k edits can touch at most k of k+1 pieces), so an
-    * equi-join on (segment-slot, segment-value, length) finds every such
-    * pair — shuffle by derived key, never all-pairs — and the codegen'd
-    * `levenshtein` confirm filters to true matches. Insert/delete edits
-    * shift segment boundaries and are only caught opportunistically; the
-    * guarantee is substitution-complete (the dominant typo class for
-    * fixed-format identifiers), stated here because the recall contract
-    * IS the operator's semantics. maxDist=1 currently (2 segments);
-    * the pattern generalizes by adding slots. */
+    * EQUAL-LENGTH pair within `maxDist` substitution edits must agree
+    * exactly on at least one segment (k edits touch at most k of k+1
+    * pieces), so an equi-join on (segment-slot, segment-value, length)
+    * finds every such pair and the codegen'd `levenshtein` confirm
+    * filters to true matches. Insert/delete edits change the length and
+    * are OUT of this operator's contract entirely (the equal-length join
+    * key excludes them — run a second pass keyed on length±1 with
+    * shifted segments if they matter). Buckets larger than
+    * `maxBucketSize` are dropped before the self-join — a low-entropy
+    * segment shared by everything (a constant prefix like "Supplier#")
+    * would otherwise make the join quadratic in the table, exactly
+    * [[lshPairs]]' hot-bucket hazard and the same cap discipline; pairs
+    * in a dropped bucket are still found through their OTHER segment
+    * when it is selective, so the substitution-recall guarantee holds
+    * whenever at least one agreeing segment's bucket is under the cap.
+    * maxDist=1 currently (2 segments); generalizes by adding slots. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int = 1): DataFrame = {
+                        maxDist: Int = 1,
+                        maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
     require(maxDist == 1, "editDistancePairs currently implements maxDist = 1")
     val len = length(col(strCol))
     val halfLen = (len / 2).cast("int")
@@ -229,7 +236,12 @@ object Dedup {
         struct(lit(1).as("slot"), col("__h1").as("seg")))).as("__k"))
       .select(col(idCol), col(strCol), col("__len"),
         col("__k.slot").as("__slot"), col("__k.seg").as("__seg"))
-    sides.as("a").join(sides.as("b"),
+    val smallBuckets = sides.groupBy(col("__slot"), col("__seg"), col("__len"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("__slot"), col("__seg"), col("__len"))
+    val capped = sides.join(smallBuckets, Seq("__slot", "__seg", "__len"))
+    capped.as("a").join(capped.as("b"),
         col("a.__slot") === col("b.__slot") && col("a.__seg") === col("b.__seg") &&
           col("a.__len") === col("b.__len") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -459,10 +459,15 @@ object DedupQueries {
              |  SELECT s_suppkey, s_name, l, 0 AS slot, h0 AS seg FROM k
              |  UNION ALL
              |  SELECT s_suppkey, s_name, l, 1 AS slot, h1 AS seg FROM k
+             |), small AS (
+             |  SELECT slot, seg, l FROM sides
+             |  GROUP BY slot, seg, l HAVING count(*) <= 1000
+             |), capped AS (
+             |  SELECT sides.* FROM sides JOIN small USING (slot, seg, l)
              |), cand AS (
              |  SELECT DISTINCT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
              |    CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
-             |  FROM sides a JOIN sides b
+             |  FROM capped a JOIN capped b
              |    ON a.slot = b.slot AND a.seg = b.seg AND a.l = b.l
              |   AND a.s_suppkey < b.s_suppkey
              |)

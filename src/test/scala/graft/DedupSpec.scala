@@ -191,16 +191,35 @@ class DedupSpec extends SparkSpec {
 
   test("editDistancePairs finds all substitution-1 pairs and no false positives") {
     import spark.implicits._
+    // halves of a 9-char name: h0 = chars 1-4 ("alph"), h1 = chars 5-9
     val names = Seq(
-      (1L, "alpha-001"), (2L, "alpha-002"),  // dist 1 (last char)
-      (3L, "alpha-101"),                     // dist 1 from 1 (first half)
-      (4L, "bravo-001"),                     // dist 5 from alphas
-      (5L, "alpha-0012")                     // different length → excluded
+      (1L, "alpha-001"), (2L, "alpha-002"),  // differ in h1 → block via h0
+      (3L, "alpha-101"),                     // differs from 1 in h1 too
+      (6L, "blpha-001"),                     // differs from 1 in h0 → slot-1 leg
+      (4L, "bravo-001"),                     // dist 4 from the alphas
+      (5L, "alpha-0012")                     // different length → out of contract
     ).toDF("id", "name")
     val out = Dedup.editDistancePairs(names, "id", "name")
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // 1↔2 differ in the second half, 1↔3 in the first, 2↔3 differ by TWO
-    assert(out === Set((1L, 2L), (1L, 3L)))
+    // 2↔3 differ by TWO substitutions; 4/5 match nothing; 2↔6/3↔6 differ in both halves
+    assert(out === Set((1L, 2L), (1L, 3L), (1L, 6L)))
+  }
+
+  test("editDistancePairs caps hot buckets; recall rides the selective segment") {
+    import spark.implicits._
+    // constant h0 ("AAAA-") would bucket the whole table in slot 0; the cap
+    // drops that bucket, and pairs differing in one digit also disagree on
+    // h1 — the documented trade-off: no pairs survive a fully-degenerate key
+    val names = (0 until 30).map(i => (i.toLong, f"AAAA-$i%04d")).toDF("id", "name")
+    val out = Dedup.editDistancePairs(names, "id", "name", maxBucketSize = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out.isEmpty)
+    // with the default (uncapped at this size) the same table yields its
+    // true substitution-1 pairs through the h0 bucket — cap is the only delta
+    val full = Dedup.editDistancePairs(names, "id", "name")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty && full.forall { case (a, b) =>
+      f"AAAA-$a%04d".zip(f"AAAA-$b%04d").count { case (x, y) => x != y } == 1 })
   }
 
   test("minhash signature agreement rate tracks jaccard (sketch property)") {
