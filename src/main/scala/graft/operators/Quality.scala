@@ -128,18 +128,33 @@ object Quality {
 
   /** Contiguous sequence packing: assign documents (in id order) to
     * training bins of `budget` tokens — bin id = the bin the doc's
-    * first token lands in after concatenating the ordered corpus. One
-    * global-window cumsum, the packing every "concat then split into
-    * context windows" pipeline performs, made explicit and auditable.
+    * first token lands in after concatenating the ordered corpus. The
+    * packing every "concat then split into context windows" pipeline
+    * performs, made explicit and auditable.
     *
-    * Scale note: a global running sum plans a SinglePartition exchange,
-    * but only the (id, n_tokens) pairs flow through it — text never
-    * moves. Past the point where even that is too much, range-partition
-    * by id, cumsum within each range, and add broadcast per-range prefix
-    * offsets (two passes, no single-partition stage); bin ids are
-    * identical. */
+    * The global running sum runs DISTRIBUTED ([[PrefixSum]]: range
+    * partition by id, per-partition cumsum, broadcast prefix offsets) —
+    * no SinglePartition exchange anywhere in the plan (asserted in
+    * PrefixSumSpec), so the corpus-length cumsum scales with the
+    * cluster instead of funnelling (id, n_tokens) through one task.
+    * Bin ids are bit-identical to [[packContiguousSinglePass]], the
+    * one-window reference form kept as the property-tested verify twin. */
   def packContiguous(docs: DataFrame, idCol: String, textCol: String,
                      budget: Int = 512): DataFrame = {
+    val sized = docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val (withEnd, _) = PrefixSum.rankedRunningSum(
+      sized, Seq(col(idCol)), col("n_tokens"), "__rn", "__end")
+    withEnd.select(col(idCol), col("n_tokens"),
+      ((col("__end") - col("n_tokens")) / budget).cast("long").as("bin_id"))
+  }
+
+  /** Single-window reference form of [[packContiguous]] — the semantics
+    * twin (one global cumsum over a SinglePartition exchange). Kept for
+    * the equality property test; production callers use the distributed
+    * form. */
+  def packContiguousSinglePass(docs: DataFrame, idCol: String, textCol: String,
+                               budget: Int = 512): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -203,29 +203,25 @@ object TextQueries {
     // Vocabulary coverage curve: the smallest frequency-ranked vocabulary
     // covering 50/90/99% of all token occurrences — the tokenizer-sizing
     // question. All-integer arithmetic (100·cum >= pct·total), so the
-    // answer is exact on any engine. The window ranks the VOCABULARY
-    // (≪ corpus; the corpus itself is reduced by the groupBy first), so
-    // the single-partition window holds terms, never tokens.
+    // answer is exact on any engine. The frequency ranking + running sum
+    // run DISTRIBUTED (PrefixSum.rankedRunningSum: range partition by
+    // (n desc, term), per-partition window, broadcast prefix offsets) —
+    // at web scale the distinct-token vocabulary is itself billions of
+    // rows, so a global Window.orderBy would die in its SinglePartition
+    // exchange (plan-asserted absent in PrefixSumSpec). The grand total
+    // comes free from the driver-side partition sums.
     QuerySpec("q101_vocab_coverage",
       (s, d) => {
         val tf = t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("term"))
           .filter(length(col("term")) > 0)
           .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        val w = Window.orderBy(desc("n"), col("term"))
-        // total = an unbounded frame over the SAME single-partition window
-        // the ranking already pays for — the term-frequency aggregation
-        // runs once, not once per branch
-        val ranked = tf
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("cum",
-            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("t",
-            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        val (ranked, total) = graft.operators.PrefixSum.rankedRunningSum(
+          tf, Seq(desc("n"), col("term")), col("n"), "rn", "cum")
         val pcts = s.range(0, 3).select(
           element_at(typedLit(Seq(50L, 90L, 99L)), col("id").cast("int") + 1).as("pct"))
         ranked.crossJoin(broadcast(pcts))
-          .filter(col("cum") * 100 >= col("pct") * col("t"))
+          .filter(col("cum") * 100 >= col("pct") * lit(total))
           .groupBy(col("pct"))
           .agg(min(col("rn")).as("vocab_size"))
           .orderBy("pct")
