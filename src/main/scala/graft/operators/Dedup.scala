@@ -202,52 +202,92 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
-  /** Edit-distance (Levenshtein ≤ `maxDist`) pairs for entity resolution
-    * — matching names/titles/IDs that differ by a typo. Pigeonhole
-    * blocking: split every string into `maxDist+1` equal segments; any
-    * EQUAL-LENGTH pair within `maxDist` substitution edits must agree
-    * exactly on at least one segment (k edits touch at most k of k+1
-    * pieces), so an equi-join on (segment-slot, segment-value, length)
-    * finds every such pair and the codegen'd `levenshtein` confirm
-    * filters to true matches. Insert/delete edits change the length and
-    * are OUT of this operator's contract entirely (the equal-length join
-    * key excludes them — run a second pass keyed on length±1 with
-    * shifted segments if they matter). Buckets larger than
-    * `maxBucketSize` are dropped before the self-join — a low-entropy
-    * segment shared by everything (a constant prefix like "Supplier#")
-    * would otherwise make the join quadratic in the table, exactly
-    * [[lshPairs]]' hot-bucket hazard and the same cap discipline; pairs
-    * in a dropped bucket are still found through their OTHER segment
-    * when it is selective, so the substitution-recall guarantee holds
-    * whenever at least one agreeing segment's bucket is under the cap.
-    * maxDist=1 currently (2 segments); generalizes by adding slots. */
+  /** Edit-distance (full Levenshtein ≤ `maxDist`, substitutions AND
+    * insert/delete) pairs for entity resolution — matching names/titles/
+    * IDs that differ by typos. PassJoin-style pigeonhole blocking
+    * (Li/Deng/Feng, "PassJoin: A Partition-based Method for Similarity
+    * Joins", simplified):
+    *
+    *  - INDEX side: every string t of length L is split into
+    *    `maxDist + 1` near-equal segments (slot i covers
+    *    [⌊i·L/k⌋+1, ⌊(i+1)·L/k⌋], k = maxDist+1 — the same boundaries
+    *    for every engine, pure integer arithmetic).
+    *  - PROBE side: every string s generates, for each candidate target
+    *    length L2 ∈ [len(s)−maxDist, len(s)+maxDist] and slot i, the
+    *    substrings of s with slot i's TARGET-length geometry at start
+    *    positions shifted by up to ±maxDist from the target start.
+    *
+    * Recall lemma: if lev(s,t) = e ≤ maxDist, an optimal alignment's e
+    * edits touch at most e < k of t's k segments, so some segment of t
+    * appears verbatim in s, displaced by at most the net
+    * insertions−deletions before it (≤ e). That segment is one of s's
+    * probes for (L2 = len(t), its slot), so the equi-join on
+    * (slot, substring, target-length) finds every true pair; the
+    * codegen'd `levenshtein` confirm then filters candidates exactly.
+    * Strings shorter than `maxDist + 1` characters are excluded (some
+    * segments would be empty and the pigeonhole argument needs k
+    * non-empty pieces); at entity-name lengths that excludes nothing.
+    *
+    * Hot-bucket cap: index buckets larger than `maxBucketSize` are
+    * dropped before the join — a low-entropy segment shared by
+    * everything (a constant prefix like "Supplier#") would otherwise
+    * make the join quadratic in the table, exactly [[lshPairs]]' hazard
+    * and the same cap discipline; a pair whose every agreeing segment
+    * sits in a dropped bucket is lost (documented trade-off). The probe
+    * side is NOT capped — same asymmetry as [[lshPairsAgainst]]'s
+    * corpus-side-only cap — so the join output is bounded by
+    * probeEntries × maxBucketSize, with probeEntries ≤
+    * (2·maxDist+1)²·(maxDist+1) rows per input string. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 1,
                         maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
-    require(maxDist == 1, "editDistancePairs currently implements maxDist = 1")
-    val len = length(col(strCol))
-    val halfLen = (len / 2).cast("int")
-    val keyed = df.select(col(idCol), col(strCol), len.as("__len"),
-      substr(col(strCol), lit(1), halfLen).as("__h0"),
-      substr(col(strCol), halfLen + 1, len).as("__h1"))
-    val sides = keyed.select(col(idCol), col(strCol), col("__len"),
-      explode(array(
-        struct(lit(0).as("slot"), col("__h0").as("seg")),
-        struct(lit(1).as("slot"), col("__h1").as("seg")))).as("__k"))
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    val k = maxDist + 1
+    // ⌊i·L/k⌋ + 1 — 1-based segment start for slot i under length L.
+    // Values are small ints: the double division is exact, cast = floor.
+    def segStart(l: Column, i: Column): Column = (i * l / k).cast("int") + 1
+    def segLen(l: Column, i: Column): Column = segStart(l, i + 1) - segStart(l, i)
+    // base feeds the index explode, the probe explode, and both confirm
+    // joins — persist (tracked) so the source is scanned once.
+    val base = OperatorCaches.persistTracked(
+      df.select(col(idCol), col(strCol), length(col(strCol)).as("__len"))
+        .filter(col("__len") >= k))
+    val idx = base
       .select(col(idCol), col(strCol), col("__len"),
-        col("__k.slot").as("__slot"), col("__k.seg").as("__seg"))
-    val smallBuckets = sides.groupBy(col("__slot"), col("__seg"), col("__len"))
+        explode(sequence(lit(0), lit(k - 1))).as("__slot"))
+      .select(col(idCol), col("__len"), col("__slot"),
+        col(strCol).substr(segStart(col("__len"), col("__slot")),
+          segLen(col("__len"), col("__slot"))).as("__seg"))
+    val smallBuckets = idx.groupBy(col("__slot"), col("__seg"), col("__len"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucketSize)
       .select(col("__slot"), col("__seg"), col("__len"))
-    val capped = sides.join(smallBuckets, Seq("__slot", "__seg", "__len"))
-    capped.as("a").join(capped.as("b"),
-        col("a.__slot") === col("b.__slot") && col("a.__seg") === col("b.__seg") &&
-          col("a.__len") === col("b.__len") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
-        levenshtein(col(s"a.$strCol"), col(s"b.$strCol")).as("dist"))
+    val cappedIdx = idx.join(smallBuckets, Seq("__slot", "__seg", "__len"))
+    val probe = base
+      .withColumn("__l2", explode(sequence(col("__len") - maxDist, col("__len") + maxDist)))
+      .filter(col("__l2") >= k)
+      .withColumn("__slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__s2", segStart(col("__l2"), col("__slot")))
+      .withColumn("__slen", segLen(col("__l2"), col("__slot")))
+      .withColumn("__jlo", greatest(lit(1), col("__s2") - maxDist))
+      .withColumn("__jhi", least(col("__len") - col("__slen") + 1, col("__s2") + maxDist))
+      .filter(col("__jlo") <= col("__jhi"))
+      .withColumn("__j", explode(sequence(col("__jlo"), col("__jhi"))))
+      .select(col(idCol), col("__l2"), col("__slot"),
+        col(strCol).substr(col("__j"), col("__slen")).as("__sub"))
       .distinct()
+    val cand = probe.as("p").join(cappedIdx.as("t"),
+        col("p.__slot") === col("t.__slot") && col("p.__sub") === col("t.__seg") &&
+          col("p.__l2") === col("t.__len") &&
+          col(s"p.$idCol") =!= col(s"t.$idCol"))
+      .select(least(col(s"p.$idCol"), col(s"t.$idCol")).as("a_id"),
+        greatest(col(s"p.$idCol"), col(s"t.$idCol")).as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col(idCol).as("a_id"), col(strCol).as("__sa")), "a_id")
+      .join(base.select(col(idCol).as("b_id"), col(strCol).as("__sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

@@ -89,6 +89,74 @@ object DedupQueries {
       |  JOIN sets sb ON sb.doc_id = b_id
       |)""".stripMargin
 
+  /** DuckDB twin of connected components over the q32 LSH pair stream
+    * (recursive reachability + per-source minimum) — the shared oracle of
+    * q37 (label propagation) and q111 (star contraction): both clusterers
+    * promise (doc_id, cluster_id = component minimum). */
+  private lazy val clustersOracle: String =
+    lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """
+        |, e AS (
+        |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+        |), reach AS (
+        |  SELECT DISTINCT s AS src, s AS node FROM e
+        |  UNION
+        |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
+        |)
+        |SELECT src AS doc_id, min(node) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.editDistancePairs' PassJoin-style blocking:
+    * index segments (⌊i·l/k⌋ boundaries), shifted probes for every target
+    * length l±maxDist, index-side bucket cap, levenshtein confirm — the
+    * full candidate pipeline mirrored, so blocking itself is hash-checked.
+    * `baseSelect` must yield columns (id, s). */
+  private def editDistSql(baseSelect: String, maxDist: Int,
+                          cap: Long = MaxBucket): String = {
+    val k = maxDist + 1
+    val d = maxDist
+    s"""WITH base AS (
+       |  SELECT * FROM ($baseSelect) WHERE len(s) >= $k
+       |), idx AS (
+       |  SELECT id, len(s) AS l, i AS slot,
+       |    substr(s, (i*len(s))//$k + 1,
+       |           ((i+1)*len(s))//$k - (i*len(s))//$k) AS seg
+       |  FROM base CROSS JOIN (SELECT unnest(range($k)) AS i) ii
+       |), small AS (
+       |  SELECT slot, seg, l FROM idx
+       |  GROUP BY slot, seg, l HAVING count(*) <= $cap
+       |), cidx AS (
+       |  SELECT idx.* FROM idx JOIN small USING (slot, seg, l)
+       |), pr0 AS (
+       |  SELECT id, s, len(s) AS l, len(s) + dl AS l2, i AS slot
+       |  FROM base
+       |  CROSS JOIN (SELECT unnest(range(-$d, ${d + 1})) AS dl) dd
+       |  CROSS JOIN (SELECT unnest(range($k)) AS i) ii
+       |  WHERE len(s) + dl >= $k
+       |), pr1 AS (
+       |  SELECT id, s, l2, slot,
+       |    ((slot+1)*l2)//$k - (slot*l2)//$k AS slen,
+       |    unnest(range(greatest(1, (slot*l2)//$k + 1 - $d),
+       |                 least(l - (((slot+1)*l2)//$k - (slot*l2)//$k) + 1,
+       |                       (slot*l2)//$k + 1 + $d) + 1)) AS j
+       |  FROM pr0
+       |), probe AS (
+       |  SELECT DISTINCT id, l2, slot, substr(s, j, slen) AS sub FROM pr1
+       |), cand AS (
+       |  SELECT DISTINCT least(p.id, t.id) AS a_id, greatest(p.id, t.id) AS b_id
+       |  FROM probe p JOIN cidx t
+       |    ON p.slot = t.slot AND p.sub = t.seg AND p.l2 = t.l AND p.id <> t.id
+       |)
+       |SELECT a_id, b_id, CAST(levenshtein(ba.s, bb.s) AS INTEGER) AS dist
+       |FROM cand
+       |JOIN base ba ON ba.id = a_id
+       |JOIN base bb ON bb.id = b_id
+       |WHERE levenshtein(ba.s, bb.s) <= $d
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Exact dedup: group by content, keep the smallest doc_id. The 100 TB
@@ -170,19 +238,22 @@ object DedupQueries {
           rowsPerBand = RowsPerBand)
         graft.operators.Dedup.dupClusters(pairs).orderBy("doc_id")
       },
-      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """
-          |, e AS (
-          |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
-          |  UNION ALL
-          |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
-          |), reach AS (
-          |  SELECT DISTINCT s AS src, s AS node FROM e
-          |  UNION
-          |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
-          |)
-          |SELECT src AS doc_id, min(node) AS cluster_id
-          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+      Some(clustersOracle)),
+
+    // The SAME connected components via alternating large-star/small-star
+    // contraction — the O(log n)-round scale path past label propagation
+    // (which needs one round per unit of component DIAMETER). Identical
+    // output contract (doc_id, cluster_id = component minimum), so it
+    // hash-matches the exact q37 oracle — the two clusterers are
+    // interchangeable and both oracle-gated.
+    QuerySpec("q111_dup_clusters_star",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        graft.operators.Dedup.dupClustersStar(pairs).orderBy("doc_id")
+      },
+      Some(clustersOracle)),
 
     // The full near-dup pipeline applied: detect (LSH pairs) → cluster
     // (connected components) → drop non-canonical members via left-anti
@@ -443,36 +514,33 @@ object DedupQueries {
              |) WHERE jac >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
 
     // Edit-distance entity resolution: supplier names within one
-    // substitution of each other, candidates from pigeonhole segment
-    // blocking (agree on half + equal length), confirmed by levenshtein —
-    // identical DP distance in both engines.
+    // Levenshtein edit of each other, candidates from PassJoin-style
+    // shifted-segment pigeonhole blocking (Dedup.editDistancePairs),
+    // confirmed by levenshtein — identical DP distance in both engines.
+    // The oracle mirrors the full blocking pipeline (segments, probes,
+    // cap), so candidate generation itself is hash-checked.
     QuerySpec("q109_editdist_pairs",
       (s, d) => graft.operators.Dedup.editDistancePairs(
         t(s, d, "supplier"), "s_suppkey", "s_name")
         .orderBy("a_id", "b_id"),
-      Some("""WITH k AS (
-             |  SELECT s_suppkey, s_name, len(s_name) AS l,
-             |    substr(s_name, 1, len(s_name) // 2) AS h0,
-             |    substr(s_name, len(s_name) // 2 + 1, len(s_name)) AS h1
-             |  FROM supplier
-             |), sides AS (
-             |  SELECT s_suppkey, s_name, l, 0 AS slot, h0 AS seg FROM k
-             |  UNION ALL
-             |  SELECT s_suppkey, s_name, l, 1 AS slot, h1 AS seg FROM k
-             |), small AS (
-             |  SELECT slot, seg, l FROM sides
-             |  GROUP BY slot, seg, l HAVING count(*) <= 1000
-             |), capped AS (
-             |  SELECT sides.* FROM sides JOIN small USING (slot, seg, l)
-             |), cand AS (
-             |  SELECT DISTINCT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
-             |    CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
-             |  FROM capped a JOIN capped b
-             |    ON a.slot = b.slot AND a.seg = b.seg AND a.l = b.l
-             |   AND a.s_suppkey < b.s_suppkey
-             |)
-             |SELECT a_id, b_id, dist FROM cand WHERE dist <= 1
-             |ORDER BY a_id, b_id""".stripMargin)),
+      Some(editDistSql("SELECT s_suppkey AS id, s_name AS s FROM supplier",
+        maxDist = 1))),
+
+    // Edit-distance at maxDist = 2 INCLUDING insert/delete edits: the
+    // zero-stripped supplier names ("Supplier#12" vs "Supplier#120")
+    // differ by insertions as well as substitutions, exercising the
+    // cross-length probe legs (l2 ≠ l) of the PassJoin blocking. Same
+    // fully-mirrored oracle pipeline as q109.
+    QuerySpec("q110_editdist_maxdist2",
+      (s, d) => graft.operators.Dedup.editDistancePairs(
+        t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            regexp_replace(col("s_name"), "#0+", "#").as("s_short")),
+        "s_suppkey", "s_short", maxDist = 2)
+        .orderBy("a_id", "b_id"),
+      Some(editDistSql(
+        "SELECT s_suppkey AS id, regexp_replace(s_name, '#0+', '#', 'g') AS s FROM supplier",
+        maxDist = 2))),
 
     // Winnowing fingerprints (MOSS): min hash per sliding window of 4
     // consecutive 3-gram hashes — a content-defined fingerprint set that

@@ -189,37 +189,65 @@ class DedupSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
-  test("editDistancePairs finds all substitution-1 pairs and no false positives") {
+  test("editDistancePairs finds all lev-1 pairs (subs AND inserts), no false positives") {
     import spark.implicits._
-    // halves of a 9-char name: h0 = chars 1-4 ("alph"), h1 = chars 5-9
     val names = Seq(
-      (1L, "alpha-001"), (2L, "alpha-002"),  // differ in h1 → block via h0
-      (3L, "alpha-101"),                     // differs from 1 in h1 too
-      (6L, "blpha-001"),                     // differs from 1 in h0 → slot-1 leg
+      (1L, "alpha-001"), (2L, "alpha-002"),  // 1 substitution
+      (3L, "alpha-101"),                     // 1 substitution from 1
+      (6L, "blpha-001"),                     // 1 substitution from 1 (first seg)
       (4L, "bravo-001"),                     // dist 4 from the alphas
-      (5L, "alpha-0012")                     // different length → out of contract
+      (5L, "alpha-0012")                     // 1 INSERTION from 1 and 2 — cross-length legs
     ).toDF("id", "name")
     val out = Dedup.editDistancePairs(names, "id", "name")
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // 2↔3 differ by TWO substitutions; 4/5 match nothing; 2↔6/3↔6 differ in both halves
-    assert(out === Set((1L, 2L), (1L, 3L), (1L, 6L)))
+    // 2↔3 differ by TWO substitutions; 4 matches nothing; 5 is one insert
+    // from both 1 (append '2') and 2 (insert '1')
+    assert(out === Set((1L, 2L), (1L, 3L), (1L, 6L), (1L, 5L), (2L, 5L)))
   }
 
-  test("editDistancePairs caps hot buckets; recall rides the selective segment") {
+  test("editDistancePairs maxDist=2 equals brute force incl. insert/delete pairs") {
     import spark.implicits._
-    // constant h0 ("AAAA-") would bucket the whole table in slot 0; the cap
-    // drops that bucket, and pairs differing in one digit also disagree on
-    // h1 — the documented trade-off: no pairs survive a fully-degenerate key
+    val raw = Seq("Supplier#1", "Supplier#12", "Supplier#13", "Supplier#120",
+      "Supplier#124", "Supplier#9", "Vendor#12", "Supplier#9124",
+      "Supplxer#12", "Suppler#12")
+    val names = raw.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val got = Dedup.editDistancePairs(names, "id", "name", maxDist = 2)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // brute-force truth over all pairs (no caps hit at this size)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      i <- raw.indices; j <- raw.indices if i < j
+      d = lev(raw(i), raw(j)) if d <= 2
+    } yield (i.toLong, j.toLong, d)).toSet
+    assert(want.exists { case (_, _, d) => d > 0 } &&
+      want.exists { case (a, b, _) => raw(a.toInt).length != raw(b.toInt).length })
+    assert(got === want)
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("editDistancePairs caps hot index buckets; recall rides the selective segment") {
+    import spark.implicits._
+    // constant first half ("AAAA-") would bucket the whole table in slot 0;
+    // the cap drops that index bucket, and pairs differing in one digit also
+    // disagree on the second segment — the documented trade-off: no pairs
+    // survive a fully-degenerate key
     val names = (0 until 30).map(i => (i.toLong, f"AAAA-$i%04d")).toDF("id", "name")
     val out = Dedup.editDistancePairs(names, "id", "name", maxBucketSize = 10)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(out.isEmpty)
     // with the default (uncapped at this size) the same table yields its
-    // true substitution-1 pairs through the h0 bucket — cap is the only delta
+    // true lev-1 pairs through the slot-0 bucket — cap is the only delta
     val full = Dedup.editDistancePairs(names, "id", "name")
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(full.nonEmpty && full.forall { case (a, b) =>
       f"AAAA-$a%04d".zip(f"AAAA-$b%04d").count { case (x, y) => x != y } == 1 })
+    graft.operators.OperatorCaches.release()
   }
 
   test("minhash signature agreement rate tracks jaccard (sketch property)") {
