@@ -13,7 +13,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     RelationalQueries.specs ++ MiscQueries.specs ++ TextQueries.specs ++
       DedupQueries.specs ++ SimilarityQueries.specs ++ MultimodalQueries.specs ++
-      QualityQueries.specs ++ FormatQueries.specs ++ SnapshotQueries.specs
+      QualityQueries.specs ++ FormatQueries.specs ++ SnapshotQueries.specs ++
+      LayoutQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -19,15 +19,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Layout {
 
-  /** Write `df` as a bucketed (and bucket-sorted) catalog table. */
+  /** Write `df` as a bucketed (and bucket-sorted) catalog table. With
+    * `path` the table is EXTERNAL (data at the given location; only bucket
+    * metadata lives in the catalog) — callers outside a warehouse-rooted
+    * session pass a temp/staging dir so nothing lands in the default
+    * `spark-warehouse`. The table is dropped first: overwriting a catalog
+    * entry whose previous incarnation pointed at a different location
+    * would otherwise fail or, worse, resurrect the stale path. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit =
-    df.write
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two same-key bucketed tables — plans with no Exchange on either
     * side (asserted in LayoutSpec). */
