@@ -54,6 +54,28 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
   }
 
+  /** LEFT OUTER watermarked stream-stream interval join: every purchase
+    * emits, with null view columns when no same-user view preceded it
+    * within the hour (the unattributed-conversion shape). Semantics the
+    * outer side adds on a STREAM: a purchase can only be declared
+    * view-less once no qualifying view can still arrive, so the null-side
+    * rows are emitted when the watermark passes the purchase's join
+    * window (p_ts, i.e. the upper bound of qualifying v_ts) — inner
+    * matches stream out immediately, outer rows trail the watermark.
+    * Batch twin: the same join condition with "left_outer", which
+    * StreamingSpec compares against (modulo the watermark-tail rows a
+    * finite stream can never finalize — the spec pushes the watermark
+    * with a sentinel so the comparable set is total). */
+  def attributionJoinLeftOuter(purchases: DataFrame, views: DataFrame,
+                               watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val v = views.withWatermark("v_ts", watermark)
+    p.join(v,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a STATIC dimension table (user → segment, asset → metadata, …).
     * Stateless — no watermark needed on the static side, no join state
@@ -158,56 +180,29 @@ object EventStreams {
   case class SessionUpdate(user_id: Long, session_id: Long, event_id: Long,
                            ts: Timestamp)
 
-  /** Stateful sessionization (30-min inactivity gap) with
-    * flatMapGroupsWithState: per-user state carries (current session id,
-    * last event time); each micro-batch's events extend or roll the
-    * session. State is partitioned by user_id — the same key the batch
-    * twin (q14) windows over.
-    *
-    * NoTimeout variant: state is never evicted — correct for bounded
-    * replays (Trigger.AvailableNow test/backfill runs, where a
-    * processing-time timeout would keep the engine scheduling batches
-    * forever); long-running streams use [[sessionizeWithTimeout]].
-    *
-    * Cross-batch ordering assumption (both variants): events are sorted
-    * by event time WITHIN a micro-batch, but a batch is assumed not to
-    * arrive before an earlier-timestamped event of a later batch —
-    * i.e. late data beyond the batch boundary joins the session state as
-    * it stands. Bound that lateness with the watermark in
-    * [[sessionizeWithTimeout]]. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
-    import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val tms = e.ts.getTime
-            val sid = if (s.lastTs == Long.MinValue || tms - s.lastTs > gapMs)
-              s.sessionId + 1 else s.sessionId
-            s = SessionState(sid, tms)
-            SessionUpdate(userId, sid, e.event_id, e.ts)
-          }
-          state.update(s)
-          out.iterator
-      }
-  }
-
-  /** Production sessionization with watermark-driven state eviction. The
+  /** Sessionization with watermark-driven state eviction — the ONLY
+    * sessionize path (an earlier NoTimeout variant was removed: state
+    * that is never evicted is exactly the unbounded-state bug a
+    * long-running stream dies of, and EventTimeTimeout works under
+    * Trigger.AvailableNow replays too — the timeout fires on the
+    * event-time watermark, not on wall-clock batch scheduling). The
     * input must carry an event-time watermark (applied here); each update
     * arms an EventTimeTimeout at lastTs + gap, so once the watermark
     * passes a user's session gap the state is removed — per-user state is
     * bounded by active users inside the watermark horizon instead of
     * growing forever.
     *
-    * Session identity differs from [[sessionize]] BY DESIGN: a per-user
-    * counter cannot survive eviction (a timed-out user's fresh state
-    * would restart at 1 and collide with their earlier sessions), so here
-    * `session_id` is the session's START TIME in epoch millis — unique
-    * and monotone per user across any number of evictions, with no state
-    * beyond the current session. */
+    * Session identity: a per-user counter cannot survive eviction (a
+    * timed-out user's fresh state would restart at 1 and collide with
+    * their earlier sessions), so `session_id` is the session's START TIME
+    * in epoch millis — unique and monotone per user across any number of
+    * evictions, with no state beyond the current session.
+    *
+    * Cross-batch ordering assumption: events are sorted by event time
+    * WITHIN a micro-batch, but a batch is assumed not to arrive before an
+    * earlier-timestamped event of a later batch — late data beyond the
+    * batch boundary joins the session state as it stands, bounded by the
+    * watermark. */
   def sessionizeWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
                             watermark: String = "2 hours"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._

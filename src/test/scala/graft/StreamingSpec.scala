@@ -40,28 +40,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("stateful sessionize splits on the inactivity gap") {
-    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
-    val events = Seq(
-      EventStreams.Event(1, ts(0), 10, "click", 1.0),
-      EventStreams.Event(2, ts(10), 10, "click", 1.0),  // same session (gap 10m)
-      EventStreams.Event(3, ts(50), 10, "click", 1.0),  // new session (gap 40m)
-      EventStreams.Event(4, ts(0), 20, "view", 1.0),
-      EventStreams.Event(5, ts(31), 20, "view", 1.0))   // new session (gap 31m)
-
+  test("stream-stream LEFT OUTER interval join equals the batch left-outer join") {
     val tmp = Files.createTempDirectory("streamspec").toString
-    events.toDF().write.parquet(s"$tmp/in")
-    val stream = EventStreams.fileStream(spark, events.toDF().schema, s"$tmp/in")
-      .as[EventStreams.Event]
-    val out = EventStreams.runAvailableNow(
-      EventStreams.sessionize(stream, gapMinutes = 30).toDF(),
-      "sessions_stream", OutputMode.Append)
-      .select("user_id", "event_id", "session_id")
-      .as[(Long, Long, Long)].collect().toSet
+    val e = eventsBatch.filter(col("user_id") < 20)
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+    // Sentinel rows 4h past the end of the data on BOTH inputs: the global
+    // watermark (min across inputs, each maxTs − 2h delay) then clears
+    // p_ts + 1h for every real purchase, so each unmatched purchase's
+    // outer row is finalized and emitted before the stream drains. The
+    // sentinels pair only with each other and are excluded below.
+    val sentinelTs = new Timestamp(maxTs.getTime + 4L * 3600 * 1000)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .union(Seq((-1L, -1L, sentinelTs)).toDF("p_user", "purchase_id", "p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .union(Seq((-1L, -1L, sentinelTs)).toDF("v_user", "view_id", "v_ts"))
+    p.write.parquet(s"$tmp/p"); v.write.parquet(s"$tmp/v")
 
-    assert(out === Set(
-      (10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 2L),
-      (20L, 4L, 1L), (20L, 5L, 2L)))
+    val streamed = EventStreams.runAvailableNow(
+      EventStreams.attributionJoinLeftOuter(
+        EventStreams.fileStream(spark, p.schema, s"$tmp/p"),
+        EventStreams.fileStream(spark, v.schema, s"$tmp/v")),
+      "attribution_outer_stream", OutputMode.Append)
+      .filter(col("purchase_id") =!= -1L)
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    val batch = EventStreams.attributionJoinLeftOuter(p, v)
+      .filter(col("purchase_id") =!= -1L)
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.exists(_._3.isEmpty),
+      "expected at least one unattributed purchase (null view_id)")
+    assert(streamed.exists(_._3.nonEmpty))
   }
 
   test("streamed dedup within watermark equals batch distinct") {
@@ -129,7 +143,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("sessionizeWithTimeout groups like NoTimeout; ids are eviction-safe start times") {
+  test("sessionizeWithTimeout splits on the gap; ids are eviction-safe start times") {
     def tsm(min: Long) = 1700000000000L + min * 60000L
     def ts(min: Long) = new Timestamp(tsm(min))
     val events = Seq(
@@ -150,7 +164,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
 
     // session_id = session-start epoch millis (survives state eviction,
-    // unlike a per-user counter); grouping matches the NoTimeout variant
+    // unlike a per-user counter)
     assert(out === Set(
       (10L, 1L, tsm(0)), (10L, 2L, tsm(0)), (10L, 3L, tsm(50)),
       (20L, 4L, tsm(0)), (20L, 5L, tsm(31))))
