@@ -130,6 +130,31 @@ object MultimodalQueries {
             col("features").cast("array<double>"))), 6).as("feat_norm"))
           .orderBy("asset_id")
       },
-      Some(q52Oracle))
+      Some(q52Oracle)),
+
+    // REAL container parsing: spec-conformant PNGs (chunked, CRC-32'd)
+    // and PCM WAVs are synthesized in one codegen'd projection, then a
+    // pure-JVM mapPartitions parser walks the binary back out — chunk
+    // traversal, endian-correct field reads, CRC verification. The oracle
+    // states every expected field arithmetically (it never parses), so a
+    // builder/parser disagreement on ANY byte surfaces as a hash mismatch
+    // — crc_ok=true is only reachable when the crc32 the builder embedded
+    // matches the CRC-32 the parser recomputes over the traversed bytes.
+    QuerySpec("q113_container_meta",
+      (s, d) => Multimodal.parseContainerMeta(
+        Multimodal.fakeContainers(t(s, d, "documents")))
+        .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(6 AS INTEGER) END AS color_type,
+             |  CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id // 2) % 2 + 1 AS INTEGER) END AS channels,
+             |  CASE WHEN doc_id % 2 = 1 THEN CAST(([8000,16000,22050,44100])[CAST((doc_id // 2) % 4 + 1 AS INTEGER)] AS INTEGER) END AS sample_rate,
+             |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INTEGER) END AS bits_per_sample,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS data_len,
+             |  CASE WHEN doc_id % 2 = 0 THEN TRUE END AS crc_ok
+             |FROM documents ORDER BY asset_id""".stripMargin))
   )
 }

@@ -59,4 +59,54 @@ class MultimodalSpec extends SparkSpec {
       .select("modality").distinct().as[String].collect().toSet
     assert(m === Set("image", "audio", "video"))
   }
+
+  test("synthesized PNGs decode with the JDK's own ImageIO (spec conformance)") {
+    // javax.imageio is an independent third-party PNG reader: if it can
+    // recover the IHDR dimensions, the builder's chunk layout, CRCs, and
+    // big-endian fields are right by an implementation we didn't write.
+    // (The IDAT payload is not a real zlib stream, so only the header
+    // metadata — not pixels — is readable; ImageIO parses dimensions
+    // lazily from IHDR, which is exactly the contract q113 exercises.)
+    val pngs = Multimodal.fakeContainers(docs.filter(col("doc_id") % 2 === 0).limit(10))
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(pngs.nonEmpty)
+    pngs.foreach { case (id, bytes) =>
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, s"asset $id: ImageIO did not recognize the PNG")
+      val r = readers.next()
+      r.setInput(in)
+      assert(r.getWidth(0) === (id % 640 + 16).toInt, s"asset $id width")
+      assert(r.getHeight(0) === (id % 480 + 16).toInt, s"asset $id height")
+      r.dispose()
+    }
+  }
+
+  test("parseContainerMeta flags corruption instead of mis-parsing or throwing") {
+    val assets = Multimodal.fakeContainers(docs.limit(40))
+      .select("asset_id", "bytes").as[(Long, Array[Byte])].collect()
+    val png = assets.find(_._1 % 2 == 0).get
+    val wav = assets.find(_._1 % 2 == 1).get
+
+    // flip one byte inside the PNG IHDR data → CRC must catch it
+    val flipped = png._2.clone()
+    flipped(18) = (flipped(18) ^ 0x7f).toByte
+    // truncate the WAV mid-header → unknown, not a crash
+    val truncated = wav._2.take(10)
+    // foreign bytes → unknown
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+
+    val parsed = Multimodal.parseContainerMeta(
+      Seq((1L, flipped), (2L, truncated), (3L, garbage), (4L, wav._2))
+        .toDF("asset_id", "bytes"))
+      .orderBy("asset_id").collect()
+
+    assert(parsed(0).getAs[String]("format") === "png")
+    assert(parsed(0).getAs[Boolean]("crc_ok") === false) // corruption caught
+    assert(parsed(1).getAs[String]("format") === "unknown")
+    assert(parsed(2).getAs[String]("format") === "unknown")
+    assert(parsed(3).getAs[String]("format") === "wav")
+    assert(!parsed(3).isNullAt(parsed(3).fieldIndex("sample_rate")))
+  }
 }
