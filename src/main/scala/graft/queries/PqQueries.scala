@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{OperatorCaches, Pq, Similarity}
+import Q._
+
+/** Product quantization, oracle-gated end to end: deterministic codebook
+  * training (fixed-point Lloyd step per subspace), encoding with exact
+  * integer quantization-error accounting, and IVF-cell-restricted ADC
+  * search. Geometry: 64-dim embeddings → m=4 subspaces × 16 dims, k=8
+  * codes per subspace (64 floats → 4 bytes, 64×), codebooks seeded from
+  * the first 8 vectors' subvectors. Everything downstream of the
+  * fixed-point grid is BIGINT arithmetic, so all three queries hash-match
+  * a DuckDB oracle that re-derives the same codebooks symbolically.
+  */
+object PqQueries {
+
+  private val M = 4
+  private val SubDim = 16
+  private val K = 8
+
+  private def vecs(s: SparkSession, d: String) =
+    t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** (sv, cb0, cb1): shared pipeline head — subvectors, seeded codebook,
+    * one-step-refined codebook (empty codes fall back to their seed). */
+  private def trained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val sv = OperatorCaches.persistTracked(
+      Pq.subvectors(vecs(s, d), "vec_id", "v", M, SubDim))
+    val cb0 = sv.filter(col("vec_id") < K)
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+    val cb1 = Pq.codebookFromStep(Pq.trainStep(sv, cb0), Some(cb0))
+    (sv, cb0, cb1)
+  }
+
+  // ---- shared oracle scaffolding (DuckDB CTEs mirroring `trained`) ----
+
+  private val svSql =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sv AS (SELECT vec_id, sub, v[sub*16+1:(sub+1)*16] AS sv
+      |       FROM e CROSS JOIN (SELECT unnest(range(4)) AS sub)),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM sv WHERE vec_id < 8)""".stripMargin
+
+  /** Argmin-by-(dist, code) assignment of every subvector to codebook
+    * `cb` — the SQL twin of [[Pq.assign]] (same l2 composition from three
+    * dot products, same tie order). */
+  private def assignSql(cb: String): String =
+    s"""(SELECT vec_id, sub, sv, code, dist FROM (
+       |    SELECT s.vec_id, s.sub, s.sv, c.code,
+       |      list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+       |        + list_dot_product(c.cv, c.cv) AS dist,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+       |          + list_dot_product(c.cv, c.cv), c.code) AS rn
+       |    FROM sv s JOIN $cb c USING (sub)) WHERE rn = 1)""".stripMargin
+
+  /** One fixed-point Lloyd step over cb0 → refreshed codebook cb1. */
+  private val cb1Sql =
+    s"""a0 AS ${assignSql("cb0")},
+       |x AS (SELECT sub, code, i - 1 AS dim,
+       |        CAST(floor(sv[i] * 1000000 + 0.5) AS BIGINT) AS q
+       |      FROM (SELECT sub, code, sv, unnest(range(1, len(sv) + 1)) AS i FROM a0)),
+       |step AS (SELECT sub, code, dim,
+       |    (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) / 1000000 AS c_new,
+       |    count(*) AS n_members
+       |  FROM x GROUP BY sub, code, dim),
+       |cb1u AS (SELECT sub, code, list(c_new ORDER BY dim) AS cv
+       |         FROM step GROUP BY sub, code),
+       |cb1 AS (SELECT c0.sub, c0.code, COALESCE(u.cv, c0.cv) AS cv
+       |        FROM cb0 c0 LEFT JOIN cb1u u ON u.sub = c0.sub AND u.code = c0.code)""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // PQ codebook training step: per-subspace fixed-point Lloyd update
+    // (q94's bit-reproducible kmeans step generalized with the subspace
+    // key). The full refreshed codebook is hash-checked entry by entry.
+    QuerySpec("q114_pq_train",
+      (s, d) => {
+        val (sv, cb0, _) = trained(s, d)
+        Pq.trainStep(sv, cb0)
+          .select(col("sub").cast("long").as("sub"), col("code"), col("dim"),
+            col("c_new"), col("n_members"))
+          .orderBy("sub", "code", "dim")
+      },
+      Some(s"""WITH $svSql,
+              |a0 AS ${assignSql("cb0")},
+              |x AS (SELECT sub, code, i - 1 AS dim,
+              |        CAST(floor(sv[i] * 1000000 + 0.5) AS BIGINT) AS q
+              |      FROM (SELECT sub, code, sv, unnest(range(1, len(sv) + 1)) AS i FROM a0))
+              |SELECT CAST(sub AS BIGINT) AS sub, code, dim,
+              |  (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) / 1000000 AS c_new,
+              |  count(*) AS n_members
+              |FROM x GROUP BY sub, code, dim
+              |ORDER BY sub, code, dim""".stripMargin)),
+
+    // PQ encode + exact reconstruction-error accounting: every vector's
+    // quantization error is the INTEGER sum of its m subspace errors on
+    // the fixed-point grid, so the per-label roll-up (the compression
+    // quality report a 100 TB vector store watches) is order-independent
+    // and hash-exact.
+    QuerySpec("q115_pq_encode",
+      (s, d) => {
+        val (sv, _, cb1) = trained(s, d)
+        val perVec = Pq.encode(sv, cb1)
+          .groupBy(col("vec_id"))
+          .agg(sum(col("qdist")).as("qerr"))
+        perVec.join(t(s, d, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("qerr")).as("sum_qerr"),
+            max(col("qerr")).as("max_qerr"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $svSql,
+              |$cb1Sql,
+              |enc AS (SELECT vec_id,
+              |          CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS qdist
+              |        FROM ${assignSql("cb1")} t),
+              |pv AS (SELECT vec_id, CAST(sum(qdist) AS BIGINT) AS qerr
+              |       FROM enc GROUP BY vec_id)
+              |SELECT label, count(*) AS n_vecs,
+              |  CAST(sum(qerr) AS BIGINT) AS sum_qerr, max(qerr) AS max_qerr
+              |FROM pv JOIN embeddings USING (vec_id)
+              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // IVF + ADC search: queries and corpus coarse-assign to IVF cells
+    // (broadcast centroids), candidates = same cell only; each candidate's
+    // distance is the integer sum of m LUT lookups — the query side stays
+    // full-precision, the corpus side never touches a float. The complete
+    // IVF-PQ search path, hash-checked (codes, cells, LUT, ranks — all of
+    // it) against DuckDB.
+    QuerySpec("q116_pq_adc_ivf",
+      (s, d) => {
+        val (sv, _, cb1) = trained(s, d)
+        val e = vecs(s, d)
+        val coarse = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val cells = OperatorCaches.persistTracked(
+          Similarity.ivfAssign(e, coarse)
+            .select(col("vec_id"), col("cluster_id")))
+        val qcells = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("cluster_id"))
+        val pairs = cells.join(qcells, "cluster_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        val lut = Pq.adcLut(sv.filter(col("vec_id") < 5), cb1)
+        Pq.adcTopK(Pq.adcDistances(pairs, Pq.encode(sv, cb1), lut), 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_qdist"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $svSql,
+              |$cb1Sql,
+              |enc AS (SELECT vec_id, sub, code FROM ${assignSql("cb1")} t),
+              |cells AS (SELECT vec_id, c_id AS cluster_id FROM (
+              |    SELECT e.vec_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.v)
+              |          + list_dot_product(c.v, c.v), c.vec_id) AS rn
+              |    FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) c)
+              |  WHERE rn = 1),
+              |pairs AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id
+              |          FROM cells x JOIN cells q USING (cluster_id)
+              |          WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+              |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
+              |          CAST(floor((list_dot_product(s.sv, s.sv)
+              |            - 2.0*list_dot_product(s.sv, c.cv)
+              |            + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS qd
+              |        FROM sv s JOIN cb1 c USING (sub) WHERE s.vec_id < 5),
+              |dists AS (SELECT p.q_id, p.neighbor_id,
+              |            CAST(sum(l.qd) AS BIGINT) AS adc_qdist
+              |          FROM pairs p
+              |          JOIN enc n ON n.vec_id = p.neighbor_id
+              |          JOIN lut l ON l.q_id = p.q_id AND l.sub = n.sub AND l.code = n.code
+              |          GROUP BY p.q_id, p.neighbor_id),
+              |ranked AS (SELECT q_id, neighbor_id, adc_qdist,
+              |             row_number() OVER (PARTITION BY q_id
+              |               ORDER BY adc_qdist, neighbor_id) AS rank
+              |           FROM dists)
+              |SELECT q_id, rank, neighbor_id, adc_qdist
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pq
+
+/** Product quantization: encode totality/range, Lloyd-step monotonicity,
+  * and an INDEPENDENT plain-Scala recomputation of ADC distances (the
+  * oracle checks Spark-vs-DuckDB; this checks Spark-vs-hand-math). */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val M = 4
+  private val SubDim = 16
+
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private lazy val sv = Pq.subvectors(e, "vec_id", "v", M, SubDim)
+  private lazy val cb0 = sv.filter(col("vec_id") < 8)
+    .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+  private lazy val cb1 = Pq.codebookFromStep(Pq.trainStep(sv, cb0), Some(cb0))
+
+  test("encode emits exactly one in-range code per (vector, subspace)") {
+    val n = e.count()
+    val codes = Pq.encode(sv, cb1)
+    assert(codes.count() === n * M)
+    assert(codes.groupBy("vec_id", "sub").count()
+      .filter(col("count") =!= 1).count() === 0)
+    assert(codes.filter(col("code") < 0 || col("code") >= 8).count() === 0)
+    assert(codes.select("sub").distinct().count() === M)
+  }
+
+  test("one fixed-point Lloyd step does not increase total quantization error") {
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Long =
+      Pq.encode(sv, cb).agg(sum("qdist")).head().getLong(0)
+    val before = totalErr(cb0)
+    val after = totalErr(cb1)
+    // exact Lloyd is monotone; the 1e-6 fixed-point snap can cost at most
+    // rounding slack, bounded here at 0.01%
+    assert(after <= before + before / 10000,
+      s"training step worsened quantization error: $before -> $after")
+    assert(after < before, "step should strictly improve on this fixture")
+  }
+
+  test("ADC distances equal an independent plain-Scala recomputation") {
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cb = cb1.as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codes = Pq.encode(sv, cb1).select("vec_id", "sub", "code")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val qsv = sv.filter(col("vec_id") < 3).as[(Long, Int, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+
+    val pairs = (for (q <- qsv.keys; n <- codes.keys.take(50) if n != q)
+      yield (q, n)).toSeq
+    val expected = pairs.map { case (q, n) =>
+      val d = (0 until M).map { s =>
+        val a = qsv(q)(s); val c = cb((s, codes(n)(s)))
+        val l2 = dot(a, a) - 2.0 * dot(a, c) + dot(c, c)
+        math.floor(l2 * 1000000 + 0.5).toLong
+      }.sum
+      (q, n) -> d
+    }.toMap
+
+    val lut = Pq.adcLut(sv.filter(col("vec_id") < 3), cb1)
+    val got = Pq.adcDistances(pairs.toDF("q_id", "neighbor_id"),
+        Pq.encode(sv, cb1), lut)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"pair $k") }
+  }
+}
