@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-level statistical scoring for training-data curation: unigram
+  * language-model typicality scores, cross-document duplicated-span
+  * detection (the span-granular exact dedup of "Deduplicating Training
+  * Data Makes Language Models Better", Lee et al. 2022, done with
+  * fingerprint postings instead of a suffix array), and Count-Min-sketch
+  * heavy-hitter extraction with an exact confirm pass.
+  *
+  * Design rules shared by all three:
+  *   - every score is EXACT RATIONAL arithmetic (integer numerators and
+  *     denominators, one final correctly-rounded IEEE division), so results
+  *     are bit-identical across engines — no transcendentals, whose libm
+  *     rounding is engine-private (the discipline from q27's tf·N/df);
+  *   - every shuffle key is either a value column or an md5-derived 60-bit
+  *     fingerprint ([[graft.functions.TextFunctions.md5Long]]) — stable in
+  *     any engine, so the DuckDB oracle can reproduce the keys verbatim;
+  *   - aggregation before join: postings are reduced to per-key counts
+  *     (map-side combinable) before anything is joined back, so the wide
+  *     side of each join carries counts, never token streams.
+  */
+object CorpusStats {
+
+  /** Per-document unigram-LM typicality scores against the corpus's own
+    * unigram distribution (the CCNet-style "how much does this document
+    * look like the corpus" signal, in exact-arithmetic form).
+    *
+    * Two passes over one tokenization:
+    *   1. corpus LM: `groupBy(token) → count` (partial aggregation does the
+    *      heavy lifting map-side; the shuffle carries one row per distinct
+    *      token);
+    *   2. per-doc score: reduce each document's tokens to per-(doc, token)
+    *      counts FIRST, join those against the LM on the token key, then
+    *      aggregate per document. The token-keyed join input is therefore
+    *      |distinct (doc,token) pairs|, not |tokens| — on repetitive web
+    *      text that is the difference between shuffling the corpus and
+    *      shuffling its vocabulary projection.
+    *
+    * Scores per document (all exact rationals in doubles):
+    *   - `avg_p`: mean unigram probability of the document's tokens,
+    *     Σ_tok cnt(tok) / (n_tok · N) — high = built from common words;
+    *   - `min_cnt`: corpus count of the document's rarest token — a 1-row
+    *     gibberish detector (hapax in the corpus ⇒ 1);
+    *   - `rare_frac`: fraction of token POSITIONS whose corpus count is
+    *     below `rareBelow` — the mass-based variant of the same signal.
+    *
+    * At 100 TB: pass 1's shuffle is the distinct vocabulary (Zipf-bounded,
+    * ~10⁸ rows — trivial); pass 2 shuffles per-doc distinct postings on the
+    * token key and then per-doc partials on doc_id. No broadcast is assumed
+    * anywhere: the LM side joins shuffled, so an arbitrarily large
+    * vocabulary still works (Catalyst will broadcast it when small enough).
+    */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     rareBelow: Long = 100L): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // per-(doc, token) occurrence counts — the projection joined to the LM
+    val docTok = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    docTok.join(lm, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_tok"),
+        sum(col("k") * col("cnt")).as("p_num"),
+        min(col("cnt")).as("min_cnt"),
+        sum(when(col("cnt") < rareBelow, col("k")).otherwise(0L))
+          .as("n_rare"))
+      .crossJoin(n)
+      .select(
+        col(idCol),
+        col("n_tok"),
+        // exact: long numerator / (long · long) product, one IEEE division
+        (col("p_num").cast("double") /
+          (col("n_tok") * col("n_total")).cast("double")).as("avg_p"),
+        col("min_cnt"),
+        (col("n_rare").cast("double") / col("n_tok").cast("double"))
+          .as("rare_frac"))
+  }
+
+  /** Cross-document duplicated-span detection: every k-token sliding
+    * window of every document is fingerprinted (md5-derived 60-bit long,
+    * ~1e-13 collision odds corpus-wide); a span fingerprint that occurs in
+    * ≥ 2 DISTINCT documents marks all its positions as duplicated. Returns
+    * one row per document: total spans, duplicated-span positions, and the
+    * duplicated fraction — the per-document "copied text" mass that
+    * span-level dedup would remove.
+    *
+    * Shape: postings are aggregated to per-(fingerprint) doc-counts before
+    * the join back (the fingerprint-keyed shuffle carries one row per
+    * distinct span, not per position), and the join back to positions is a
+    * semi-join against the duplicated subset only — on mostly-unique
+    * corpora the duplicated set is a sliver, so the second shuffle is
+    * near-empty. No arrays cross a shuffle: spans live inside a per-row
+    * higher-order transform, positions explode to (doc, fp) pairs only.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+    val posting = withToks
+      .select(col(idCol), explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+    // one row per distinct span fingerprint, with its distinct-doc count
+    val dupFps = posting.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"))
+    val dupPos = posting.join(dupFps, "fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    withToks
+      .select(col(idCol),
+        greatest(size(col("t")) - (k - 1), lit(0)).cast("long").as("n_spans"))
+      .join(dupPos, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Count-Min-sketch parameters: `depth` independent universal hash rows
+    * (reusing the MinHash (a,b) pairs — fixed public constants shared with
+    * the oracle SQL) of `width` counters each. */
+  final case class CmsParams(depth: Int = 4, width: Int = 1024) {
+    require(depth >= 1 && depth <= MinhashA.length, s"depth 1..${MinhashA.length}")
+  }
+
+  /** Build the Count-Min sketch of a token column as a (row, cell) → count
+    * DataFrame: `depth × width` counters, each the exact sum of the tokens
+    * hashing into it. The build is ONE map-side-combinable aggregation over
+    * the exploded (row, cell) keys — at any scale the shuffle is bounded by
+    * depth·width rows per map task, not by data volume. The sketch is
+    * mergeable across batches by summing cells (same partial→final
+    * topology as the HLL partials in q99).
+    */
+  def cmsSketch(toksCol: DataFrame, tokCol: String,
+                p: CmsParams = CmsParams()): DataFrame = {
+    val h = md5Long(col(tokCol)) % MinhashP
+    val cells = array((0 until p.depth).map { j =>
+      struct(lit(j).as("row"),
+        (((lit(MinhashA(j)) * h + MinhashB(j)) % MinhashP) % p.width)
+          .as("cell"))
+    }: _*)
+    toksCol.select(explode(cells).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters (tokens with exact frequency ≥ `threshold`) via
+    * CMS-prefilter + exact confirm:
+    *   1. build the sketch (tiny, bounded shuffle);
+    *   2. estimate each DISTINCT token's frequency as the min over its
+    *      `depth` cells — CMS never underestimates, so
+    *      `estimate ≥ threshold` is a SUPERSET of the true heavy hitters
+    *      (no false negatives, the Bloom-decontamination guarantee shape);
+    *   3. exact confirm: count ONLY the candidate tokens (semi-join the
+    *      posting against the candidate set) and apply the exact threshold.
+    *
+    * The point at scale: the full `groupBy(token)` over a 100 TB posting
+    * never happens — the only token-keyed aggregation that sees full data
+    * has its input semi-joined down to the (few) candidates first, and the
+    * candidate set itself was derived from the fixed-size sketch. Output is
+    * EXACT (the sketch only prunes), so the oracle is plain threshold SQL.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, threshold: Long,
+                      p: CmsParams = CmsParams()): DataFrame = {
+    val posting = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val sketch = cmsSketch(posting, "tok", p)
+    val h = md5Long(col("tok")) % MinhashP
+    val withCells = posting.distinct()
+      .select(col("tok") +: (0 until p.depth).map { j =>
+        (((lit(MinhashA(j)) * h + MinhashB(j)) % MinhashP) % p.width)
+          .as(s"c$j")
+      }: _*)
+    // join each candidate token to its depth cells, estimate = min count
+    val est = (0 until p.depth).foldLeft(withCells) { (acc, j) =>
+      acc.join(
+        sketch.filter(col("row") === j)
+          .select(col("cell").as(s"c$j"), col("cnt").as(s"cnt$j")),
+        Seq(s"c$j"))
+    }.select(col("tok"),
+      least((0 until p.depth).map(j => col(s"cnt$j")): _*).as("est"))
+    val candidates = est.filter(col("est") >= threshold).select(col("tok"))
+    posting.join(candidates, Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** Systematic (fixed-interval) weighted sampling: walk the cumulative
+    * integer-weight axis in a total order and keep every row whose weight
+    * interval `(cum − w, cum]` contains a multiple of `step` — the classic
+    * particle-filter / PPS-systematic scheme, picked over
+    * Efraimidis–Spirakis exponential keys because it is EXACT integer
+    * arithmetic end to end (u^(1/w) keys need pow(), whose rounding is
+    * engine-private). `picks = ⌊cum/step⌋ − ⌊(cum−w)/step⌋` is also the
+    * row's multiplicity for weight-proportional replication.
+    *
+    * The cumulative weight comes from [[PrefixSum.rankedRunningSum]] — the
+    * range-partition + broadcast-offset prefix sum, so there is no
+    * single-partition window anywhere and the shape survives any corpus
+    * size. `sortExprs` must be a total order (tiebreak included).
+    */
+  def systematicWeightedSample(df: DataFrame, sortExprs: Seq[Column],
+                               weight: Column, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val (withCum, _) = PrefixSum.rankedRunningSum(
+      df.withColumn("__w", weight.cast("long")), sortExprs,
+      col("__w"), rnCol = "__rn", cumCol = "cum_w")
+    withCum
+      // integer DIV keeps the multiplicity exact at any cumulative-weight
+      // magnitude (a double division would wobble past 2^53)
+      .withColumn("picks",
+        expr(s"(cum_w DIV $step) - ((cum_w - __w) DIV $step)"))
+      .filter(col("picks") > 0)
+      .drop("__w", "__rn")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+import Q._
+
+/** Corpus-statistics surface for training-data curation: unigram-LM
+  * typicality scoring, span-granular exact duplication measurement,
+  * systematic weighted sampling, and sketch-prefiltered heavy hitters.
+  * All exact-arithmetic (rational scores, md5-derived fingerprints) so
+  * every query is hash-checked against the DuckDB oracle — see
+  * [[graft.operators.CorpusStats]] for the shared design rules.
+  */
+object CorpusQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Unigram-LM typicality: score every document against the corpus's own
+    // unigram distribution (CCNet-style LM filtering, exact-rational form —
+    // avg token probability instead of perplexity, because ln()'s libm
+    // rounding is engine-private while Σcnt/(n·N) is one IEEE division).
+    QuerySpec("q117_unigram_lm",
+      (s, d) => CorpusStats.unigramLmScore(
+        t(s, d, "documents"), "doc_id", "text", rareBelow = 100L)
+        .orderBy("doc_id"),
+      Some("""WITH tokd AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+             |), dt AS (
+             |  SELECT doc_id, tok, count(*) AS k FROM tokd GROUP BY doc_id, tok
+             |), lm AS (
+             |  SELECT tok, count(*) AS cnt FROM tokd GROUP BY tok
+             |), n AS (SELECT count(*) AS n_total FROM tokd),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+             |    CAST(sum(k * cnt) AS BIGINT) AS p_num,
+             |    min(cnt) AS min_cnt,
+             |    CAST(sum(CASE WHEN cnt < 100 THEN k ELSE 0 END) AS BIGINT) AS n_rare
+             |  FROM dt JOIN lm USING (tok) GROUP BY doc_id)
+             |SELECT doc_id, n_tok,
+             |  CAST(p_num AS DOUBLE) / CAST(n_tok * n_total AS DOUBLE) AS avg_p,
+             |  min_cnt,
+             |  CAST(n_rare AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rare_frac
+             |FROM agg CROSS JOIN n ORDER BY doc_id""".stripMargin)),
+
+    // Span-granular exact duplication (Lee et al. 2022, fingerprint-posting
+    // form): fraction of each document's 8-token sliding windows that also
+    // occur verbatim in some OTHER document. The oracle rebuilds the same
+    // md5-derived 60-bit span fingerprints with a DuckDB list comprehension.
+    QuerySpec("q118_span_dedup",
+      (s, d) => CorpusStats.duplicatedSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+             |), sp AS (
+             |  SELECT doc_id,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM tk WHERE len(t) >= 8
+             |), dup AS (
+             |  SELECT fp FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+             |), dp AS (
+             |  SELECT doc_id, count(*) AS n_dup FROM sp JOIN dup USING (fp)
+             |  GROUP BY doc_id)
+             |SELECT tk.doc_id,
+             |  CAST(greatest(len(t)-7, 0) AS BIGINT) AS n_spans,
+             |  COALESCE(n_dup, 0) AS n_dup,
+             |  CASE WHEN len(t) >= 8
+             |    THEN CAST(COALESCE(n_dup,0) AS DOUBLE) / CAST(len(t)-7 AS DOUBLE)
+             |    ELSE 0.0 END AS dup_frac
+             |FROM tk LEFT JOIN dp USING (doc_id) ORDER BY tk.doc_id""".stripMargin)),
+
+    // Systematic weighted sampling over the cumulative integer-weight axis
+    // (every row whose (cum−w, cum] interval contains a multiple of the
+    // step; picks = multiplicity). Exact integer arithmetic end to end —
+    // and the cumulative sum is the distributed range-partition prefix sum,
+    // not a single-partition window (the oracle's global window is the
+    // oracle's privilege; see PrefixSum).
+    QuerySpec("q119_weighted_sample",
+      (s, d) => CorpusStats.systematicWeightedSample(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        col("l_quantity"), step = 997L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("w"), col("cum_w"), col("picks"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH c AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS BIGINT) AS w,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      ORDER BY l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_w
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, w, cum_w,
+             |  (cum_w // 997) - ((cum_w - w) // 997) AS picks
+             |FROM c WHERE (cum_w // 997) - ((cum_w - w) // 997) > 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Heavy hitters with a Count-Min-sketch prefilter and an exact confirm
+    // pass: the output is EXACT (sketch estimates only prune — CMS never
+    // underestimates, so candidates ⊇ true heavy hitters), which is why the
+    // oracle is plain threshold SQL with no sketch in sight.
+    QuerySpec("q124_heavy_hitters",
+      (s, d) => CorpusStats.cmsHeavyHitters(
+        t(s, d, "documents"), "text", threshold = 900L)
+        .orderBy("tok"),
+      Some("""SELECT tok, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+             |GROUP BY tok HAVING count(*) >= 900 ORDER BY tok""".stripMargin)))
+}

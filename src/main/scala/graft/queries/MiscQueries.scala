@@ -788,6 +788,46 @@ object MiscQueries {
              |  upper(o_orderstatus) AS stat,
              |  length(o_orderpriority) AS prio_len,
              |  o_orderstatus || '-' || o_orderpriority AS tag
-             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin))
+             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // Explicit GROUPING SETS (the general form behind q17's rollup and
+    // q29's cube): three hand-picked sets, disambiguated by per-column
+    // grouping() flags (grouping_id()'s bit order is engine-private, the
+    // per-column flags are not). NULLS FIRST pinned as in q17.
+    QuerySpec("q120_grouping_sets",
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Deterministic string aggregation (listagg): per-nation roster of its
+    // 5 alphabetically-first supplier names. collect_list carries NO
+    // ordering contract across partitions, so the deterministic form is
+    // always sort-the-array-then-join — never trust arrival order.
+    QuerySpec("q121_string_agg",
+      (s, d) => t(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(slice(array_sort(collect_list(col("s_name"))), 1, 5), "|")
+          .as("roster"),
+          count(lit(1)).as("n_sup"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey,
+             |  array_to_string((list_sort(list(s_name)))[1:5], '|') AS roster,
+             |  count(*) AS n_sup
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

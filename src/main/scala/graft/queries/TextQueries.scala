@@ -239,6 +239,91 @@ object TextQueries {
              |SELECT CAST(p.pct AS BIGINT) AS pct, min(rn) AS vocab_size
              |FROM r, tot, (VALUES (50), (90), (99)) p(pct)
              |WHERE cum * 100 >= p.pct * t
-             |GROUP BY p.pct ORDER BY pct""".stripMargin))
+             |GROUP BY p.pct ORDER BY pct""".stripMargin)),
+
+    // URL provenance filtering — the web-corpus "drop blocklisted domains,
+    // count what's left per (host, ref)" gate. The URL column is
+    // synthesized deterministically from fixture fields (the fixtures carry
+    // no URLs), then parsed back with Spark's native parse_url expression;
+    // the oracle parses the identically-synthesized string with regexes.
+    // The blocklist is a literal IN filter — at scale an arbitrary-size
+    // blocklist becomes a broadcast anti-join on the host key (q79's
+    // decontamination shape); the parse/filter/count topology is identical.
+    QuerySpec("q122_url_filter",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?ref="), col("lang"))
+        t(s, d, "documents")
+          .withColumn("url", url)
+          .withColumn("host", parse_url(col("url"), lit("HOST")))
+          .withColumn("ref", parse_url(col("url"), lit("QUERY"), lit("ref")))
+          .filter(!col("host").isin("src1.example.com", "src3.example.com"))
+          .groupBy(col("host"), col("ref"))
+          .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_doc"))
+          .orderBy("host", "ref")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' || source || '.example.com/docs/' || doc_id::VARCHAR
+             |      || '?ref=' || lang AS url
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id,
+             |    regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+             |    regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+             |  FROM u)
+             |SELECT host, ref, count(*) AS n, max(doc_id) AS max_doc
+             |FROM p WHERE host NOT IN ('src1.example.com', 'src3.example.com')
+             |GROUP BY host, ref ORDER BY host, ref""".stripMargin)),
+
+    // Linear quality classifier: fixed-weight logistic regression over
+    // exact-rational text features. The published score is the LINEAR
+    // logit z (and its sign as the label) — sigmoid(z) ranks identically
+    // and exp()'s libm rounding is engine-private, so the monotone
+    // transform stays out of the contract. Feature arithmetic and the
+    // weighted sum are written with the same association order on both
+    // engines — every IEEE op is correctly rounded, so same order ⇒ same
+    // bits.
+    QuerySpec("q123_quality_logit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tok"),
+            size(filter(col("t"), x => x.isin("a", "the", "of", "to")))
+              .cast("long").as("n_stop"),
+            col("n_chars"))
+        docs.select(
+          col("doc_id"), col("n_tok"),
+          ((col("n_chars") - (col("n_tok") - 1)).cast("double") /
+            col("n_tok").cast("double")).as("mean_len"),
+          (col("n_stop").cast("double") / col("n_tok").cast("double"))
+            .as("stop_frac"))
+          .withColumn("z",
+            lit(-1.5) + lit(0.02) * col("n_tok") + lit(1.6) * col("stop_frac")
+              - lit(0.12) * col("mean_len"))
+          .withColumn("keep", col("z") > 0.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
+             |    n_chars
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)
+             |      AS mean_len,
+             |    CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_frac
+             |  FROM f)
+             |SELECT doc_id, n_tok, mean_len, stop_frac,
+             |  -1.5 + 0.02 * CAST(n_tok AS DOUBLE) + 1.6 * stop_frac
+             |    - 0.12 * mean_len AS z,
+             |  (-1.5 + 0.02 * CAST(n_tok AS DOUBLE) + 1.6 * stop_frac
+             |    - 0.12 * mean_len) > 0.0 AS keep
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 }
