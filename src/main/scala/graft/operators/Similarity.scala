@@ -40,6 +40,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact-cosine re-rank of a CANDIDATE pair stream — the second stage of
+    * every two-stage ANN pipeline (coarse IVF/PQ/LSH recall → precise
+    * order). `cands` carries (q_id, neighbor_id); the corpus joins by
+    * neighbor_id (an equi-join that only moves candidate vectors — the
+    * corpus at large never re-enters), queries broadcast, and the window
+    * re-ranks per query. Keeping re-rank separate from recall is the point:
+    * the expensive full-precision math runs on |cands| rows, not |corpus|.
+    */
+  def rerankExact(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("neighbor_id"))
+    cands.select(col("q_id"), col("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosineNative(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH ANN: bucket both sides with signed random projections, equi-join
     * on bucket, rank within bucket. */
   def lshTopK(corpus: DataFrame, numPlanes: Int, dim: Int, k: Int,

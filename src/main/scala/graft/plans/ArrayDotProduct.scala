@@ -121,6 +121,27 @@ object GraftFunctions {
             s"graft_normalize expects 1 argument (text), got ${exprs.length}")
         NormalizeText(exprs.head)
       }),
+    (FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName,
+        "graft_unicode_normalize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            "graft_unicode_normalize expects 2 arguments (text, form), " +
+              s"got ${exprs.length}")
+        val fExpr = exprs(1)
+        val form = (if (fExpr.foldable) fExpr.eval() else null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_unicode_normalize: form must be a string literal " +
+              s"(NFC|NFD|NFKC|NFKD); got ${fExpr.sql}")
+        }
+        if (!UnicodeNormalizeExpr.Forms.contains(form))
+          throw new IllegalArgumentException(
+            s"graft_unicode_normalize: unknown form '$form' " +
+              s"(expected one of ${UnicodeNormalizeExpr.Forms.mkString("|")})")
+        UnicodeNormalizeExpr(exprs.head, form)
+      }),
     // Spark's own runtime-filter probe expression (codegen'd, deserializes
     // the sketch once per task): exposed as a function so library code can
     // broadcast a driver-built BloomFilter as a binary literal and probe it
@@ -196,6 +217,13 @@ object GraftFunctions {
     * one byte pass + one allocation per row — see plans.NormalizeText. */
   def normalizeNative(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_normalize", text)
+
+  /** Column-level native Unicode normalization (requires ensureRegistered /
+    * GraftExtensions). `form` ∈ NFC|NFD|NFKC|NFKD, baked at resolution.
+    * NFC matches DuckDB's nfc_normalize (both implement UAX #15). */
+  def unicodeNormalizeNative(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.functions.call_function("graft_unicode_normalize",
+      text, org.apache.spark.sql.functions.lit(form))
 
   /** Column-level Bloom-filter membership probe over a BIGINT column.
     * `filter` is the serialized sketch (normally a binary literal of a

@@ -76,6 +76,34 @@ object LayoutQueries {
              |  CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
              |  CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM per_order GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Z-order clustering key, hash-checked bit for bit: Morton-interleave
+    // (l_partkey, l_suppkey) into a 32-bit z-value and aggregate per
+    // z-range bucket. The 32-term interleave is pure built-in bit algebra
+    // (whole-stage codegen, identical SQL twin generated from the same
+    // code). LayoutSpec proves the layout property this key exists for:
+    // files written sorted by z carry NARROW min/max ranges in BOTH
+    // source dimensions, so either-column predicates prune files.
+    QuerySpec("q128_zorder_stats",
+      (s, d) => {
+        import graft.functions.ZOrder
+        t(s, d, "lineitem")
+          .select((col("l_partkey") % 65536).as("x"),
+            (col("l_suppkey") % 65536).as("y"))
+          .withColumn("z", ZOrder.zorder16(col("x"), col("y")))
+          .groupBy(shiftright(col("z"), 16).as("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+            max(col("z")).as("max_z"),
+            countDistinct(col("x")).as("nx"), countDistinct(col("y")).as("ny"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH zt AS (
+              |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+              |    ${graft.functions.ZOrder.zorder16Sql("l_partkey % 65536", "l_suppkey % 65536")} AS z
+              |  FROM lineitem)
+              |SELECT (z >> 16) AS bucket, count(*) AS n, min(z) AS min_z,
+              |  max(z) AS max_z, count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+              |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

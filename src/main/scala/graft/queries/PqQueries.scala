@@ -181,6 +181,77 @@ object PqQueries {
               |               ORDER BY adc_qdist, neighbor_id) AS rank
               |           FROM dists)
               |SELECT q_id, rank, neighbor_id, adc_qdist
-              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Two-stage retrieval, end to end: IVF-cell + PQ-ADC coarse recall
+    // (q116's pipeline, widened to top-10 candidates) followed by an
+    // exact-cosine re-rank to top-3 (Similarity.rerankExact). The
+    // full-precision math runs on 10 candidates per query, never the
+    // corpus; compressed-domain ranks reorder under exact distance — that
+    // reordering is the thing this query pins cross-engine.
+    QuerySpec("q126_ann_rerank",
+      (s, d) => {
+        val (sv, _, cb1) = trained(s, d)
+        val e = vecs(s, d)
+        val coarse = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val cells = OperatorCaches.persistTracked(
+          Similarity.ivfAssign(e, coarse)
+            .select(col("vec_id"), col("cluster_id")))
+        val qcells = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("cluster_id"))
+        val pairs = cells.join(qcells, "cluster_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        val lut = Pq.adcLut(sv.filter(col("vec_id") < 5), cb1)
+        val cands = Pq.adcTopK(Pq.adcDistances(pairs, Pq.encode(sv, cb1), lut), 10)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        Similarity.rerankExact(cands, e, queries, 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $svSql,
+              |$cb1Sql,
+              |enc AS (SELECT vec_id, sub, code FROM ${assignSql("cb1")} t),
+              |cells AS (SELECT vec_id, c_id AS cluster_id FROM (
+              |    SELECT e.vec_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.v)
+              |          + list_dot_product(c.v, c.v), c.vec_id) AS rn
+              |    FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) c)
+              |  WHERE rn = 1),
+              |pairs AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id
+              |          FROM cells x JOIN cells q USING (cluster_id)
+              |          WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+              |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
+              |          CAST(floor((list_dot_product(s.sv, s.sv)
+              |            - 2.0*list_dot_product(s.sv, c.cv)
+              |            + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS qd
+              |        FROM sv s JOIN cb1 c USING (sub) WHERE s.vec_id < 5),
+              |dists AS (SELECT p.q_id, p.neighbor_id,
+              |            CAST(sum(l.qd) AS BIGINT) AS adc_qdist
+              |          FROM pairs p
+              |          JOIN enc n ON n.vec_id = p.neighbor_id
+              |          JOIN lut l ON l.q_id = p.q_id AND l.sub = n.sub AND l.code = n.code
+              |          GROUP BY p.q_id, p.neighbor_id),
+              |cand AS (SELECT q_id, neighbor_id FROM (
+              |    SELECT q_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY q_id
+              |        ORDER BY adc_qdist, neighbor_id) AS rank
+              |    FROM dists) WHERE rank <= 10),
+              |rer AS (SELECT c.q_id, c.neighbor_id,
+              |          list_dot_product(qe.v, ne.v) /
+              |            (sqrt(list_dot_product(qe.v, qe.v)) *
+              |             sqrt(list_dot_product(ne.v, ne.v))) AS cos
+              |        FROM cand c
+              |        JOIN e qe ON qe.vec_id = c.q_id
+              |        JOIN e ne ON ne.vec_id = c.neighbor_id)
+              |SELECT q_id, rank, neighbor_id, round(cos, 4) AS cos4 FROM (
+              |  SELECT q_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM rer) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -300,6 +300,55 @@ object RelationalQueries {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // merge_asof, full pandas semantics: direction backward AND forward,
+    // 5-minute tolerance, left rows kept with nulled matches past the
+    // tolerance — the operators.AsOf union+window composition (one shuffle
+    // per direction, no nested loop). Tolerance compares exact integer
+    // microseconds on both engines.
+    QuerySpec("q125_asof_tolerance",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        def side(dir: String) = graft.operators.AsOf.asofJoin(
+          purchases, clicks, "user_id", "ts", dir,
+          tolerance = Some(300000000L))
+          .select(lit(dir).as("direction"), col("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            col("asof_click_id").as("click_id"),
+            col("asof_ts").as("click_ts"))
+        side("backward").unionByName(side("forward"))
+          .orderBy("direction", "purchase_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS purchase_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT event_id AS click_id, user_id, ts FROM events
+             |  WHERE event_type = 'click')
+             |SELECT 'backward' AS direction, p.purchase_id, p.user_id,
+             |  p.ts AS purchase_ts,
+             |  CASE WHEN c.ts IS NOT NULL
+             |         AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+             |       THEN c.click_id END AS click_id,
+             |  CASE WHEN c.ts IS NOT NULL
+             |         AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+             |       THEN c.ts END AS click_ts
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |UNION ALL
+             |SELECT 'forward' AS direction, p.purchase_id, p.user_id,
+             |  p.ts AS purchase_ts,
+             |  CASE WHEN c.ts IS NOT NULL
+             |         AND epoch_us(c.ts) - epoch_us(p.ts) <= 300000000
+             |       THEN c.click_id END AS click_id,
+             |  CASE WHEN c.ts IS NOT NULL
+             |         AND epoch_us(c.ts) - epoch_us(p.ts) <= 300000000
+             |       THEN c.ts END AS click_ts
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY direction, purchase_id""".stripMargin))
   )
 }

@@ -324,6 +324,36 @@ object TextQueries {
              |    - 0.12 * mean_len AS z,
              |  (-1.5 + 0.02 * CAST(n_tok AS DOUBLE) + 1.6 * stop_frac
              |    - 0.12 * mean_len) > 0.0 AS keep
-             |FROM g ORDER BY doc_id""".stripMargin))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Unicode NFC canonicalization via the native codegen'd expression
+    // (plans.UnicodeNormalizeExpr — Spark ships no normalizer built-in;
+    // the UDF alternative boxes and kills codegen). The fixture is ASCII,
+    // so each name gets a DECOMPOSED accent ("e" + U+0301) appended in
+    // both engines; NFC must fuse it to the composed é — codepoint counts
+    // drop by one, and the normalized strings hash-match byte for byte
+    // (both engines implement UAX #15). Canonicalization-before-hashing is
+    // the dedup precondition: composed and decomposed spellings of the
+    // same text MUST fingerprint identically.
+    QuerySpec("q127_unicode_nfc",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            // decomposed on purpose: "e" + U+0301 COMBINING ACUTE, written as an
+            // escape so no editor/encoding pass can silently precompose it
+            concat(col("s_name"), lit("e\u0301")).as("raw"))
+          .select(col("s_suppkey"),
+            length(col("raw")).cast("long").as("raw_len"),
+            graft.plans.GraftFunctions
+              .unicodeNormalizeNative(col("raw"), "NFC").as("nfc"))
+          .withColumn("nfc_len", length(col("nfc")).cast("long"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+             |  length(s_name || 'e' || chr(769)) AS raw_len,
+             |  nfc_normalize(s_name || 'e' || chr(769)) AS nfc,
+             |  length(nfc_normalize(s_name || 'e' || chr(769))) AS nfc_len
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
   )
 }
