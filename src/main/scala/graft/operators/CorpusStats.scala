@@ -173,7 +173,10 @@ object CorpusStats {
   def cmsHeavyHitters(docs: DataFrame, textCol: String, threshold: Long,
                       p: CmsParams = CmsParams()): DataFrame = {
     val posting = docs.select(explode(tokens(col(textCol))).as("tok"))
-    val sketch = cmsSketch(posting, "tok", p)
+    // persisted: each of the `depth` estimate joins filters one sketch row,
+    // and without a persist each filter would re-explode the full posting
+    // (seen in the q124 plan audit — d× the sketch-build cost for nothing)
+    val sketch = OperatorCaches.persistTracked(cmsSketch(posting, "tok", p))
     val h = md5Long(col("tok")) % MinhashP
     val withCells = posting.distinct()
       .select(col("tok") +: (0 until p.depth).map { j =>

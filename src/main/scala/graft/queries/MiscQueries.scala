@@ -282,17 +282,19 @@ object MiscQueries {
              |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
              |ORDER BY l.l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
-    // Equi-DEPTH histogram (complement of q39's fixed-width): decile
-    // boundaries from one exact interpolated-percentile aggregation
-    // (cross-engine stable — q45's contract), then every row assigned by
-    // comparing against the 9 boundary values. NO global sort: the scale
-    // path is agg → 9 scalars → codegen'd when-chain, a single pass.
+    // Equi-DEPTH histogram (complement of q39's fixed-width): exact decile
+    // boundaries by DISTRIBUTED rank selection (operators.Percentiles —
+    // range-partition sort + 18 rank fetches; Spark's own `percentile`
+    // aggregate merges every value on one reducer, the single-task cliff
+    // this path exists to avoid, and 2.4 s of the old 2.5 s bench cost),
+    // then every row assigned by comparing against the 9 boundary values
+    // in one codegen'd when-chain pass.
     QuerySpec("q102_equidepth_histogram",
       (s, d) => {
         val li = t(s, d, "lineitem").select(col("l_extendedprice"))
-        val qs = li.agg(expr(
-            "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
-          .head().getSeq[Double](0)
+        val qs = graft.operators.Percentiles.exactInterpolated(
+          li, "l_extendedprice",
+          Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
         val bucket = qs.map(b =>
             when(col("l_extendedprice") > lit(b), 1).otherwise(0))
           .reduce(_ + _)
@@ -828,6 +830,59 @@ object MiscQueries {
       Some("""SELECT s_nationkey,
              |  array_to_string((list_sort(list(s_name)))[1:5], '|') AS roster,
              |  count(*) AS n_sup
-             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Correlation / covariance, exact: Spark's corr/covar aggregates sum
+    // doubles in partition order (non-deterministic bits), so the moments
+    // are built from EXACT DECIMAL sums instead — inputs cast to decimal
+    // BEFORE multiplying (a double product cast to decimal rounds
+    // differently per engine — README discipline), every Σ exact, one
+    // double cast per sum, then the textbook formulas composed in the
+    // same association order on both engines (sqrt is IEEE
+    // correctly-rounded, so same bits in, same bits out).
+    QuerySpec("q130_corr_covar",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = col("l_quantity").cast(DecimalType(9, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("n")).cast("double")).as("covar_pop"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * (col("n") - lit(1)).cast("double"))).as("covar_samp"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
+             |             CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (n * sxy - sx * sy) /
+             |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             |    AS corr_qty_price,
+             |  (n * sxy - sx * sy) / CAST(n * n AS DOUBLE) AS covar_pop,
+             |  (n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)) AS covar_samp
+             |FROM m ORDER BY l_returnflag""".stripMargin))
   )
 }

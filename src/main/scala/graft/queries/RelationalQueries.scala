@@ -349,6 +349,66 @@ object RelationalQueries {
              |         AND epoch_us(c.ts) - epoch_us(p.ts) <= 300000000
              |       THEN c.ts END AS click_ts
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
-             |ORDER BY direction, purchase_id""".stripMargin))
+             |ORDER BY direction, purchase_id""".stripMargin)),
+
+    // Event funnel (view → click → purchase): each stage is a FORWARD
+    // as-of join against the previous stage's timestamp — the funnel is
+    // literally "earliest next-stage event at-or-after", which is
+    // operators.AsOf's forward direction, chained. Users who fall out
+    // keep null downstream stages (left-outer contract); depth counts
+    // completed stages. Two shuffles per stage, no correlated subquery.
+    QuerySpec("q131_event_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        def stage(tpe: String, idAs: String) =
+          ev.filter(col("event_type") === tpe)
+            .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+        val s1 = graft.operators.AsOf.asofJoin(
+          v, stage("click", "click_id"), "user_id", "ts", "forward")
+        val withClick = s1.filter(col("asof_ts").isNotNull)
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("asof_ts").as("ts"), col("asof_click_id").as("click_id"))
+        val s2 = graft.operators.AsOf.asofJoin(
+          withClick, stage("purchase", "purchase_id"), "user_id", "ts", "forward")
+          .select(col("user_id"), col("view_ts"), col("click_id"),
+            col("ts").as("click_ts"),
+            col("asof_purchase_id").as("purchase_id"),
+            col("asof_ts").as("purchase_ts"))
+        val noClick = s1.filter(col("asof_ts").isNull)
+          .select(col("user_id"), col("ts").as("view_ts"),
+            lit(null).cast("bigint").as("click_id"),
+            lit(null).cast("timestamp").as("click_ts"),
+            lit(null).cast("bigint").as("purchase_id"),
+            lit(null).cast("timestamp").as("purchase_ts"))
+        s2.unionByName(noClick)
+          .withColumn("depth",
+            when(col("purchase_ts").isNotNull, 3L)
+              .when(col("click_ts").isNotNull, 2L).otherwise(1L))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS view_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), c AS (
+             |  SELECT v.user_id, v.view_ts,
+             |    min(e.ts) AS click_ts, arg_min(e.event_id, e.ts) AS click_id
+             |  FROM v LEFT JOIN events e
+             |    ON e.user_id = v.user_id AND e.event_type = 'click'
+             |       AND e.ts >= v.view_ts
+             |  GROUP BY v.user_id, v.view_ts
+             |), p AS (
+             |  SELECT c.user_id, c.view_ts, c.click_id, c.click_ts,
+             |    min(e.ts) AS purchase_ts, arg_min(e.event_id, e.ts) AS purchase_id
+             |  FROM c LEFT JOIN events e
+             |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |       AND c.click_ts IS NOT NULL AND e.ts >= c.click_ts
+             |  GROUP BY c.user_id, c.view_ts, c.click_id, c.click_ts)
+             |SELECT user_id, view_ts, click_id, click_ts, purchase_id,
+             |  purchase_ts,
+             |  CAST(CASE WHEN purchase_ts IS NOT NULL THEN 3
+             |       WHEN click_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+             |FROM p ORDER BY user_id""".stripMargin))
   )
 }

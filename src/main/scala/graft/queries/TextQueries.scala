@@ -354,6 +354,39 @@ object TextQueries {
              |  length(s_name || 'e' || chr(769)) AS raw_len,
              |  nfc_normalize(s_name || 'e' || chr(769)) AS nfc,
              |  length(nfc_normalize(s_name || 'e' || chr(769))) AS nfc_len
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // BPE-style pre-tokenization (the GPT-2 pattern's shape with explicit
+    // char classes — contractions, space-prefixed letter runs, digit runs,
+    // punctuation runs, whitespace): the token COUNT a byte-pair tokenizer
+    // would see, vs the whitespace count (q20's). Both regex engines (Java,
+    // RE2) use leftmost-first alternation, so the same pattern text yields
+    // the same split. A punctuation/number/contraction tail is appended to
+    // each document (the fixture is bare lowercase words) so every branch
+    // of the pattern is exercised and oracle-checked.
+    QuerySpec("q129_bpe_regex_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(", isn't it 42 %!")).as("txt"))
+          .select(col("doc_id"),
+            size(split(col("txt"), " ")).cast("long").as("n_ws"),
+            size(regexp_extract_all(col("txt"), lit(pat), lit(0)))
+              .cast("long").as("n_bpe"))
+          .withColumn("expansion",
+            col("n_bpe").cast("double") / col("n_ws").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text || ', isn''t it 42 %!', ' ')) AS n_ws,
+             |  len(regexp_extract_all(text || ', isn''t it 42 %!',
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+             |    AS n_bpe,
+             |  CAST(len(regexp_extract_all(text || ', isn''t it 42 %!',
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+             |    AS DOUBLE) /
+             |  len(string_split(text || ', isn''t it 42 %!', ' ')) AS expansion
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

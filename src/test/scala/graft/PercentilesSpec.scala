@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{OperatorCaches, Percentiles}
+
+/** Distributed rank-selection percentiles vs Spark's own exact aggregate
+  * — bit-equality, plus the degenerate shapes (constant column, p=0/1,
+  * empty input) where interpolation logic usually breaks. */
+class PercentilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches Spark's exact percentile aggregate bit for bit") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val dist = Percentiles.exactInterpolated(li, "l_extendedprice", ps)
+    val ref = li.agg(expr(
+        s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    assert(dist === ref)
+    OperatorCaches.release()
+  }
+
+  test("degenerate inputs: constant column, single row, empty") {
+    val const = Seq.fill(100)(7.5).toDF("v")
+    assert(Percentiles.exactInterpolated(const, "v", Seq(0.0, 0.5, 1.0))
+      === Seq(7.5, 7.5, 7.5))
+    val one = Seq(3.25).toDF("v")
+    assert(Percentiles.exactInterpolated(one, "v", Seq(0.0, 0.37, 1.0))
+      === Seq(3.25, 3.25, 3.25))
+    val empty = spark.emptyDataFrame.withColumn("v", lit(1.0)).filter(lit(false))
+    assert(Percentiles.exactInterpolated(empty, "v", Seq(0.5)) === Seq.empty)
+    OperatorCaches.release()
+  }
+
+  test("nulls are excluded, matching the aggregate's contract") {
+    val df = (Seq.tabulate(99)(i => Some(i.toDouble)) :+ Option.empty[Double])
+      .toDF("v")
+    val got = Percentiles.exactInterpolated(df, "v", Seq(0.5))
+    val ref = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    assert(got === Seq(ref))
+    OperatorCaches.release()
+  }
+}
