@@ -39,4 +39,76 @@ object InvertedIndex {
         max(when(col("rn") === 1, col("tf"))).as("top_tf"))
       .filter(col("doc_freq") >= minDf)
   }
+
+  /** Sparse TF-IDF cosine similarity over PREFIX-FILTERED candidate
+    * pairs — lexical near-duplicate retrieval without an all-pairs scan.
+    *
+    * Two standard tricks fused:
+    *   - PREFIX FILTERING (PPJoin family) at the θ→1 end: order each
+    *     document's terms by ascending document frequency and block on
+    *     the single RAREST term (deterministic ties by term text). Two
+    *     documents pair only if they share their rarest term — the
+    *     length-1 prefix filter, exact for near-identical documents and
+    *     a recall CONTRACT (not exhaustive) below that; candidates per
+    *     block are bounded by the rare term's df, never n².
+    *   - QUANTIZED IDF: weights are integers, tf · ⌊N·1000 / df⌋, so
+    *     dot products and squared norms are exact BIGINT sums (no float
+    *     summation order — any engine, any partitioning); the final
+    *     cosine is two correctly-rounded sqrts and one division.
+    *
+    * Shapes: tf/df/weights are map-side-combinable aggregations; the
+    * candidate join is an equi-join on the block term; each pair's dot
+    * is an equi-join of the two posting lists on term — all shuffles
+    * keyed by term or (a, b), nothing quadratic, nothing on the driver.
+    * `blockCap` bounds any hot block to its first `blockCap` documents
+    * (deterministic id order — the same hot-bucket cap every pairing
+    * operator here carries, [[Dedup]]'s contract): a corpus whose rarest
+    * terms are still common (uniform synthetic vocabularies, stopword-only
+    * documents) would otherwise pair quadratically inside a block (measured
+    * 6M pairs / 33 s at sf0.1 uncapped), and the cap turns that into a
+    * documented recall bound instead of a runtime cliff.
+    * Returns (a_id, b_id, dot, cos) for pairs with cos ≥ `minCos`.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        minCos: Double = 0.5, blockCap: Int = 64): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val wts = OperatorCaches.persistTracked(
+      tf.join(dft, "term").crossJoin(nd)
+        .withColumn("idfq", expr("(n_docs * 1000) DIV df"))
+        .select(col("doc"), col("term"), col("tf"), col("df"), col("idfq"),
+          (col("tf") * col("idfq")).as("w")))
+    val norms = wts.groupBy(col("doc"))
+      .agg(sum(col("w") * col("w")).as("nn"))
+    val wr = Window.partitionBy(col("doc")).orderBy(col("df"), col("term"))
+    val wb = Window.partitionBy(col("btok")).orderBy(col("doc"))
+    val rarest = wts.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1).select(col("doc"), col("term").as("btok"))
+      .withColumn("bn", row_number().over(wb))
+      .filter(col("bn") <= blockCap)
+      .select(col("doc"), col("btok"))
+    val cand = rarest.select(col("doc").as("a_id"), col("btok"))
+      .join(rarest.select(col("doc").as("b_id"), col("btok")), "btok")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val dot = cand
+      .join(wts.select(col("doc").as("a_id"), col("term"), col("w").as("wa")), "a_id")
+      .join(wts.select(col("doc").as("b_id"), col("term"), col("w").as("wb")),
+        Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("doc").as("a_id"), col("nn").as("na")), "a_id")
+      .join(norms.select(col("doc").as("b_id"), col("nn").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

