@@ -881,12 +881,12 @@ object MiscQueries {
              |  SELECT l_returnflag, count(*) AS n,
              |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
              |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
-             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
-             |             CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) *
+             |             CAST(l_quantity AS DECIMAL(9,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
              |  (n * sxy - sx * sy) /
