@@ -17,6 +17,36 @@ object FormatQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // Compression-codec round-trips: zstd parquet and gzip CSV written and
+    // read back losslessly (storage codecs are a first-order cost lever at
+    // 100 TB — zstd parquet is the archival default, gzip the CSV-export
+    // compromise). The aggregate after each round trip must equal the
+    // plain-SQL oracle over the source table; the `fmt` column pins which
+    // path produced which rows.
+    QuerySpec("q133_codec_roundtrip",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tmp = Files.createTempDirectory("graft_codec").toString
+        Convert.toParquet(docs, s"$tmp/zstd_pq", codec = "zstd")
+        docs.write.option("compression", "gzip").option("header", "true")
+          .mode("overwrite").csv(s"$tmp/gz_csv")
+        def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+          df.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+            .withColumn("fmt", lit(fmt))
+        val pq = s.read.parquet(s"$tmp/zstd_pq")
+        val csv = s.read.schema(docs.schema).option("header", "true")
+          .csv(s"$tmp/gz_csv")
+        agg(pq, "parquet_zstd").unionByName(agg(csv, "csv_gzip"))
+          .select(col("fmt"), col("lang"), col("n"), col("sum_chars"))
+          .orderBy("fmt", "lang")
+      },
+      Some("""SELECT fmt, lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |CROSS JOIN (VALUES ('csv_gzip'), ('parquet_zstd')) f(fmt)
+             |GROUP BY fmt, lang ORDER BY fmt, lang""".stripMargin)),
+
     // JSONL sink → schema'd JSONL scan → aggregate. Inference is never
     // used (scale doctrine: schema-on-read over millions of JSON files
     // costs a second full pass and unions drifted types).

@@ -104,6 +104,36 @@ object LayoutQueries {
               |  FROM lineitem)
               |SELECT (z >> 16) AS bucket, count(*) AS n, min(z) AS min_z,
               |  max(z) AS max_z, count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
-              |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin))
+              |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Hive-partitioned write + partition PRUNING, asserted on the plan:
+    // the table is written partitionBy(l_returnflag), the read filters one
+    // partition value, and the scan must carry it in PartitionFilters
+    // (directory-level pruning — the other two partitions are never
+    // LISTED, let alone read; file/row-group stats can't do that). The
+    // first-order 100 TB lever: a day-partitioned event table turns a
+    // needle query into one directory. Oracle = the plain WHERE — layout
+    // changes the plan, never the answer.
+    QuerySpec("q134_partition_pruning",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_hive").toString
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        graft.operators.Convert.toParquetPartitioned(
+          li, s"$tmp/li", Seq("l_returnflag"))
+        val pruned = s.read.parquet(s"$tmp/li")
+          .filter(col("l_returnflag") === "A")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        val scan = pruned.queryExecution.executedPlan.toString
+        require(scan.contains("PartitionFilters") &&
+          scan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*l_returnflag[^\\]]*=[^\\]]*A[^\\]]*\\].*"),
+          s"expected the partition filter to prune at directory level, got:\n$scan")
+        pruned.orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'A'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
   )
 }
