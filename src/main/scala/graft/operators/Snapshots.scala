@@ -23,6 +23,26 @@ object Snapshots {
     base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
 
+  /** Full MERGE/CDC semantics over a changelog with operations: the
+    * latest change per key wins (`seqCol` order, ties broken by the
+    * higher sequence — callers supply a total per-key order), then
+    * deletes (`opCol` = "D") REMOVE the key, anything else
+    * replaces-or-inserts ([[upsert]] can't drop rows — Debezium-style
+    * streams need tombstones applied). One window keyed by the primary
+    * key + one anti-join + union: everything shuffles on the key once,
+    * nothing touches the driver. `changes` must carry the base schema
+    * plus (`opCol`, `seqCol`). */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                     opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors = latest.filter(upper(col(opCol)) =!= "D")
+      .drop(opCol, seqCol)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(survivors)
+  }
+
   /** SCD2-style validity intervals from an event log: for each entity,
     * keep the rows where `attrCol` CHANGED (vs the previous event in
     * (tsCol, tieCol) order), and close each interval at the next change's

@@ -247,6 +247,57 @@ object SnapshotQueries {
       },
       Some("""SELECT CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'good' END
              |  AS disposition, count(*) AS n
-             |FROM documents GROUP BY disposition ORDER BY disposition""".stripMargin))
+             |FROM documents GROUP BY disposition ORDER BY disposition""".stripMargin)),
+
+    // Full MERGE/CDC with tombstones (q80's upsert can't DELETE): a
+    // changelog carrying I/U/D ops and per-key sequence numbers applies
+    // against the base in one key-shuffle — latest change per key wins,
+    // 'D' removes the key, the rest replace-or-insert. The changelog is
+    // synthesized deterministically from orders on both engines: every
+    // %10==0 key deletes, every %10==1 key doubles its price at seq 1
+    // then +1 at seq 2 (the seq-2 row must win), and shifted keys insert.
+    QuerySpec("q135_apply_changelog",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val dels = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+        val upd1 = o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val upd2 = o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+        val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 2)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        val changes = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+        graft.operators.Snapshots.applyChangelog(
+          o, changes, Seq("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             |), survivors AS (
+             |  -- latest change per key: seq 2 beats seq 1 for %10==1 keys
+             |  SELECT o_orderkey, o_orderpriority,
+             |    o_totalprice + 1.0 AS o_totalprice
+             |  FROM o WHERE o_orderkey % 10 = 1
+             |  UNION ALL
+             |  SELECT -o_orderkey, o_orderpriority, o_totalprice
+             |  FROM o WHERE o_orderkey % 10 = 2
+             |), changed_keys AS (
+             |  SELECT o_orderkey FROM o WHERE o_orderkey % 10 IN (0, 1)
+             |  UNION ALL SELECT -o_orderkey FROM o WHERE o_orderkey % 10 = 2
+             |), merged AS (
+             |  SELECT * FROM o
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed_keys)
+             |  UNION ALL SELECT * FROM survivors
+             |)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -108,6 +108,22 @@ object EventStreams {
   def upsertSink(stream: DataFrame, keyCols: Seq[String], baseDir: String,
                  checkpointDir: String,
                  seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    mergingSink(stream, keyCols, baseDir, checkpointDir, seqCol, opCol = None)
+
+  /** [[upsertSink]] with TOMBSTONES: each micro-batch is a changelog
+    * (rows carry `opCol` — "D" deletes the key, anything else
+    * replaces-or-inserts) applied via [[graft.operators.Snapshots
+    * .applyChangelog]] semantics. Same crash-safe stage-swap, same
+    * per-batch latest-per-key reduction; the Debezium-shaped ingest
+    * path ([[upsertSink]] can only grow or rewrite, never drop). */
+  def changelogSink(stream: DataFrame, keyCols: Seq[String], baseDir: String,
+                    checkpointDir: String, opCol: String = "op",
+                    seqCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    mergingSink(stream, keyCols, baseDir, checkpointDir, seqCol, Some(opCol))
+
+  private def mergingSink(stream: DataFrame, keyCols: Seq[String], baseDir: String,
+                          checkpointDir: String, seqCol: Option[String],
+                          opCol: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -136,11 +152,35 @@ object EventStreams {
               .drop("__rn")
           case None => batch.dropDuplicates(keyCols)
         }
+        // apply tombstones (changelog mode) or plain upsert; an empty
+        // base is the same merge against zero rows, so first-batch
+        // deletes of unknown keys are no-ops, not errors
+        val applied = opCol match {
+          case Some(oc) =>
+            val survivors = reduced.filter(
+              org.apache.spark.sql.functions.upper(
+                org.apache.spark.sql.functions.col(oc)) =!=
+                org.apache.spark.sql.functions.lit("D"))
+              .drop(oc)
+            (existing: DataFrame) =>
+              existing.join(reduced.select(
+                  keyCols.map(org.apache.spark.sql.functions.col): _*),
+                  keyCols, "left_anti")
+                .unionByName(survivors.drop(seqCol.toSeq: _*))
+          case None =>
+            (existing: DataFrame) =>
+              graft.operators.Snapshots.upsert(existing, reduced, keyCols)
+        }
         val merged =
-          if (NioFiles.exists(basePath)) {
-            val existing = spark.read.parquet(baseDir)
-            graft.operators.Snapshots.upsert(existing, reduced, keyCols)
-          } else reduced
+          if (NioFiles.exists(basePath)) applied(spark.read.parquet(baseDir))
+          else opCol match {
+            case Some(oc) => reduced.filter(
+              org.apache.spark.sql.functions.upper(
+                org.apache.spark.sql.functions.col(oc)) =!=
+                org.apache.spark.sql.functions.lit("D"))
+              .drop(oc).drop(seqCol.toSeq: _*)
+            case None => reduced
+          }
         val staging = Paths.get(baseDir + ".staging")
         graft.operators.Convert.deleteRecursively(staging)
         merged.write.mode("overwrite").parquet(staging.toString)

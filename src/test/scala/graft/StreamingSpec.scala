@@ -197,6 +197,38 @@ class StreamingSpec extends SparkSpec {
       === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "DD"), (5L, "E")))
   }
 
+  test("changelogSink applies streamed tombstones: deletes drop keys, latest seq wins") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val base = s"$tmp/base"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(base)
+    // batch 1: delete k=2, update k=3 twice (seq 2 must win), insert k=4
+    val ch1 = Seq((2L, "x", "D", 1L), (3L, "C1", "U", 1L),
+      (3L, "C2", "U", 2L), (4L, "d", "I", 1L)).toDF("k", "v", "op", "seq")
+    ch1.write.parquet(s"$tmp/in")
+    EventStreams.changelogSink(
+      EventStreams.fileStream(spark, ch1.schema, s"$tmp/in"),
+      Seq("k"), base, s"$tmp/ckpt", seqCol = Some("seq")).awaitTermination()
+    assert(spark.read.parquet(base).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (3L, "C2"), (4L, "d")))
+    // batch 2: a delete for a key that never existed is a no-op; k=1 goes
+    val ch2 = Seq((1L, "x", "D", 1L), (9L, "x", "D", 1L)).toDF("k", "v", "op", "seq")
+    ch2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.changelogSink(
+      EventStreams.fileStream(spark, ch1.schema, s"$tmp/in"),
+      Seq("k"), base, s"$tmp/ckpt", seqCol = Some("seq")).awaitTermination()
+    assert(spark.read.parquet(base).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((3L, "C2"), (4L, "d")))
+    // streamed result == the batch operator applied to the same changelog
+    val batchEquiv = graft.operators.Snapshots.applyChangelog(
+      graft.operators.Snapshots.applyChangelog(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        ch1, Seq("k"), "op", "seq"),
+      ch2, Seq("k"), "op", "seq")
+    assert(batchEquiv.orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((3L, "C2"), (4L, "d")))
+  }
+
   test("compact folds the small files a streamed upsert leaves behind") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
