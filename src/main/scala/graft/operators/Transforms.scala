@@ -66,4 +66,26 @@ object Transforms {
     * (nested samples). No shuffle — a codegen'd filter over the scan. */
   def hashSample(df: DataFrame, key: Column, pct: Column): DataFrame =
     df.filter(hashBucket(key) < pct)
+
+  /** Mixture/balance sampling — the data-MIXING step of a training
+    * pipeline: downsample every category (source, language, domain) to
+    * ≈ the smallest category's size, so no single crawl dominates the
+    * mix. Per-category keep-rate = ⌊min_n · grain / n_cat⌋ out of
+    * `grain`, applied with the deterministic md5 bucket rule
+    * ([[hashSample]]'s contract at `grain` resolution: reproducible,
+    * reorder-stable, engine-portable). The category stats are one tiny
+    * aggregation broadcast back against the scan — the sample itself is
+    * a codegen'd filter, no shuffle of the data.
+    */
+  def mixtureBalanceSample(df: DataFrame, catCol: String, keyCol: String,
+                           grain: Int = 10000): DataFrame = {
+    require(grain > 0, "grain must be positive")
+    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("__n"))
+    val thr = counts.crossJoin(counts.agg(min(col("__n")).as("__mn")))
+      .select(col(catCol), expr(s"(__mn * $grain) DIV __n").as("__thr"))
+    df.join(broadcast(thr), catCol)
+      .filter(graft.functions.TextFunctions.md5Long(col(keyCol).cast("string"))
+        % grain < col("__thr"))
+      .drop("__thr")
+  }
 }

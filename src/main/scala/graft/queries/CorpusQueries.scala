@@ -109,5 +109,41 @@ object CorpusQueries {
         .orderBy("tok"),
       Some("""SELECT tok, count(*) AS cnt
              |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
-             |GROUP BY tok HAVING count(*) >= 900 ORDER BY tok""".stripMargin)))
+             |GROUP BY tok HAVING count(*) >= 900 ORDER BY tok""".stripMargin)),
+
+    // Mixture/balance sampling across sources (the data-MIXING step):
+    // every source downsampled to ≈ the smallest source's size with the
+    // deterministic md5-bucket rule at 1/10000 grain — keep-rates are
+    // integer thresholds (exact in both engines), membership is a pure
+    // function of doc_id, and the achieved per-source kept-counts are
+    // hash-checked.
+    QuerySpec("q136_mixture_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        val thr = counts
+          .crossJoin(counts.agg(min(col("n_orig")).as("mn")))
+          .select(col("source"), col("n_orig"),
+            expr("(mn * 10000) DIV n_orig").as("thr"))
+        val kept = graft.operators.Transforms
+          .mixtureBalanceSample(docs, "source", "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_orig"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_orig FROM documents GROUP BY source
+             |), m AS (SELECT min(n_orig) AS mn FROM c),
+             |kept AS (
+             |  SELECT d.source, count(*) AS n_kept
+             |  FROM documents d JOIN c USING (source) CROSS JOIN m
+             |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 10000
+             |        < (mn * 10000) // n_orig
+             |  GROUP BY d.source)
+             |SELECT c.source, c.n_orig, (mn * 10000) // c.n_orig AS thr,
+             |  COALESCE(n_kept, 0) AS n_kept
+             |FROM c CROSS JOIN m LEFT JOIN kept ON kept.source = c.source
+             |ORDER BY c.source""".stripMargin)))
 }

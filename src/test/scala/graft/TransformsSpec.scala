@@ -64,4 +64,27 @@ class TransformsSpec extends SparkSpec {
     assert(rows(0).getDouble(1) === 1.7)
     assert(rows(1).getDouble(2) === 1.5)
   }
+
+  test("mixtureBalanceSample levels categories toward the smallest, deterministically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.Transforms
+      .mixtureBalanceSample(docs, "source", "doc_id")
+    val orig = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = orig.values.min
+    kept.foreach { case (s0, k) =>
+      assert(k <= orig(s0), s"$s0 grew")
+      // hash thinning is binomial around minN; small strata wobble, but
+      // nothing should exceed ~3x the target or collapse entirely
+      assert(k <= 3 * minN, s"$s0 kept $k vs target ~$minN")
+    }
+    // pure function of the key: a rerun is bit-identical
+    val again = graft.operators.Transforms
+      .mixtureBalanceSample(docs, "source", "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === kept)
+  }
 }
