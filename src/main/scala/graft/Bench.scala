@@ -54,7 +54,7 @@ object Bench {
     "q75_topk_native", "q79_decontaminate", "q80_upsert", "q84_gapfill",
     "q86_dedup_incremental", "q92_bloom_decontam", "q93_sorted_neighborhood",
     "q94_kmeans_step", "q96_corpus_clean", "q100_range_join_binned",
-    "q104_training_shuffle",
+    "q104_training_shuffle", "q137_pagerank", "q138_bm25",
     "k1_convert_csv", "k2_convert_csv_10m")
 
   private def fmt(v: Double): String = BigDecimal(v)

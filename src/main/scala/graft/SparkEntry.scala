@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.specs ++ MiscQueries.specs ++ TextQueries.specs ++
       DedupQueries.specs ++ SimilarityQueries.specs ++ MultimodalQueries.specs ++
       QualityQueries.specs ++ FormatQueries.specs ++ SnapshotQueries.specs ++
-      LayoutQueries.specs ++ PqQueries.specs ++ CorpusQueries.specs
+      LayoutQueries.specs ++ PqQueries.specs ++ CorpusQueries.specs ++
+      CurationQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) merge training — the tokenizer-
+  * construction step of an LLM data pipeline (Sennrich et al. 2016 shape).
+  * The reference has no tokenizer surface; this is BASELINE.json extension
+  * work, built Spark-first:
+  *
+  *   - The corpus collapses to its WORD VOCABULARY (distinct word, freq)
+  *     once — at web scale the vocabulary is millions of rows while the
+  *     corpus is trillions of tokens, so the iterative part of training
+  *     never touches the corpus again (the standard trick every BPE
+  *     trainer uses, here as a groupBy).
+  *   - Each merge round is: explode adjacent symbol pairs weighted by word
+  *     freq → one map-side-combined aggregation → the driver receives
+  *     EXACTLY ONE ROW (the argmax pair; count desc, pair lexicographic as
+  *     the deterministic tie-break) → the merge is applied vocabulary-wide
+  *     as a higher-order `aggregate` fold (engine-native lambda, no UDF),
+  *     and the frame is localCheckpoint'ed to truncate lineage (the
+  *     [[Dedup.dupClusters]] iteration discipline).
+  *
+  * Greedy left-to-right merge semantics ("aaa" + merge (a,a) → ["aa","a"])
+  * are exactly the fold: append each symbol unless the accumulator's last
+  * element equals `a` and the incoming equals `b`, in which case the pair
+  * fuses. BpeSpec proves the loop bit-equal to a sequential reference
+  * implementation on the fixture corpus.
+  */
+object Bpe {
+
+  /** (word, freq) vocabulary of a whitespace-tokenized text column. */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Frequency-weighted adjacent-pair counts over a (word|syms, freq)
+    * frame. `syms` is the word's current symbol array. */
+  private def pairCounts(v: DataFrame): DataFrame =
+    // single-symbol words have no pairs — and must be filtered BEFORE the
+    // explode: sequence(0, size-2) runs DESCENDING for size 1 (Spark's
+    // sequence auto-reverses), which under ANSI mode is an invalid index
+    v.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Train `numMerges` BPE merges over the corpus vocabulary. Returns the
+    * learned merge table (ord, a, b, cnt) in training order; `cnt` is the
+    * pair's frequency-weighted count at the time it was chosen. Words
+    * start as single-character symbols with `endMark` appended to the
+    * final character (the end-of-word convention that keeps suffixes and
+    * in-word units distinct). */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  endMark: String = "</w>"): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var v = vocab(docs, textCol)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), " +
+          s"i -> substring(word, i, 1) || CASE WHEN i = length(word) " +
+          s"THEN '$endMark' ELSE '' END)"))
+      .select(col("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (ord <- 1 to numMerges if !done) {
+      // ONE row to the driver: the argmax pair under the total order
+      // (cnt desc, a, b) — never the pair table itself
+      val top = pairCounts(v)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((ord, a, b, cnt))
+        v = applyMerge(v, a, b).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Fuse every greedy left-to-right adjacent (a, b) occurrence in the
+    * symbol arrays — the higher-order fold described in the class doc. */
+  private[graft] def applyMerge(v: DataFrame, a: String, b: String): DataFrame = {
+    val spark = v.sparkSession
+    // symbols come from corpus text: escape quotes for the lambda literal
+    def lit(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    v.withColumn("syms",
+      expr(s"""aggregate(syms, CAST(array() AS array<string>),
+              |  (acc, x) -> CASE
+              |    WHEN size(acc) > 0 AND element_at(acc, -1) = '${lit(a)}'
+              |         AND x = '${lit(b)}'
+              |    THEN concat(slice(acc, 1, size(acc) - 1),
+              |                array('${lit(a)}' || '${lit(b)}'))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin))
+  }
+
+  /** Sequential reference BPE on a driver-side vocabulary — the test
+    * oracle for [[trainMerges]] (BpeSpec); never used at scale. */
+  private[graft] def referenceMerges(vocabulary: Seq[(String, Long)],
+                                     numMerges: Int,
+                                     endMark: String = "</w>"): Seq[(Int, String, String, Long)] = {
+    var v: Seq[(Vector[String], Long)] = vocabulary.map { case (w, f) =>
+      (w.toVector.zipWithIndex.map { case (c, i) =>
+        if (i == w.length - 1) s"$c$endMark" else c.toString }, f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (ord <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      v.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((ord, a, b, cnt))
+        v = v.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc(acc.length - 1) = a + b
+            else acc += x
+          }
+          (acc.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+}

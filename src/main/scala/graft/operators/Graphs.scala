@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality over an edge table — the source-quality
+  * weighting step of a web-corpus curation pipeline (CommonCrawl-style
+  * pipelines rank hosts by link centrality and weight document sampling by
+  * the score; the reference has no graph surface, so this is pure
+  * BASELINE.json extension work).
+  *
+  * Exactness contract (what makes PageRank hash-checkable): all arithmetic
+  * is integer fixed-point on a caller-chosen `scale` grid. Every node starts
+  * at `scale`; one iteration is
+  *
+  *   pr'(v) = base + (dampNum * Σ_{u→v} (pr(u) DIV deg(u))) DIV 100
+  *   base   = ((100 − dampNum) * scale) DIV 100
+  *
+  * with BIGINT floor division everywhere — bit-identical on any engine and
+  * any partitioning (float PageRank never hash-matches: the contribution
+  * sum's order is partition-dependent). Dangling mass is NOT redistributed
+  * (nodes without out-edges absorb rank — the standard matrix-free
+  * simplification; the oracle does the same).
+  *
+  * Scale shape: `edgesWithDeg` (src, dst, deg) is computed once, hash-
+  * repartitioned by src, and persisted — per iteration only the rank frame
+  * moves: one shuffle keyed by src for the rank⋈edges join, one keyed by
+  * dst for the contribution aggregation (map-side combined). Each
+  * iteration's result is localCheckpoint'ed to truncate lineage (the same
+  * discipline as [[Dedup.dupClusters]]; use reliable checkpoint() on a real
+  * cluster). The driver never sees a row. Long arithmetic holds while
+  * nodes·scale·dampNum < 2^63 — at web scale (1e9 hosts) drop `scale` to
+  * 1e6 or switch the sum column to DECIMAL(38,0).
+  */
+object Graphs {
+
+  /** Degree-annotated, src-partitioned, persisted edge frame. */
+  private def edgesWithDeg(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    OperatorCaches.persistTracked(
+      edges.join(deg, "src").repartition(col("src")))
+  }
+
+  /** Fixed-iteration integer PageRank. `edges` must carry string/long
+    * columns `src`, `dst` (self-loops allowed, duplicates NOT — dedupe
+    * upstream; each (src,dst) row contributes once). Returns (node, pr). */
+  def pageRank(edges: DataFrame, iterations: Int,
+               dampNum: Long = 85L, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
+    val ed = edgesWithDeg(edges)
+    val nodes = OperatorCaches.persistTracked(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct())
+    val base = ((100L - dampNum) * scale) / 100L
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr DIV deg")).as("s"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

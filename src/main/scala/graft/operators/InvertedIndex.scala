@@ -40,6 +40,55 @@ object InvertedIndex {
       .filter(col("doc_freq") >= minDf)
   }
 
+  /** BM25-shaped lexical retrieval over the inverted index: top-k
+    * documents per query for a literal query set, scored with
+    * QUANTIZED-INTEGER BM25 (k1 = 1.2, b = 0.75) so every score is an
+    * exact BIGINT and the ranking hash-matches any engine:
+    *
+    *   idfq(t)      = (N · 1000) DIV df(t)          (q132's quantized idf)
+    *   score(q, d)  = Σ_t  (22·T·tf·idfq) DIV (10·T·tf + 3·T + 9·dl·N)
+    *
+    * which is BM25's tf-saturation term with k1, b and avgdl = T/N cleared
+    * to a common integer denominator (22/10 = k1+1, 3/10 = k1·(1−b),
+    * 9/10 = k1·b) and one floor division per (query, term, doc). The
+    * true-float BM25 would need order-pinned float sums; the quantization
+    * is the documented contract (identical precedent: sparseCosinePairs).
+    *
+    * Scale shape: the query set is a literal — it broadcasts onto the tf
+    * frame's term key, so candidates are the union of the query terms'
+    * posting lists, never a corpus scan; doc-length and df are map-side-
+    * combinable aggregations; the final top-k window is keyed by query.
+    * Long arithmetic holds to ~1e14 corpus tokens; past that switch the
+    * score column to DECIMAL(38,0) (same note as Graphs.pageRank). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = OperatorCaches.persistTracked(docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val tt = dl.agg(sum(col("dl")).as("t_total"))
+    val qt = broadcast(
+      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term"))
+    val scored = qt
+      .join(tf, "term").join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
+      .withColumn("s_term",
+        expr("""(22 * t_total * tf * ((n_docs * 1000) DIV df))
+               | DIV (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)"""
+          .stripMargin))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s_term")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Sparse TF-IDF cosine similarity over PREFIX-FILTERED candidate
     * pairs — lexical near-duplicate retrieval without an all-pairs scan.
     *

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Corpus-curation ranking surface: link-graph centrality for source
+  * weighting, lexical retrieval scoring, tokenizer training statistics,
+  * ANN quality measurement, and classifier calibration — the "which data
+  * do we keep, and can we prove the infrastructure ranks it right"
+  * queries of a training-data pipeline. All exact-arithmetic (integer
+  * fixed-point / quantized weights) so every query hash-matches the
+  * DuckDB oracle; see the operator scaladocs for the scale shapes.
+  */
+object CurationQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Link-graph centrality for source quality weighting: a co-purchase
+    // graph (customer↔supplier through orders×lineitem, both directions)
+    // ranked by 3 iterations of integer fixed-point PageRank. Every
+    // arithmetic step is BIGINT floor division on a 1e9 grid, so the
+    // iterated scores hash-match the oracle's unrolled 3-layer SQL —
+    // float PageRank never could (partition-order-dependent sums).
+    QuerySpec("q137_pagerank",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graphs.pageRank(edges, iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+             |         's' || l_suppkey::VARCHAR AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |), e AS (SELECT src, dst FROM e0
+             |         UNION ALL SELECT dst, src FROM e0),
+             |n AS (SELECT DISTINCT node FROM
+             |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |p0 AS (SELECT node, 1000000000::BIGINT AS pr FROM n),
+             |c1 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY dst),
+             |p1 AS (SELECT node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c1 ON c1.dst = n.node),
+             |c2 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY dst),
+             |p2 AS (SELECT node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c2 ON c2.dst = n.node),
+             |c3 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY dst),
+             |p3 AS (SELECT node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c3 ON c3.dst = n.node)
+             |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)),
+
+    // BM25 lexical retrieval: top-5 documents for a literal 3-query set,
+    // scored with quantized-integer BM25 (k1=1.2, b=0.75 cleared to one
+    // BIGINT floor division per term — see InvertedIndex.bm25TopK). The
+    // query set broadcasts onto the term key: candidates are the query
+    // terms' posting lists, never a corpus scan.
+    QuerySpec("q138_bm25",
+      (s, d) => graft.operators.InvertedIndex.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"),
+          "q3" -> Seq("stream", "batch", "hash")), k = 5)
+        .orderBy("q_id", "rank"),
+      Some("""WITH qt(q_id, term) AS (VALUES
+             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
+             |  ('q3','stream'),('q3','batch'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc)
+             |SELECT q_id, rank, doc_id, score FROM r
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // BPE tokenizer statistics: the corpus-wide adjacent-character-pair
+    // scan that seeds byte-pair-encoding training (every stage-0 merge
+    // candidate and its count; top 30, count desc, pair lexicographic).
+    // The iterative merge LOOP is Bpe.trainMerges, spec-proven against a
+    // sequential reference (BpeSpec) — this query oracle-gates its
+    // distributed heavy-lifting stage, which at web scale is the only
+    // part that ever touches the corpus.
+    QuerySpec("q139_bpe_pairs",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(30),
+      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+             |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+             |      FROM w WHERE len(w) >= 2)
+             |SELECT pair, count(*) AS cnt FROM p
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
+
+    // ANN quality measurement: recall@3 of the IVF-restricted search
+    // (q55's exact configuration) against the brute-force exact top-3,
+    // per query — the acceptance metric every approximate index ships
+    // with. Both sides and the intersection are computed in-engine; the
+    // oracle rebuilds them from the same float arithmetic.
+    QuerySpec("q140_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), graft.functions.VectorFunctions
+            .asDouble(col("embedding")).as("v"))
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val qp = col("vec_id") >= 100 && col("vec_id") < 110
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(e, e.filter(qp).select(col("vec_id").as("q_id"),
+            col("v").as("qv")), 3)
+          .select(col("q_id"), col("neighbor_id"))
+        val approx = graft.operators.Similarity.ivfSearch(e, c, 3, qp)
+          .select(col("q_id"), col("neighbor_id"))
+        exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+          .join(exact.groupBy(col("q_id")).agg(count(lit(1)).as("k")),
+            Seq("q_id"), "right")
+          .select(col("q_id"), col("k"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall",
+            col("n_hit").cast("double") / col("k").cast("double"))
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+             |      WHERE vec_id >= 100 AND vec_id < 110),
+             |ex AS (
+             |  SELECT q_id, neighbor_id FROM (
+             |    SELECT q_id, e.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY
+             |        list_dot_product(qv, e.v)
+             |          / (sqrt(list_dot_product(qv, qv))
+             |             * sqrt(list_dot_product(e.v, e.v))) DESC, e.vec_id) AS rn
+             |    FROM q CROSS JOIN e WHERE e.vec_id <> q_id)
+             |  WHERE rn <= 3),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cluster_id FROM (
+             |    SELECT e.vec_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |          + list_dot_product(cv, cv), c_id) AS rn
+             |    FROM e CROSS JOIN c)
+             |  WHERE rn = 1),
+             |ap AS (
+             |  SELECT q_id, neighbor_id FROM (
+             |    SELECT qa.q_id, a.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY qa.q_id ORDER BY
+             |        list_dot_product(qa.qv, e.v)
+             |          / (sqrt(list_dot_product(qa.qv, qa.qv))
+             |             * sqrt(list_dot_product(e.v, e.v))) DESC, a.vec_id) AS rn
+             |    FROM (SELECT q.q_id, q.qv, asg.cluster_id FROM q
+             |          JOIN asg ON asg.vec_id = q.q_id) qa
+             |    JOIN asg a ON a.cluster_id = qa.cluster_id
+             |    JOIN e ON e.vec_id = a.vec_id
+             |    WHERE a.vec_id <> qa.q_id)
+             |  WHERE rn <= 3),
+             |hit AS (
+             |  SELECT ex.q_id, count(*) AS n_hit FROM ex
+             |  JOIN ap ON ap.q_id = ex.q_id AND ap.neighbor_id = ex.neighbor_id
+             |  GROUP BY ex.q_id),
+             |kk AS (SELECT q_id, count(*) AS k FROM ex GROUP BY q_id)
+             |SELECT kk.q_id, kk.k, COALESCE(n_hit, 0) AS n_hit,
+             |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE) AS recall
+             |FROM kk LEFT JOIN hit ON hit.q_id = kk.q_id
+             |ORDER BY kk.q_id""".stripMargin)),
+
+    // Classifier calibration sweep: documents ranked by the q123 quality
+    // logit (score desc, doc_id tiebreak — a total order), with exact
+    // cumulative predicted-positive / true-positive counts at every 97th
+    // rank (decimated output; prime step so no stratum aliasing). Truth
+    // label: lang = 'en' (the wanted-language proxy). The cumulative
+    // counts run on the distributed range-partition prefix sum
+    // (PrefixSum.rankedRunningSum) — NOT a global window; the oracle's
+    // single window is the oracle's privilege.
+    QuerySpec("q141_threshold_sweep",
+      (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(filter(split(col("text"), " "),
+              x => x.isin("a", "the", "of", "to"))).cast("long").as("n_stop"))
+          .withColumn("mean_len",
+            (col("n_chars") - (col("n_tok") - 1)).cast("double")
+              / col("n_tok").cast("double"))
+          .withColumn("stop_frac",
+            col("n_stop").cast("double") / col("n_tok").cast("double"))
+          .withColumn("z",
+            lit(-1.5) + lit(0.02) * col("n_tok") + lit(1.6) * col("stop_frac")
+              - lit(0.12) * col("mean_len"))
+          .withColumn("is_pos", when(col("lang") === "en", 1L).otherwise(0L))
+        val (ranked, _) = graft.operators.PrefixSum.rankedRunningSum(
+          scored, Seq(org.apache.spark.sql.functions.col("z").desc,
+            col("doc_id").asc),
+          col("is_pos"), rnCol = "rn", cumCol = "cum_tp")
+        ranked.filter(col("rn") % 97 === 0)
+          .select(col("rn"), col("doc_id"), round(col("z"), 9).as("z9"),
+            col("cum_tp"), (col("rn") - col("cum_tp")).as("cum_fp"))
+          .orderBy("rn")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, lang,
+             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
+             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
+             |                / CAST(n_tok AS DOUBLE)) AS z
+             |  FROM f
+             |), r AS (
+             |  SELECT doc_id, z,
+             |    row_number() OVER (ORDER BY z DESC, doc_id) AS rn,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
+             |      ORDER BY z DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tp
+             |  FROM g)
+             |SELECT rn, doc_id, round(z, 9) AS z9, cum_tp,
+             |  rn - cum_tp AS cum_fp
+             |FROM r WHERE rn % 97 = 0 ORDER BY rn""".stripMargin)),
+
+    // Temperature-weighted mixture sampling (α = 0.5): per-source keep
+    // rate ∝ √(n_min/n_s) — the standard multilingual/multi-source
+    // rebalancing softer than q136's full leveling. Quantization contract:
+    // thresholds are ratios of integer √⌊·⌋ values at 1/10000 grain
+    // (floor(sqrt(BIGINT)) is correctly rounded and < 2^53 in both
+    // engines ⇒ deterministic); membership is the same md5-bucket pure
+    // function of doc_id as q136/q38.
+    QuerySpec("q142_temperature_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        val thr = counts
+          .crossJoin(counts.agg(min(col("n_orig")).as("mn")))
+          .select(col("source"), col("n_orig"),
+            expr("""(10000 * CAST(FLOOR(SQRT(CAST(mn AS DOUBLE))) AS BIGINT))
+                   | DIV CAST(FLOOR(SQRT(CAST(n_orig AS DOUBLE))) AS BIGINT)"""
+              .stripMargin).as("thr"))
+        val kept = docs
+          .join(broadcast(thr.select(col("source"), col("thr"))), "source")
+          .filter(graft.functions.TextFunctions
+            .md5Long(col("doc_id").cast("string")) % 10000 < col("thr"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_orig"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_orig FROM documents GROUP BY source
+             |), m AS (SELECT min(n_orig) AS mn FROM c),
+             |t AS (
+             |  SELECT source, n_orig,
+             |    (10000 * CAST(FLOOR(SQRT(CAST(mn AS DOUBLE))) AS BIGINT))
+             |      // CAST(FLOOR(SQRT(CAST(n_orig AS DOUBLE))) AS BIGINT) AS thr
+             |  FROM c CROSS JOIN m),
+             |kept AS (
+             |  SELECT d.source, count(*) AS n_kept
+             |  FROM documents d JOIN t USING (source)
+             |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT
+             |        % 10000 < thr
+             |  GROUP BY d.source)
+             |SELECT t.source, t.n_orig, t.thr, COALESCE(n_kept, 0) AS n_kept
+             |FROM t LEFT JOIN kept ON kept.source = t.source
+             |ORDER BY t.source""".stripMargin)),
+
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 8-token span fingerprints they share — the "is my training
+    // mix leaking between sources" audit (q118's span fingerprints, lifted
+    // from doc×doc to source×source). The fp-keyed self-join carries one
+    // row per DISTINCT (source, fp) — postings dedupe before the join, so
+    // a span repeated within one source contributes once, and the shuffle
+    // is vocabulary-sized, not corpus-sized.
+    QuerySpec("q143_source_overlap",
+      (s, d) => {
+        import graft.functions.TextFunctions._
+        val sp = t(s, d, "documents")
+          .select(col("source"),
+            explode(shingleHashSeqFromTokens(tokens(col("text")), 8)).as("fp"))
+          .distinct()
+        sp.select(col("source").as("src_a"), col("fp"))
+          .join(sp.select(col("source").as("src_b"), col("fp")), "fp")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, string_split(text,' ') AS t FROM documents
+             |), sp0 AS (
+             |  SELECT source,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM tk WHERE len(t) >= 8
+             |), sp AS (SELECT DISTINCT source, fp FROM sp0),
+             |pr AS (
+             |  SELECT a.source AS src_a, b.source AS src_b
+             |  FROM sp a JOIN sp b USING (fp) WHERE a.source < b.source)
+             |SELECT src_a, src_b, count(*) AS n_shared
+             |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Graphs, OperatorCaches}
+
+/** Specs for the two iterative curation operators whose loops are not
+  * SQL-expressible (their distributed heavy-lifting stages are oracle-
+  * gated separately: q139 pair counts, q137 PageRank). */
+class BpeGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge fuses greedy left-to-right, including overlap runs") {
+    val v = Seq(
+      (Array("a", "a", "a"), 1L),            // aaa + (a,a) → [aa, a]
+      (Array("a", "b", "a", "b"), 1L),       // abab + (a,b) → [ab, ab]
+      (Array("x", "a", "b", "b"), 1L))       // xabb + (a,b) → [x, ab, b]
+      .toDF("syms", "freq")
+    val ab = Bpe.applyMerge(v, "a", "b").select("syms").as[Seq[String]]
+      .collect().toSet
+    assert(ab.contains(Seq("ab", "ab")) && ab.contains(Seq("x", "ab", "b")))
+    val aa = Bpe.applyMerge(v, "a", "a").select("syms").as[Seq[String]]
+      .collect().toSet
+    assert(aa.contains(Seq("aa", "a")))
+  }
+
+  test("trainMerges matches the sequential reference BPE on fixture text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val got = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val vocabDriver = Bpe.vocab(docs, "text")
+      .as[(String, Long)].collect().toSeq
+    val want = Bpe.referenceMerges(vocabDriver, numMerges = 8)
+    assert(got === want)
+    OperatorCaches.release()
+  }
+
+  test("pageRank is exact on a hand-computed 3-node graph") {
+    // a→b, b→c, c→a ring plus a→c: deg(a)=2, deg(b)=1, deg(c)=1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val scale = 1000000000L
+    val pr1 = Graphs.pageRank(edges, iterations = 1)
+      .as[(String, Long)].collect().toMap
+    // after one iteration from uniform scale: contrib(a)=scale (from c),
+    // contrib(b)=scale/2 (from a), contrib(c)=scale/2+scale (a half + b)
+    val base = 150000000L
+    assert(pr1("a") === base + 85L * scale / 100L)
+    assert(pr1("b") === base + 85L * (scale / 2) / 100L)
+    assert(pr1("c") === base + 85L * (scale / 2 + scale) / 100L)
+    OperatorCaches.release()
+  }
+
+  test("pageRank is partitioning-invariant (bit-identical, 3 iterations)") {
+    val e0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val a = Graphs.pageRank(edges, 3).as[(String, Long)].collect().toMap
+    val b = Graphs.pageRank(edges.repartition(13), 3)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(_ > 0L))
+    OperatorCaches.release()
+  }
+}
