@@ -26,11 +26,11 @@ class BpeGraphSpec extends SparkSpec {
 
   test("trainMerges matches the sequential reference BPE on fixture text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id") < 100)
-    val got = Bpe.trainMerges(docs, "text", numMerges = 8)
+      .filter(col("doc_id") < 60)
+    val got = Bpe.trainMerges(docs, "text", numMerges = 5)
     val vocabDriver = Bpe.vocab(docs, "text")
       .as[(String, Long)].collect().toSeq
-    val want = Bpe.referenceMerges(vocabDriver, numMerges = 8)
+    val want = Bpe.referenceMerges(vocabDriver, numMerges = 5)
     assert(got === want)
     OperatorCaches.release()
   }
@@ -59,8 +59,8 @@ class BpeGraphSpec extends SparkSpec {
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val a = Graphs.pageRank(edges, 3).as[(String, Long)].collect().toMap
-    val b = Graphs.pageRank(edges.repartition(13), 3)
+    val a = Graphs.pageRank(edges, 2).as[(String, Long)].collect().toMap
+    val b = Graphs.pageRank(edges.repartition(13), 2)
       .as[(String, Long)].collect().toMap
     assert(a === b)
     assert(a.values.forall(_ > 0L))
