@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   /** Degree-annotated, src-partitioned, persisted edge frame. */
-  private def edgesWithDeg(edges: DataFrame): DataFrame = {
+  private[graft] def edgesWithDeg(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     OperatorCaches.persistTracked(
       edges.join(deg, "src").repartition(col("src")))
@@ -55,17 +55,23 @@ object Graphs {
         .distinct())
     val base = ((100L - dampNum) * scale) / 100L
     var pr = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iterations) {
-      val contrib = ed
-        .join(pr, ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("pr DIV deg")).as("s"))
-      pr = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      pr = iterate(nodes, ed, pr, base, dampNum).localCheckpoint()
     pr
+  }
+
+  /** One PageRank step, pre-checkpoint — separated so plan tests can
+    * assert the iteration's physical shape (localCheckpoint truncates the
+    * returned frame's plan to an RDD scan). */
+  private[graft] def iterate(nodes: DataFrame, ed: DataFrame, pr: DataFrame,
+                             base: Long, dampNum: Long): DataFrame = {
+    val contrib = ed
+      .join(pr, ed("src") === pr("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("pr DIV deg")).as("s"))
+    nodes
+      .join(contrib, nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
   }
 }

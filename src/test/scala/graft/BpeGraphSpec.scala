@@ -35,6 +35,42 @@ class BpeGraphSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("pageRank and bm25 plans: no single-partition exchange, no nested loop") {
+    val e0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val ed = Graphs.edgesWithDeg(edges)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val pr0 = nodes.withColumn("pr", lit(1000000000L))
+    val prPlan = Graphs.iterate(nodes, ed, pr0, 150000000L, 85L)
+      .queryExecution.executedPlan.toString
+    assert(!prPlan.contains("Exchange SinglePartition"), prPlan)
+    assert(!prPlan.contains("BroadcastNestedLoopJoin") &&
+      !prPlan.contains("CartesianProduct"), prPlan)
+    val bm = graft.operators.InvertedIndex.bm25TopK(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      Seq("q1" -> Seq("spark", "join")), k = 5)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(bmPlan.contains("BroadcastHashJoin") ||
+      bmPlan.contains("BroadcastExchange"), bmPlan)
+    // The two scalar factors (n_docs, t_total) are 1-row subplans: each is
+    // a partial-agg → SinglePartition final agg, cross-joined back as a
+    // 1-row broadcast nested loop. Both shapes are linear and allowed in
+    // bounded number; anything beyond that budget would be a real
+    // quadratic/bottleneck regression.
+    assert(bmPlan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2, bmPlan)
+    assert(bmPlan.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition") <= 2, bmPlan)
+    assert(!bmPlan.contains("CartesianProduct"), bmPlan)
+    OperatorCaches.release()
+  }
+
   test("pageRank is exact on a hand-computed 3-node graph") {
     // a→b, b→c, c→a ring plus a→c: deg(a)=2, deg(b)=1, deg(c)=1
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
