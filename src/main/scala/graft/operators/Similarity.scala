@@ -274,6 +274,52 @@ object Similarity {
         col("n_members"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540 — public paper): partition the embedding
+    * space with k-means centroids, then near-duplicate only WITHIN each
+    * cluster. The cluster assignment replaces the corpus-wide pair scan,
+    * so the quadratic term is bounded by cluster population, never N².
+    *
+    * Verdict contract (deterministic, SQL-expressible): a vector is
+    * DROPPED iff some keeper-side member of its cluster with a SMALLER id
+    * has cosine ≥ `minCos` with it; otherwise kept. Greedy-by-id and
+    * pairwise — not a transitive closure (that is q37/q111's cluster
+    * operators). The keeper side is capped to the `keeperCap` smallest
+    * ids per cluster — the hot-bucket cap every pairing operator here
+    * carries: a degenerate clustering (everything in one cell) pairs
+    * members×cap, never members², at a documented recall bound.
+    *
+    * Scale shape: broadcast-centroid assign ([[ivfAssign]] — one
+    * streaming pass), keeper cap via a CLUSTER-partitioned window (hash
+    * partitioning, never a global window), one equi-join on cluster_id
+    * against the capped keeper side with the exact cosine as a post-join
+    * predicate, then a left join to flip the verdict per vector. Nothing
+    * quadratic in the corpus, nothing collected to the driver.
+    * Returns (vec_id, cluster_id, kept: 1|0).
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, minCos: Double,
+               keeperCap: Int = 256): DataFrame = {
+    val assigned = OperatorCaches.persistTracked(
+      ivfAssign(corpus, centroids)
+        .select(col("vec_id"), col("v"), col("cluster_id")))
+    val wk = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
+    val keepers = assigned
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= keeperCap)
+      .select(col("cluster_id").as("k_cluster"), col("vec_id").as("k_id"),
+        col("v").as("kv"))
+    val dropped = assigned
+      .join(keepers,
+        col("k_cluster") === col("cluster_id") && col("k_id") < col("vec_id") &&
+          cosineNative(col("kv"), col("v")) >= minCos,
+        "left_semi")
+      .select(col("vec_id"), lit(0L).as("kept"))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("kept"), lit(1L)).as("kept"))
+  }
+
   /** Reshape a [[kmeansStep]] result back into the (c_id, cv) centroid
     * frame [[ivfAssign]]/[[kmeansStep]] consume — so reproducible Lloyd
     * steps chain: `centroidsFromStep(kmeansStep(corpus, c), c)` is one

@@ -280,6 +280,47 @@ object SimilarityQueries {
              |SELECT cluster_id, dim,
              |  (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) / 1000000 AS c_new,
              |  count(*) AS n_members
-             |FROM x GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin))
+             |FROM x GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin)),
+
+    // SemDeDup (cluster-scoped semantic dedup): k-means-assign to the 16
+    // seed centroids (q94's assignment, same stable argmin), then drop a
+    // vector iff a SMALLER-id member of its own cluster has cosine ≥ 0.35
+    // with it (greedy-by-id pairwise verdict; keeper side capped at 256
+    // ids/cluster — binds only at scale, not at this SF). The quadratic
+    // term is per-cluster, never corpus-wide — the published SemDeDup
+    // recipe's scale story, here with a fully hash-checked verdict.
+    QuerySpec("q144_semdedup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.operators.Similarity.semDedup(e, c, minCos = 0.35, keeperCap = 256)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |d AS (
+             |  SELECT e.vec_id, e.v, c_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |        + list_dot_product(cv, cv), c_id) AS rn
+             |  FROM e CROSS JOIN c
+             |), a AS (SELECT vec_id, v, c_id AS cluster_id FROM d WHERE rn = 1),
+             |k AS (
+             |  SELECT cluster_id, vec_id AS k_id, v AS kv,
+             |    row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn
+             |  FROM a
+             |), drops AS (
+             |  SELECT DISTINCT m.vec_id
+             |  FROM a m JOIN k ON k.cluster_id = m.cluster_id AND k.rn <= 256
+             |    AND k.k_id < m.vec_id
+             |    AND list_dot_product(kv, m.v)
+             |      / (sqrt(list_dot_product(kv, kv)) * sqrt(list_dot_product(m.v, m.v)))
+             |      >= 0.35
+             |)
+             |SELECT a.vec_id, cluster_id,
+             |  CAST(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM a LEFT JOIN drops ON a.vec_id = drops.vec_id
+             |ORDER BY a.vec_id""".stripMargin))
   )
 }

@@ -184,4 +184,37 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
+
+  test("semDedup drops planted twins, keeps originals, matches brute force") {
+    // 40 spread vectors + 6 near-twins of the first 6 (higher ids) —
+    // twins land in their original's cluster and must be the drops.
+    val base = (0 until 40).map(i => (i.toLong, randVec(i)))
+    val twins = (0 until 6).map(i => ((100 + i).toLong, perturb(randVec(i), 0.01, 7 + i)))
+    val corpus = (base ++ twins).toDF("vec_id", "v")
+    val cents = (0 until 4).map(i => (i.toLong, randVec(50 + i))).toDF("c_id", "cv")
+    val got = Similarity.semDedup(corpus, cents, minCos = 0.9)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(got.size === 46)
+    (0 until 6).foreach { i =>
+      assert(got((100 + i).toLong) === 0L, s"twin ${100 + i} not dropped")
+      assert(got(i.toLong) === 1L, s"original $i wrongly dropped")
+    }
+    // brute-force the contract: dropped iff a smaller-id same-cluster
+    // member has cosine >= 0.9
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = base ++ twins
+    val cvs = (0 until 4).map(i => (i.toLong, randVec(50 + i)))
+    def cluster(v: Array[Double]): Long =
+      cvs.minBy { case (cid, cv) =>
+        (v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, cid) }._1
+    all.foreach { case (id, v) =>
+      val want = if (all.exists { case (oid, ov) =>
+        oid < id && cluster(ov) == cluster(v) && cos(ov, v) >= 0.9 }) 0L else 1L
+      assert(got(id) === want, s"verdict mismatch for $id")
+    }
+    graft.operators.OperatorCaches.release()
+  }
 }
