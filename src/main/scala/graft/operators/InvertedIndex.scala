@@ -89,6 +89,47 @@ object InvertedIndex {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Reciprocal-rank-fusion re-rank: fuse each query's relevance-ranked
+    * hit list with a rank by a query-independent document PRIOR (quality
+    * logit, PageRank, recency — any column computable on the hit rows) —
+    * the classic two-signal search fusion (relevance × authority), done
+    * the rank-space way (Cormack et al.'s RRF, SIGIR 2009 — public):
+    *
+    *   rrf(q, d) = 1/(rrfK + rank_rel(q, d)) + 1/(rrfK + rank_prior(q, d))
+    *
+    * Rank fusion beats score fusion across heterogeneous scorers because
+    * it needs no score normalization — only orderings — which is also
+    * what makes it exactly reproducible: ranks are integers, each RRF
+    * term is one correctly-rounded division of exact integers, and the
+    * two-term sum has a fixed association order, so the fused score is
+    * bit-identical on any engine.
+    *
+    * The prior rank is computed WITHIN each query's candidate list (not
+    * corpus-wide): re-ranking a k-row hit list is per-query work, so
+    * every window here partitions by q_id — thousands of concurrent
+    * queries → thousands of partitions, never a global window; the fused
+    * ordering is identical to fusing a corpus-wide prior rank because
+    * RRF only consumes the prior's ORDER restricted to the candidates.
+    *
+    * `hits` must carry (q_id, doc_id, rank) — [[bm25TopK]]'s shape —
+    * plus whatever columns `prior` reads. Ties in the prior break by
+    * doc_id; output is the top `n` per query by fused score.
+    * Returns (q_id, rrf_rank, doc_id, rel_rank, p_rank, rrf). */
+  def rrfRerank(hits: DataFrame, prior: org.apache.spark.sql.Column,
+                n: Int, rrfK: Int = 60): DataFrame = {
+    val wp = Window.partitionBy(col("q_id")).orderBy(desc("__prior"), col("doc_id"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), col("doc_id"))
+    hits.withColumn("__prior", prior)
+      .withColumn("p_rank", row_number().over(wp).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(rrfK).cast("double") + col("rank").cast("double")) +
+          lit(1.0) / (lit(rrfK).cast("double") + col("p_rank").cast("double")))
+      .withColumn("rrf_rank", row_number().over(wf).cast("long"))
+      .filter(col("rrf_rank") <= n)
+      .select(col("q_id"), col("rrf_rank"), col("doc_id"),
+        col("rank").as("rel_rank"), col("p_rank"), col("rrf"))
+  }
+
   /** Sparse TF-IDF cosine similarity over PREFIX-FILTERED candidate
     * pairs — lexical near-duplicate retrieval without an all-pairs scan.
     *

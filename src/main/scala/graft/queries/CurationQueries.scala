@@ -328,5 +328,90 @@ object CurationQueries {
              |  SELECT a.source AS src_a, b.source AS src_b
              |  FROM sp a JOIN sp b USING (fp) WHERE a.source < b.source)
              |SELECT src_a, src_b, count(*) AS n_shared
-             |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)))
+             |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-10 candidates (q138's exact-integer
+    // scorer) re-ranked by reciprocal-rank fusion with the q123 quality
+    // logit as the document prior — relevance × authority, fused in rank
+    // space (no score normalization, hence exactly reproducible: each RRF
+    // term is one correctly-rounded division of exact integers). Both
+    // rank windows partition by q_id; the prior rank is computed within
+    // the candidate list, which fuses identically to a corpus-wide prior
+    // rank because RRF consumes only the prior's order restricted to the
+    // candidates. See InvertedIndex.rrfRerank.
+    QuerySpec("q145_hybrid_rrf",
+      (s, d) => {
+        val bm = graft.operators.InvertedIndex.bm25TopK(
+          t(s, d, "documents"), "doc_id", "text",
+          Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"),
+            "q3" -> Seq("stream", "batch", "hash")), k = 10)
+        val z = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(filter(split(col("text"), " "),
+              x => x.isin("a", "the", "of", "to"))).cast("long").as("n_stop"))
+          .select(col("doc_id"),
+            (lit(-1.5) + lit(0.02) * col("n_tok").cast("double")
+              + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
+              - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
+                  / col("n_tok").cast("double"))).as("z"))
+        graft.operators.InvertedIndex.rrfRerank(
+            bm.join(z, "doc_id"), prior = col("z"), n = 5)
+          .orderBy("q_id", "rrf_rank")
+      },
+      Some("""WITH qt(q_id, term) AS (VALUES
+             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
+             |  ('q3','stream'),('q3','batch'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc),
+             |hits AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
+             |zt AS (
+             |  SELECT doc_id,
+             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
+             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
+             |          / CAST(n_tok AS DOUBLE)) AS z
+             |  FROM (
+             |    SELECT doc_id, n_chars,
+             |      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |      CAST(len(list_filter(string_split(text,' '),
+             |        x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop
+             |    FROM documents)),
+             |pk AS (
+             |  SELECT h.q_id, h.doc_id, h.rank,
+             |    row_number() OVER (PARTITION BY h.q_id
+             |      ORDER BY z DESC, h.doc_id) AS p_rank
+             |  FROM hits h JOIN zt USING (doc_id)),
+             |f AS (
+             |  SELECT q_id, doc_id, rank AS rel_rank, p_rank,
+             |    1.0 / (60.0 + CAST(rank AS DOUBLE))
+             |      + 1.0 / (60.0 + CAST(p_rank AS DOUBLE)) AS rrf
+             |  FROM pk),
+             |ff AS (
+             |  SELECT q_id, doc_id, rel_rank, p_rank, rrf,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY rrf DESC, doc_id) AS rrf_rank
+             |  FROM f)
+             |SELECT q_id, rrf_rank, doc_id, rel_rank, p_rank, rrf
+             |FROM ff WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin)))
 }

@@ -34,4 +34,21 @@ class InvertedIndexSpec extends SparkSpec {
     assert(n === 6) // C(4,2), the first 4 docs by id — never C(10,2)=45
     OperatorCaches.release()
   }
+
+  test("rrfRerank fuses relevance and prior ranks by hand-checkable RRF") {
+    // one query, 3 hits: relevance order 1,2,3; prior order reversed.
+    // rrf(d) = 1/(60+rel) + 1/(60+prior):
+    //   d10: 1/61 + 1/63   d20: 2/62          d30: 1/63 + 1/61
+    // d10 and d30 tie exactly (same two terms, + is commutative over
+    // identical doubles) -> doc_id breaks the tie; d20 = 2/62 < 1/61+1/63.
+    val hits = Seq(("qa", 10L, 1L, 3.0), ("qa", 20L, 2L, 5.0), ("qa", 30L, 3L, 9.0))
+      .toDF("q_id", "doc_id", "rank", "prior_score")
+    val got = InvertedIndex.rrfRerank(hits, col("prior_score"), n = 3)
+      .select("doc_id", "rrf_rank", "rel_rank", "p_rank", "rrf")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(10L) === ((1L, 1L, 3L, 1.0 / 61 + 1.0 / 63)))
+    assert(got(30L) === ((2L, 3L, 1L, 1.0 / 63 + 1.0 / 61)))
+    assert(got(20L) === ((3L, 2L, 2L, 1.0 / 62 + 1.0 / 62)))
+  }
 }
