@@ -71,8 +71,40 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-5 lesson: on storage degraded to ~10 MB/s, I/O-stalled tasks
+      // starve the heartbeat thread past the default 120 s network timeout
+      // and local-mode Spark SELF-KILLS with exit 56 (heartbeat failure) —
+      // the bench must never convert slow I/O into a dead JVM. Generous
+      // timeouts keep the run alive; the deadline logic below keeps it
+      // bounded.
+      .config("spark.network.timeout", "1800s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Storage-health probe (round 5: a 50-70× disk slowdown took the
+    // recorded bench from ~60 s to a 42-minute death). 128 MB fsync'd
+    // sequential write to the same filesystem the bench writes to; below
+    // `DegradedMbps` the run switches to a reduced-I/O mode — smaller k2
+    // replica, single timed runs — and says so in the output JSON, so a
+    // bad environment degrades the NUMBERS (flagged), never the run.
+    val DegradedMbps = 60.0
+    def probeWriteMbps(dir: Path): Double = {
+      val f = dir.resolve("io_probe.bin")
+      val buf = java.nio.ByteBuffer.allocate(8 << 20)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        (1 to 16).foreach { _ => buf.rewind(); ch.write(buf) }
+        ch.force(false)
+      } finally ch.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Files.deleteIfExists(f)
+      128.0 / sec
+    }
 
     /** (seconds, succeeded) — failures are never reported as timings. */
     def timed(f: => Unit): (Double, Boolean) = {
@@ -85,7 +117,18 @@ object Bench {
     // the read path via entry, the CSV write path via a small conversion,
     // and the PARQUET write path (q09 stages parquet sides on first call;
     // without this it absorbs the cold ParquetOutputFormat init).
-    val convertOut = Files.createTempDirectory("graft_bench_csv").toString
+    val convertOutDir = Files.createTempDirectory("graft_bench_csv")
+    val convertOut = convertOutDir.toString
+    val ioMbps = try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }
+    val degraded = ioMbps >= 0 && ioMbps < DegradedMbps
+    // Wall-clock deadline for the query loop: past it, remaining queries
+    // run ONCE instead of min-of-two (still all timed, never skipped) —
+    // a pathological environment lengthens the tail, not the artifact list.
+    val benchStart = System.nanoTime()
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+    def pastDeadline: Boolean = (System.nanoTime() - benchStart) / 1e9 > deadlineSec
+    if (degraded)
+      System.err.println(f"graft.Bench: storage writes at $ioMbps%.1f MB/s (< $DegradedMbps MB/s) — reduced-I/O mode")
     try {
       SparkEntry.entry(spark).count()
       graft.operators.Convert.parquetToCsv(
@@ -105,8 +148,8 @@ object Bench {
         }
       }
       val (a, okA) = once()
-      val (b, okB) = once()
-      (math.min(a, b), okA && okB)
+      if (degraded) (a, okA)
+      else { val (b, okB) = once(); (math.min(a, b), okA && okB) }
     }
 
     // Matched-scale conversion: replicate lineitem up to ~10M rows
@@ -121,7 +164,11 @@ object Bench {
     val matched = "k2_convert_csv_10m" -> (try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val n = math.max(1L, li.count())
-      val rep = math.max(1L, math.min(64L, (MatchedScaleRows + n - 1) / n))
+      // Reduced-I/O mode caps the replica at 4× (~6 GB of CSV writes at
+      // 10 MB/s is a 10-minute k2 alone): k2_rows reports the true scale,
+      // so a degraded-window artifact can't masquerade as matched-scale.
+      val repCap = if (degraded) 4L else 64L
+      val rep = math.max(1L, math.min(repCap, (MatchedScaleRows + n - 1) / n))
       k2Rows = n * rep
       val bigPath = s"$convertOut/lineitem_big"
       (1L to rep).map(_ => li).reduce(_ union _)
@@ -135,10 +182,13 @@ object Bench {
         deleteRecursively(outPath)
         r
       }
-      once() // warm at this scale, untimed
-      val (a, okA) = once()
-      val (b, okB) = once()
-      (math.min(a, b), okA && okB)
+      if (degraded) once()
+      else {
+        once() // warm at this scale, untimed
+        val (a, okA) = once()
+        val (b, okB) = once()
+        (math.min(a, b), okA && okB)
+      }
     } catch { case _: Throwable => (0.0, false) })
 
     // Operator-persisted intermediates (LSH bands, shingle sets, SNM rank
@@ -150,6 +200,7 @@ object Bench {
     // flush / GC / scheduling noise lands on it (round 3's q08 snapshot
     // read 12.7 s for a 1.6 s query), and the min of two warm runs is the
     // engine's cost, which is what BASELINE.md's warm numbers measure.
+    var deadlineHit = false
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val r = timed { fn(spark, sfDir).count(); () }
@@ -157,8 +208,13 @@ object Bench {
         r
       }
       val (a, okA) = once()
-      val (b, okB) = once()
-      name -> (math.min(a, b), okA && okB)
+      if (degraded || pastDeadline) {
+        deadlineHit = deadlineHit || pastDeadline
+        name -> (a, okA)
+      } else {
+        val (b, okB) = once()
+        name -> (math.min(a, b), okA && okB)
+      }
     } :+ convert :+ matched
 
     def entries(rs: Seq[(String, (Double, Boolean))]): String =
@@ -172,12 +228,16 @@ object Bench {
     val othersTotal = results
       .collect { case (k, (v, true)) if !headlineSet(k) => v }.sum
 
+    // Environment health, so a snapshot taken in a bad window says so
+    // (round 5's 12.7 s q08 / 127 s k2 adjudications both reduce to this).
+    val env = f""""io_mbps":${fmt(ioMbps)},"degraded_io":$degraded,"deadline_hit":$deadlineHit"""
+
     // Complete per-query map — the stdout line only carries the headline.
     Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

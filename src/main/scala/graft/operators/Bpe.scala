@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Escape a string for interpolation into a SQL single-quoted literal
+    * (symbols/end-marks reach `expr` lambdas as literals — a quote or
+    * backslash in them must not break parsing or inject expression text). */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** (word, freq) vocabulary of a whitespace-tokenized text column. */
   def vocab(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("word"))
@@ -61,7 +67,7 @@ object Bpe {
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), " +
           s"i -> substring(word, i, 1) || CASE WHEN i = length(word) " +
-          s"THEN '$endMark' ELSE '' END)"))
+          s"THEN '${esc(endMark)}' ELSE '' END)"))
       .select(col("syms"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -84,9 +90,8 @@ object Bpe {
   /** Fuse every greedy left-to-right adjacent (a, b) occurrence in the
     * symbol arrays — the higher-order fold described in the class doc. */
   private[graft] def applyMerge(v: DataFrame, a: String, b: String): DataFrame = {
-    val spark = v.sparkSession
     // symbols come from corpus text: escape quotes for the lambda literal
-    def lit(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    def lit(s: String) = esc(s)
     v.withColumn("syms",
       expr(s"""aggregate(syms, CAST(array() AS array<string>),
               |  (acc, x) -> CASE

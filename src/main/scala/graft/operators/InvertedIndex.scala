@@ -58,8 +58,16 @@ object InvertedIndex {
     * frame's term key, so candidates are the union of the query terms'
     * posting lists, never a corpus scan; doc-length and df are map-side-
     * combinable aggregations; the final top-k window is keyed by query.
-    * Long arithmetic holds to ~1e14 corpus tokens; past that switch the
-    * score column to DECIMAL(38,0) (same note as Graphs.pageRank). */
+    *
+    * Overflow contract: the binding term is the NUMERATOR
+    * 22·t_total·tf·idfq, and idfq reaches n_docs·1000 for df=1 terms —
+    * so BIGINT (<9.2e18) would wrap for rare terms at corpora far below
+    * t_total=1e14. The score term is therefore computed in DECIMAL(38,0)
+    * (holds to t_total·tf·idfq < ~4.5e36) and floor-divided back to
+    * BIGINT — the quotient is ≤ 2.2·idfq, always BIGINT-safe. Identical
+    * values wherever BIGINT wouldn't have wrapped, so the integer-SQL
+    * oracle is unchanged; past the decimal bound Spark nulls (ANSI:
+    * errors) rather than silently corrupting rankings. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -78,8 +86,8 @@ object InvertedIndex {
       .join(tf, "term").join(dft, "term").join(dl, "doc_id")
       .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
       .withColumn("s_term",
-        expr("""(22 * t_total * tf * ((n_docs * 1000) DIV df))
-               | DIV (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)"""
+        expr("""(CAST(22 AS DECIMAL(38,0)) * t_total * tf * ((n_docs * 1000) DIV df))
+               | DIV (CAST(10 AS DECIMAL(38,0)) * t_total * tf + 3 * t_total + 9 * dl * n_docs)"""
           .stripMargin))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("s_term")).as("score"))
@@ -104,12 +112,15 @@ object InvertedIndex {
     * two-term sum has a fixed association order, so the fused score is
     * bit-identical on any engine.
     *
-    * The prior rank is computed WITHIN each query's candidate list (not
-    * corpus-wide): re-ranking a k-row hit list is per-query work, so
-    * every window here partitions by q_id — thousands of concurrent
-    * queries → thousands of partitions, never a global window; the fused
-    * ordering is identical to fusing a corpus-wide prior rank because
-    * RRF only consumes the prior's ORDER restricted to the candidates.
+    * The prior rank is deliberately computed WITHIN each query's
+    * candidate list (not corpus-wide) — the standard re-rank choice:
+    * re-ranking a k-row hit list is per-query work, so every window here
+    * partitions by q_id — thousands of concurrent queries → thousands of
+    * partitions, never a global window. Note this is a DIFFERENT contract
+    * from fusing corpus-wide prior ranks: RRF consumes rank MAGNITUDES,
+    * not just order (candidate-local ranks compress 1000-vs-5 into
+    * 2-vs-1), so the two fusions can order differently; the local-rank
+    * contract is the one implemented, documented, and oracle-matched.
     *
     * `hits` must carry (q_id, doc_id, rank) — [[bm25TopK]]'s shape —
     * plus whatever columns `prior` reads. Ties in the prior break by
