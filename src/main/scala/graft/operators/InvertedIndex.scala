@@ -64,7 +64,11 @@ object InvertedIndex {
     * so BIGINT (<9.2e18) would wrap for rare terms at corpora far below
     * t_total=1e14. The score term is therefore computed in DECIMAL(38,0)
     * (holds to t_total·tf·idfq < ~4.5e36) and floor-divided back to
-    * BIGINT — the quotient is ≤ 2.2·idfq, always BIGINT-safe. Identical
+    * BIGINT — the quotient is ≤ 2.2·idfq, always BIGINT-safe. Every
+    * multi-factor product (numerator and all three denominator terms) is
+    * seeded with a DECIMAL(38,0) literal so no sub-term is ever evaluated
+    * in BIGINT; the only BIGINT products left are n_docs·1000 (safe to
+    * 9.2e15 docs) and the idfq quotient itself. Identical
     * values wherever BIGINT wouldn't have wrapped, so the integer-SQL
     * oracle is unchanged; past the decimal bound Spark nulls (ANSI:
     * errors) rather than silently corrupting rankings. */
@@ -87,7 +91,9 @@ object InvertedIndex {
       .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
       .withColumn("s_term",
         expr("""(CAST(22 AS DECIMAL(38,0)) * t_total * tf * ((n_docs * 1000) DIV df))
-               | DIV (CAST(10 AS DECIMAL(38,0)) * t_total * tf + 3 * t_total + 9 * dl * n_docs)"""
+               | DIV (CAST(10 AS DECIMAL(38,0)) * t_total * tf
+               |      + CAST(3 AS DECIMAL(38,0)) * t_total
+               |      + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"""
           .stripMargin))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("s_term")).as("score"))

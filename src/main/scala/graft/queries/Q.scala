@@ -23,16 +23,29 @@ object Q {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * and floor-truncate to a microsecond TimestampType — the same
-    * truncation DuckDB applies when it reads TIMESTAMP_NS, so oracle
-    * values line up. Integer `DIV` keeps the ~1.7e18 ns values exact
-    * (a double division would lose precision past 2^53). */
+  /** Schema-adaptive events reader. The fixture's `ts` physical type has
+    * drifted across driver regenerations — TIMESTAMP(NANOS) (which Spark 4
+    * rejects outright, PARQUET_TYPE_ILLEGAL, hence the nanosAsLong conf),
+    * then TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType —
+    * so branch on the dtype Spark actually resolves:
+    *   - LongType (nanos read as long): floor-truncate to microseconds.
+    *     Integer `DIV` keeps the ~1.7e18 ns values exact (a double
+    *     division would lose precision past 2^53) and matches DuckDB's
+    *     TIMESTAMP_NS truncation.
+    *   - TimestampNTZType: cast to session-zoned TimestampType. The
+    *     session is pinned to UTC (Verify/Bench builders), so wall-clock
+    *     values are unchanged and the DuckDB oracle lines up.
+    *   - TimestampType: pass through. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact-arithmetic sum of a currency-ish double column: cast each value
