@@ -32,9 +32,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release operator-persisted intermediates so a ~100-query dump
-      // can't accrete cache entries across queries
+      // can't accrete cache entries across queries (the corpus posting
+      // index pool deliberately survives — see graft.operators.Postings)
       graft.operators.OperatorCaches.release()
     }
+    graft.operators.Postings.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

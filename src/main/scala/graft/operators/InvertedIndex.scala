@@ -25,11 +25,12 @@ object InvertedIndex {
     * applied AFTER aggregation so the stats themselves are exact. */
   def termStats(docs: DataFrame, idCol: String, textCol: String,
                 minDf: Long = 2L): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    // Shared posting index ([[Postings]]); empty-token filter commutes
+    // with the (term, doc) grouping so post-filtering the pooled frame
+    // is exact.
+    val tf = Postings.forCorpus(docs, idCol, textCol).tf
       .filter(length(col("term")) > 0)
-      .groupBy(col("term"), col(idCol))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc").as(idCol), col("tf"))
     val w = Window.partitionBy(col("term")).orderBy(desc("tf"), col(idCol))
     tf.withColumn("rn", row_number().over(w))
       .groupBy(col("term"))
@@ -76,14 +77,14 @@ object InvertedIndex {
                queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = OperatorCaches.persistTracked(docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val tt = dl.agg(sum(col("dl")).as("t_total"))
+    // All five base frames come from the shared corpus index — built once,
+    // persisted, reused by every retrieval query over this corpus.
+    val ix = Postings.forCorpus(docs, idCol, textCol)
+    val tf = ix.tf.select(col("term"), col("doc").as("doc_id"), col("tf"))
+    val dl = ix.dl.select(col("doc").as("doc_id"), col("dl"))
+    val dft = ix.df
+    val nd = ix.nd
+    val tt = ix.tt
     val qt = broadcast(
       queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term"))
     val scored = qt
@@ -178,13 +179,12 @@ object InvertedIndex {
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         minCos: Double = 0.5, blockCap: Int = 64): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term"), col("doc"))
-      .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    // Shared corpus index; the pooled df includes the empty token's row,
+    // which never joins to the filtered tf and so cannot affect results.
+    val ix = Postings.forCorpus(docs, idCol, textCol)
+    val tf = ix.tf.filter(length(col("term")) > 0)
+    val dft = ix.df
+    val nd = ix.nd
     val wts = OperatorCaches.persistTracked(
       tf.join(dft, "term").crossJoin(nd)
         .withColumn("idfq", expr("(n_docs * 1000) DIV df"))

@@ -33,9 +33,13 @@ object TextQueries {
           explode(tokens(col("text"))).as("tok"))
         val tf = toks.groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-        val dfd = toks.groupBy(col("tok"))
-          .agg(countDistinct(col("doc_id")).as("df_docs"))
-        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        // Document frequency and corpus size come from the shared posting
+        // index: postings are distinct per (term, doc), so the pooled df
+        // IS countDistinct(doc_id) — without re-running the expensive
+        // distinct aggregation over the exploded corpus.
+        val ix = graft.operators.Postings.forCorpus(docs, "doc_id", "text")
+        val dfd = ix.df.select(col("term").as("tok"), col("df").as("df_docs"))
+        val nd = ix.nd
         val w = Window.partitionBy(col("lang"))
           .orderBy(desc("score"), col("tok"))
         tf.join(dfd, "tok").crossJoin(nd)
@@ -212,10 +216,13 @@ object TextQueries {
     // comes free from the driver-side partition sums.
     QuerySpec("q101_vocab_coverage",
       (s, d) => {
-        val tf = t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("term"))
+        // Corpus-wide term counts fold out of the shared posting index
+        // (sum of per-doc tf ≡ count of occurrences) instead of a fresh
+        // tokenize+shuffle of the whole corpus.
+        val tf = graft.operators.Postings.forCorpus(
+            t(s, d, "documents"), "doc_id", "text").tf
           .filter(length(col("term")) > 0)
-          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .groupBy(col("term")).agg(sum(col("tf")).as("n"))
         val (ranked, total) = graft.operators.PrefixSum.rankedRunningSum(
           tf, Seq(desc("n"), col("term")), col("n"), "rn", "cum")
         val pcts = s.range(0, 3).select(

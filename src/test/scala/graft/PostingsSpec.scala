@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Postings
+
+/** The shared corpus posting index: one pooled entry per logical corpus
+  * (plan-keyed, so repeated reads of the same path unify), exact frame
+  * contents, and explicit release. */
+class PostingsSpec extends SparkSpec {
+
+  test("repeated reads of the same corpus resolve to one pooled index") {
+    Postings.release()
+    val a = Postings.forCorpus(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val b = Postings.forCorpus(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    assert(Postings.pooledCount === 1)
+    assert(a.tf eq b.tf) // the identical persisted frame, not a rebuild
+    Postings.release()
+    assert(Postings.pooledCount === 0)
+  }
+
+  test("posting frames carry exact tf/df/dl/n/t over a known corpus") {
+    Postings.release()
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"),    // tf: a->2, b->1; dl=3
+      (2L, "b  c"),     // double space -> empty token; dl=3 (b, "", c)
+      (3L, "a")         // dl=1
+    ).toDF("doc_id", "text")
+    val ix = Postings.forCorpus(docs, "doc_id", "text")
+    val tf = ix.tf.as[(String, Long, Long)].collect().toSet
+    assert(tf === Set(("a", 1L, 2L), ("b", 1L, 1L), ("b", 2L, 1L),
+      ("", 2L, 1L), ("c", 2L, 1L), ("a", 3L, 1L)))
+    val df = ix.df.as[(String, Long)].collect().toSet
+    assert(df === Set(("a", 2L), ("b", 2L), ("c", 1L), ("", 1L)))
+    val dl = ix.dl.as[(Long, Long)].collect().toSet
+    assert(dl === Set((1L, 3L), (2L, 3L), (3L, 1L)))
+    assert(ix.nd.head().getLong(0) === 3L)
+    assert(ix.tt.head().getLong(0) === 7L)
+    Postings.release()
+  }
+
+  test("distinct corpora pool separately and the pool caps its size") {
+    Postings.release()
+    import spark.implicits._
+    val base = Seq((1L, "x y")).toDF("doc_id", "text")
+    (0 until Postings.MaxCorpora).foreach { i =>
+      Postings.forCorpus(base.filter(col("doc_id") >= i), "doc_id", "text")
+    }
+    assert(Postings.pooledCount === Postings.MaxCorpora)
+    // one more distinct corpus flushes the pool rather than growing it
+    Postings.forCorpus(base.filter(col("doc_id") >= 99), "doc_id", "text")
+    assert(Postings.pooledCount === 1)
+    Postings.release()
+  }
+}

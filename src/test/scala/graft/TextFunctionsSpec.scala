@@ -26,11 +26,16 @@ class TextFunctionsSpec extends SparkSpec {
       ("apple", 3L, 4L, 1L, 2L),
       ("banana", 2L, 3L, 3L, 2L),
       ("cherry", 2L, 2L, 2L, 1L)))
-    // window + final agg share the term partitioning: ≤ 2 exchanges total
+    // The posting index is pooled (built once per corpus; its build
+    // exchange lives inside the InMemoryRelation and is amortized across
+    // the retrieval family). Downstream of the cached scan, the window +
+    // final agg share the term partitioning: exactly 1 live exchange.
     val plan = graft.operators.InvertedIndex.termStats(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"expected <=2 exchanges, plan had $exchanges:\n$plan")
+    val live = plan.split("InMemoryRelation")(0) // above the cached build
+    val exchanges = "Exchange".r.findAllIn(live).length
+    assert(exchanges <= 1, s"expected <=1 live exchange, had $exchanges:\n$plan")
+    graft.operators.Postings.release()
   }
 
   test("shingles builds ordered k-grams, deduplicated") {
