@@ -65,7 +65,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Contract: local[32] on the round runner. Honor SPARK_GRAFT_CPUS when
+    // the driver pins it; otherwise size to the machine (capped at 32) —
+    // a hardcoded small default silently benches a fraction of the box.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,6 +93,15 @@ object Bench {
     // replica, single timed runs — and says so in the output JSON, so a
     // bad environment degrades the NUMBERS (flagged), never the run.
     val DegradedMbps = 60.0
+    /** Flush pending writeback so an UNTIMED stage's dirty pages (the k2
+      * replica, warm-up outputs) don't leak into the next timed run as
+      * background-writeback contention. Measured on this box: bench-style
+      * k2 4.3–6.6 s with the replica's ~700 MB writeback in flight vs
+      * 2.1–2.6 s settled — same code, same data. Cost lands in the
+      * untimed stage, which is exactly where the replica write belongs. */
+    def settleStorage(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Throwable => () }
     def probeWriteMbps(dir: Path): Double = {
       val f = dir.resolve("io_probe.bin")
       val buf = java.nio.ByteBuffer.allocate(8 << 20)
@@ -119,6 +132,7 @@ object Bench {
     // without this it absorbs the cold ParquetOutputFormat init).
     val convertOutDir = Files.createTempDirectory("graft_bench_csv")
     val convertOut = convertOutDir.toString
+    settleStorage() // pending writeback would depress the probe itself
     val ioMbps = try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }
     // A probe that itself fails is the strongest possible degradation signal
     // — run reduced-I/O, never full mode, on storage the probe couldn't
@@ -140,6 +154,7 @@ object Bench {
       spark.read.parquet("/root/testdata/sf0.001/region.parquet")
         .write.mode("overwrite").parquet(s"$convertOut/warmup_pq")
     } catch { case _: Throwable => () }
+    settleStorage() // warm-up writes flushed before anything is timed
     // k1, like k2 and the query loop below: min of two warm runs, output
     // deleted between them so a run never pays the previous run's flush.
     val convert = "k1_convert_csv" -> {
@@ -179,6 +194,7 @@ object Bench {
         .write.mode("overwrite").parquet(bigPath)
       val outPath = java.nio.file.Paths.get(s"$convertOut/big_csv")
       deleteRecursively(java.nio.file.Paths.get(s"$convertOut/lineitem"))
+      settleStorage() // replica writeback belongs to the untimed stage
       def once(): (Double, Boolean) = {
         val r = timed {
           graft.operators.Convert.parquetToCsv(spark, bigPath, outPath.toString)

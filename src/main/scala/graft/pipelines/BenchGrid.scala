@@ -68,6 +68,8 @@ object BenchGrid {
       values = methods.map(_._1))
       .orderBy("size")
     Convert.csvSingleFile(wide.coalesce(1), s"$outDir/results.csv")
+    // K7 garnish: the reference README's results figure, as standalone SVG
+    Chart.resultsSvg(wide, methods.map(_._1), s"$outDir/results.svg")
     wide
   }
 }

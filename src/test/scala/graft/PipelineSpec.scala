@@ -45,6 +45,12 @@ class PipelineSpec extends SparkSpec {
     val resultsCsv = Files.readAllLines(Paths.get(s"$out/results.csv"))
     assert(resultsCsv.get(0) === "size," + BenchGrid.methods.map(_._1).mkString(","))
     assert(resultsCsv.size() === 3)
+    // the results figure: one polyline + one direct end label per method
+    val svg = Files.readString(Paths.get(s"$out/results.svg"))
+    assert("<polyline".r.findAllIn(svg).length === BenchGrid.methods.size)
+    BenchGrid.methods.foreach { case (m, _) =>
+      assert(svg.contains(s">$m</text>"), s"missing label for $m")
+    }
   }
 
   test("ExtractData skips re-extraction when the manifest exists (V2)") {
