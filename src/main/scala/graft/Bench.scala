@@ -244,6 +244,7 @@ object Bench {
       }
     } :+ convert :+ matched
     graft.operators.Postings.release()
+    graft.operators.FramePool.release()
 
     def entries(rs: Seq[(String, (Double, Boolean))]): String =
       rs.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }

@@ -37,6 +37,7 @@ object Verify {
       graft.operators.OperatorCaches.release()
     }
     graft.operators.Postings.release()
+    graft.operators.FramePool.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Generic named pool of persisted frames shared ACROSS queries — the
+  * ad-hoc sibling of [[Postings]] (which owns the typed corpus posting
+  * index). Use it for any expensive pipeline head several queries
+  * rebuild identically: PQ codebook training, IVF cell assignments —
+  * artifacts a real system trains once and serves many times. Same
+  * lifecycle contract as Postings: entries survive the per-query
+  * [[OperatorCaches.release]] (that pool is for single-query
+  * intermediates) and are dropped by [[release]] at end of run, or when
+  * the pool would exceed [[MaxEntries]] keys.
+  *
+  * Callers key by a stable corpus identity (e.g. the scale-factor dir
+  * plus a pipeline tag); the builder runs at most once per key per run.
+  */
+object FramePool {
+
+  val MaxEntries = 8
+
+  private val pool = new ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  /** Get-or-build the named frame set; frames are persisted
+    * MEMORY_AND_DISK on first build. The builder's frames may already be
+    * persisted (e.g. so later frames in the set reuse earlier ones while
+    * building) — re-persisting at the same level is a no-op. */
+  def frames(key: String)(build: => Seq[DataFrame]): Seq[DataFrame] = {
+    if (!pool.containsKey(key) && pool.size >= MaxEntries) release()
+    pool.computeIfAbsent(key,
+      _ => build.map(_.persist(StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  /** Unpersist and forget every pooled entry (non-blocking). */
+  def release(): Unit = {
+    pool.values.forEach(_.foreach(_.unpersist(blocking = false)))
+    pool.clear()
+  }
+
+  /** Currently pooled key count (test/monitoring hook). */
+  def pooledCount: Int = pool.size()
+}

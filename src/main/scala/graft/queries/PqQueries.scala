@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{OperatorCaches, Pq, Similarity}
+import graft.operators.{Pq, Similarity}
 import Q._
 
 /** Product quantization, oracle-gated end to end: deterministic codebook
@@ -26,15 +26,32 @@ object PqQueries {
       col("embedding").cast("array<double>").as("v"))
 
   /** (sv, cb0, cb1): shared pipeline head — subvectors, seeded codebook,
-    * one-step-refined codebook (empty codes fall back to their seed). */
+    * one-step-refined codebook (empty codes fall back to their seed).
+    * Pooled across the whole PQ family ([[graft.operators.FramePool]]):
+    * codebook training is a train-once-serve-many artifact, and
+    * q114/q115/q116/q126 each start from this identical head. */
   private def trained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val sv = OperatorCaches.persistTracked(
-      Pq.subvectors(vecs(s, d), "vec_id", "v", M, SubDim))
-    val cb0 = sv.filter(col("vec_id") < K)
-      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
-    val cb1 = Pq.codebookFromStep(Pq.trainStep(sv, cb0), Some(cb0))
+    val Seq(sv, cb0, cb1) = graft.operators.FramePool.frames(s"pq-trained:$d") {
+      val sv = Pq.subvectors(vecs(s, d), "vec_id", "v", M, SubDim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb0 = sv.filter(col("vec_id") < K)
+        .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+      val cb1 = Pq.codebookFromStep(Pq.trainStep(sv, cb0), Some(cb0))
+      Seq(sv, cb0, cb1)
+    }
     (sv, cb0, cb1)
   }
+
+  /** IVF cell assignment against the 8-seed coarse quantizer — the other
+    * half of the q116/q126 shared head, pooled for the same reason. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    graft.operators.FramePool.frames(s"pq-cells:$d") {
+      val e = vecs(s, d)
+      val coarse = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      Seq(Similarity.ivfAssign(e, coarse)
+        .select(col("vec_id"), col("cluster_id")))
+    }.head
 
   // ---- shared oracle scaffolding (DuckDB CTEs mirroring `trained`) ----
 
@@ -135,12 +152,7 @@ object PqQueries {
     QuerySpec("q116_pq_adc_ivf",
       (s, d) => {
         val (sv, _, cb1) = trained(s, d)
-        val e = vecs(s, d)
-        val coarse = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val cells = OperatorCaches.persistTracked(
-          Similarity.ivfAssign(e, coarse)
-            .select(col("vec_id"), col("cluster_id")))
+        val cells = ivfCells(s, d)
         val qcells = cells.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("cluster_id"))
         val pairs = cells.join(qcells, "cluster_id")
@@ -193,11 +205,7 @@ object PqQueries {
       (s, d) => {
         val (sv, _, cb1) = trained(s, d)
         val e = vecs(s, d)
-        val coarse = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val cells = OperatorCaches.persistTracked(
-          Similarity.ivfAssign(e, coarse)
-            .select(col("vec_id"), col("cluster_id")))
+        val cells = ivfCells(s, d)
         val qcells = cells.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("cluster_id"))
         val pairs = cells.join(qcells, "cluster_id")

@@ -21,7 +21,8 @@ object TimeRetrievalR8 {
     spark.sparkContext.setLogLevel("WARN")
 
     val targets = Seq("q27_tfidf_topterms", "q132_tfidf_retrieval",
-      "q138_bm25", "q145_hybrid_rrf", "q137_pagerank")
+      "q138_bm25", "q145_hybrid_rrf", "q137_pagerank",
+      "q114_pq_train", "q115_pq_encode", "q116_pq_adc_ivf", "q126_ann_rerank")
     val byName = graft.SparkEntry.queries
     // JIT warm-up on the tiny fixture, like Bench's warm block
     targets.foreach { n =>
@@ -30,6 +31,7 @@ object TimeRetrievalR8 {
       graft.operators.OperatorCaches.release()
     }
     graft.operators.Postings.release()
+    graft.operators.FramePool.release()
 
     var familyTotal = 0.0
     targets.foreach { n =>
@@ -42,6 +44,7 @@ object TimeRetrievalR8 {
     }
     println(f"TIMER retrieval_family_total: $familyTotal%.2f s")
     graft.operators.Postings.release()
+    graft.operators.FramePool.release()
     spark.stop()
   }
 }
