@@ -89,16 +89,32 @@ object Dedup {
       .as("bv"))
       .select(col(idCol), col("bv.band").as("band"), col("bv.mv").as("mv"))
 
-  /** Persisted (shingle-set frame, band frame) for one side of an LSH
+  /** Shingle-set frame for `docs`, POOLED across queries
+    * ([[FramePool]], same plan-hash keying as [[Postings]]): the md5
+    * shingle signatures are an artifact a dedup pipeline materializes
+    * once per corpus and reuses for pairing, clustering, SNM, and
+    * decontamination — five queries were each recomputing them. */
+  private[graft] def pooledShingleSets(docs: DataFrame, idCol: String,
+                                       textCol: String, k: Int): DataFrame =
+    FramePool.frames(
+      s"shingles:${docs.queryExecution.analyzed.semanticHash()}:$idCol:$textCol:$k") {
+      Seq(shingleSets(docs, idCol, textCol, k))
+    }.head
+
+  /** Pooled (shingle-set frame, band frame) for one side of an LSH
     * pairing — the shared front half of [[lshPairs]] and
     * [[lshPairsAgainst]]. Both frames are multiply referenced downstream
-    * (signatures feed the bands; sets feed the exact-Jaccard joins). */
+    * (signatures feed the bands; sets feed the exact-Jaccard joins) AND
+    * shared across the dedup query family (pairs, clusters-by-two-
+    * algorithms, dedup-apply, cluster sizes all start here). */
   private def lshSides(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
-    val sigs = minhashSignatures(sets, idCol, numBands * rowsPerBand)
-    val bands = OperatorCaches.persistTracked(
-      bandFrame(sigs, idCol, numBands, rowsPerBand))
+    val sets = pooledShingleSets(docs, idCol, textCol, k)
+    val bands = FramePool.frames(
+      s"lshbands:${docs.queryExecution.analyzed.semanticHash()}:$idCol:$textCol:$k:$numBands:$rowsPerBand") {
+      Seq(bandFrame(minhashSignatures(sets, idCol, numBands * rowsPerBand),
+        idCol, numBands, rowsPerBand))
+    }.head
     (sets, bands)
   }
 
@@ -156,7 +172,7 @@ object Dedup {
                           rangePartitions: Int = 0): DataFrame = {
     require(window >= 2, s"window must be >= 2 (got $window)")
     val spark = docs.sparkSession
-    val sets = OperatorCaches.persistTracked(shingleSets(docs, idCol, textCol, k))
+    val sets = pooledShingleSets(docs, idCol, textCol, k)
     val parts =
       if (rangePartitions > 0) rangePartitions
       else spark.sessionState.conf.numShufflePartitions

@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object FramePool {
 
-  val MaxEntries = 8
+  val MaxEntries = 16
 
   private val pool = new ConcurrentHashMap[String, Seq[DataFrame]]()
 

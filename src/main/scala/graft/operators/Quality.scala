@@ -187,7 +187,7 @@ object Quality {
     * decontamination pass of an LLM data pipeline at its scale shape. */
   def contaminatedDocs(training: DataFrame, benchmark: DataFrame,
                        idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val th = Dedup.shingleSets(training, idCol, textCol, k)
+    val th = Dedup.pooledShingleSets(training, idCol, textCol, k)
       .select(col(idCol), explode(col("hset")).as("h"))
     val bh = Dedup.shingleSets(benchmark, idCol, textCol, k)
       .select(explode(col("hset")).as("h")).distinct()
@@ -215,7 +215,7 @@ object Quality {
                             idCol: String, textCol: String, k: Int = 8,
                             fpp: Double = 0.01): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(training.sparkSession)
-    val th = Dedup.shingleSets(training, idCol, textCol, k)
+    val th = Dedup.pooledShingleSets(training, idCol, textCol, k)
       .select(col(idCol), explode(col("hset")).as("h"))
     val (bh, bytes) = benchBloom(benchmark, idCol, textCol, k, fpp)
     th.filter(graft.plans.GraftFunctions.mightContainNative(lit(bytes), col("h")))
@@ -250,7 +250,7 @@ object Quality {
     graft.plans.GraftFunctions.ensureRegistered(training.sparkSession)
     val (_, bytes) = benchBloom(benchmark, idCol, textCol, k, fpp)
     val th = OperatorCaches.persistTracked(
-      Dedup.shingleSets(training, idCol, textCol, k)
+      Dedup.pooledShingleSets(training, idCol, textCol, k)
         .select(col(idCol), explode(col("hset")).as("h")))
     val total = th.count()
     val kept = th.filter(
