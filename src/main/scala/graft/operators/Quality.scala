@@ -286,6 +286,46 @@ object Quality {
     docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
   }
 
+  /** CROSS-document line dedup (the C4 discipline, Raffel et al. 2020 —
+    * public): drop every repeated sentence/line CORPUS-WIDE, keeping only
+    * its globally first occurrence (minimum (doc, pos) pair), and
+    * reassemble each document from its surviving lines in original
+    * order. The cross-doc twin of [[dedupSentences]]: boilerplate that
+    * recurs ACROSS pages (navigation chrome, cookie banners, license
+    * headers) appears exactly once in the training set.
+    *
+    * Scale shape: posexplode streams from the scan; ONE shuffle keyed by
+    * the line for the global keeper aggregation (map-side-combinable min
+    * over (doc, pos) structs — lexicographic struct order IS the
+    * "globally first" contract); the keeper frame joins back on the same
+    * line key; the rebuild is one groupBy(doc). Nothing doc×doc, no
+    * windows over the corpus. A doc whose every line first appeared
+    * elsewhere re-enters with n_kept = 0 and empty cleaned.
+    * Returns (idCol, n_lines, n_kept, cleaned). */
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String,
+                       sep: String = ". "): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val sent = docs.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "snt")))
+    val keepers = sent.groupBy(col("snt"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+      .select(col("snt"), col("keep").getField(idCol).as("__kid"),
+        col("keep").getField("pos").as("__kpos"))
+    val kept = sent.join(keepers, "snt")
+      .filter(col(idCol) === col("__kid") && col("pos") === col("__kpos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("snt")))),
+          s => s.getField("snt")), sep).as("cleaned"))
+    val counts = sent.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Deterministic training shuffle: the final pre-training step — a
     * reproducible pseudo-random permutation of the corpus into `nShards`
     * shards with a stable position inside each. The permutation key is

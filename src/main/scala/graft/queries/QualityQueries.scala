@@ -297,6 +297,38 @@ object QualityQueries {
              |FROM documents d JOIN r ON r.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // CROSS-document line dedup (C4-style): every repeated sentence is
+    // kept only at its globally first (doc, pos) occurrence and each doc
+    // is rebuilt from survivors — corpus-recurring boilerplate appears
+    // once in the training set. One shuffle keyed by line, min-keeper
+    // map-side combined; oracle pins the keeper with a per-line window.
+    QuerySpec("q146_line_dedup_global",
+      (s, d) => graft.operators.Quality.dedupLinesGlobal(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH sent AS (
+             |  SELECT doc_id, i AS pos, s[i] AS snt
+             |  FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+             |       unnest(range(1, len(s) + 1)) AS t(i)
+             |), k AS (
+             |  SELECT doc_id, pos, snt,
+             |    row_number() OVER (PARTITION BY snt ORDER BY doc_id, pos) AS rn
+             |  FROM sent
+             |), reb AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |    md5(string_agg(snt, '. ' ORDER BY pos)) AS cleaned_md5
+             |  FROM k WHERE rn = 1 GROUP BY doc_id
+             |), cnt AS (
+             |  SELECT doc_id, count(*) AS n_lines FROM sent GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, cnt.n_lines, COALESCE(reb.n_kept, 0) AS n_kept,
+             |  COALESCE(reb.cleaned_md5, md5('')) AS cleaned_md5
+             |FROM documents d JOIN cnt USING (doc_id)
+             |LEFT JOIN reb USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Deterministic training shuffle: reproducible pseudo-random
     // permutation into 8 shards + stable in-shard position — the layout a
     // training data loader reads. Hash-keyed, so the identical layout

@@ -149,6 +149,21 @@ class QualitySpec extends SparkSpec {
       (2L, 2L, 2L, "unique one. unique two")))
   }
 
+  test("dedupLinesGlobal keeps each line at its globally first (doc, pos) only") {
+    val docs = Seq(
+      (1L, "cookie banner. real content one. footer"),
+      (2L, "cookie banner. real content two. footer"),
+      (3L, "cookie banner. footer")
+    ).toDF("doc_id", "text")
+    val out = Quality.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 3L, "cookie banner. real content one. footer"),
+      (2L, 3L, 1L, "real content two"),
+      (3L, 2L, 0L, "")))
+  }
+
   test("trainingShuffle is a partitioning-invariant permutation with dense positions") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Quality.trainingShuffle(docs, "doc_id", nShards = 4)
