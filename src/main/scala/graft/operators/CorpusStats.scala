@@ -156,45 +156,54 @@ object CorpusStats {
 
   /** Heavy hitters (tokens with exact frequency ≥ `threshold`) via
     * CMS-prefilter + exact confirm:
-    *   1. build the sketch (tiny, bounded shuffle);
-    *   2. estimate each DISTINCT token's frequency as the min over its
-    *      `depth` cells — CMS never underestimates, so
-    *      `estimate ≥ threshold` is a SUPERSET of the true heavy hitters
-    *      (no false negatives, the Bloom-decontamination guarantee shape);
-    *   3. exact confirm: count ONLY the candidate tokens (semi-join the
-    *      posting against the candidate set) and apply the exact threshold.
-    *
-    * The point at scale: the full `groupBy(token)` over a 100 TB posting
-    * never happens — the only token-keyed aggregation that sees full data
-    * has its input semi-joined down to the (few) candidates first, and the
-    * candidate set itself was derived from the fixed-size sketch. Output is
-    * EXACT (the sketch only prunes), so the oracle is plain threshold SQL.
-    */
+    *   1. reduce the posting to its vocabulary-sized (token, n) frame —
+    *      ONE map-side-combinable shuffle, the only aggregation that sees
+    *      full data (an exact-confirmed heavy-hitter answer needs at least
+    *      one vocabulary enumeration; the previous formulation paid this
+    *      twice — a `distinct` for candidates plus a semi-joined recount);
+    *   2. build the sketch from the weighted vocabulary (identical cells
+    *      to summing raw occurrences; bounded depth×width shuffle) —
+    *      mergeable across batches by cell-sum, the partial→final
+    *      topology a streaming/batch split actually uses;
+    *   3. estimate each token as the min over its `depth` cells — CMS
+    *      never underestimates, so `estimate ≥ threshold` is a SUPERSET
+    *      of the true heavy hitters (no false negatives, the
+    *      Bloom-decontamination guarantee shape);
+    *   4. exact confirm: apply the true threshold to the candidates' exact
+    *      counts (already in hand from step 1 — no second corpus pass).
+    * Output is EXACT (the sketch only prunes), so the oracle is plain
+    * threshold SQL. */
   def cmsHeavyHitters(docs: DataFrame, textCol: String, threshold: Long,
                       p: CmsParams = CmsParams()): DataFrame = {
-    val posting = docs.select(explode(tokens(col(textCol))).as("tok"))
-    // persisted: each of the `depth` estimate joins filters one sketch row,
-    // and without a persist each filter would re-explode the full posting
-    // (seen in the q124 plan audit — d× the sketch-build cost for nothing)
-    val sketch = OperatorCaches.persistTracked(cmsSketch(posting, "tok", p))
+    val termCounts = OperatorCaches.persistTracked(
+      docs.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n")))
     val h = md5Long(col("tok")) % MinhashP
-    val withCells = posting.distinct()
-      .select(col("tok") +: (0 until p.depth).map { j =>
-        (((lit(MinhashA(j)) * h + MinhashB(j)) % MinhashP) % p.width)
-          .as(s"c$j")
-      }: _*)
-    // join each candidate token to its depth cells, estimate = min count
+    val cellCols = (0 until p.depth).map { j =>
+      (((lit(MinhashA(j)) * h + MinhashB(j)) % MinhashP) % p.width).as(s"c$j")
+    }
+    val withCells = termCounts.select(col("tok") +: col("n") +: cellCols: _*)
+    // sketch cells from the weighted vocabulary — Σ n over a cell's tokens
+    // ≡ the raw-occurrence cell sum, the same mergeable counters
+    val cells = array((0 until p.depth).map { j =>
+      struct(lit(j).as("row"), col(s"c$j").as("cell"))
+    }: _*)
+    val sketch = OperatorCaches.persistTracked(
+      withCells.select(explode(cells).as("rc"), col("n"))
+        .select(col("rc.row").as("row"), col("rc.cell").as("cell"), col("n"))
+        .groupBy(col("row"), col("cell"))
+        .agg(sum(col("n")).as("cnt")))
+    // estimate = min over the token's depth cells
     val est = (0 until p.depth).foldLeft(withCells) { (acc, j) =>
       acc.join(
         sketch.filter(col("row") === j)
           .select(col("cell").as(s"c$j"), col("cnt").as(s"cnt$j")),
         Seq(s"c$j"))
-    }.select(col("tok"),
+    }.select(col("tok"), col("n"),
       least((0 until p.depth).map(j => col(s"cnt$j")): _*).as("est"))
-    val candidates = est.filter(col("est") >= threshold).select(col("tok"))
-    posting.join(candidates, Seq("tok"), "left_semi")
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
+    est.filter(col("est") >= threshold) // CMS prune: superset of the truth
+      .filter(col("n") >= threshold)    // exact confirm, no second pass
+      .select(col("tok"), col("n").as("cnt"))
   }
 
   /** Systematic (fixed-interval) weighted sampling: walk the cumulative
