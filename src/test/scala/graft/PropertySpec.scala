@@ -150,6 +150,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLinesGlobal is partitioning-invariant and matches a sequential fold") {
+    // random docs over a tiny shared sentence vocabulary → heavy cross-doc
+    // repetition, the operator's worst case
+    val sentence = Gen.oneOf("alpha beta", "gamma", "delta eps", "zeta",
+      "eta theta", "iota")
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, sentence))
+    val docs = sample(doc, 80, 23L).zipWithIndex
+      .map { case (ss, i) => (i.toLong, ss.mkString(". ")) }
+    val df = docs.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Quality.dedupLinesGlobal(d, "doc_id", "text")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val a = run(df)
+    val b = run(df.repartition(13))
+    assert(a === b, "result changed under repartition")
+    // sequential reference: first global (doc, pos) occurrence wins
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val lines = text.split(java.util.regex.Pattern.quote(". "), -1)
+      val kept = lines.filter(l => seen.add(l))
+      (id, lines.length.toLong, kept.length.toLong, kept.mkString(". "))
+    }
+    assert(a === expected)
+  }
+
+  test("Postings pool equals a from-scratch recompute of tf/df/dl") {
+    graft.operators.Postings.release()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ix = graft.operators.Postings.forCorpus(docs, "doc_id", "text")
+    val fresh = docs
+      .select(col("doc_id").as("doc"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    assert(ix.tf.orderBy("term", "doc").collect().toSeq ===
+      fresh.orderBy("term", "doc").collect().toSeq)
+    assert(ix.tt.head().getLong(0) ===
+      fresh.agg(sum("tf")).head().getLong(0))
+    graft.operators.Postings.release()
+  }
+
   test("graft_dot equals an exact Scala left-fold on random vectors") {
     GraftFunctions.ensureRegistered(spark)
     val vec: Gen[Array[Double]] =
