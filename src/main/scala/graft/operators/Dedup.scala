@@ -97,9 +97,16 @@ object Dedup {
   private[graft] def pooledShingleSets(docs: DataFrame, idCol: String,
                                        textCol: String, k: Int): DataFrame =
     FramePool.frames(
-      s"shingles:${docs.queryExecution.analyzed.semanticHash()}:$idCol:$textCol:$k") {
+      ("shingles", corpusKey(docs), idCol, textCol, k)) {
       Seq(shingleSets(docs, idCol, textCol, k))
     }.head
+
+  /** Corpus identity for pool keys: the canonicalized analyzed plan
+    * OBJECT — structural equality (Spark's `sameResult` comparison),
+    * which for in-memory relations includes the data, where the plan's
+    * toString (schema only) or a 32-bit semanticHash could collide. */
+  private def corpusKey(docs: DataFrame) =
+    docs.queryExecution.analyzed.canonicalized
 
   /** Pooled (shingle-set frame, band frame) for one side of an LSH
     * pairing — the shared front half of [[lshPairs]] and
@@ -111,7 +118,7 @@ object Dedup {
                        k: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val sets = pooledShingleSets(docs, idCol, textCol, k)
     val bands = FramePool.frames(
-      s"lshbands:${docs.queryExecution.analyzed.semanticHash()}:$idCol:$textCol:$k:$numBands:$rowsPerBand") {
+      ("lshbands", corpusKey(docs), idCol, textCol, k, numBands, rowsPerBand)) {
       Seq(bandFrame(minhashSignatures(sets, idCol, numBands * rowsPerBand),
         idCol, numBands, rowsPerBand))
     }.head

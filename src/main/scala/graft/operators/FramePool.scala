@@ -15,20 +15,24 @@ import org.apache.spark.storage.StorageLevel
   * intermediates) and are dropped by [[release]] at end of run, or when
   * the pool would exceed [[MaxEntries]] keys.
   *
-  * Callers key by a stable corpus identity (e.g. the scale-factor dir
-  * plus a pipeline tag); the builder runs at most once per key per run.
+  * Callers key by a stable corpus identity — a tuple of a pipeline tag
+  * with the corpus's CANONICALIZED ANALYZED PLAN (structural equality,
+  * the `sameResult` comparison; for in-memory frames it includes the
+  * data, where the plan's toString or a 32-bit hash would collide) plus
+  * parameters, or a scale-factor-dir string where the corpus is a fixed
+  * fixture. The builder runs at most once per key per run.
   */
 object FramePool {
 
   val MaxEntries = 16
 
-  private val pool = new ConcurrentHashMap[String, Seq[DataFrame]]()
+  private val pool = new ConcurrentHashMap[Any, Seq[DataFrame]]()
 
   /** Get-or-build the named frame set; frames are persisted
     * MEMORY_AND_DISK on first build. The builder's frames may already be
     * persisted (e.g. so later frames in the set reuse earlier ones while
     * building) — re-persisting at the same level is a no-op. */
-  def frames(key: String)(build: => Seq[DataFrame]): Seq[DataFrame] = {
+  def frames(key: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
     if (!pool.containsKey(key) && pool.size >= MaxEntries) release()
     pool.computeIfAbsent(key,
       _ => build.map(_.persist(StorageLevel.MEMORY_AND_DISK)))

@@ -4,9 +4,12 @@ import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.DataFrame
 
-/** Registry of the intermediate frames graft operators persist
-  * ([[Dedup.lshPairs]], [[Dedup.simhashPairs]],
-  * [[Similarity.embeddingNearDupPairs]]).
+/** Registry of the SINGLE-QUERY intermediate frames graft operators
+  * persist ([[Dedup.simhashPairs]], [[Similarity.embeddingNearDupPairs]],
+  * [[CorpusStats.cmsHeavyHitters]]'s vocabulary, …). Cross-query
+  * artifacts (posting index, codebooks, shingle signatures) live in
+  * [[Postings]]/[[FramePool]] instead, which deliberately survive this
+  * registry's per-query release.
   *
   * Spark's cache is keyed by analyzed plan, so repeated operator calls
   * over the SAME input reuse one entry — but a long-lived session running

@@ -54,15 +54,19 @@ object Postings {
     * run works one corpus at a time). */
   val MaxCorpora = 4
 
-  private val pool = new ConcurrentHashMap[(Int, String, String), Index]()
+  private val pool =
+    new ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String), Index]()
 
   /** The posting index for `docs`, built and persisted on first request.
-    * Keyed by the canonicalized analyzed plan (`semanticHash`), so
-    * repeated `spark.read.parquet(samePath)` frames — each a fresh
-    * `LogicalRelation` — resolve to one entry, exactly like Spark's own
-    * cache-manager `sameResult` matching. */
+    * Keyed by the CANONICALIZED analyzed plan itself (structural
+    * equality — exactly the comparison Spark's cache manager `sameResult`
+    * performs), so repeated `spark.read.parquet(samePath)` frames — each
+    * a fresh `LogicalRelation` — resolve to one entry, and two genuinely
+    * different corpora can never collide (a 32-bit `semanticHash` key
+    * could, silently serving the wrong corpus). */
   def forCorpus(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val key = (docs.queryExecution.analyzed.semanticHash(), idCol, textCol)
+    val key = (docs.queryExecution.analyzed.canonicalized, idCol, textCol)
     if (!pool.containsKey(key) && pool.size >= MaxCorpora) release()
     pool.computeIfAbsent(key, _ => build(docs, idCol, textCol))
   }

@@ -51,8 +51,10 @@ object Scan {
     }
     val eventsPath = s"$sfDir/events.parquet"
     if (new java.io.File(eventsPath).exists()) {
-      // one shared nanos-safe reader — drift between the SQL view and the
-      // DataFrame surface would silently break oracle parity
+      // one shared schema-adaptive reader (nanos-as-long, micros-NTZ, or
+      // plain timestamp fixtures all normalize identically) — drift
+      // between the SQL view and the DataFrame surface would silently
+      // break oracle parity
       graft.queries.Q.events(spark, sfDir).createOrReplaceTempView("events")
       registered :+ "events"
     } else registered
