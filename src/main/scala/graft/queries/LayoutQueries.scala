@@ -36,6 +36,12 @@ object LayoutQueries {
     // layout must change the PLAN, never the answer.
     QuerySpec("q112_bucketed_join",
       (s, d) => {
+        // table names carry the corpus dir (sanitized) — the memo is
+        // per-dir, so the catalog entries must be too, or a session
+        // touching two scale factors would serve the second corpus'
+        // tables for the first dir's memoized key
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val (ordersTbl, lineitemTbl) = (s"q112_orders_$tag", s"q112_lineitem_$tag")
         bucketedFor.computeIfAbsent(d, _ => {
           val tmp = Files.createTempDirectory("graft_bucketed").toString
           val orders = t(s, d, "orders")
@@ -43,9 +49,9 @@ object LayoutQueries {
           val lineitem = t(s, d, "lineitem")
             .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
               col("l_extendedprice"))
-          Layout.writeBucketed(orders, "q112_orders_b", "o_orderkey", 8,
+          Layout.writeBucketed(orders, ordersTbl, "o_orderkey", 8,
             Some(s"$tmp/orders_b"))
-          Layout.writeBucketed(lineitem, "q112_lineitem_b", "o_orderkey", 8,
+          Layout.writeBucketed(lineitem, lineitemTbl, "o_orderkey", 8,
             Some(s"$tmp/lineitem_b"))
           tmp
         })
@@ -53,7 +59,7 @@ object LayoutQueries {
         try {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           val perOrder = Layout
-            .bucketedEquiJoin(s, "q112_orders_b", "q112_lineitem_b", "o_orderkey")
+            .bucketedEquiJoin(s, ordersTbl, lineitemTbl, "o_orderkey")
             .groupBy(col("o_orderkey"), col("o_orderpriority"))
             .agg(count(lit(1)).as("n_items"),
               sum(col("l_quantity").cast("long")).as("sum_qty"),

@@ -86,6 +86,14 @@ class LayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("crashed mid-swap"))
   }
 
+  test("q112 bucketed layout is corpus-scoped across two sfDirs in one session") {
+    val fn = graft.SparkEntry.queries("q112_bucketed_join")
+    val a1 = fn(spark, "/root/testdata/sf0.001").collect().toSeq
+    fn(spark, "/root/testdata/sf0.01").collect() // second corpus registers its OWN tables
+    val a2 = fn(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(a2 === a1, "memoized layout served the wrong corpus after an sfDir switch")
+  }
+
   test("compact shrinks a small-files directory without losing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("layoutspec").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
