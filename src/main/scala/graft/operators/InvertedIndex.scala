@@ -41,6 +41,32 @@ object InvertedIndex {
       .filter(col("doc_freq") >= minDf)
   }
 
+  /** Merge per-batch [[termStats]] partials over DISJOINT document sets
+    * into the stats of their union — the incremental-index maintenance
+    * step: at corpus scale the index is never rebuilt, new batches
+    * publish their own partials and the serving stats are the merge
+    * (same partial→final topology as the HLL and CMS sketches, q99/q124).
+    *
+    * Inputs must be UNFILTERED partials (`minDf = 1`): a term whose
+    * doc_freq crosses the threshold only in the union (df 1 + 1 with
+    * `minDf = 2`) would be lost if the parts were pre-filtered, so the
+    * threshold is applied here, after the merge. doc_freq/total_tf merge
+    * by sum (documents are disjoint across parts); the deterministic top
+    * posting (max tf, ties to the smallest doc) merges as the
+    * lexicographic max of (top_tf, −top_doc) — associative and
+    * commutative, so any merge tree gives identical results. */
+  def mergeTermStats(parts: Seq[DataFrame], minDf: Long = 2L): DataFrame = {
+    require(parts.nonEmpty, "mergeTermStats needs at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("term"))
+      .agg(sum(col("doc_freq")).as("doc_freq"),
+        sum(col("total_tf")).as("total_tf"),
+        max(struct(col("top_tf"), (-col("top_doc")).as("nd"))).as("__m"))
+      .select(col("term"), col("doc_freq"), col("total_tf"),
+        (-col("__m.nd")).as("top_doc"), col("__m.top_tf").as("top_tf"))
+      .filter(col("doc_freq") >= minDf)
+  }
+
   /** BM25-shaped lexical retrieval over the inverted index: top-k
     * documents per query for a literal query set, scored with
     * QUANTIZED-INTEGER BM25 (k1 = 1.2, b = 0.75) so every score is an

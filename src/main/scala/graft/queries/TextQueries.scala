@@ -204,6 +204,41 @@ object TextQueries {
              |FROM r GROUP BY term HAVING count(*) >= 2
              |ORDER BY term""".stripMargin)),
 
+    // Incremental index maintenance: the corpus is split into disjoint
+    // base/delta batches, each publishes UNFILTERED termStats partials,
+    // and the serving stats are their merge (sums + lexicographic-max
+    // top posting, minDf applied post-merge so threshold-crossing terms
+    // survive). The oracle is q95's FULL recompute — if the merge
+    // algebra were wrong anywhere, the hashes would differ.
+    QuerySpec("q147_index_delta_merge",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 0)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        graft.operators.InvertedIndex.mergeTermStats(Seq(
+            graft.operators.InvertedIndex.termStats(base, "doc_id", "text", minDf = 1L),
+            graft.operators.InvertedIndex.termStats(delta, "doc_id", "text", minDf = 1L)),
+          minDf = 2L)
+          .orderBy("term")
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents)
+             |  WHERE len(term) > 0 GROUP BY term, doc_id
+             |), r AS (
+             |  SELECT term, doc_id, tf,
+             |    row_number() OVER (PARTITION BY term
+             |      ORDER BY tf DESC, doc_id) AS rn
+             |  FROM tf
+             |)
+             |SELECT term, count(*) AS doc_freq,
+             |  CAST(sum(tf) AS BIGINT) AS total_tf,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc,
+             |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf
+             |FROM r GROUP BY term HAVING count(*) >= 2
+             |ORDER BY term""".stripMargin)),
+
     // Vocabulary coverage curve: the smallest frequency-ranked vocabulary
     // covering 50/90/99% of all token occurrences — the tokenizer-sizing
     // question. All-integer arithmetic (100·cum >= pct·total), so the

@@ -11,6 +11,28 @@ class InvertedIndexSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("mergeTermStats over disjoint batches equals direct stats; threshold crossers survive") {
+    graft.operators.FramePool.release()
+    graft.operators.Postings.release()
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana cherry"), // batch boundary between 2 and 3
+      (4L, "apple")
+    ).toDF("doc_id", "text")
+    val direct = InvertedIndex.termStats(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("term").collect().toSeq
+    // banana and cherry each have df=1 per batch — only the post-merge
+    // threshold keeps them; pre-filtered partials would lose both
+    val merged = InvertedIndex.mergeTermStats(Seq(
+        InvertedIndex.termStats(docs.filter(col("doc_id") <= 2), "doc_id", "text", minDf = 1L),
+        InvertedIndex.termStats(docs.filter(col("doc_id") > 2), "doc_id", "text", minDf = 1L)),
+      minDf = 2L)
+      .orderBy("term").collect().toSeq
+    assert(merged === direct)
+    graft.operators.Postings.release()
+  }
+
   test("near-identical twins pair with cosine ≈ 1; disjoint docs never pair") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
