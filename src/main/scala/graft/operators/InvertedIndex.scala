@@ -24,11 +24,19 @@ object InvertedIndex {
     * long tail of hapax terms (at corpus scale most of the vocabulary),
     * applied AFTER aggregation so the stats themselves are exact. */
   def termStats(docs: DataFrame, idCol: String, textCol: String,
-                minDf: Long = 2L): DataFrame = {
-    // Shared posting index ([[Postings]]); empty-token filter commutes
-    // with the (term, doc) grouping so post-filtering the pooled frame
-    // is exact.
-    val tf = Postings.forCorpus(docs, idCol, textCol).tf
+                minDf: Long = 2L, pooled: Boolean = true): DataFrame = {
+    // Shared posting index ([[Postings]]) by default; empty-token filter
+    // commutes with the (term, doc) grouping so post-filtering the pooled
+    // frame is exact. `pooled = false` computes the posting frame inline —
+    // for transient inputs (streaming micro-batches) that must not churn
+    // the corpus pool.
+    val raw =
+      if (pooled) Postings.forCorpus(docs, idCol, textCol).tf
+      else docs
+        .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("term"), col("doc"))
+        .agg(count(lit(1)).as("tf"))
+    val tf = raw
       .filter(length(col("term")) > 0)
       .select(col("term"), col("doc").as(idCol), col("tf"))
     val w = Window.partitionBy(col("term")).orderBy(desc("tf"), col(idCol))

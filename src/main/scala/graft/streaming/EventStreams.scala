@@ -199,6 +199,36 @@ object EventStreams {
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming index maintenance: each micro-batch of documents publishes
+    * its UNFILTERED termStats partial to an APPEND-ONLY parquet dir —
+    * per-batch cost is proportional to the BATCH, never the corpus, and
+    * nothing is rewritten (contrast [[upsertSink]]'s base rewrite).
+    * Serving stats are [[graft.operators.InvertedIndex.mergeTermStats]]
+    * over the published partials ([[servingTermStats]]) — q147's merge
+    * algebra, whose oracle is the full recompute. Batches must carry
+    * disjoint documents (the file/CDC ingest contract); compact the
+    * partials dir periodically by replacing it with its own merge. */
+  def indexPartialsSink(stream: DataFrame, idCol: String, textCol: String,
+                        partialsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.InvertedIndex
+          .termStats(batch, idCol, textCol, minDf = 1L, pooled = false)
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+
+  /** The queryable index stats over everything [[indexPartialsSink]] has
+    * published so far. */
+  def servingTermStats(spark: SparkSession, partialsDir: String,
+                       minDf: Long = 2L): DataFrame =
+    graft.operators.InvertedIndex.mergeTermStats(
+      Seq(spark.read.parquet(partialsDir)), minDf)
+
   /** Run any streaming DataFrame to completion over currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result for assertion/inspection. Used by tests and local tooling. */

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
       (20L, 4L, tsm(0)), (20L, 5L, tsm(31))))
   }
 
+  test("streamed index partials merged at read equal the batch recompute") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana cherry"), (4L, "apple"))
+      .toDF("doc_id", "text")
+    // two ingest waves over the file stream → two+ micro-batch partials
+    docs.filter(col("doc_id") <= 2).write.parquet(s"$tmp/in")
+    EventStreams.indexPartialsSink(
+      EventStreams.fileStream(spark, docs.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/partials", s"$tmp/ckpt").awaitTermination()
+    docs.filter(col("doc_id") > 2).write.mode("append").parquet(s"$tmp/in")
+    EventStreams.indexPartialsSink(
+      EventStreams.fileStream(spark, docs.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/partials", s"$tmp/ckpt").awaitTermination()
+    val served = EventStreams.servingTermStats(spark, s"$tmp/partials")
+      .orderBy("term").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val direct = graft.operators.InvertedIndex
+      .termStats(docs, "doc_id", "text", minDf = 2L, pooled = false)
+      .orderBy("term").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("upsertSink applies streamed CDC batches over a parquet base") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
