@@ -332,6 +332,17 @@ object Dedup {
     * safe). (At extreme diameters, swap in the large-star/small-star
     * variant; the per-iteration shuffle shape is the same.)
     */
+  /** [[dupClusters]] pooled across queries ([[FramePool]], keyed by the
+    * pairs frame's canonicalized plan): cluster assignments are the
+    * artifact a dedup pipeline materializes once and then reads for
+    * pairing reports, corpus application, and size audits — three
+    * queries were each re-running the whole label-propagation loop. */
+  def pooledDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    FramePool.frames(
+      ("dupclusters", pairs.queryExecution.analyzed.canonicalized, maxIter)) {
+      Seq(dupClusters(pairs, maxIter))
+    }.head
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Undirect the edges in ONE pass over `pairs` (explode of both
     // orientations) — a union of two selects would evaluate the pair

@@ -236,7 +236,7 @@ object DedupQueries {
         val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
-        graft.operators.Dedup.dupClusters(pairs).orderBy("doc_id")
+        graft.operators.Dedup.pooledDupClusters(pairs).orderBy("doc_id")
       },
       Some(clustersOracle)),
 
@@ -264,7 +264,7 @@ object DedupQueries {
         val docs = t(s, d, "documents")
         val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
-        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
         graft.operators.Dedup.applyClusters(docs, "doc_id", clusters)
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy("doc_id")
@@ -296,7 +296,7 @@ object DedupQueries {
         val docs = t(s, d, "documents")
         val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
-        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
         val withSingles = docs.select(col("doc_id"))
           .join(clusters, Seq("doc_id"), "left")
           .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
