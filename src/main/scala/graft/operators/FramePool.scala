@@ -27,21 +27,38 @@ object FramePool {
   val MaxEntries = 16
 
   private val pool = new ConcurrentHashMap[Any, Seq[DataFrame]]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
 
   /** Get-or-build the named frame set; frames are persisted
     * MEMORY_AND_DISK on first build. The builder's frames may already be
     * persisted (e.g. so later frames in the set reuse earlier ones while
-    * building) — re-persisting at the same level is a no-op. */
+    * building) — re-persisting at the same level is a no-op.
+    *
+    * Capacity: exceeding [[MaxEntries]] evicts the OLDEST entry only
+    * (insertion-order FIFO) — a flush-all would also drop the hot frames
+    * the in-flight query family is amortizing, silently reverting every
+    * pooled access to a full recompute mid-run. */
   def frames(key: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
-    if (!pool.containsKey(key) && pool.size >= MaxEntries) release()
-    pool.computeIfAbsent(key,
-      _ => build.map(_.persist(StorageLevel.MEMORY_AND_DISK)))
+    if (!pool.containsKey(key)) {
+      while (pool.size >= MaxEntries) {
+        val oldest = order.poll()
+        if (oldest == null) return pool.computeIfAbsent(key,
+          _ => build.map(_.persist(StorageLevel.MEMORY_AND_DISK)))
+        val dropped = pool.remove(oldest)
+        if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
+      }
+    }
+    pool.computeIfAbsent(key, _ => {
+      order.add(key)
+      build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+    })
   }
 
   /** Unpersist and forget every pooled entry (non-blocking). */
   def release(): Unit = {
     pool.values.forEach(_.foreach(_.unpersist(blocking = false)))
     pool.clear()
+    order.clear()
   }
 
   /** Currently pooled key count (test/monitoring hook). */

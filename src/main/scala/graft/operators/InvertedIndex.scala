@@ -65,6 +65,12 @@ object InvertedIndex {
     * commutative, so any merge tree gives identical results. */
   def mergeTermStats(parts: Seq[DataFrame], minDf: Long = 2L): DataFrame = {
     require(parts.nonEmpty, "mergeTermStats needs at least one partial")
+    // the tie-break negation below is order-reversal on NUMERIC ids only
+    // — a string id would throw (ANSI) or silently null the top posting
+    require(parts.head.schema("top_doc").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "mergeTermStats requires a numeric doc-id column (top-posting " +
+        "tie-break negates top_doc for lexicographic-max merging)")
     parts.reduce(_ unionByName _)
       .groupBy(col("term"))
       .agg(sum(col("doc_freq")).as("doc_freq"),

@@ -32,9 +32,10 @@ import org.apache.spark.storage.StorageLevel
   * query (standalone timings for operator intermediates), while the
   * posting index is meant to survive across queries like any index.
   * [[release]] drops the pool explicitly (end of a bench/verify run, or a
-  * corpus switch); the pool also self-releases when a new corpus would
-  * exceed [[MaxCorpora]] live entries, so a long-lived session scanning
-  * many unrelated corpora cannot accrete persisted frames indefinitely.
+  * corpus switch); when a new corpus would exceed [[MaxCorpora]] live
+  * entries the OLDEST pooled corpus is evicted, so a long-lived session
+  * scanning many unrelated corpora cannot accrete persisted frames
+  * indefinitely while the hot working set stays pooled.
   */
 object Postings {
 
@@ -49,14 +50,15 @@ object Postings {
     private[Postings] def frames: Seq[DataFrame] = Seq(tf, df, dl, nd, tt)
   }
 
-  /** Bound on simultaneously persisted corpora; crossing it flushes the
-    * pool (all-or-nothing keeps the accounting trivial — in practice a
-    * run works one corpus at a time). */
+  /** Bound on simultaneously persisted corpora; crossing it evicts the
+    * OLDEST pooled corpus (insertion-order FIFO — a flush-all would also
+    * drop the corpus the in-flight query family is amortizing). */
   val MaxCorpora = 4
 
-  private val pool =
-    new ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, String), Index]()
+  private type Key = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    String, String)
+  private val pool = new ConcurrentHashMap[Key, Index]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[Key]()
 
   /** The posting index for `docs`, built and persisted on first request.
     * Keyed by the CANONICALIZED analyzed plan itself (structural
@@ -67,8 +69,13 @@ object Postings {
     * could, silently serving the wrong corpus). */
   def forCorpus(docs: DataFrame, idCol: String, textCol: String): Index = {
     val key = (docs.queryExecution.analyzed.canonicalized, idCol, textCol)
-    if (!pool.containsKey(key) && pool.size >= MaxCorpora) release()
-    pool.computeIfAbsent(key, _ => build(docs, idCol, textCol))
+    if (!pool.containsKey(key)) {
+      while (pool.size >= MaxCorpora && !order.isEmpty) {
+        val dropped = pool.remove(order.poll())
+        if (dropped != null) dropped.frames.foreach(_.unpersist(blocking = false))
+      }
+    }
+    pool.computeIfAbsent(key, _ => { order.add(key); build(docs, idCol, textCol) })
   }
 
   private def build(docs: DataFrame, idCol: String, textCol: String): Index = {
@@ -89,6 +96,7 @@ object Postings {
   def release(): Unit = {
     pool.values.forEach(ix => ix.frames.foreach(_.unpersist(blocking = false)))
     pool.clear()
+    order.clear()
   }
 
   /** Currently pooled corpus count (test/monitoring hook). */

@@ -321,7 +321,8 @@ object Quality {
     val counts = sent.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     docs.select(col(idCol)).join(counts, Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"), // null-text docs
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }

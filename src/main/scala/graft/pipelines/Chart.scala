@@ -25,8 +25,14 @@ import org.apache.spark.sql.DataFrame
 object Chart {
 
   /** Fixed categorical assignment: slot i ↔ methods(i), stable across
-    * renders regardless of which methods have data. */
+    * renders regardless of which methods have data. Never cycled: methods
+    * past the validated 4-slot palette render in neutral gray (identity
+    * still carried by the direct label and legend text, never color
+    * alone). */
   private val SeriesColors = Seq("#2a78d6", "#eb6834", "#1baf7a", "#eda100")
+  private val OverflowColor = "#9a9891"
+  private def seriesColor(i: Int): String =
+    if (i < SeriesColors.length) SeriesColors(i) else OverflowColor
 
   private val W = 760.0
   private val H = 440.0
@@ -41,12 +47,16 @@ object Chart {
     * method, seconds; negative = failed cell). Returns the SVG text. */
   def resultsSvg(wide: DataFrame, methods: Seq[String], outPath: String): String = {
     val rows = wide.select("size", methods: _*).collect()
-    val pts: Seq[(String, Seq[(Double, Double)])] = methods.map { m =>
-      val i = methods.indexOf(m)
-      m -> rows.toSeq
-        .map(r => (r.getLong(0).toDouble, r.getDouble(i + 1)))
-        .filter { case (s, t) => s > 0 && t > 0 }
-        .sortBy(_._1)
+    // null cells (a combination absent from the pivot input) and failed
+    // cells (negative seconds) are both simply absent from the line;
+    // size is read type-agnostically (int or long columns both occur)
+    val pts: Seq[(String, Seq[(Double, Double)])] = methods.zipWithIndex.map {
+      case (m, i) =>
+        m -> rows.toSeq
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(i + 1))
+          .map(r => (r.getAs[Number](0).doubleValue, r.getAs[Number](i + 1).doubleValue))
+          .filter { case (s, t) => s > 0 && t > 0 }
+          .sortBy(_._1)
     }
     val all = pts.flatMap(_._2)
     // degenerate domains (one size, equal times) get half-decade padding
@@ -75,14 +85,14 @@ object Chart {
     for (d <- math.ceil(y0).toInt to math.floor(y1).toInt) {
       val y = sy(math.pow(10, d))
       sb ++= f"""<line x1="$ML" y1="$y%.1f" x2="${W - MR}" y2="$y%.1f" stroke="#e8e7e2" stroke-width="1"/>"""
-      sb ++= f"""<text x="${ML - 8}" y="${y + 4}%.1f" font-size="11" fill="#52514e" text-anchor="end">${if (d >= 0) f"1e$d" else f"1e$d"}</text>"""
+      sb ++= f"""<text x="${ML - 8}" y="${y + 4}%.1f" font-size="11" fill="#52514e" text-anchor="end">1e$d</text>"""
     }
     sb ++= f"""<text x="${(ML + W - MR) / 2}%.1f" y="${H - 10}" font-size="12" fill="#52514e" text-anchor="middle">rows (log)</text>"""
     sb ++= f"""<text x="16" y="${(MT + H - MB) / 2}%.1f" font-size="12" fill="#52514e" text-anchor="middle" transform="rotate(-90 16 ${(MT + H - MB) / 2}%.1f)">seconds (log)</text>"""
 
     // series: 2px line, 8px markers with native-tooltip titles, end label
     pts.zipWithIndex.foreach { case ((m, ps), i) =>
-      val color = SeriesColors(i % SeriesColors.length)
+      val color = seriesColor(i)
       if (ps.nonEmpty) {
         val path = ps.map { case (s, t) => f"${sx(s)}%.1f,${sy(t)}%.1f" }.mkString(" ")
         sb ++= s"""<polyline points="$path" fill="none" stroke="$color" stroke-width="2"/>"""
@@ -94,7 +104,7 @@ object Chart {
 
     // direct end labels, nudged apart so converging series stay readable
     val ends = pts.zipWithIndex.collect { case ((m, ps), i) if ps.nonEmpty =>
-      (m, SeriesColors(i % SeriesColors.length), sy(ps.last._2))
+      (m, seriesColor(i), sy(ps.last._2))
     }.sortBy(_._3)
     val placed = ends.foldLeft(List.empty[(String, String, Double)]) {
       case (acc, (m, c, y)) =>
@@ -109,7 +119,7 @@ object Chart {
     // legend row (identity never color-alone: marker + text ink label)
     var lx = ML
     pts.zipWithIndex.foreach { case ((m, _), i) =>
-      val color = SeriesColors(i % SeriesColors.length)
+      val color = seriesColor(i)
       sb ++= f"""<circle cx="$lx%.1f" cy="40" r="4" fill="$color"/>"""
       sb ++= s"""<text x="${lx + 8}" y="44" font-size="11" fill="#52514e">${esc(m)}</text>"""
       lx += 10 + 7.0 * m.length + 18

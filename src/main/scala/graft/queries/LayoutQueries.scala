@@ -36,11 +36,15 @@ object LayoutQueries {
     // layout must change the PLAN, never the answer.
     QuerySpec("q112_bucketed_join",
       (s, d) => {
-        // table names carry the corpus dir (sanitized) — the memo is
-        // per-dir, so the catalog entries must be too, or a session
-        // touching two scale factors would serve the second corpus'
-        // tables for the first dir's memoized key
-        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        // table names carry the corpus dir — the memo is per-dir, so the
+        // catalog entries must be too, or a session touching two scale
+        // factors would serve the second corpus' tables for the first
+        // dir's memoized key. The sanitized name alone is LOSSY
+        // ("sf0.1" and "sf0_1" collide), so an md5 prefix of the raw dir
+        // makes the tag injective for any realistic dir set.
+        val md5tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5tag
         val (ordersTbl, lineitemTbl) = (s"q112_orders_$tag", s"q112_lineitem_$tag")
         bucketedFor.computeIfAbsent(d, _ => {
           val tmp = Files.createTempDirectory("graft_bucketed").toString

@@ -323,9 +323,10 @@ object QualityQueries {
              |), cnt AS (
              |  SELECT doc_id, count(*) AS n_lines FROM sent GROUP BY doc_id
              |)
-             |SELECT d.doc_id, cnt.n_lines, COALESCE(reb.n_kept, 0) AS n_kept,
+             |SELECT d.doc_id, COALESCE(cnt.n_lines, 0) AS n_lines,
+             |  COALESCE(reb.n_kept, 0) AS n_kept,
              |  COALESCE(reb.cleaned_md5, md5('')) AS cleaned_md5
-             |FROM documents d JOIN cnt USING (doc_id)
+             |FROM documents d LEFT JOIN cnt USING (doc_id)
              |LEFT JOIN reb USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 

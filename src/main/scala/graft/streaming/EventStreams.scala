@@ -214,20 +214,25 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: overwriting into a per-batch
+        // subdir makes a post-commit/pre-checkpoint crash replay the
+        // batch ONTO ITSELF instead of appending a double-counting
+        // duplicate (a bare append would silently break disjointness)
         graft.operators.InvertedIndex
           .termStats(batch, idCol, textCol, minDf = 1L, pooled = false)
-          .write.mode("append").parquet(partialsDir)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch=$batchId")
         ()
       }
       .start()
 
   /** The queryable index stats over everything [[indexPartialsSink]] has
-    * published so far. */
+    * published so far (the `batch` partition key exists for replay
+    * idempotence, not for the stats — dropped here). */
   def servingTermStats(spark: SparkSession, partialsDir: String,
                        minDf: Long = 2L): DataFrame =
     graft.operators.InvertedIndex.mergeTermStats(
-      Seq(spark.read.parquet(partialsDir)), minDf)
+      Seq(spark.read.parquet(partialsDir).drop("batch")), minDf)
 
   /** Run any streaming DataFrame to completion over currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the

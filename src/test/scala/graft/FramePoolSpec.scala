@@ -21,13 +21,23 @@ class FramePoolSpec extends SparkSpec {
     assert(FramePool.pooledCount === 0)
   }
 
-  test("pool caps its size by flushing, not growing") {
+  test("pool caps its size by evicting the oldest entry, not flushing everything") {
     FramePool.release()
     import spark.implicits._
-    (0 until FramePool.MaxEntries + 1).foreach { i =>
-      FramePool.frames(s"fp-$i") { Seq(Seq((i.toLong, "x")).toDF("id", "s")) }
+    var rebuilds = 0
+    def touch(i: Int) = FramePool.frames(s"fp-$i") {
+      rebuilds += 1
+      Seq(Seq((i.toLong, "x")).toDF("id", "s"))
     }
-    assert(FramePool.pooledCount === 1)
+    (0 to FramePool.MaxEntries).foreach(touch) // one past capacity
+    assert(FramePool.pooledCount === FramePool.MaxEntries)
+    // the newest entries survived the eviction — no rebuild on re-access
+    val before = rebuilds
+    touch(FramePool.MaxEntries)
+    assert(rebuilds === before, "hot entry was evicted by a flush-all")
+    // the oldest entry (fp-0) was the one dropped
+    touch(0)
+    assert(rebuilds === before + 1)
     FramePool.release()
   }
 }

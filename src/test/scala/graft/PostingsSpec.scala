@@ -42,7 +42,7 @@ class PostingsSpec extends SparkSpec {
     Postings.release()
   }
 
-  test("distinct corpora pool separately and the pool caps its size") {
+  test("distinct corpora pool separately; overflow evicts only the oldest") {
     Postings.release()
     import spark.implicits._
     val base = Seq((1L, "x y")).toDF("doc_id", "text")
@@ -50,9 +50,15 @@ class PostingsSpec extends SparkSpec {
       Postings.forCorpus(base.filter(col("doc_id") >= i), "doc_id", "text")
     }
     assert(Postings.pooledCount === Postings.MaxCorpora)
-    // one more distinct corpus flushes the pool rather than growing it
+    // one more distinct corpus evicts only the oldest entry
     Postings.forCorpus(base.filter(col("doc_id") >= 99), "doc_id", "text")
-    assert(Postings.pooledCount === 1)
+    assert(Postings.pooledCount === Postings.MaxCorpora)
+    // the most recent pre-overflow corpus is still pooled (same frame back)
+    val recent = Postings.forCorpus(
+      base.filter(col("doc_id") >= Postings.MaxCorpora - 1), "doc_id", "text")
+    assert(Postings.pooledCount === Postings.MaxCorpora) // no growth, no rebuild slot
+    assert(recent.tf eq Postings.forCorpus(
+      base.filter(col("doc_id") >= Postings.MaxCorpora - 1), "doc_id", "text").tf)
     Postings.release()
   }
 }
