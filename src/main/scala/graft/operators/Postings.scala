@@ -31,6 +31,13 @@ import org.apache.spark.storage.StorageLevel
   * registered with [[OperatorCaches]] — that pool is released after every
   * query (standalone timings for operator intermediates), while the
   * posting index is meant to survive across queries like any index.
+  * MEMORY_AND_DISK spills to executor-local disk, so the bound is
+  * cluster disk, not RAM; at full 100 TB production scale the same
+  * amortization is realized by materializing these frames ONCE to a
+  * parquet index table and scanning it (the streaming
+  * `EventStreams.indexPartialsSink` + `servingTermStats` pair is exactly
+  * that shape, incrementally maintained) — the session pool is the
+  * right form for a long-lived interactive/bench session.
   * [[release]] drops the pool explicitly (end of a bench/verify run, or a
   * corpus switch); when a new corpus would exceed [[MaxCorpora]] live
   * entries the OLDEST pooled corpus is evicted, so a long-lived session
