@@ -100,8 +100,14 @@ object Bench {
       * 2.1–2.6 s settled — same code, same data. Cost lands in the
       * untimed stage, which is exactly where the replica write belongs. */
     def settleStorage(): Unit =
-      try { new ProcessBuilder("sync").start().waitFor(); () }
-      catch { case _: Throwable => () }
+      try {
+        // bounded wait: on badly degraded storage a full sync can block
+        // for minutes (it waits for ALL dirty pages system-wide) — after
+        // 120 s the run proceeds; the degraded flag tells the story
+        val p = new ProcessBuilder("sync").start()
+        if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) p.destroy()
+        ()
+      } catch { case _: Throwable => () }
     def probeWriteMbps(dir: Path): Double = {
       val f = dir.resolve("io_probe.bin")
       val buf = java.nio.ByteBuffer.allocate(8 << 20)
