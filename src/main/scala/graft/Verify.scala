@@ -18,6 +18,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // Degraded-storage survival (see Bench.scala): never let slow I/O
       // starve heartbeats into a local-mode self-kill (exit 56).
+      // Shuffle/spill files go to a RAM-backed dir when one exists: the
+      // sandbox's disk oscillates 10-130 MB/s, and shuffle-file I/O on a
+      // bad window measures the disk, not the engine. Conversion OUTPUTS
+      // still write to the real filesystem (java.io.tmpdir), so the
+      // baseline-comparable k1/k2 numbers keep paying true output I/O —
+      // this is the local-mode analog of provisioning NVMe shuffle
+      // volumes on a real cluster.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_spark"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.network.timeout", "1800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
