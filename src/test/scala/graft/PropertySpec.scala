@@ -190,6 +190,32 @@ class PropertySpec extends SparkSpec {
     graft.operators.Postings.release()
   }
 
+  test("mergeTermStats is split-invariant: any disjoint batching merges to the direct stats") {
+    graft.operators.Postings.release()
+    val word3 = Gen.oneOf("ash", "birch", "cedar", "dale", "elm", "fern")
+    val doc = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, word3))
+    val docs = sample(doc, 60, 41L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val direct = graft.operators.InvertedIndex
+      .termStats(df, "doc_id", "text", minDf = 2L, pooled = false)
+      .orderBy("term").collect().toSeq
+    // three different disjoint batchings, including a 3-way split
+    val splits = Seq(Seq(20L), Seq(45L), Seq(15L, 40L))
+    splits.foreach { cuts =>
+      val bounds = (Long.MinValue +: cuts.sorted) :+ Long.MaxValue
+      val parts = bounds.sliding(2).map { case Seq(lo, hi) =>
+        graft.operators.InvertedIndex.termStats(
+          df.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", "text", minDf = 1L, pooled = false)
+      }.toSeq
+      val merged = graft.operators.InvertedIndex
+        .mergeTermStats(parts, minDf = 2L)
+        .orderBy("term").collect().toSeq
+      assert(merged === direct, s"split at $cuts diverged")
+    }
+  }
+
   test("graft_dot equals an exact Scala left-fold on random vectors") {
     GraftFunctions.ensureRegistered(spark)
     val vec: Gen[Array[Double]] =
