@@ -330,6 +330,73 @@ object QualityQueries {
              |LEFT JOIN reb USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // The C4-style pipeline END TO END: cross-document line dedup (q146)
+    // rebuilds every doc from its globally-first lines, and the rebuilt
+    // corpus flows through the full cleaning pass (token gate →
+    // normalized keep-min dedup → benchmark decontamination, q96's
+    // stages) to per-source corpus stats. Exists to prove the NEW stage
+    // composes: every constituent is oracle-checked alone (q146, q66,
+    // q79, q96); the oracle chains the identical CTEs over the rebuilt
+    // text.
+    QuerySpec("q148_c4_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rebuilt = graft.operators.Quality
+          .dedupLinesGlobal(docs, "doc_id", "text")
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("cleaned").as("text"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val bench = rebuilt.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = rebuilt.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        graft.operators.CorpusClean.clean(train, bench, "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+          .orderBy("source")
+      },
+      Some("WITH sent AS (\n" +
+        """  SELECT doc_id, i AS pos, s[i] AS snt
+          |  FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+          |       unnest(range(1, len(s) + 1)) AS t(i)
+          |), kk AS (
+          |  SELECT doc_id, pos, snt,
+          |    row_number() OVER (PARTITION BY snt ORDER BY doc_id, pos) AS rn
+          |  FROM sent
+          |), reb AS (
+          |  SELECT doc_id, string_agg(snt, '. ' ORDER BY pos) AS text
+          |  FROM kk WHERE rn = 1 GROUP BY doc_id
+          |), cd AS (
+          |  SELECT d.doc_id, reb.text, d.source
+          |  FROM documents d JOIN reb USING (doc_id)
+          |), gated AS (
+          |  SELECT doc_id, text, source FROM cd
+          |  WHERE doc_id % 10 <> 0
+          |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM (
+          |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+          |    FROM gated) GROUP BY nk
+          |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+          |sh AS (
+          |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
+        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        """), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM cd)
+          |        WHERE len(s) >= 8)
+          |), bm AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+          |cont AS (
+          |  SELECT DISTINCT sh.doc_id FROM sh JOIN bm USING (h)
+          |  JOIN dd ON dd.doc_id = sh.doc_id
+          |), fin AS (
+          |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
+          |  WHERE cont.doc_id IS NULL
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
+
     // Deterministic training shuffle: reproducible pseudo-random
     // permutation into 8 shards + stable in-shard position — the layout a
     // training data loader reads. Hash-keyed, so the identical layout
