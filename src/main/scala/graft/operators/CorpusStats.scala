@@ -206,6 +206,115 @@ object CorpusStats {
       .select(col("tok"), col("n").as("cnt"))
   }
 
+  /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"), in
+    * the exact-rational form this engine's oracle discipline demands.
+    *
+    * DSIR scores each raw document by how much more likely its hashed
+    * n-gram features are under a TARGET distribution (e.g. Wikipedia-like
+    * text) than under the RAW pool's own distribution, then resamples by
+    * that weight. The published form uses log-probability ratios; ln()'s
+    * libm rounding is engine-private, so this variant reports the
+    * probability ratio itself as one IEEE division of two exact
+    * integer-product doubles (correctly-rounded and bit-identical in any
+    * engine — the q117/q27 discipline):
+    *
+    *   dsir_w(d) = (Σ_b k_b·t_b · N_r) / (Σ_b k_b·r_b · N_t)
+    *
+    * where k_b = doc d's count of hashed-bigram bucket b, t_b / r_b = the
+    * target / raw pool's bucket counts, N_t / N_r their totals — i.e. the
+    * mean target-probability of the doc's features over their mean
+    * raw-probability. Monotone in the same direction as the published
+    * log-ratio for unigram-factored scoring, and hash-checkable.
+    *
+    * Shape at 100 TB: feature hashing bounds BOTH distribution frames at
+    * `buckets` rows however big the corpus is — the bucket-stats frame is
+    * aggregated map-side, broadcast back onto the per-doc bucket counts,
+    * and the only corpus-scale shuffles are the (doc, bucket) reduce and
+    * the final per-doc reduce. Nothing all-pairs, nothing driver-side.
+    * BIGINT bound: Σ k·t ≤ n_feat(doc)·N_t — past ~1e18 (N_t ≈ 1e13 with
+    * 1e5-token docs) seed the products in DECIMAL(38,0); at any plausible
+    * target-set size the BIGINT form below is exact, and the final doubles
+    * are engine-identical regardless because both sides round the same
+    * BIGINT values the same way.
+    */
+  def dsirAffinity(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // one tokenization; hashed-bigram feature stream (positions, not set)
+    val feats = docs
+      .select(col(idCol), isTarget.as("__tgt"), tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("__tgt"),
+        explode(shingleHashSeqFromTokens(col("t"), 2)).as("fp"))
+      .select(col(idCol), col("__tgt"), (col("fp") % buckets).as("b"))
+    // per-doc feature counts — the (doc, bucket) projection
+    val kb = feats.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("k"))
+    // bucket-hashed target and raw distributions in ONE pass (≤ buckets rows)
+    val dist = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("r"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tc"))
+    val totals = dist.agg(sum(col("r")).as("n_r"), sum(col("tc")).as("n_t"))
+    kb.join(broadcast(dist), "b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_feat"),
+        sum(col("k") * col("tc")).as("t_dot"),
+        sum(col("k") * col("r")).as("r_dot"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col(idCol),
+        col("n_feat"),
+        col("t_dot"),
+        col("r_dot"),
+        // r_dot ≥ n_feat > 0 (every doc feature is in the raw pool), so
+        // the denominator is never zero for an emitted row
+        when(col("n_t") > 0,
+          (col("t_dot").cast("double") * col("n_r").cast("double")) /
+            (col("r_dot").cast("double") * col("n_t").cast("double")))
+          .otherwise(lit(0.0)).as("dsir_w"))
+  }
+
+  /** Benchmark-contamination MASS per training document: the fraction of
+    * the doc's k-token sliding windows that occur verbatim in a benchmark
+    * document set — the ratio extension of the boolean decontamination
+    * gate (q77/q92: "has ≥1 colliding n-gram"), needed when the policy is
+    * threshold-based ("drop if > x% overlapped") rather than any-hit.
+    *
+    * Same posting shape as [[duplicatedSpans]]: span fingerprints are
+    * md5-derived 60-bit longs, the benchmark's fingerprint set is
+    * distinct-reduced BEFORE the join (its size is the benchmark's span
+    * vocabulary, tiny next to the training corpus — Catalyst broadcasts
+    * it at real scale, and the Bloom prefilter of
+    * [[Quality.bloomContaminatedDocs]] composes in front of this join
+    * unchanged when even that set is too big to ship), and the fp-keyed
+    * join carries per-position rows only for training docs. Output: one
+    * row per training (non-benchmark) document — total spans, overlapped
+    * span positions, overlap fraction.
+    */
+  def spanContamination(docs: DataFrame, idCol: String, textCol: String,
+                        isBench: Column, k: Int = 8): DataFrame = {
+    val withT = docs.select(col(idCol), isBench.as("__b"),
+      tokens(col(textCol)).as("t"))
+    val spans = withT.select(col(idCol), col("__b"),
+      explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+    val benchFps = spans.filter(col("__b")).select(col("fp")).distinct()
+    val hits = spans.filter(!col("__b"))
+      .join(benchFps, "fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    withT.filter(!col("__b"))
+      .select(col(idCol),
+        greatest(size(col("t")) - (k - 1), lit(0)).cast("long").as("n_spans"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("contam_frac"))
+  }
+
   /** Systematic (fixed-interval) weighted sampling: walk the cumulative
     * integer-weight axis in a total order and keep every row whose weight
     * interval `(cum − w, cum]` contains a multiple of `step` — the classic

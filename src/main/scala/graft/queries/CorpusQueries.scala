@@ -145,5 +145,79 @@ object CorpusQueries {
              |SELECT c.source, c.n_orig, (mn * 10000) // c.n_orig AS thr,
              |  COALESCE(n_kept, 0) AS n_kept
              |FROM c CROSS JOIN m LEFT JOIN kept ON kept.source = c.source
-             |ORDER BY c.source""".stripMargin)))
+             |ORDER BY c.source""".stripMargin)),
+
+    // DSIR importance weighting (Xie et al. 2023): score every document by
+    // the ratio of its hashed-bigram features' likelihood under the TARGET
+    // distribution (here: the corpus's English slice — the "quality
+    // exemplar" pool) vs under the raw pool — exact-rational probability
+    // ratio instead of the paper's log-ratio (ln() rounding is
+    // engine-private; the ratio is monotone-equivalent for selection).
+    // Feature hashing bounds both distributions at 4096 buckets at any
+    // corpus size; see CorpusStats.dsirAffinity for the 100 TB shape.
+    QuerySpec("q149_dsir_weights",
+      (s, d) => CorpusStats.dsirAffinity(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, string_split(text,' ') AS s FROM documents
+             |), bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest([('0x' || substr(md5(s[i] || ' ' || s[i+1]),1,15))::BIGINT % 4096
+             |            FOR i IN range(1, len(s))]) AS b
+             |  FROM tk WHERE len(s) >= 2
+             |), kb AS (
+             |  SELECT doc_id, b, count(*) AS k FROM bg GROUP BY doc_id, b
+             |), dist AS (
+             |  SELECT b, count(*) AS r,
+             |    count(*) FILTER (lang = 'en') AS tc
+             |  FROM bg GROUP BY b
+             |), tot AS (
+             |  SELECT CAST(sum(r) AS BIGINT) AS n_r, CAST(sum(tc) AS BIGINT) AS n_t
+             |  FROM dist)
+             |SELECT doc_id,
+             |  CAST(sum(k) AS BIGINT) AS n_feat,
+             |  CAST(sum(k * tc) AS BIGINT) AS t_dot,
+             |  CAST(sum(k * r) AS BIGINT) AS r_dot,
+             |  CASE WHEN n_t > 0 THEN
+             |    (CAST(CAST(sum(k * tc) AS BIGINT) AS DOUBLE) * CAST(n_r AS DOUBLE))
+             |    / (CAST(CAST(sum(k * r) AS BIGINT) AS DOUBLE) * CAST(n_t AS DOUBLE))
+             |  ELSE 0.0 END AS dsir_w
+             |FROM kb JOIN dist USING (b) CROSS JOIN tot
+             |GROUP BY doc_id, n_r, n_t ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination MASS: per training document, the fraction of
+    // its 8-token sliding windows that appear verbatim in the benchmark
+    // set (the deterministic 5% md5-bucket slice stands in for a held-out
+    // eval suite) — the threshold-policy extension of q92's boolean gate.
+    QuerySpec("q152_contamination_frac",
+      (s, d) => CorpusStats.spanContamination(
+        t(s, d, "documents"), "doc_id", "text",
+        isBench = graft.operators.Transforms.hashBucket(col("doc_id")) < 5,
+        k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 5 AS bm,
+             |    string_split(text,' ') AS t
+             |  FROM documents
+             |), sp AS (
+             |  SELECT doc_id, bm,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM tk WHERE len(t) >= 8
+             |), bf AS (
+             |  SELECT DISTINCT fp FROM sp WHERE bm
+             |), hits AS (
+             |  SELECT doc_id, count(*) AS n_hit FROM sp JOIN bf USING (fp)
+             |  WHERE NOT bm GROUP BY doc_id)
+             |SELECT tk.doc_id,
+             |  CAST(greatest(len(t)-7, 0) AS BIGINT) AS n_spans,
+             |  COALESCE(n_hit, 0) AS n_hit,
+             |  CASE WHEN len(t) >= 8
+             |    THEN CAST(COALESCE(n_hit,0) AS DOUBLE) / CAST(len(t)-7 AS DOUBLE)
+             |    ELSE 0.0 END AS contam_frac
+             |FROM tk LEFT JOIN hits USING (doc_id)
+             |WHERE NOT bm ORDER BY tk.doc_id""".stripMargin)))
 }

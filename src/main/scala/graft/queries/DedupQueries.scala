@@ -40,13 +40,15 @@ object DedupQueries {
       NeardupPlanes.slice(band * NeardupPlanesPerBand, (band + 1) * NeardupPlanesPerBand))
 
   /** DuckDB twin of TextFunctions.shingleHashSet(k=3), as a CTE prefix:
-    * 60-bit md5 hash per 3-gram shingle, distinct per doc. */
-  private val shingleCte =
-    """WITH sh AS (
+    * 60-bit md5 hash per 3-gram shingle, distinct per doc. `rel` is the
+    * document source relation — `documents` for the corpus-wide queries,
+    * an inline filtered subquery for the sampled-evaluation ones (q150). */
+  private def shingleCteFrom(rel: String) =
+    s"""WITH sh AS (
       |  SELECT DISTINCT doc_id,
       |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
       |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM $rel))
       |), h AS (
       |  SELECT doc_id, h60 % 2147483647 AS hp FROM sh
       |), sig AS (
@@ -55,11 +57,14 @@ object DedupQueries {
         s"min((${MinhashA(j)}*hp + ${MinhashB(j)}) % $P) AS m$j").mkString(",\n    ") +
       "\n  FROM h GROUP BY doc_id\n)"
 
+  private val shingleCte = shingleCteFrom("documents")
+
   /** DuckDB twin of Dedup.lshPairs (b×r banding, bucket cap, exact Jaccard
     * on candidates), as a CTE suite ending in `lsh_pairs(a_id, b_id, jac)`.
     * Shared by q32 (the raw pair query) and q34 (pairs restricted to equal
-    * (lang, source) blocks). */
-  private val lshCte = shingleCte +
+    * (lang, source) blocks); the `rel`-parameterized form serves the
+    * sampled-evaluation recall query (q150). */
+  private def lshCteFrom(rel: String) = shingleCteFrom(rel) +
     """, sets AS (
       |  SELECT doc_id, list(DISTINCT h60) AS shset FROM sh GROUP BY doc_id
       |), bands AS (
@@ -88,6 +93,8 @@ object DedupQueries {
       |  JOIN sets sa ON sa.doc_id = a_id
       |  JOIN sets sb ON sb.doc_id = b_id
       |)""".stripMargin
+
+  private val lshCte = lshCteFrom("documents")
 
   /** DuckDB twin of connected components over the q32 LSH pair stream
     * (recursive reachability + per-source minimum) — the shared oracle of
@@ -206,6 +213,36 @@ object DedupQueries {
         .orderBy("a_id", "b_id"),
       Some(lshCte +
         "\nSELECT a_id, b_id, jac FROM lsh_pairs WHERE jac >= 0.1 ORDER BY a_id, b_id")),
+
+    // LSH recall measurement on a deterministic 30% md5-bucket sample:
+    // exact all-pairs Jaccard ground truth (the sample's privilege — the
+    // operator under test stays sub-quadratic) vs the same b×r banding
+    // production runs. Per-pair hit rows keep the metric hash-checked;
+    // precision is 1.0 by construction (lshPairs exact-confirms).
+    QuerySpec("q150_lsh_recall",
+      (s, d) => {
+        val sample = graft.operators.Transforms.hashSample(
+          t(s, d, "documents"), col("doc_id"), lit(30))
+        graft.operators.Dedup.lshRecall(sample, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+          .orderBy("a_id", "b_id")
+      },
+      Some(lshCteFrom(
+        "(SELECT * FROM documents WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 30)") +
+        """
+          |, truth AS (
+          |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+          |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+          |      / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jac
+          |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+          |)
+          |SELECT t.a_id, t.b_id, t.jac,
+          |  (l.a_id IS NOT NULL) AS lsh_hit
+          |FROM truth t
+          |LEFT JOIN (SELECT DISTINCT a_id, b_id FROM lsh_pairs WHERE jac >= 0.1) l
+          |  ON l.a_id = t.a_id AND l.b_id = t.b_id
+          |WHERE t.jac >= 0.1 ORDER BY t.a_id, t.b_id""".stripMargin)),
 
     // SimHash: 16-bit majority-vote sketch per document (near-dup = small
     // hamming distance; pairing happens by code-prefix buckets at scale).

@@ -482,6 +482,51 @@ object TextQueries {
              |JOIN norms nb ON nb.doc = d.b_id
              |WHERE CAST(d.dot AS DOUBLE) /
              |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.5
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Per-source lexical diversity — the vocabulary-richness report a
+    // mixture designer reads before weighting sources: token volume,
+    // distinct-type count, type-token ratio, and hapax (frequency-1)
+    // mass. One (source, token) reduce (map-side combinable; shuffle is
+    // the per-source vocabulary projection, Zipf-bounded at any corpus
+    // size) feeding a source-keyed rollup — ratios are exact integer
+    // divisions in doubles.
+    QuerySpec("q151_lexical_diversity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val st = docs
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val perSrc = st.groupBy(col("source")).agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        nd.join(perSrc, "source")
+          .select(col("source"), col("n_docs"), col("n_tok"), col("n_types"),
+            col("n_hapax"),
+            (col("n_types").cast("double") / col("n_tok").cast("double"))
+              .as("ttr"),
+            (col("n_hapax").cast("double") / col("n_types").cast("double"))
+              .as("hapax_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+             |  SELECT source, tok, count(*) AS c FROM (
+             |    SELECT source, unnest(string_split(text,' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY source, tok
+             |), per_src AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+             |    count(*) AS n_types,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+             |  FROM st GROUP BY source
+             |), nd AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+             |SELECT source, n_docs, n_tok, n_types, n_hapax,
+             |  CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+             |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+             |FROM nd JOIN per_src USING (source)
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -90,4 +90,55 @@ class CorpusStatsSpec extends SparkSpec {
     assert(byDoc(2L) === ((4L, (6 + 6 + 1 + 1) / (4.0 * 8.0), 1L, 0.5)))
     assert(byDoc(2L)._2 < byDoc(1L)._2)
   }
+
+  test("dsirAffinity ranks target-like documents above off-target ones") {
+    // target slice speaks bigram vocabulary {a b}, the raw remainder {x y};
+    // probe 3 is pure target-speak, probe 4 pure off-target, probe 5 mixed
+    val docs = Seq(
+      (1L, "en", "a b a b a b"),
+      (2L, "zh", "x y x y x y"),
+      (3L, "zh", "a b a b"),
+      (4L, "zh", "x y x y"),
+      (5L, "zh", "a b x y")
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusStats.dsirAffinity(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 4096)
+      .orderBy("doc_id").collect()
+    val w = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // off-target-only features never occur in the target → weight 0
+    assert(w(4L) === 0.0)
+    assert(w(2L) === 0.0)
+    // target-speak outranks mixed outranks off-target
+    assert(w(3L) > w(5L) && w(5L) > w(4L))
+    // a doc made ONLY of target-frequent features weighs above 1 (its
+    // features are denser in the target than in the raw pool)
+    assert(w(3L) > 1.0)
+    // every emitted doc has features; dots are consistent (t_dot ≤ r_dot ·
+    // anything is not generally true, but r_dot ≥ n_feat always: each
+    // feature occurs at least once in the raw pool — itself)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L)            // n_feat
+      assert(r.getLong(3) >= r.getLong(1)) // r_dot ≥ n_feat
+    }
+  }
+
+  test("spanContamination measures benchmark-overlap mass exactly") {
+    // bench doc 1 holds one 8-token window; training doc 2 contains that
+    // window verbatim among 3 spans; doc 3 shares nothing; doc 4 too short
+    val docs = Seq(
+      (1L, true, "c d e f g h i j"),
+      (2L, false, "a b c d e f g h i j"),
+      (3L, false, "p q r s t u v w x"),
+      (4L, false, "tiny")
+    ).toDF("doc_id", "bench", "text")
+    val out = CorpusStats.spanContamination(docs, "doc_id", "text",
+      isBench = col("bench"), k = 8)
+      .orderBy("doc_id").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bench docs are excluded from the report
+    assert(rows.map(_._1).toSeq === Seq(2L, 3L, 4L))
+    assert(rows(0) === ((2L, 3L, 1L, 1.0 / 3.0)))
+    assert(rows(1) === ((3L, 2L, 0L, 0.0)))
+    assert(rows(2) === ((4L, 0L, 0L, 0.0)))
+  }
 }

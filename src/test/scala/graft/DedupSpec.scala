@@ -257,4 +257,30 @@ class DedupSpec extends SparkSpec {
       Dedup.shingleSets(df, "doc_id", "text"), "doc_id", 8).orderBy("doc_id").collect()
     (1 to 8).foreach(j => assert(sigs(0).getLong(j) === sigs(1).getLong(j)))
   }
+
+  test("lshRecall: truth ⊇ hits, flags agree with lshPairs, identical twins are found") {
+    // two identical docs MUST be recalled (all signatures agree → every
+    // band collides); unrelated fillers generate no truth rows at 0.1
+    val docs = Seq(
+      (1L, doc(7)),
+      (2L, doc(7)),
+      (3L, "p q r s t u v w x y z p2 q2 r2 s2"),
+      (4L, "m n o m2 n2 o2 m3 n3 o3 m4 n4 o4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshRecall(docs, "doc_id", "text").collect()
+    val rows = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // every reported row is a TRUE pair (ground truth is jac-filtered)
+    assert(rows.forall(_._3 >= 0.1))
+    assert(rows.map(t => (t._1, t._2)).contains((1L, 2L)))
+    assert(rows.find(t => t._1 == 1L && t._2 == 2L).get._4 === true)
+    // hit flags must agree with the production pairing, pair by pair
+    val produced = Dedup.lshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    rows.foreach { case (a, b, _, hit) =>
+      assert(hit === produced.contains((a, b)),
+        s"flag for ($a,$b) disagrees with lshPairs")
+    }
+    graft.operators.OperatorCaches.release()
+  }
 }
