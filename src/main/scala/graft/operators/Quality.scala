@@ -179,6 +179,37 @@ object Quality {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split: assign splits per NEAR-DUP
+    * CLUSTER, not per document — with per-doc assignment ([[hashSplit]]),
+    * two near-duplicates can land one in train and one in test, and the
+    * eval set silently scores memorization (the classic split-leakage
+    * failure near-dup detection exists to prevent). `clusters` is a
+    * (idCol, cluster_id) frame from Dedup.dupClusters/dupClustersStar —
+    * only PAIRED docs appear in it; unpaired docs are their own singleton
+    * cluster (cluster_key = own id, the clusterers' cluster_id = component-
+    * minimum convention extended to singletons).
+    *
+    * The md5 gate hashes the CLUSTER key, so membership of every doc in a
+    * cluster decides identically — same reproducibility contract as
+    * [[hashSplit]] (pure function of the key, engine-portable, stable
+    * under reordering). Scale shape: one left equi-join of the corpus
+    * against the (tiny — only paired docs) cluster frame, then a
+    * codegen'd hash filter; nothing new shuffles at corpus scale.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10,
+                       salt: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val keyed = docs.select(col(idCol))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+    val h = pmod(md5Long(concat(lit(salt + "|"), col("cluster_key"))), lit(100L))
+    keyed.select(col(idCol), col("cluster_key"),
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Benchmark decontamination: training docs sharing at least one
     * word-`k`-gram with any benchmark doc. Both sides reduce to their
     * 60-bit shingle-hash sets; the overlap is an equi-join ON THE HASH

@@ -100,7 +100,7 @@ object DedupQueries {
     * (recursive reachability + per-source minimum) — the shared oracle of
     * q37 (label propagation) and q111 (star contraction): both clusterers
     * promise (doc_id, cluster_id = component minimum). */
-  private lazy val clustersOracle: String =
+  private lazy val clustersCte: String =
     lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """
         |, e AS (
@@ -111,9 +111,13 @@ object DedupQueries {
         |  SELECT DISTINCT s AS src, s AS node FROM e
         |  UNION
         |  SELECT r.src, e.t FROM reach r JOIN e ON e.s = r.node
-        |)
-        |SELECT src AS doc_id, min(node) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+        |), clu AS (
+        |  SELECT src AS doc_id, min(node) AS cluster_id
+        |  FROM reach GROUP BY src
+        |)""".stripMargin
+
+  private lazy val clustersOracle: String =
+    clustersCte + "\nSELECT doc_id, cluster_id FROM clu ORDER BY doc_id"
 
   /** DuckDB twin of Dedup.editDistancePairs' PassJoin-style blocking:
     * index segments (⌊i·l/k⌋ boundaries), shifted probes for every target
@@ -291,6 +295,37 @@ object DedupQueries {
         graft.operators.Dedup.dupClustersStar(pairs).orderBy("doc_id")
       },
       Some(clustersOracle)),
+
+    // Leakage-safe train/val/test split: the md5 split gate hashes the
+    // near-dup CLUSTER key (component minimum; own id for singletons), so
+    // near-duplicates can never straddle train and test — the
+    // memorization-leak guard a per-doc split (q78) cannot give. Composes
+    // the pooled LSH pairing + connected components with the hashSplit
+    // assignment rule; the oracle walks the same graph recursively.
+    QuerySpec("q154_leakage_safe_split",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
+        graft.operators.Quality.leakageSafeSplit(docs, "doc_id", clusters)
+          .orderBy("doc_id")
+      },
+      Some(clustersCte + """
+        |, keyed AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cluster_key
+        |  FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id
+        |), gate AS (
+        |  SELECT doc_id, cluster_key,
+        |    ('0x' || substr(md5('split|' || cluster_key), 1, 15))::BIGINT % 100 AS hv
+        |  FROM keyed
+        |)
+        |SELECT doc_id, cluster_key,
+        |  CASE WHEN hv < 80 THEN 'train'
+        |       WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM gate ORDER BY doc_id""".stripMargin)),
 
     // The full near-dup pipeline applied: detect (LSH pairs) → cluster
     // (connected components) → drop non-canonical members via left-anti

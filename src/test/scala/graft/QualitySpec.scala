@@ -254,4 +254,27 @@ class QualitySpec extends SparkSpec {
     val (_, n2, mean2, v2) = out(1)
     assert(n2 === 1L && mean2 === 10.10 && v2.isNaN)
   }
+
+  test("leakageSafeSplit: cluster members share a split; singletons match hashSplit") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} keyed by 1, {10,11} keyed by 10 — rest singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Quality.leakageSafeSplit(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every doc is assigned, near-dups never straddle splits
+    assert(out.size === 40)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(out(10L) === out(11L))
+    assert(out(1L)._1 === 1L && out(10L)._1 === 10L)
+    // a singleton's assignment equals the per-doc hashSplit at the same
+    // percentages (cluster_key = own id ⇒ identical gate input)
+    val perDoc = Quality.hashSplit(docs.filter(col("doc_id") === 25L),
+      "doc_id", trainPct = 80, valPct = 10)
+      .select("split").as[String].head()
+    assert(out(25L) === ((25L, perDoc)))
+    // all three labels appear over 40 ids at 80/10/10 would be flaky-ish;
+    // just require the labels are from the contract's domain
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
