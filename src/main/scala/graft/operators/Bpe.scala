@@ -102,6 +102,68 @@ object Bpe {
               |    ELSE concat(acc, array(x)) END)""".stripMargin))
   }
 
+  /** ENCODE a corpus with a trained merge table — the application half of
+    * the tokenizer story ([[trainMerges]] builds the merges; this reports
+    * the corpus's token counts under them, the number every token-budget /
+    * packing / mixture decision actually consumes).
+    *
+    * Same scale discipline as training: the merges fold over the DISTINCT
+    * word vocabulary (millions of rows), never the corpus (trillions of
+    * tokens) — each merge is the greedy left-to-right higher-order
+    * `aggregate` fold of [[applyMerge]] (bit-identical semantics to
+    * training, applied in training order), with `localCheckpoint` every
+    * `checkpointEvery` merges to keep plan depth and lineage bounded. The
+    * corpus is touched exactly once, by the final word → token-count
+    * equi-join (vocabulary side is the small one — Catalyst broadcasts
+    * it) and a per-doc aggregation. Returns (id, n_words, n_tokens).
+    *
+    * Spec-proven (BpeGraphSpec) bit-equal to a sequential reference
+    * encoder; not oracle-gated — an iterated greedy fold has no faithful
+    * single-query SQL twin (DuckDB's list_reduce cannot change
+    * accumulator type, and separator-string replace tricks break on
+    * adjacent repeated pairs). */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)],
+                        endMark: String = "</w>",
+                        checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val corpus = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    var v = corpus.select(col("word")).distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), " +
+          s"i -> substring(word, i, 1) || CASE WHEN i = length(word) " +
+          s"THEN '${esc(endMark)}' ELSE '' END)"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      v = applyMerge(v, a, b)
+      if ((i + 1) % checkpointEvery == 0) v = v.localCheckpoint()
+    }
+    val enc = v.select(col("word"), size(col("syms")).cast("long").as("__nt"))
+    corpus.join(enc, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"))
+  }
+
+  /** Sequential reference encoder for [[encodeTokenCounts]]'s spec:
+    * greedy left-to-right application of the merges in training order to
+    * one word. Never used at scale. */
+  private[graft] def referenceEncode(word: String, merges: Seq[(String, String)],
+                                     endMark: String = "</w>"): Vector[String] = {
+    var syms: Vector[String] = word.toVector.zipWithIndex.map { case (c, i) =>
+      if (i == word.length - 1) s"$c$endMark" else c.toString
+    }
+    merges.foreach { case (a, b) =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+        else acc += x
+      }
+      syms = acc.toVector
+    }
+    syms
+  }
+
   /** Sequential reference BPE on a driver-side vocabulary — the test
     * oracle for [[trainMerges]] (BpeSpec); never used at scale. */
   private[graft] def referenceMerges(vocabulary: Seq[(String, Long)],

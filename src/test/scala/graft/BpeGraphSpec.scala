@@ -35,6 +35,31 @@ class BpeGraphSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("encodeTokenCounts matches the sequential reference encoder per document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 6)
+      .map { case (_, a, b, _) => (a, b) }
+    // checkpointEvery=2 exercises the mid-loop lineage truncation
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges,
+      checkpointEvery = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        (id, words.length.toLong,
+          words.map(w => Bpe.referenceEncode(w, merges).length.toLong).sum)
+      }
+    assert(got === want)
+    // merges actually compress: fewer tokens than characters-with-endmark
+    assert(got.forall { case (_, nw, nt) => nt >= nw }) // ≥ 1 token per word
+    val charToks = docs
+      .select(sum(expr("length(replace(text, ' ', ''))"))).as[Long].head()
+    assert(got.map(_._3).sum < charToks)
+    OperatorCaches.release()
+  }
+
   test("pageRank and bm25 plans: no single-partition exchange, no nested loop") {
     val e0 = spark.read.parquet(s"$sfDir/orders.parquet")
       .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
