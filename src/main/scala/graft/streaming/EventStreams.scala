@@ -226,6 +226,74 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming C4-style global line dedup — the incremental form of
+    * [[graft.operators.Quality.dedupLinesGlobal]] (q146): each micro-batch
+    * keeps a line only at its first occurrence — within the batch the
+    * min-(id, pos) winner (the batch restriction of q146's corpus rule),
+    * and across batches only if no EARLIER batch published the line
+    * (first-arrival wins). Kept-line fingerprint state is APPEND-ONLY
+    * per-batch parquet, so per-batch cost is the batch's lines plus one
+    * anti-join against the state — nothing is ever rewritten (the
+    * [[indexPartialsSink]] economics). Rebuilt documents land in
+    * `outDir/batch=N`.
+    *
+    * Replay safety (foreachBatch is at-least-once): both writes overwrite
+    * their own `batch=N` subdir, and the state read EXCLUDES the current
+    * batch id — a crashed attempt's partial state can never anti-join the
+    * replaying batch against itself.
+    *
+    * When batches partition the corpus in ascending `idCol` order, the
+    * union of the per-batch outputs is row-identical to the batch
+    * operator on the full corpus (first-arrival == corpus-wide min
+    * (id, pos)) — StreamingSpec proves it. Out-of-order arrival keeps
+    * the dedup guarantee (each line survives exactly once) with
+    * first-ARRIVAL rather than min-id as the keeper, the natural
+    * semantics for an ingest pipeline. */
+  def lineDedupSink(stream: DataFrame, idCol: String, textCol: String,
+                    stateDir: String, outDir: String, checkpointDir: String,
+                    sep: String = ". ")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sepRegex = java.util.regex.Pattern.quote(sep)
+        val sent = batch.select(col(idCol),
+          posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "snt")))
+        val batchWin = sent.groupBy(col("snt"))
+          .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+          .select(col("snt"), col("keep").getField(idCol).as("__kid"),
+            col("keep").getField("pos").as("__kpos"))
+        val fresh =
+          if (new java.io.File(stateDir).isDirectory)
+            batchWin.join(
+              spark.read.parquet(stateDir)
+                .filter(col("batch") =!= batchId).select(col("snt")),
+              Seq("snt"), "left_anti")
+          else batchWin
+        val kept = sent.join(fresh, "snt")
+          .filter(col(idCol) === col("__kid") && col("pos") === col("__kpos"))
+        val rebuilt = kept.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("snt")))),
+              s => s.getField("snt")), sep).as("cleaned"))
+        val counts = sent.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+        batch.select(col(idCol))
+          .join(counts, Seq(idCol), "left")
+          .join(rebuilt, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        fresh.select(col("snt"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The queryable index stats over everything [[indexPartialsSink]] has
     * published so far (the `batch` partition key exists for replay
     * idempotence, not for the stats — dropped here). */

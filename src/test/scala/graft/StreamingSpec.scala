@@ -194,6 +194,40 @@ class StreamingSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed line dedup in id order equals the batch q146 operator") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // duplicate boilerplate lines within AND across the two ingest waves
+    val docs = Seq(
+      (1L, "subscribe now. fresh take one. breaking news"),
+      (2L, "subscribe now. other body two"),
+      (3L, "breaking news. third text. subscribe now"),
+      (4L, "third text. unique closer"))
+      .toDF("doc_id", "text")
+    docs.filter(col("doc_id") <= 2).write.parquet(s"$tmp/in")
+    EventStreams.lineDedupSink(
+      EventStreams.fileStream(spark, docs.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/state", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination()
+    docs.filter(col("doc_id") > 2).write.mode("append").parquet(s"$tmp/in")
+    EventStreams.lineDedupSink(
+      EventStreams.fileStream(spark, docs.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/state", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out").drop("batch")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val direct = graft.operators.Quality.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamed === direct)
+    // the guarantee itself: every distinct line survives exactly once
+    val survivors = spark.read.parquet(s"$tmp/out")
+      .select(explode(split(col("cleaned"), "\\. ")).as("snt"))
+      .filter(length(col("snt")) > 0)
+      .groupBy("snt").count().as[(String, Long)].collect()
+    assert(survivors.nonEmpty && survivors.forall(_._2 === 1L))
+  }
+
   test("upsertSink applies streamed CDC batches over a parquet base") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
