@@ -294,6 +294,62 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming near-dup ingest filter — continuous MinHash dedup of an
+    * arriving crawl against the accumulated corpus (the production form
+    * of q86's batch bipartite dedup): each micro-batch is first
+    * deduplicated WITHIN itself (LSH pairs → connected components → keep
+    * the component minimum, [[graft.operators.Dedup.applyClusters]]),
+    * then AGAINST the survivors of all earlier batches via the bipartite
+    * pairing ([[graft.operators.Dedup.lshPairsAgainst]] — never
+    * corpus×corpus), and its survivors are published append-only as the
+    * growing corpus under `corpusDir/batch=N`. Per-batch cost: the
+    * batch's own pairing plus one new×corpus band join; the corpus is
+    * re-banded per batch (at real scale, persist its shingle/band frames
+    * in a corpus-keyed store instead — the [[indexPartialsSink]]
+    * economics applied to signatures).
+    *
+    * Replay safety: the survivors write overwrites its own `batch=N`
+    * subdir and the corpus read excludes the current batch id, so an
+    * at-least-once replay can never dedup a batch against its own
+    * crashed attempt. Operator caches are released per batch — a
+    * long-running sink would otherwise accumulate pooled frames for
+    * every batch it ever saw. */
+  def nearDupIngestSink(stream: DataFrame, idCol: String, textCol: String,
+                        corpusDir: String, checkpointDir: String,
+                        numBands: Int = 4, minJaccard: Double = 0.1,
+                        k: Int = 3, rowsPerBand: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        try {
+          val pairs = Dedup.lshPairs(batch, idCol, textCol,
+            numBands, minJaccard, k, rowsPerBand)
+          val batchKept = Dedup.applyClusters(batch, idCol,
+            Dedup.dupClusters(pairs))
+          val survivors =
+            if (new java.io.File(corpusDir).isDirectory) {
+              val corpus = spark.read.parquet(corpusDir)
+                .filter(col("batch") =!= batchId)
+                .select(col(idCol), col(textCol))
+              val dupped = Dedup.lshPairsAgainst(batchKept, corpus,
+                idCol, textCol, numBands, minJaccard, k, rowsPerBand)
+                .select(col("new_id").as(idCol)).distinct()
+              batchKept.join(dupped, Seq(idCol), "left_anti")
+            } else batchKept
+          survivors.select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release()
+        }
+        ()
+      }
+      .start()
+
   /** The queryable index stats over everything [[indexPartialsSink]] has
     * published so far (the `batch` partition key exists for replay
     * idempotence, not for the stats — dropped here). */

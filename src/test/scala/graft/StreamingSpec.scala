@@ -228,6 +228,55 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.nonEmpty && survivors.forall(_._2 === 1L))
   }
 
+  test("streamed near-dup ingest equals sequential batch dedup application") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    // wave 1: 1≈2 (within-batch dup); wave 2: 11≈12 (within-batch dup),
+    // 13 ≈ doc 1 (cross-batch dup), 14 unique
+    val wave1 = Seq(
+      (1L, rep("alpha beta gamma delta", 6)),
+      (2L, rep("alpha beta gamma delta", 6) + " tail"),
+      (3L, rep("epsilon zeta eta theta", 6)))
+      .toDF("doc_id", "text")
+    val wave2 = Seq(
+      (11L, rep("iota kappa lambda mu", 6)),
+      (12L, rep("iota kappa lambda mu", 6) + " tail"),
+      (13L, rep("alpha beta gamma delta", 6)),
+      (14L, rep("nu xi omicron pi", 6)))
+      .toDF("doc_id", "text")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.nearDupIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt").awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.nearDupIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // sequential reference: batch operators applied wave by wave
+    import graft.operators.Dedup
+    val kept1 = Dedup.applyClusters(wave1, "doc_id",
+      Dedup.dupClusters(Dedup.lshPairs(wave1, "doc_id", "text")))
+    val kept2within = Dedup.applyClusters(wave2, "doc_id",
+      Dedup.dupClusters(Dedup.lshPairs(wave2, "doc_id", "text")))
+    val kept2 = kept2within.join(
+      Dedup.lshPairsAgainst(kept2within, kept1, "doc_id", "text")
+        .select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val direct = kept1.select("doc_id").as[Long].collect().toSet ++
+      kept2.select("doc_id").as[Long].collect().toSet
+    assert(streamed === direct)
+    // the planted structure: one survivor per dup group, uniques kept,
+    // the cross-batch duplicate dropped
+    assert(streamed.contains(1L) && !streamed.contains(2L))
+    assert(streamed.contains(3L) && streamed.contains(14L))
+    assert(streamed.contains(11L) && !streamed.contains(12L))
+    assert(!streamed.contains(13L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("upsertSink applies streamed CDC batches over a parquet base") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
