@@ -76,4 +76,37 @@ class PqSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     got.foreach { case (k, v) => assert(v === expected(k), s"pair $k") }
   }
+
+  test("search from the saved/loaded index artifact equals the live pipeline") {
+    import graft.operators.{Similarity, VectorIndex}
+    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    VectorIndex.save(
+      VectorIndex.build(e, "vec_id", "v", M, SubDim, coarse, cb1), dir)
+    val queries = e.filter(col("vec_id") < 5)
+    val fromArtifact = VectorIndex
+      .searchTopK(VectorIndex.load(spark, dir), queries, "vec_id", "v",
+        M, SubDim, k = 3)
+      .select("q_id", "rank", "neighbor_id", "adc_qdist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    // live pipeline: the q116 composition straight from the session frames
+    val cells = Similarity.ivfAssign(e, coarse)
+      .select(col("vec_id"), col("cluster_id"))
+    val qcells = cells.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("cluster_id"))
+    val pairs = cells.join(qcells, "cluster_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val live = Pq.adcTopK(
+        Pq.adcDistances(pairs, Pq.encode(sv, cb1),
+          Pq.adcLut(sv.filter(col("vec_id") < 5), cb1)), 3)
+      .select("q_id", "rank", "neighbor_id", "adc_qdist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(fromArtifact === live)
+    assert(fromArtifact.nonEmpty)
+    // the artifact is plain parquet any engine can read
+    assert(spark.read.parquet(s"$dir/codes").columns.toSet
+      === Set("vec_id", "sub", "code"))
+  }
 }
