@@ -127,4 +127,51 @@ object Percentiles {
     }
     out.toDF(groupCol, "p", "value")
   }
+
+  /** Per-group EXACT order statistics at caller-chosen integer ranks —
+    * the no-interpolation sibling of [[groupedExactInterpolated]] (same
+    * range-partition + broadcast-offset machinery, same scale shape:
+    * a group's values span partitions, per-(partition, group) COUNTS
+    * cross the driver, never values). `ranksOf` maps each group's size n
+    * to the 1-based ranks wanted from its sorted values; returns
+    * (group, rn, value) for each requested rank. Integer ranks make the
+    * result engine-exact with no interpolation-formula coupling: the
+    * value AT a sorted rank is well-defined even under duplicate values,
+    * whatever partitioning splits the ties. */
+  def groupedAtRanks(df: DataFrame, groupCol: String, valueCol: String,
+                     ranksOf: Long => Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = OperatorCaches.persistTracked(
+      vals.repartitionByRange(parts, col("__g"), col("__v"))
+        .withColumn("__pid", spark_partition_id()))
+    val stats = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val nPerG: Map[String, Long] =
+      stats.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val offsets: Map[String, Long] = stats.groupBy(_._2).flatMap {
+      case (g, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => s"$pid\u0001$g" -> off }
+    }
+    val wanted = nPerG.toSeq
+      .flatMap { case (g, n) => ranksOf(n).map(g -> _) }.distinct
+    val wantedDf = wanted.toDF("__g", "__rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
+    ranged
+      .withColumn("__rn", row_number().over(w).cast("long") +
+        element_at(typedLit(offsets),
+          concat_ws("\u0001", col("__pid"), col("__g"))))
+      .join(broadcast(wantedDf), Seq("__g", "__rn"))
+      .select(col("__g").as(groupCol), col("__rn").as("rn"),
+        col("__v").as("value"))
+  }
 }

@@ -426,6 +426,58 @@ object QualityQueries {
              |WHERE ('0x' || substr(md5('strat|' || doc_id), 1, 15))::BIGINT % 100 <
              |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'es' THEN 50
              |       ELSE 75 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source winsorized quality normalization: clamp each document's
+    // raw quality score to its SOURCE's [p10, p90] order statistics and
+    // min-max rescale — the per-source calibration step before any global
+    // quality threshold (a web crawl and a books corpus score on
+    // different scales; thresholding uncalibrated mixes whole sources
+    // away). Bounds are EXACT integer-rank order statistics from the
+    // distributed grouped rank selection (Percentiles.groupedAtRanks —
+    // range-partitioned, a big source never pins one reducer, and integer
+    // ranks sidestep any interpolation-formula coupling with the oracle);
+    // the tiny per-source bounds frame broadcasts back onto the corpus
+    // for a codegen'd clamp.
+    QuerySpec("q153_winsorize_quality",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("score"))
+        val at = graft.operators.Percentiles.groupedAtRanks(
+          docs, "source", "score",
+          n => Seq((n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1).distinct)
+        val bounds = at.groupBy(col("source")).agg(
+          min(col("value")).as("p10"), max(col("value")).as("p90"))
+        docs.join(broadcast(bounds), "source")
+          .select(col("doc_id"), col("source"), col("score"),
+            col("p10"), col("p90"),
+            least(greatest(col("score"), col("p10")), col("p90"))
+              .as("winsorized"),
+            when(col("p90") > col("p10"),
+              (least(greatest(col("score"), col("p10")), col("p90")) - col("p10"))
+                / (col("p90") - col("p10")))
+              .otherwise(lit(0.5)).as("scaled"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score
+             |  FROM documents
+             |), r AS (
+             |  SELECT source, score,
+             |    row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM sc
+             |), b AS (
+             |  SELECT source,
+             |    min(CASE WHEN rn = (n-1)*10//100 + 1 THEN score END) AS p10,
+             |    max(CASE WHEN rn = (n-1)*90//100 + 1 THEN score END) AS p90
+             |  FROM r GROUP BY source)
+             |SELECT doc_id, sc.source, score, p10, p90,
+             |  least(greatest(score, p10), p90) AS winsorized,
+             |  CASE WHEN p90 > p10 THEN
+             |    (least(greatest(score, p10), p90) - p10) / (p90 - p10)
+             |  ELSE 0.5 END AS scaled
+             |FROM sc JOIN b USING (source) ORDER BY doc_id""".stripMargin))
   )
 }

@@ -65,4 +65,24 @@ class PercentilesSpec extends SparkSpec {
     assert(got === Seq(ref))
     OperatorCaches.release()
   }
+
+  test("groupedAtRanks returns exact order statistics, groups spanning partitions") {
+    // deliberately skewed groups with duplicate values (tie runs), spread
+    // over many input partitions so every group straddles range partitions
+    val rows = (1 to 500).map(i => ("big", (i % 37).toDouble)) ++
+      (1 to 23).map(i => ("small", (i % 5).toDouble))
+    val df = rows.toDF("g", "v").repartition(13)
+    val got = Percentiles.groupedAtRanks(df, "g", "v",
+      n => Seq(1L, (n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1, n))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      Seq(1L, (n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1, n).foreach { rn =>
+        assert(got((g, rn)) === sorted((rn - 1).toInt),
+          s"group $g rank $rn")
+      }
+    }
+    OperatorCaches.release()
+  }
 }
