@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: time representative corpus operators at sf0.1
+  * (5k docs) and on a 10× replicated copy (50k docs), and report the
+  * wall-clock ratio. Near-linear ratios are the evidence that the
+  * operator SHAPES scale — the complement to plan inspection (no
+  * all-pairs join shows up as a ~10× ratio; an accidental quadratic
+  * shows up as ~100×).
+  *
+  * Replicas are exact copies with shifted doc_ids, so the dedup queries
+  * also stress GROWING DUPLICATE CLUSTERS (every doc gains 9 twins):
+  * their candidate pair counts grow ~45× by design (10 choose 2 per
+  * group), which is the expected-linear-in-output behavior, not a shape
+  * defect. The probe writes the replicated fixture to a temp dir and
+  * runs the REGISTERED queries unmodified against it. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_spark"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val big = java.nio.file.Files.createTempDirectory("scale10").toString
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until replicas).map(r =>
+        docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/documents.parquet")
+
+    val names = Seq("q30_dedup_exact", "q32_minhash_lsh_pairs",
+      "q101_vocab_coverage", "q117_unigram_lm", "q138_bm25",
+      "q146_line_dedup_global", "q149_dsir_weights",
+      "q152_contamination_frac", "q153_winsorize_quality")
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite")
+        .format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      graft.operators.OperatorCaches.release()
+      s
+    }
+    println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"x$replicas"}%8s ratio")
+    names.foreach { n =>
+      // warm then measure at each scale; pools released between scales so
+      // the big run cannot reuse the small corpus's frames
+      val s1 = { time(n, base); time(n, base) }
+      graft.operators.Postings.release(); graft.operators.FramePool.release()
+      val s2 = { time(n, big); time(n, big) }
+      graft.operators.Postings.release(); graft.operators.FramePool.release()
+      println(f"$n%-26s $s1%8.2f $s2%8.2f ${s2 / s1}%5.1f")
+    }
+    spark.stop()
+  }
+}
