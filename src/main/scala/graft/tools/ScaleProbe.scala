@@ -36,11 +36,22 @@ object ScaleProbe {
           col("text"), col("lang"), col("source"), col("n_chars")))
       .reduce(_ unionAll _)
       .write.parquet(s"$big/documents.parquet")
+    // events replicate on shifted (event_id, user_id): 10× the users,
+    // same per-user density — the growth axis a real event stream has
+    val events = spark.read.parquet(s"$base/events.parquet")
+    (0 until replicas).map(r =>
+        events.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/events.parquet")
 
     val names = Seq("q30_dedup_exact", "q32_minhash_lsh_pairs",
       "q101_vocab_coverage", "q117_unigram_lm", "q138_bm25",
       "q146_line_dedup_global", "q149_dsir_weights",
-      "q152_contamination_frac", "q153_winsorize_quality")
+      "q152_contamination_frac", "q153_winsorize_quality",
+      "q13_events_hourly", "q14_sessionize", "q47_interval_join",
+      "q98_sliding_window", "q108_rank_suite")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
