@@ -350,6 +350,53 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SEMANTIC (embedding) near-dup ingest filter — the
+    * [[nearDupIngestSink]] economics on the embedding axis: each
+    * micro-batch of vectors is deduplicated within itself (SRP-banded
+    * cosine pairs → connected components → keep the component minimum)
+    * and against earlier batches' survivors
+    * ([[graft.operators.Similarity.embeddingNearDupAgainst]] — never
+    * corpus×corpus), survivors published append-only under
+    * `corpusDir/batch=N`. Same replay-safety contract (overwrite own
+    * subdir, exclude own batch id from the corpus read) and per-batch
+    * cache release. `planes` must be the same literals across batches —
+    * they ARE the index; changing them re-buckets the world. */
+  def embeddingIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                          corpusDir: String, checkpointDir: String,
+                          planes: Seq[Array[Double]], planesPerBand: Int,
+                          minCos: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Dedup, Similarity}
+        try {
+          val pairs = Similarity.embeddingNearDupPairs(batch, idCol, vecCol,
+            blockCols = Nil, planes, planesPerBand, minCos)
+          val batchKept = Dedup.applyClusters(batch, idCol,
+            Dedup.dupClusters(pairs))
+          val survivors =
+            if (new java.io.File(corpusDir).isDirectory) {
+              val corpus = spark.read.parquet(corpusDir)
+                .filter(col("batch") =!= batchId)
+                .select(col(idCol), col(vecCol))
+              val dupped = Similarity.embeddingNearDupAgainst(batchKept,
+                corpus, idCol, vecCol, Nil, planes, planesPerBand, minCos)
+                .select(col("new_id").as(idCol)).distinct()
+              batchKept.join(dupped, Seq(idCol), "left_anti")
+            } else batchKept
+          survivors.select(col(idCol), col(vecCol))
+            .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release()
+        }
+        ()
+      }
+      .start()
+
   /** The queryable index stats over everything [[indexPartialsSink]] has
     * published so far (the `batch` partition key exists for replay
     * idempotence, not for the stats — dropped here). */

@@ -277,6 +277,36 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streamed embedding ingest drops semantic dups within and across batches") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val planes = graft.functions.VectorFunctions.gaussianPlanes(8, 8)
+    def jitter(v: Seq[Double], eps: Double) = v.map(_ + eps)
+    val base1 = Seq(1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25)
+    val base2 = Seq(-3.0, 1.0, 2.0, -0.5, 1.0, 2.5, -1.0, 0.75)
+    val base3 = Seq(0.5, -1.5, 2.5, 3.0, -2.0, 1.0, 0.25, -0.75)
+    val wave1 = Seq((1L, base1), (2L, jitter(base1, 1e-4)), (3L, base2))
+      .toDF("vec_id", "v")
+    val wave2 = Seq((11L, base3), (12L, jitter(base3, 1e-4)),
+      (13L, jitter(base1, 1e-4)), (14L, base2.map(-_)))
+      .toDF("vec_id", "v")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.embeddingIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", s"$tmp/corpus", s"$tmp/ckpt",
+      planes, planesPerBand = 4, minCos = 0.999).awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.embeddingIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", s"$tmp/corpus", s"$tmp/ckpt",
+      planes, planesPerBand = 4, minCos = 0.999).awaitTermination()
+    val kept = spark.read.parquet(s"$tmp/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    // one survivor per near-identical group; the negated vector (cos = -1
+    // to base2) and true uniques survive; the cross-batch twin of base1
+    // is dropped against batch 1's survivor
+    assert(kept === Set(1L, 3L, 11L, 14L))
+  }
+
   test("upsertSink applies streamed CDC batches over a parquet base") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val base = s"$tmp/base"
