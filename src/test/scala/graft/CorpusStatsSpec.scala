@@ -141,4 +141,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(1) === ((3L, 2L, 0L, 0.0)))
     assert(rows(2) === ((4L, 0L, 0L, 0.0)))
   }
+
+  test("dsirAffinity and spanContamination plan no quadratic join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dsirPlan = CorpusStats.dsirAffinity(docs, "doc_id", "text",
+      isTarget = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // the ONLY nested-loop join allowed is the broadcast-singleton ⊗totals
+    assert(!dsirPlan.contains("CartesianProduct"), "dsir: cartesian")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(dsirPlan).size <= 1,
+      "dsir: more than the singleton-totals cross join")
+    val contamPlan = CorpusStats.spanContamination(docs, "doc_id", "text",
+      isBench = graft.operators.Transforms.hashBucket(col("doc_id")) < 5)
+      .queryExecution.executedPlan.toString
+    assert(!contamPlan.contains("CartesianProduct") &&
+      !contamPlan.contains("BroadcastNestedLoopJoin"),
+      "contamination: quadratic join appeared")
+  }
 }
