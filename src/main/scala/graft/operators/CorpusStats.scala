@@ -343,4 +343,101 @@ object CorpusStats {
       .filter(col("picks") > 0)
       .drop("__w", "__rn")
   }
+
+  /** Per-document CONDITIONAL bigram-LM typicality — the order-sensitive
+    * upgrade of [[unigramLmScore]] (a doc built from common words in an
+    * uncommon order scores high there but low here). For every bigram
+    * occurrence (w1,w2) the model probability is c(w1,w2)/c(w1·) — corpus
+    * bigram count over corpus bigram-PREFIX count — and the document score
+    * is the mean over its bigram positions.
+    *
+    * Exact-arithmetic form (the q138 BM25 discipline): each conditional
+    * probability becomes the fixed-point integer ⌊c(w1,w2)·10⁹ / c(w1·)⌋,
+    * evaluated with a DECIMAL(38,0)-seeded numerator so the product cannot
+    * wrap at any corpus size; per-doc sums of those integers stay exact in
+    * BIGINT (each term ≤ 10⁹, so a doc needs 2⁶³⁻³⁰ ≈ 8·10⁹ tokens to
+    * overflow — no document is 8 billion tokens). One final IEEE division
+    * renders the mean as a double; `avg_p9` keeps the all-integer floor
+    * form, bit-stable in any engine.
+    *
+    * Scale shape, identical to the unigram pass: documents are reduced to
+    * per-(doc, bigram) counts BEFORE joining the LM — the bigram-keyed
+    * join input is |distinct (doc,bigram)|, not |tokens|; the LM and
+    * prefix frames are vocabulary²-bounded (Zipf-tiny against the corpus)
+    * and join shuffled, with Catalyst free to broadcast them when small. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = docs.select(col(idCol), tokens(col(textCol)).as("s"))
+    val bi = arr.filter(size(col("s")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(s)-1), i -> struct(s[i-1] AS w1, s[i] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val dt = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val bg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val pw = bg.groupBy("w1").agg(sum("cb").as("cw"))
+    dt.join(bg, Seq("w1", "w2")).join(pw, Seq("w1"))
+      .withColumn("q",
+        expr("CAST((CAST(cb AS DECIMAL(38,0)) * 1000000000) DIV cw AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bi"),
+        sum(col("k") * col("q")).as("p9_sum"))
+      .select(col(idCol), col("n_bi"),
+        expr("p9_sum DIV n_bi").as("avg_p9"),
+        (col("p9_sum").cast("double") /
+          (col("n_bi") * lit(1000000000L)).cast("double")).as("avg_p"))
+  }
+
+  /** Collocation extraction by PMI lift: the top-N unordered token pairs
+    * co-occurring within a ±`window` position window, ranked by
+    * p(a,b) / (p(a)·p(b)) — the corpus-analysis primitive behind phrase
+    * vocabularies, multi-word-expression mining, and word2vec-era
+    * co-occurrence statistics. The raw lift ratio replaces log-PMI: the
+    * ranking is identical (log is monotone) and the ratio is ONE IEEE
+    * division of two exactly-computed BIGINT products, so results are
+    * bit-identical across engines where log's libm rounding is not.
+    *
+    * The pair stream is built by `window` LINEAR passes over the token
+    * arrays (one offset-d zip per d ≤ window, exploded and unioned) — a
+    * map-side-only expansion of ≤ window·N rows; no positional self-join
+    * touches the corpus. The only shuffles are vocabulary-shaped
+    * aggregations (pair counts, token counts) plus two one-row totals that
+    * broadcast back. `minPairCount` prunes the hapax-pair tail BEFORE the
+    * count joins, which is what keeps the joined frame collocation-sized
+    * rather than vocabulary²-sized.
+    *
+    * 64-bit bound, documented not assumed: the numerator c(a,b)·N² with
+    * c(a,b) ≤ w·N needs w·N³ < 2⁶³, which holds to N ≈ 1.4·10⁸ tokens at
+    * w=3; past that, seed the products with DECIMAL(38,0) exactly as
+    * [[bigramLmScore]] does (kept in BIGINT here so the oracle's
+    * overflow-CHECKED BIGINT arithmetic independently proves the bound
+    * holds on the fixtures). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int = 3, minPairCount: Long = 20L,
+                      topN: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    val arr = docs.select(col(idCol), tokens(col(textCol)).as("s"))
+    val toks = arr.select(explode(col("s")).as("w"))
+    val pairs = (1 to window).map { d =>
+      arr.filter(size(col("s")) > d).select(explode(expr(
+        s"""transform(sequence(1, size(s)-$d),
+           |  i -> struct(least(s[i-1], s[i+$d-1]) AS w1,
+           |              greatest(s[i-1], s[i+$d-1]) AS w2))""".stripMargin))
+        .as("pr"))
+    }.reduce(_ unionAll _).select(col("pr.w1"), col("pr.w2"))
+    val cw = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("nn"))
+    val nPair = pairs.agg(count(lit(1)).as("npr"))
+    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minPairCount)
+    cp.join(cw.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(cw.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .select(col("w1"), col("w2"), col("cab"),
+        ((col("cab") * col("nn") * col("nn")).cast("double") /
+          (col("npr") * col("ca") * col("cb")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
 }

@@ -205,6 +205,52 @@ object Dedup {
         coalesce(col("lsh_hit"), lit(false)).as("lsh_hit"))
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |S(A)∩S(B)| / |S(A)| over the
+    * k-gram shingle sets — the subset/quotation detector Jaccard cannot
+    * give. A short document pasted into a long one has low Jaccard (the
+    * union is large) but containment ≈ 1 in the short→long direction, so
+    * this is the operator that catches boilerplate inclusion, quoted
+    * replies, and chunk-of-a-larger-doc duplication in a training corpus.
+    *
+    * Same posting-intersection shape as [[lshRecall]]'s truth join — any
+    * pair with containment > 0 shares a shingle, so |∩| comes from ONE
+    * hash-keyed aggregation over the shingle-posting self-equi-join; no
+    * all-pairs pass exists anywhere. Because containment is directional,
+    * the join keeps BOTH orientations of each co-occurring pair
+    * (`a.id =!= b.id`, not `<`) and the filter applies to the A-side size
+    * only. Hot shingles are capped at `maxPostingSize` docs before the
+    * self-join (the [[lshPairs]] bucket-cap move, mirrored verbatim in the
+    * oracle): a stop-shingle shared by everything would otherwise
+    * contribute m² join work while carrying no discrimination signal.
+    *
+    * At 100 TB: the self-join is shuffle-partitioned by shingle hash and
+    * the cap bounds every bucket's contribution at maxPostingSize²; the
+    * per-pair aggregate is map-side combinable on (a_id, b_id). Output
+    * volume is governed by true overlap, never by n². */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, minContainment: Double = 0.5,
+                       maxPostingSize: Long = DefaultMaxBucketSize): DataFrame = {
+    val sets = pooledShingleSets(docs, idCol, textCol, k)
+    val sizes = sets.select(col(idCol), size(col("hset")).cast("long").as("n"))
+    val posting = sets.select(col(idCol), explode(col("hset")).as("h"))
+    val smallPostings = posting.groupBy("h")
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= maxPostingSize)
+      .select("h")
+    val capped = posting.join(smallPostings, Seq("h"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Sorted-neighborhood near-dup pairs: the classic windowed-blocking
     * alternative to LSH (Hernández/Stolfo SNM). Documents are ranked in a
     * TOTAL order by a bounded normalized sort key — the [[normalizeText]]

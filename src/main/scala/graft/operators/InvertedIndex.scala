@@ -258,4 +258,53 @@ object InvertedIndex {
           .as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Exact-phrase retrieval over a POSITIONAL inverted index — the
+    * capability the (term → doc, tf) index above cannot express: "these
+    * words, adjacent, in this order". Two stages:
+    *
+    *   1. phrase selection: corpus trigram counts from one linear
+    *      higher-order-function pass over the token arrays (no positional
+    *      self-join touches the corpus), argmax by (count desc, trigram
+    *      asc). The single winning row crosses the driver — the bounded
+    *      one-row collect of the Bpe argmax pattern — making the query
+    *      self-contained and fixture-independent.
+    *   2. positional probe: (doc, pos) postings are built for the THREE
+    *      phrase terms only (the term filter collapses the explode to the
+    *      phrase's posting lists before any shuffle), then adjacency is
+    *      two equi-joins keyed (doc, pos+offset) — the standard
+    *      phrase-query plan of a positional index, with per-doc occurrence
+    *      counts and first hit position out the other end.
+    *
+    * At 100 TB the probe cost is the phrase terms' posting mass, not the
+    * corpus: stage 2's joins carry |postings(w1)|+|postings(w2)|+
+    * |postings(w3)| rows partitioned by doc. Stage 1 is one
+    * vocabulary-shaped aggregation (trigram space, Zipf-bounded like the
+    * BPE pair scan it mirrors). Positions are 1-based (oracle parity with
+    * DuckDB's 1-based list indexing). */
+  def phraseMatchTopTrigram(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val arr = docs.select(col(idCol), split(col(textCol), " ").as("s"))
+    val top = arr.filter(size(col("s")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(s)-2), i -> concat_ws(' ', s[i-1], s[i], s[i+1]))"))
+        .as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tri"))
+      .limit(1)
+    val Array(w1, w2, w3) = top.head().getString(0).split(" ", 3)
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "term")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("term"))
+    def posting(w: String, idAs: String, posAs: String) =
+      toks.filter(col("term") === w)
+        .select(col(idCol).as(idAs), col("pos").as(posAs))
+    posting(w1, "id1", "pos")
+      .join(posting(w2, "id2", "pos2"),
+        col("id1") === col("id2") && col("pos2") === col("pos") + 1)
+      .join(posting(w3, "id3", "pos3"),
+        col("id1") === col("id3") && col("pos3") === col("pos") + 2)
+      .groupBy(col("id1").as(idCol))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+  }
 }

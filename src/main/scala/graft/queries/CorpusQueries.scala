@@ -219,5 +219,71 @@ object CorpusQueries {
              |    THEN CAST(COALESCE(n_hit,0) AS DOUBLE) / CAST(len(t)-7 AS DOUBLE)
              |    ELSE 0.0 END AS contam_frac
              |FROM tk LEFT JOIN hits USING (doc_id)
-             |WHERE NOT bm ORDER BY tk.doc_id""".stripMargin)))
+             |WHERE NOT bm ORDER BY tk.doc_id""".stripMargin)),
+
+    // Collocation mining by PMI lift: top-50 unordered token pairs
+    // co-occurring within ±3 positions, ranked by p(a,b)/(p(a)·p(b)).
+    // Raw lift instead of log-PMI (monotone, so same ranking) keeps the
+    // score ONE IEEE division of two exact BIGINT products —
+    // hash-matchable where a log never is. Pair stream = three linear
+    // offset-zip passes (map-side explode), never a positional self-join.
+    QuerySpec("q158_pmi_collocations",
+      (s, d) => CorpusStats.pmiCollocations(
+        t(s, d, "documents"), "doc_id", "text",
+        window = 3, minPairCount = 20L, topN = 50)
+        .orderBy(desc("lift"), col("w1"), col("w2")),
+      Some("WITH arr AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),\n" +
+        "tok AS (SELECT unnest(s) AS w FROM arr),\npr AS (\n" +
+        (1 to 3).map(dd =>
+          s"""  SELECT least(s[i], s[i+$dd]) AS w1, greatest(s[i], s[i+$dd]) AS w2
+             |  FROM (SELECT s, unnest(range(1, len(s)+1-$dd)) AS i
+             |        FROM arr WHERE len(s) > $dd)""".stripMargin)
+          .mkString("\n  UNION ALL\n") +
+        """
+          |), cw AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+          |n AS (SELECT count(*) AS nn FROM tok),
+          |np AS (SELECT count(*) AS npr FROM pr),
+          |cp AS (SELECT w1, w2, count(*) AS cab FROM pr
+          |       GROUP BY w1, w2 HAVING count(*) >= 20)
+          |SELECT cp.w1, cp.w2, cab,
+          |  CAST(cab * nn * nn AS DOUBLE)
+          |    / CAST(npr * ca.c * cb.c AS DOUBLE) AS lift
+          |FROM cp
+          |JOIN cw ca ON ca.w = cp.w1
+          |JOIN cw cb ON cb.w = cp.w2
+          |CROSS JOIN n CROSS JOIN np
+          |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // Conditional bigram-LM typicality — the order-sensitive upgrade of
+    // q117's unigram score: p(w2|w1) = c(w1,w2)/c(w1·) per bigram
+    // position, fixed-point ⌊p·10⁹⌋ per term (DECIMAL-seeded numerator on
+    // the Spark side, overflow-checked BIGINT on the oracle side), exact
+    // integer sums per doc, one final IEEE division for the mean.
+    QuerySpec("q159_bigram_lm",
+      (s, d) => CorpusStats.bigramLmScore(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH bi AS (
+             |  SELECT doc_id, s[i] AS w1, s[i+1] AS w2
+             |  FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+             |              FROM documents))
+             |), dt AS (
+             |  SELECT doc_id, w1, w2, count(*) AS k FROM bi
+             |  GROUP BY doc_id, w1, w2
+             |), bg AS (
+             |  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+             |), pw AS (
+             |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM bg GROUP BY w1
+             |), sc AS (
+             |  SELECT doc_id,
+             |    CAST(sum(k) AS BIGINT) AS n_bi,
+             |    CAST(sum(k * ((cb * 1000000000) // cw)) AS BIGINT) AS p9_sum
+             |  FROM dt JOIN bg USING (w1, w2) JOIN pw USING (w1)
+             |  GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_bi, p9_sum // n_bi AS avg_p9,
+             |  CAST(p9_sum AS DOUBLE)
+             |    / CAST(n_bi * 1000000000 AS DOUBLE) AS avg_p
+             |FROM sc ORDER BY doc_id""".stripMargin)))
 }

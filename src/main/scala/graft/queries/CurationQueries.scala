@@ -425,5 +425,31 @@ object CurationQueries {
              |      ORDER BY rrf DESC, doc_id) AS rrf_rank
              |  FROM f)
              |SELECT q_id, rrf_rank, doc_id, rel_rank, p_rank, rrf
-             |FROM ff WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin)))
+             |FROM ff WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin)),
+
+    // Exact-phrase retrieval on a POSITIONAL inverted index — "these
+    // words, adjacent, in order", which the (term, doc, tf) index cannot
+    // answer. Phrase = the corpus's own top trigram (count desc, trigram
+    // asc — self-contained, fixture-independent); the probe joins the
+    // three terms' (doc, pos) posting lists on (doc, pos+offset), so at
+    // corpus scale the cost is the phrase's posting mass, never the
+    // corpus. The one winning trigram row crosses the driver (the Bpe
+    // argmax pattern); positions are 1-based for DuckDB list parity.
+    QuerySpec("q156_phrase_search",
+      (s, d) => graft.operators.InvertedIndex.phraseMatchTopTrigram(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tt AS (
+             |  SELECT doc_id, i AS pos,
+             |    s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS tri
+             |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+             |              FROM documents))
+             |), top AS (
+             |  SELECT tri FROM tt GROUP BY tri
+             |  ORDER BY count(*) DESC, tri LIMIT 1
+             |)
+             |SELECT doc_id, count(*) AS n_occ, min(pos) AS first_pos
+             |FROM tt JOIN top USING (tri)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -695,6 +695,71 @@ object DedupQueries {
           |  JOIN e eb ON eb.vec_id = b_id
           |)
           |SELECT a_id, b_id, label, round(cos, 4) AS cos4
-          |FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin))
+          |FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin)),
+
+    // Asymmetric containment C(A→B) = |S(A)∩S(B)|/|S(A)| — the
+    // subset/quotation detector Jaccard misses (a short doc pasted into a
+    // long one unions large, so jac stays low while containment ≈ 1).
+    // Posting-intersection shape with the hot-shingle cap mirrored in the
+    // oracle; directional, so both orientations of each pair appear and
+    // the threshold reads the A-side size only.
+    QuerySpec("q155_containment_pairs",
+      (s, d) => graft.operators.Dedup.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text", k = 3, minContainment = 0.5)
+        .orderBy("a_id", "b_id"),
+      Some(shingleCte + s"""
+        |, szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |, pc AS (SELECT h60 FROM sh GROUP BY h60 HAVING count(*) <= $MaxBucket)
+        |, cp AS (SELECT sh.doc_id, sh.h60 FROM sh JOIN pc USING (h60))
+        |, pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM cp a JOIN cp b ON a.h60 = b.h60 AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, sa.n AS na, sb.n AS nb, inter,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |FROM pr JOIN szs sa ON sa.doc_id = a_id JOIN szs sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Quality-aware canonical selection: instead of q37's "keep the
+    // minimum id", keep each duplicate cluster's RICHEST member (most
+    // distinct tokens; ties to the smallest id) — the keeper rule real
+    // curation pipelines want, since the canonical copy should be the
+    // best copy, not the first-crawled one. Composes the pooled LSH
+    // pairing + connected components with a struct-max argmax (one
+    // aggregate over the cluster frame; no window over the corpus).
+    QuerySpec("q157_canonical_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
+        val quality = docs.select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
+        clusters.join(quality, "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("q"), (-col("doc_id")).as("nid"))).as("s"))
+          .select(col("cluster_id"), col("n_members"),
+            (-col("s.nid")).as("keeper_id"), col("s.q").as("keeper_q"))
+          .orderBy("cluster_id")
+      },
+      Some(clustersCte + """
+        |, qv AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
+        |  FROM documents
+        |), m AS (
+        |  SELECT c.cluster_id, c.doc_id, qv.q FROM clu c JOIN qv USING (doc_id)
+        |), agg AS (
+        |  SELECT cluster_id, count(*) AS n_members, max(q) AS mq
+        |  FROM m GROUP BY cluster_id
+        |)
+        |SELECT a.cluster_id, a.n_members, min(m.doc_id) AS keeper_id,
+        |  a.mq AS keeper_q
+        |FROM agg a JOIN m ON m.cluster_id = a.cluster_id AND m.q = a.mq
+        |GROUP BY a.cluster_id, a.n_members, a.mq
+        |ORDER BY a.cluster_id""".stripMargin))
   )
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Dedup, InvertedIndex}
+
+/** Round-8 additions: asymmetric containment, positional phrase search,
+  * quality-aware canonical selection, PMI collocations, bigram LM —
+  * planted-semantics checks plus the house plan-shape guards (nothing
+  * quadratic, nothing driver-side beyond bounded argmax rows). */
+class ContainmentCollocationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+
+  private def doc(seed: Int, nTokens: Int = 40): String = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nTokens)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("containmentPairs flags the short-inside-long direction Jaccard misses") {
+    // B = long doc; A = a verbatim 12-token chunk of B. Plus unrelated noise.
+    val b = doc(7, 60)
+    val a = b.split(" ").slice(20, 32).mkString(" ")
+    val docs = ((0 until 20).map(i => ((100 + i).toLong, doc(1000 + i))) ++
+      Seq((1L, a), (2L, b))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, minContainment = 0.5).collect()
+    val aInB = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(aInB.isDefined, s"expected (1→2) containment pair, got ${pairs.toSeq}")
+    // every 3-shingle of the chunk occurs in B → containment = 1.0 exactly
+    assert(aInB.get.getDouble(5) === 1.0)
+    // the reverse direction must NOT clear the bar: B has ~58 shingles, A ~10
+    assert(!pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+    // and the symmetric metric on the same pair stays low — the point of
+    // the operator (Jaccard ≈ 10/58 < the 0.5 containment A→B clears)
+    val na = aInB.get.getLong(2); val nb = aInB.get.getLong(3)
+    val inter = aInB.get.getLong(4)
+    assert(inter.toDouble / (na + nb - inter) < 0.25)
+  }
+
+  test("containmentPairs plan: no cartesian, hot shingles capped before self-join") {
+    val docs = (0 until 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("phraseMatchTopTrigram finds the planted dominant trigram positionally") {
+    // plant "alpha beta gamma" 3× in doc 1 (positions 1, 6, 11), 1× in doc 2;
+    // noise docs share no trigram that often
+    val d1 = "alpha beta gamma mu nu alpha beta gamma xi xi alpha beta gamma"
+    val d2 = "kappa kappa alpha beta gamma kappa kappa kappa kappa"
+    val noise = (0 until 10).map(i => ((10 + i).toLong, doc(500 + i, 20)))
+    val docs = (Seq((1L, d1), (2L, d2)) ++ noise).toDF("doc_id", "text")
+    val out = InvertedIndex.phraseMatchTopTrigram(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val hits = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits.contains((1L, 3L, 1L)), s"doc 1: want 3 occurrences from pos 1, got $hits")
+    assert(hits.contains((2L, 1L, 3L)), s"doc 2: want 1 occurrence at pos 3, got $hits")
+  }
+
+  test("canonical selection keeps the richest cluster member, ties to min id") {
+    // near-dup cluster {1, 2}: doc 2 carries one extra distinct token
+    val base = doc(42, 40)
+    val richer = base + " omega"
+    val noise = (0 until 15).map(i => ((50 + i).toLong, doc(2000 + i)))
+    val docs = (Seq((1L, base), (2L, richer)) ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      numBands = 4, minJaccard = 0.1, k = 3, rowsPerBand = 2)
+    val clusters = Dedup.pooledDupClusters(pairs)
+    val quality = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
+    val keep = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("s"))
+      .select(col("cluster_id"), (-col("s.nid")).as("keeper_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(keep.get(1L).contains(2L),
+      s"cluster 1 should keep the richer doc 2, got $keep")
+    graft.operators.FramePool.release()
+  }
+
+  test("pmiCollocations ranks a planted always-adjacent pair top with exact lift") {
+    // "aa bb" always adjacent, 30×; filler is a single repeated token so
+    // expected counts are computable by hand
+    val docs = (0 until 30).map(i => (i.toLong, "aa bb cc cc cc"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.pmiCollocations(docs, "doc_id", "text",
+      window = 3, minPairCount = 5L, topN = 10).collect()
+    assert(out.nonEmpty)
+    val topRow = out.head
+    assert((topRow.getString(0), topRow.getString(1)) === ("aa", "bb"))
+    // per doc (5 tokens, window 3): pairs = 4 + 3 + 2 = 9 → npr = 270,
+    // (aa,bb) 1× per doc = 30, c(aa) = 30, c(bb) = 30, N = 150
+    // lift = 30·150² / (270·30·30) = 675000 / 243000
+    assert(topRow.getLong(2) === 30L)
+    assert(topRow.getDouble(3) === 675000.0 / 243000.0)
+  }
+
+  test("bigramLmScore: deterministic text scores above shuffled text; exact tiny case") {
+    // tiny exact case: two docs over bigrams {x y (2×), y x (1×)}
+    //   doc 1 = "x y x"  → bigrams (x,y), (y,x)
+    //   doc 2 = "x y"    → bigram  (x,y)
+    // LM: c(x,y)=2, c(y,x)=1; prefixes c(x·)=2, c(y·)=1
+    //   q(x,y) = ⌊2e9/2⌋ = 1e9;  q(y,x) = ⌊1e9/1⌋ = 1e9
+    // both docs: every bigram has conditional prob 1 → avg_p9 = 1e9
+    val tiny = Seq((1L, "x y x"), (2L, "x y")).toDF("doc_id", "text")
+    val tout = CorpusStats.bigramLmScore(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(tout.map(_.getLong(1)).toSeq === Seq(2L, 1L))
+    assert(tout.map(_.getLong(2)).toSeq === Seq(1000000000L, 1000000000L))
+    assert(tout.map(_.getDouble(3)).toSeq === Seq(1.0, 1.0))
+
+    // order sensitivity: a corpus of one dominant patterned doc + noise —
+    // the patterned doc's bigrams are corpus-frequent, a token-shuffled
+    // variant of the same tokens is not
+    val pattern = Seq.fill(20)("p q").mkString(" ")       // p q p q ...
+    val shuffled = new scala.util.Random(3).shuffle(
+      pattern.split(" ").toSeq).mkString(" ")
+    val corpus = ((0 until 10).map(i => (i.toLong, pattern)) :+
+      (99L, shuffled)).toDF("doc_id", "text")
+    val scores = CorpusStats.bigramLmScore(corpus, "doc_id", "text")
+      .select("doc_id", "avg_p").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(0L) > scores(99L),
+      s"patterned doc should out-score its shuffle: $scores")
+  }
+
+  test("pmi and bigram-lm plans stay linear: no cartesian joins") {
+    val docs = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    for (df <- Seq(
+        CorpusStats.pmiCollocations(docs, "doc_id", "text", minPairCount = 2L),
+        CorpusStats.bigramLmScore(docs, "doc_id", "text"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the two one-row totals in PMI broadcast-cross in; nothing larger may
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    }
+  }
+}
