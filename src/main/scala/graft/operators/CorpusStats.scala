@@ -440,4 +440,47 @@ object CorpusStats {
       .orderBy(desc("lift"), asc("w1"), asc("w2"))
       .limit(topN)
   }
+
+  /** Token-distribution drift between two corpus partitions — the
+    * "did the crawl change under us" detector run between snapshots,
+    * sources, or time slices before retraining on a refreshed corpus.
+    * `sideA` is any boolean partitioning expression; for each token with
+    * ≥ `minTotal` total occurrences the add-one-smoothed rate ratio
+    *
+    *   r = ((c_a+1)/(n_a+1)) / ((c_b+1)/(n_b+1))
+    *
+    * is computed in fixed-point (⌊·10⁶⌋, DECIMAL-seeded products so the
+    * integer form cannot wrap at any corpus size), and the drift score is
+    * max(r, 1/r) — symmetric, so a token over-represented on EITHER side
+    * ranks. Ratio instead of log-odds / chi-square: monotone for ranking
+    * and exact-integer, where log and the χ² division-of-rationals both
+    * land on engine-private float summation.
+    *
+    * Scale shape: ONE tokenize-explode pass, one vocabulary-shaped
+    * groupBy carrying both sides' counts as conditional sums (map-side
+    * combined), a one-row totals frame broadcast back, and a top-N
+    * TakeOrdered. Nothing per-document survives the first aggregation. */
+  def tokenDrift(docs: DataFrame, textCol: String, sideA: Column,
+                 minTotal: Long = 50L, topN: Int = 30): DataFrame = {
+    val toks = docs.select(sideA.as("side_a"),
+      explode(tokens(col(textCol))).as("tok"))
+    val ct = toks.groupBy("tok").agg(
+      sum(when(col("side_a"), lit(1L)).otherwise(lit(0L))).as("c_a"),
+      sum(when(!col("side_a"), lit(1L)).otherwise(lit(0L))).as("c_b"))
+    val tot = ct.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    ct.filter(col("c_a") + col("c_b") >= minTotal)
+      .crossJoin(broadcast(tot))
+      .withColumn("r6", expr(
+        """CAST((CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1) * 1000000)
+          |  DIV (CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rinv6", expr(
+        """CAST((CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1) * 1000000)
+          |  DIV (CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1)) AS BIGINT)"""
+          .stripMargin))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        greatest(col("r6"), col("rinv6")).as("drift6"))
+      .orderBy(desc("drift6"), asc("tok"))
+      .limit(topN)
+  }
 }

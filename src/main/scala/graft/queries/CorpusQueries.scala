@@ -285,5 +285,38 @@ object CorpusQueries {
              |SELECT doc_id, n_bi, p9_sum // n_bi AS avg_p9,
              |  CAST(p9_sum AS DOUBLE)
              |    / CAST(n_bi * 1000000000 AS DOUBLE) AS avg_p
-             |FROM sc ORDER BY doc_id""".stripMargin)))
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Token-distribution drift between two corpus halves (even- vs
+    // odd-numbered sources — the snapshot-comparison axis): top-30 tokens
+    // by symmetric smoothed rate-ratio drift, exact fixed-point. The
+    // "did the crawl change under us" report run before retraining.
+    QuerySpec("q160_token_drift",
+      (s, d) => CorpusStats.tokenDrift(
+        t(s, d, "documents"), "text",
+        sideA = expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
+        minTotal = 50L, topN = 30)
+        .orderBy(desc("drift6"), col("tok")),
+      Some("""WITH toks AS (
+             |  SELECT substr(source, 4)::INT % 2 = 0 AS side_a,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents
+             |), ct AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+             |  FROM toks GROUP BY tok
+             |), tot AS (
+             |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             |    CAST(sum(c_b) AS BIGINT) AS n_b FROM ct
+             |), r AS (
+             |  SELECT tok, c_a, c_b,
+             |    ((c_a + 1) * (n_b + 1) * 1000000)
+             |      // ((c_b + 1) * (n_a + 1)) AS r6,
+             |    ((c_b + 1) * (n_a + 1) * 1000000)
+             |      // ((c_a + 1) * (n_b + 1)) AS rinv6
+             |  FROM ct CROSS JOIN tot WHERE c_a + c_b >= 50
+             |)
+             |SELECT tok, c_a, c_b, greatest(r6, rinv6) AS drift6
+             |FROM r ORDER BY drift6 DESC, tok LIMIT 30""".stripMargin)))
 }

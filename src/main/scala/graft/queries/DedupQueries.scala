@@ -760,6 +760,56 @@ object DedupQueries {
         |  a.mq AS keeper_q
         |FROM agg a JOIN m ON m.cluster_id = a.cluster_id AND m.q = a.mq
         |GROUP BY a.cluster_id, a.n_members, a.mq
-        |ORDER BY a.cluster_id""".stripMargin))
+        |ORDER BY a.cluster_id""".stripMargin)),
+
+    // One-hop label spreading over the near-dup graph: each paired doc's
+    // predicted label = the majority `lang` among its LSH neighbors (ties
+    // to the lexicographically smallest label) — metadata imputation /
+    // mislabel detection by graph consensus, the semi-supervised use of
+    // the same pair stream the dedup family already pays for. The argmax
+    // is a struct-min per doc ((−count, label) lexicographic), never a
+    // corpus-wide window; neighbors come from the pooled LSH frames.
+    QuerySpec("q161_label_spread",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val docsL = docs.select(col("doc_id"), col("lang"))
+        val pairs = graft.operators.Dedup.lshPairs(docs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand).select("a_id", "b_id")
+        val e = pairs.union(
+          pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        val cnt = e
+          .join(docsL.select(col("doc_id").as("b_id"), col("lang").as("nl")),
+            "b_id")
+          .groupBy(col("a_id"), col("nl")).agg(count(lit(1)).as("c"))
+        cnt.groupBy("a_id")
+          .agg(sum("c").as("n_neighbors"),
+            min(struct((-col("c")).as("nc"), col("nl").as("lab"))).as("s"))
+          .select(col("a_id").as("doc_id"), col("n_neighbors"),
+            col("s.lab").as("pred_lang"))
+          .join(docsL, "doc_id")
+          .select(col("doc_id"), col("lang").as("own_lang"), col("pred_lang"),
+            col("n_neighbors"), (col("lang") === col("pred_lang")).as("agree"))
+          .orderBy("doc_id")
+      },
+      Some(lshCte + """
+        |, e AS (
+        |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+        |), cnt AS (
+        |  SELECT e.s AS doc_id, d.lang AS nl, count(*) AS c
+        |  FROM e JOIN documents d ON d.doc_id = e.t
+        |  GROUP BY e.s, d.lang
+        |), pick AS (
+        |  SELECT doc_id, nl, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, nl) AS rn,
+        |    sum(c) OVER (PARTITION BY doc_id) AS nn
+        |  FROM cnt
+        |)
+        |SELECT p.doc_id, d.lang AS own_lang, p.nl AS pred_lang,
+        |  CAST(p.nn AS BIGINT) AS n_neighbors, d.lang = p.nl AS agree
+        |FROM pick p JOIN documents d ON d.doc_id = p.doc_id
+        |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin))
   )
 }

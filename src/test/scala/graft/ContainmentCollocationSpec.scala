@@ -130,6 +130,49 @@ class ContainmentCollocationSpec extends SparkSpec {
       s"patterned doc should out-score its shuffle: $scores")
   }
 
+  test("tokenDrift surfaces a side-exclusive token with exact fixed-point score") {
+    // side A repeats "drifty"; both sides share filler "x"
+    val a = (0 until 10).map(i => (i.toLong, "drifty x x x x", "A"))
+    val b = (10 until 20).map(i => (i.toLong, "x x x x x", "B"))
+    val docs = (a ++ b).toDF("doc_id", "text", "src")
+    val out = CorpusStats.tokenDrift(docs, "text",
+      sideA = col("src") === "A", minTotal = 5L, topN = 5).collect()
+    // driftly: c_a=10, c_b=0, n_a=50, n_b=50
+    //   r6 = (11·51·10⁶)//(1·51) = 11_000_000 — the top drift by an order
+    val topRow = out.head
+    assert(topRow.getString(0) === "drifty")
+    assert(topRow.getLong(1) === 10L && topRow.getLong(2) === 0L)
+    assert(topRow.getLong(3) === 11000000L)
+    // filler "x" drifts mildly: max((41·51·10⁶)//(51·51), (51·51·10⁶)//(41·51))
+    val x = out.find(_.getString(0) == "x").get
+    assert(x.getLong(3) === (2601L * 1000000L) / 2091L)
+  }
+
+  test("label spread predicts the neighborhood-majority label") {
+    // docs 1-3 near-identical labeled en; doc 4 the same text labeled de →
+    // doc 4's neighbors are all en, so consensus flags its label
+    val base = doc(77, 40)
+    val noise = (0 until 12).map(i => ((50 + i).toLong, doc(3000 + i), "en"))
+    val docs = (Seq((1L, base, "en"), (2L, base + " mu", "en"),
+      (3L, base + " nu", "en"), (4L, base + " xi", "de")) ++ noise)
+      .toDF("doc_id", "text", "lang")
+    val docsL = docs.select(col("doc_id"), col("lang"))
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      numBands = 4, minJaccard = 0.1, k = 3, rowsPerBand = 2)
+      .select("a_id", "b_id")
+    val e = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val cnt = e
+      .join(docsL.select(col("doc_id").as("b_id"), col("lang").as("nl")), "b_id")
+      .groupBy(col("a_id"), col("nl")).agg(count(lit(1)).as("c"))
+    val pred = cnt.groupBy("a_id")
+      .agg(min(struct((-col("c")).as("nc"), col("nl").as("lab"))).as("s"))
+      .select(col("a_id").as("doc_id"), col("s.lab").as("pred_lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pred(4L) === "en", s"doc 4 should be flagged as en-majority: $pred")
+    assert(pred(1L) === "en")
+    graft.operators.FramePool.release()
+  }
+
   test("pmi and bigram-lm plans stay linear: no cartesian joins") {
     val docs = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     for (df <- Seq(
