@@ -528,6 +528,40 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Bipartite containment probe: C(new→corpus) = |S(new)∩S(corpus)| /
+    * |S(new)| for every (new doc, corpus doc) pair sharing a shingle —
+    * the incremental form of [[containmentPairs]], used by the streaming
+    * ingest filter to drop arriving documents that are subsets/quotes of
+    * content the corpus already holds (an arriving CHUNK of an existing
+    * page has low Jaccard against it but containment ≈ 1).
+    *
+    * New-side postings equi-join the corpus postings on the shingle
+    * hash — new×corpus pairs sharing content, never corpus×corpus. The
+    * hot-shingle cap applies to the CORPUS side (the growing one); the
+    * new side is a bounded micro-batch. Both inputs share the
+    * (idCol, textCol) shape; ids are namespaced by side. */
+  def containmentAgainst(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         minContainment: Double = 0.8,
+                         maxPostingSize: Long = DefaultMaxBucketSize): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, k)
+    val corpusSets = shingleSets(corpus, idCol, textCol, k)
+    val np = newSets.select(col(idCol).as("new_id"), explode(col("hset")).as("h"))
+    val nsz = newSets.select(col(idCol).as("new_id"),
+      size(col("hset")).cast("long").as("n_new"))
+    val cpAll = corpusSets.select(col(idCol).as("corpus_id"),
+      explode(col("hset")).as("h"))
+    val small = cpAll.groupBy("h").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= maxPostingSize).select("h")
+    val inter = np.join(cpAll.join(small, Seq("h")), "h")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    inter.join(nsz, "new_id")
+      .select(col("new_id"), col("corpus_id"), col("n_new"), col("inter"),
+        (col("inter").cast("double") / col("n_new").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Connected components by alternating large-star/small-star rounds —
     * the documented scale path past [[dupClusters]]'s min-label
     * propagation: label propagation needs one round PER unit of component

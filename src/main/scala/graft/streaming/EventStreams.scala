@@ -350,6 +350,57 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CONTAINMENT ingest filter — the subset/quotation axis of
+    * [[nearDupIngestSink]]: an arriving document is dropped when ≥
+    * `minContainment` of its shingles already exist in ONE other document
+    * (a chunk of an already-held page, a quoted reply, boilerplate
+    * inclusion — cases whose Jaccard stays low because the union is
+    * large). Within each micro-batch the keep rule must be acyclic, so a
+    * doc is dropped only when its container is STRICTLY larger (or equal-
+    * sized with a smaller id); against the accumulated corpus every
+    * contained arrival drops. Survivors are published append-only under
+    * `corpusDir/batch=N` with the same replay safety as the near-dup
+    * sink (overwrite own batch dir, corpus read excludes the current
+    * batch id). Per-batch cost is the bipartite posting join of
+    * [[graft.operators.Dedup.containmentAgainst]] — batch×corpus shared
+    * shingles, never corpus×corpus. */
+  def containmentIngestSink(stream: DataFrame, idCol: String, textCol: String,
+                            corpusDir: String, checkpointDir: String,
+                            k: Int = 3, minContainment: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        try {
+          val within = Dedup.containmentPairs(batch, idCol, textCol,
+            k, minContainment)
+            .filter(col("na") < col("nb") ||
+              (col("na") === col("nb") && col("a_id") > col("b_id")))
+            .select(col("a_id").as(idCol)).distinct()
+          val batchKept = batch.join(within, Seq(idCol), "left_anti")
+          val survivors =
+            if (new java.io.File(corpusDir).isDirectory) {
+              val corpus = spark.read.parquet(corpusDir)
+                .filter(col("batch") =!= batchId)
+                .select(col(idCol), col(textCol))
+              val contained = Dedup.containmentAgainst(batchKept, corpus,
+                idCol, textCol, k, minContainment)
+                .select(col("new_id").as(idCol)).distinct()
+              batchKept.join(contained, Seq(idCol), "left_anti")
+            } else batchKept
+          survivors.select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release()
+        }
+        ()
+      }
+      .start()
+
   /** Streaming SEMANTIC (embedding) near-dup ingest filter — the
     * [[nearDupIngestSink]] economics on the embedding axis: each
     * micro-batch of vectors is deduplicated within itself (SRP-banded

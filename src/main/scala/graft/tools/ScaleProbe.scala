@@ -51,7 +51,13 @@ object ScaleProbe {
       "q146_line_dedup_global", "q149_dsir_weights",
       "q152_contamination_frac", "q153_winsorize_quality",
       "q13_events_hourly", "q14_sessionize", "q47_interval_join",
-      "q98_sliding_window", "q108_rank_suite")
+      "q98_sliding_window", "q108_rank_suite",
+      // round-8-continuation additions: containment is pair-generating
+      // (output grows ~45× on the twin-replica fixture like q32), the
+      // others are vocabulary-/posting-shaped and should track ~1–2×
+      "q155_containment_pairs", "q156_phrase_search",
+      "q158_pmi_collocations", "q159_bigram_lm", "q160_token_drift",
+      "q161_label_spread")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -277,6 +277,60 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streamed containment ingest drops subset docs within and across batches") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // long base docs built from distinct vocab per doc; "chunks" are
+    // verbatim token slices — containment ≈ 1, Jaccard low
+    def longDoc(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("r", "s", "t", "u", "v", "w", "x", "y", "z")
+        .map(_ + seed)
+      Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val full1 = longDoc(1); val full2 = longDoc(2)
+    // wave 1: two full docs + a chunk of doc 1 (within-batch containment)
+    val wave1 = Seq(
+      (1L, full1), (2L, full2),
+      (3L, full1.split(" ").slice(10, 22).mkString(" ")))
+      .toDF("doc_id", "text")
+    // wave 2: a chunk of doc 2 (cross-batch containment), one fresh doc
+    val wave2 = Seq(
+      (11L, full2.split(" ").slice(30, 44).mkString(" ")),
+      (12L, longDoc(9)))
+      .toDF("doc_id", "text")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.containmentIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt").awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.containmentIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // sequential reference: within-batch acyclic drop, then bipartite
+    import graft.operators.Dedup
+    def withinKeep(w: org.apache.spark.sql.DataFrame) =
+      w.join(Dedup.containmentPairs(w, "doc_id", "text", 3, 0.8)
+        .filter(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") > col("b_id")))
+        .select(col("a_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val kept1 = withinKeep(wave1)
+    val kept2w = withinKeep(wave2)
+    val kept2 = kept2w.join(
+      Dedup.containmentAgainst(kept2w, kept1, "doc_id", "text", 3, 0.8)
+        .select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val direct = kept1.select("doc_id").as[Long].collect().toSet ++
+      kept2.select("doc_id").as[Long].collect().toSet
+    assert(streamed === direct)
+    // planted structure: chunks dropped (3 within-batch, 11 cross-batch),
+    // full docs and the fresh doc kept
+    assert(streamed === Set(1L, 2L, 12L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("streamed embedding ingest drops semantic dups within and across batches") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val planes = graft.functions.VectorFunctions.gaussianPlanes(8, 8)
