@@ -483,4 +483,34 @@ object CorpusStats {
       .orderBy(desc("drift6"), asc("tok"))
       .limit(topN)
   }
+
+  /** Per-source novelty mass — "what does this source add": for each
+    * source, the fraction of its distinct k-token span fingerprints found
+    * in NO other source. The marginal-utility signal behind source
+    * acquisition and mixture-weighting decisions (a crawl that is 95%
+    * spans every other source already has buys almost nothing).
+    *
+    * Shape: one span-fingerprint explode (the [[spanContamination]]
+    * machinery), reduced to DISTINCT (source, fp) immediately — the only
+    * corpus-scale shuffle, keyed by the 60-bit fingerprint. The per-fp
+    * source count then joins back on the same fp key (partitioning
+    * reused) and collapses to one row per source. Exact-integer counts,
+    * one final IEEE division per source. */
+  def sourceNovelty(docs: DataFrame, sourceCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val withT = docs.select(col(sourceCol).as("source"),
+      tokens(col(textCol)).as("t"))
+    val fps = withT
+      .select(col("source"),
+        explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+      .distinct()
+    val ns = fps.groupBy("fp").agg(count(lit(1)).as("ns"))
+    fps.join(ns, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ns") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col("source"), col("n_spans"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_spans").cast("double"))
+          .as("novelty"))
+  }
 }

@@ -318,5 +318,32 @@ object CorpusQueries {
              |  FROM ct CROSS JOIN tot WHERE c_a + c_b >= 50
              |)
              |SELECT tok, c_a, c_b, greatest(r6, rinv6) AS drift6
-             |FROM r ORDER BY drift6 DESC, tok LIMIT 30""".stripMargin)))
+             |FROM r ORDER BY drift6 DESC, tok LIMIT 30""".stripMargin)),
+
+    // Per-source novelty mass: the fraction of each source's distinct
+    // 8-token span fingerprints found in NO other source — the marginal-
+    // utility report behind source acquisition and mixture weighting.
+    // One fp-keyed shuffle (distinct (source, fp)), per-fp source counts
+    // rejoined on the same key, exact-integer counts, one division.
+    QuerySpec("q162_source_novelty",
+      (s, d) => CorpusStats.sourceNovelty(
+        t(s, d, "documents"), "source", "text", k = 8)
+        .orderBy("source"),
+      Some("""WITH sp0 AS (
+             |  SELECT source,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM (SELECT source, string_split(text,' ') AS t FROM documents)
+             |  WHERE len(t) >= 8
+             |), sp AS (
+             |  SELECT DISTINCT source, fp FROM sp0
+             |), ns AS (
+             |  SELECT fp, count(*) AS ns FROM sp GROUP BY fp
+             |)
+             |SELECT source, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS novelty
+             |FROM sp JOIN ns USING (fp)
+             |GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -894,6 +894,62 @@ object MiscQueries {
              |    AS corr_qty_price,
              |  (n * sxy - sx * sy) / CAST(n * n AS DOUBLE) AS covar_pop,
              |  (n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)) AS covar_samp
-             |FROM m ORDER BY l_returnflag""".stripMargin))
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Event-rate anomaly detection: flag hours whose count deviates from
+    // the trailing-24-observed-hours mean by more than 2σ — entirely in
+    // EXACT integer arithmetic by squaring the z-condition:
+    //   (c·n − S)² > 4·(n·Q − S²),  n=24, S=Σc, Q=Σc²
+    // (no sqrt, no float mean — the products are DECIMAL-seeded on the
+    // Spark side, HUGEINT on the oracle side, so nothing wraps at any
+    // event rate). The global window runs over the HOURLY spine, whose
+    // cardinality is hours-not-events (8.8k rows/year) — the one place a
+    // single-partition window is the right call at any corpus size.
+    QuerySpec("q163_event_anomaly",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
+        hourly
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s", sum(col("c")).over(w))
+          .withColumn("q", sum(expr(
+            "CAST(c AS DECIMAL(38,0)) * c")).over(w))
+          .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
+          .withColumn("varn", expr(
+            """24 * CAST(q AS DECIMAL(38,0))
+              | - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"""
+              .stripMargin))
+          .select(col("h"), col("c"),
+            col("n").cast("long").as("n_prev"),
+            coalesce(col("s").cast("long"), lit(0L)).as("s_prev"),
+            when(col("n") === 24,
+              col("dev") * col("dev") > lit(4) * col("varn"))
+              .otherwise(lit(false)).as("anomaly"))
+          .orderBy("h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+             |  FROM events GROUP BY 1
+             |), w AS (
+             |  SELECT h, c,
+             |    count(*) OVER win AS n,
+             |    sum(c) OVER win AS s,
+             |    sum(c*c) OVER win AS q
+             |  FROM hourly
+             |  WINDOW win AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             |), dv AS (
+             |  SELECT h, c, n, s,
+             |    CAST(c AS HUGEINT) * 24 - CAST(s AS HUGEINT) AS dev,
+             |    24 * CAST(q AS HUGEINT)
+             |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS varn
+             |  FROM w
+             |)
+             |SELECT h, c, CAST(n AS BIGINT) AS n_prev,
+             |  CAST(COALESCE(s, 0) AS BIGINT) AS s_prev,
+             |  CASE WHEN n = 24 THEN dev * dev > 4 * varn
+             |       ELSE FALSE END AS anomaly
+             |FROM dv ORDER BY h""".stripMargin))
   )
 }

@@ -173,6 +173,52 @@ class ContainmentCollocationSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("sourceNovelty: a copied source scores 0, a unique one scores 1") {
+    val unique = doc(11, 30)
+    val docs = Seq(
+      (1L, unique, "fresh"),        // only source holding these spans
+      (2L, doc(12, 30), "orig"),
+      (3L, doc(12, 30), "copycat")) // every span also in "orig"
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceNovelty(docs, "source", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(out("fresh") === 1.0)
+    assert(out("copycat") === 0.0)
+    assert(out("orig") === 0.0) // its spans all exist in copycat too
+  }
+
+  test("event anomaly flags a planted spike against the trailing-24h window") {
+    // 30 quiet hours at 10 events, then hour 30 spikes to 100
+    // (epoch-second construction — immune to the JVM's default timezone)
+    val base = 1767225600L // 2026-01-01 00:00:00 UTC
+    val rows = (0 until 31).flatMap { hr =>
+      val n = if (hr == 30) 100 else 10
+      (0 until n).map(i => (hr.toLong * 1000 + i, base + hr * 3600L + 1800L))
+    }
+    val ev = rows.toDF("event_id", "epoch")
+      .select(col("event_id"), timestamp_seconds(col("epoch")).as("ts"))
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h")).rowsBetween(-24, -1)
+    val out = hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(w))
+      .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
+      .withColumn("varn", expr(
+        "24 * CAST(q AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+      .select(col("h"), col("c"),
+        when(col("n") === 24,
+          col("dev") * col("dev") > lit(4) * col("varn"))
+          .otherwise(lit(false)).as("anomaly"))
+      .orderBy("h").collect()
+    // constant-rate window: variance 0, spike dev² > 0 → flagged; quiet
+    // hours with full windows have dev = 0 → not flagged
+    assert(out.count(_.getBoolean(2)) === 1)
+    assert(out.find(_.getBoolean(2)).get.getLong(1) === 100L)
+  }
+
   test("pmi and bigram-lm plans stay linear: no cartesian joins") {
     val docs = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     for (df <- Seq(
