@@ -950,6 +950,27 @@ object MiscQueries {
              |  CAST(COALESCE(s, 0) AS BIGINT) AS s_prev,
              |  CASE WHEN n = 24 THEN dev * dev > 4 * varn
              |       ELSE FALSE END AS anomaly
-             |FROM dv ORDER BY h""".stripMargin))
+             |FROM dv ORDER BY h""".stripMargin)),
+
+    // Sliding-window EXACT distinct users (6 h window, 1 h slide) — the
+    // audience-reach counterpart of q98's sliding sums, which countDistinct
+    // cannot share partials with. Spark's TimeWindow generate expands each
+    // event into its 6 covering windows (linear ×6 map-side), then the
+    // two-phase distinct aggregate shuffles (window, user) before the
+    // window rollup — both keys time-dimension × audience-bounded, never
+    // event-mass-bounded. Epoch-aligned hourly starts in both engines.
+    QuerySpec("q164_sliding_distinct_users",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(col("w.start").as("window_start"), col("users"))
+        .orderBy("window_start"),
+      Some("""WITH e AS (
+             |  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws,
+             |    user_id
+             |  FROM events CROSS JOIN (SELECT unnest(range(6)) AS i) ii
+             |)
+             |SELECT ws AS window_start, count(DISTINCT user_id) AS users
+             |FROM e GROUP BY ws ORDER BY ws""".stripMargin))
   )
 }

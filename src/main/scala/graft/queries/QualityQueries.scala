@@ -478,6 +478,37 @@ object QualityQueries {
              |  CASE WHEN p90 > p10 THEN
              |    (least(greatest(score, p10), p90) - p10) / (p90 - p10)
              |  ELSE 0.5 END AS scaled
-             |FROM sc JOIN b USING (source) ORDER BY doc_id""".stripMargin))
+             |FROM sc JOIN b USING (source) ORDER BY doc_id""".stripMargin)),
+
+    // Per-source duplication report — the dataset-card metric "how much
+    // of this source is copies": for each source, its doc count, the
+    // number of its docs whose exact content occurs >1× corpus-wide
+    // (either side of the copy counts), and the fraction. Group key is
+    // md5(text) — fixed-width shuffle key, the q30 discipline — with the
+    // multiplicity frame rejoined on the same key.
+    QuerySpec("q165_source_dup_report",
+      (s, d) => {
+        val keyed = t(s, d, "documents")
+          .select(col("source"), md5(col("text")).as("k"))
+        val m = keyed.groupBy("k").agg(count(lit(1)).as("m"))
+        keyed.join(m, "k").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("m") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+          .select(col("source"), col("n_docs"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_docs").cast("double"))
+              .as("dup_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT source, md5(text) AS k FROM documents
+             |), m AS (
+             |  SELECT k, count(*) AS m FROM keyed GROUP BY k
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS dup_frac
+             |FROM keyed JOIN m USING (k)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
