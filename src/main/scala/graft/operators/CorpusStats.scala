@@ -426,10 +426,13 @@ object CorpusStats {
         .as("pr"))
     }.reduce(_ unionAll _).select(col("pr.w1"), col("pr.w2"))
     val cw = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val nTok = toks.agg(count(lit(1)).as("nn"))
-    val nPair = pairs.agg(count(lit(1)).as("npr"))
-    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= minPairCount)
+    // totals derive from the aggregated frames (Σc over the vocabulary,
+    // Σcab over the pre-filter pair counts) — never a second scan of the
+    // raw token/pair explodes, whose map-side cost dominates the query
+    val nTok = cw.agg(sum(col("c")).as("nn"))
+    val cpAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val nPair = cpAll.agg(sum(col("cab")).as("npr"))
+    val cp = cpAll.filter(col("cab") >= minPairCount)
     cp.join(cw.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
       .join(cw.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
       .crossJoin(broadcast(nTok))
@@ -464,9 +467,12 @@ object CorpusStats {
                  minTotal: Long = 50L, topN: Int = 30): DataFrame = {
     val toks = docs.select(sideA.as("side_a"),
       explode(tokens(col(textCol))).as("tok"))
+    // c_b's branch mirrors the oracle's CASE WHEN side_a THEN 0 ELSE 1
+    // exactly: a NULL-valued predicate buckets the token into side B in
+    // both engines (a negated when() would drop it from both sides)
     val ct = toks.groupBy("tok").agg(
       sum(when(col("side_a"), lit(1L)).otherwise(lit(0L))).as("c_a"),
-      sum(when(!col("side_a"), lit(1L)).otherwise(lit(0L))).as("c_b"))
+      sum(when(col("side_a"), lit(0L)).otherwise(lit(1L))).as("c_b"))
     val tot = ct.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
     ct.filter(col("c_a") + col("c_b") >= minTotal)
       .crossJoin(broadcast(tot))

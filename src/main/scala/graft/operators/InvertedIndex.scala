@@ -292,7 +292,19 @@ object InvertedIndex {
       .groupBy("tri").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("tri"))
       .limit(1)
-    val Array(w1, w2, w3) = top.head().getString(0).split(" ", 3)
+    val topRow = top.collect().headOption.map(_.getString(0))
+    if (topRow.isEmpty) {
+      // no document has 3 tokens — empty result with the output schema
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          docs.schema(idCol),
+          org.apache.spark.sql.types.StructField("n_occ",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("first_pos",
+            org.apache.spark.sql.types.LongType, nullable = true))))
+    }
+    val Array(w1, w2, w3) = topRow.get.split(" ", 3)
     val toks = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "term")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("term"))

@@ -778,9 +778,12 @@ object DedupQueries {
           rowsPerBand = RowsPerBand).select("a_id", "b_id")
         val e = pairs.union(
           pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        // null-labeled neighbors carry no vote (and Spark struct-min vs
+        // SQL ORDER BY disagree on null placement — exclude both sides)
         val cnt = e
           .join(docsL.select(col("doc_id").as("b_id"), col("lang").as("nl")),
             "b_id")
+          .filter(col("nl").isNotNull)
           .groupBy(col("a_id"), col("nl")).agg(count(lit(1)).as("c"))
         cnt.groupBy("a_id")
           .agg(sum("c").as("n_neighbors"),
@@ -800,6 +803,7 @@ object DedupQueries {
         |), cnt AS (
         |  SELECT e.s AS doc_id, d.lang AS nl, count(*) AS c
         |  FROM e JOIN documents d ON d.doc_id = e.t
+        |  WHERE d.lang IS NOT NULL
         |  GROUP BY e.s, d.lang
         |), pick AS (
         |  SELECT doc_id, nl, c,

@@ -52,9 +52,11 @@ object ScaleProbe {
       "q152_contamination_frac", "q153_winsorize_quality",
       "q13_events_hourly", "q14_sessionize", "q47_interval_join",
       "q98_sliding_window", "q108_rank_suite",
-      // round-8-continuation additions: containment is pair-generating
-      // (output grows ~45× on the twin-replica fixture like q32), the
-      // others are vocabulary-/posting-shaped and should track ~1–2×
+      // round-8-continuation additions: containment (q155) and label
+      // spread (q161) are pair-generating — on the twin-replica fixture
+      // q155's DIRECTED output grows ~90× per duplicate group (10·9
+      // ordered pairs; undirected q32/q161 grow ~45×) — the others are
+      // vocabulary-/posting-shaped and should track ~1–2×
       "q155_containment_pairs", "q156_phrase_search",
       "q158_pmi_collocations", "q159_bigram_lm", "q160_token_drift",
       "q161_label_spread")

@@ -63,6 +63,13 @@ class ContainmentCollocationSpec extends SparkSpec {
     assert(hits.contains((2L, 1L, 3L)), s"doc 2: want 1 occurrence at pos 3, got $hits")
   }
 
+  test("phraseMatchTopTrigram on a corpus with no 3-token doc returns empty") {
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = InvertedIndex.phraseMatchTopTrigram(docs, "doc_id", "text")
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("doc_id", "n_occ", "first_pos"))
+  }
+
   test("canonical selection keeps the richest cluster member, ties to min id") {
     // near-dup cluster {1, 2}: doc 2 carries one extra distinct token
     val base = doc(42, 40)
