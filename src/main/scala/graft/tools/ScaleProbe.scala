@@ -30,6 +30,11 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     val big = java.nio.file.Files.createTempDirectory("scale10").toString
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    // optional second arg: comma-separated query filter (higher replica
+    // counts pair badly with the pair-generating queries, whose output
+    // grows quadratically in the twin count by construction)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet) else None
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until replicas).map(r =>
         docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
@@ -70,7 +75,7 @@ object ScaleProbe {
       s
     }
     println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"x$replicas"}%8s ratio")
-    names.foreach { n =>
+    names.filter(n => only.forall(_.contains(n))).foreach { n =>
       // warm then measure at each scale; pools released between scales so
       // the big run cannot reuse the small corpus's frames
       val s1 = { time(n, base); time(n, base) }
