@@ -971,6 +971,44 @@ object MiscQueries {
              |  FROM events CROSS JOIN (SELECT unnest(range(6)) AS i) ii
              |)
              |SELECT ws AS window_start, count(DISTINCT user_id) AS users
+             |FROM e GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // The SCALE PATH for q164: hourly HLL partials (one sketch per hour,
+    // built once) expanded to the 6 sliding windows each hour covers and
+    // UNIONED per window — sketches cross the shuffle, user ids never do,
+    // and the per-hour partial is shared by 6 windows where exact
+    // countDistinct must re-shuffle every (window, user) pair. Contract
+    // like q73/q99: the merged estimate must sit within 5% of the exact
+    // q164 count (HLL lgK=14 is exact in sparse mode at these
+    // cardinalities, generous at any).
+    QuerySpec("q166_sliding_users_hll",
+      (s, d) => {
+        val ev = events(s, d)
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = hourly
+          .select(explode(expr("sequence(0, 5)")).as("i"), col("h"), col("sk"))
+          .select(expr("timestampadd(HOUR, -i, h)").as("window_start"), col("sk"))
+          .groupBy("window_start")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+        val exact = ev
+          .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .select(col("w.start").as("window_start"), col("users"))
+        exact.join(est, "window_start")
+          .select(col("window_start"), col("users"),
+            (abs(col("__est") - col("users")) <=
+              col("users").cast("double") * 0.05).as("within_tol"))
+          .orderBy("window_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws,
+             |    user_id
+             |  FROM events CROSS JOIN (SELECT unnest(range(6)) AS i) ii
+             |)
+             |SELECT ws AS window_start, count(DISTINCT user_id) AS users,
+             |  true AS within_tol
              |FROM e GROUP BY ws ORDER BY ws""".stripMargin))
   )
 }

@@ -509,6 +509,71 @@ object QualityQueries {
              |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) AS dup_frac
              |FROM keyed JOIN m USING (k)
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // The per-source DATASET CARD — one row per source with the numbers a
+    // curation review reads first: volume (docs, tokens, mean length),
+    // exact-copy duplication (q165's metric), and span novelty vs every
+    // other source (q162's metric). Pure composition of already-gated
+    // pieces joined on the source key; exact integer sums, one IEEE
+    // division per reported ratio. Novelty left-joins (a source with no
+    // 8-token doc has no span set) — null then, in both engines.
+    QuerySpec("q167_dataset_card",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("source"), md5(col("text")).as("k"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val m = base.groupBy("k").agg(count(lit(1)).as("m"))
+        val core = base.join(m, "k").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("m") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"),
+          sum(col("ntok")).as("n_tokens"))
+        val nov = graft.operators.CorpusStats
+          .sourceNovelty(docs, "source", "text", k = 8)
+          .select(col("source"), col("novelty"))
+        core.join(nov, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_docs").cast("double"))
+              .as("dup_frac"),
+            col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("mean_tokens"),
+            col("novelty"))
+          .orderBy("source")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT source, md5(text) AS k,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents
+             |), m AS (
+             |  SELECT k, count(*) AS m FROM keyed GROUP BY k
+             |), core AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+             |  FROM keyed JOIN m USING (k) GROUP BY source
+             |), sp0 AS (
+             |  SELECT source,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM (SELECT source, string_split(text,' ') AS t FROM documents)
+             |  WHERE len(t) >= 8
+             |), sp AS (
+             |  SELECT DISTINCT source, fp FROM sp0
+             |), ns AS (
+             |  SELECT fp, count(*) AS ns FROM sp GROUP BY fp
+             |), nov AS (
+             |  SELECT source,
+             |    CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE) AS novelty
+             |  FROM sp JOIN ns USING (fp) GROUP BY source
+             |)
+             |SELECT c.source, n_docs, n_dup,
+             |  CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+             |  n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+             |  novelty
+             |FROM core c LEFT JOIN nov USING (source)
+             |ORDER BY source""".stripMargin))
   )
 }
