@@ -88,6 +88,24 @@ object Quality {
     * codegen'd pass per pattern, applied email → url → phone (order
     * matters: a URL containing an @ must not be half-eaten by the email
     * pass — emails go first, then URLs over what remains). */
+  /** Compression-ratio quality signal: deflate(text).length /
+    * octet_length(text), via the native codegen'd `graft_deflate_len`
+    * kernel ([[graft.plans.DeflateLength]]). Repetitive machine text
+    * compresses far below natural prose and near-random noise above it,
+    * so both ratio tails are removal candidates (the RefinedWeb/
+    * MassiveText signal). Pure map-side — no shuffle; spec-verified
+    * (no SQL engine can twin deflate, so it is deliberately outside the
+    * oracle-gated query registry). */
+  def compressionSignal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+        octet_length(col(textCol)).as("raw_len"),
+        expr(s"graft_deflate_len($textCol)").as("deflate_len"))
+      .withColumn("ratio",
+        when(col("raw_len") > 0,
+          col("deflate_len").cast("double") / col("raw_len").cast("double")))
+  }
+
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")

@@ -142,6 +142,14 @@ object GraftFunctions {
               s"(expected one of ${UnicodeNormalizeExpr.Forms.mkString("|")})")
         UnicodeNormalizeExpr(exprs.head, form)
       }),
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_deflate_len expects 1 argument (text), got ${exprs.length}")
+        DeflateLength(exprs.head)
+      }),
     // Spark's own runtime-filter probe expression (codegen'd, deserializes
     // the sketch once per task): exposed as a function so library code can
     // broadcast a driver-built BloomFilter as a binary literal and probe it

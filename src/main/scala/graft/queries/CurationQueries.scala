@@ -451,5 +451,75 @@ object CurationQueries {
              |)
              |SELECT doc_id, count(*) AS n_occ, min(pos) AS first_pos
              |FROM tt JOIN top USING (tri)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Hard-negative mining for retrieval training: the top-10 BM25 hits
+    // per query that do NOT contain every query term — documents the
+    // scorer ranks high on partial evidence, exactly the negatives a
+    // dense-retriever trainer wants (BM25-negative sampling, the DPR
+    // recipe). Composes the pooled BM25 scorer with a per-(query, doc)
+    // distinct-term presence count off the same posting index; a hit is
+    // a hard negative when n_present < n_terms.
+    QuerySpec("q168_hard_negatives",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // query sets anchor on the corpus's one genuinely rare term
+        // ('dup', df ≈ 5% of docs): high-idf anchor + common terms is
+        // the mix that actually produces partial-evidence hits
+        val qs = Seq("q1" -> Seq("dup", "merge"), "q2" -> Seq("dup", "scan", "line"),
+          "q3" -> Seq("dup", "window", "hash"))
+        val hits = graft.operators.InvertedIndex.bm25TopK(
+          docs, "doc_id", "text", qs, k = 10)
+        val spark = s
+        import spark.implicits._
+        val qt = broadcast(
+          qs.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term"))
+        val tf = graft.operators.Postings.forCorpus(docs, "doc_id", "text")
+          .tf.select(col("term"), col("doc").as("doc_id"))
+        val pres = qt.join(tf, "term")
+          .groupBy("q_id", "doc_id")
+          .agg(countDistinct(col("term")).as("n_present"))
+        val nq = qt.groupBy("q_id").agg(count(lit(1)).as("n_terms"))
+        hits.join(pres, Seq("q_id", "doc_id"))
+          .join(broadcast(nq), "q_id")
+          .filter(col("n_present") < col("n_terms"))
+          .select(col("q_id"), col("rank"), col("doc_id"), col("score"),
+            col("n_present"), col("n_terms"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH qt(q_id, term) AS (VALUES
+             |  ('q1','dup'),('q1','merge'),('q2','dup'),('q2','scan'),
+             |  ('q2','line'),('q3','dup'),('q3','window'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc),
+             |pres AS (
+             |  SELECT q_id, doc_id, count(DISTINCT term) AS n_present
+             |  FROM qt JOIN tf USING (term) GROUP BY q_id, doc_id),
+             |nq AS (SELECT q_id, count(*) AS n_terms FROM qt GROUP BY q_id)
+             |SELECT r.q_id, rank, r.doc_id, score, n_present, n_terms
+             |FROM r
+             |JOIN pres ON pres.q_id = r.q_id AND pres.doc_id = r.doc_id
+             |JOIN nq ON nq.q_id = r.q_id
+             |WHERE rank <= 10 AND n_present < n_terms
+             |ORDER BY r.q_id, rank""".stripMargin)))
 }

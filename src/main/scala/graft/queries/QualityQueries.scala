@@ -574,6 +574,33 @@ object QualityQueries {
              |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
              |  novelty
              |FROM core c LEFT JOIN nov USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Curriculum interleave ordering — the deterministic data-ordering
+    // export: rank each document within its source by quality (distinct-
+    // token richness, ties to doc_id), then emit the corpus in
+    // (src_rank, source) order — a round-robin over sources with each
+    // source's best documents first, so early training batches are both
+    // high-quality and source-balanced. The only window partitions by
+    // source (keyed, never global); the global interleave is the SORT
+    // ORDER itself, not a materialized position column.
+    QuerySpec("q169_curriculum_order",
+      (s, d) => {
+        val qv = t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(desc("q"), col("doc_id"))
+        qv.withColumn("src_rank", row_number().over(w).cast("long"))
+          .orderBy("src_rank", "source", "doc_id")
+      },
+      Some("""WITH qv AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, q,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY q DESC, doc_id) AS src_rank
+             |FROM qv ORDER BY src_rank, source, doc_id""".stripMargin))
   )
 }
