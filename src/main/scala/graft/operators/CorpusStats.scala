@@ -490,6 +490,43 @@ object CorpusStats {
       .limit(topN)
   }
 
+  /** [[tokenDrift]] from two PRE-AGGREGATED count frames (`(tok, c)`
+    * each) — the incremental/streaming form: an ingest monitor keeps the
+    * accumulated corpus as a count frame and compares each arriving
+    * batch's counts against it without ever re-tokenizing history. Same
+    * fixed-point arithmetic and the same output contract as the one-pass
+    * batch form (proven equivalent in ContainmentCollocationSpec). */
+  def tokenDriftFromCounts(countsA: DataFrame, countsB: DataFrame,
+                           minTotal: Long = 50L, topN: Int = 30): DataFrame = {
+    val a = countsA.select(col("tok"), col("c").cast("long").as("c_a"))
+    val b = countsB.select(col("tok"), col("c").cast("long").as("c_b"))
+    val ct = a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = ct.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    ct.filter(col("c_a") + col("c_b") >= minTotal)
+      .crossJoin(broadcast(tot))
+      .withColumn("r6", expr(
+        """CAST((CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1) * 1000000)
+          |  DIV (CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rinv6", expr(
+        """CAST((CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1) * 1000000)
+          |  DIV (CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1)) AS BIGINT)"""
+          .stripMargin))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        greatest(col("r6"), col("rinv6")).as("drift6"))
+      .orderBy(desc("drift6"), asc("tok"))
+      .limit(topN)
+  }
+
+  /** Per-doc token counts reduced to a `(tok, c)` frame — the partial the
+    * drift monitor accumulates per batch. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
   /** Per-source novelty mass — "what does this source add": for each
     * source, the fraction of its distinct k-token span fingerprints found
     * in NO other source. The marginal-utility signal behind source

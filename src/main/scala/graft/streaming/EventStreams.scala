@@ -448,6 +448,88 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming token-drift monitor — the production form of q160: each
+    * micro-batch's token counts are compared against the ACCUMULATED
+    * corpus counts (the "did the crawl change under us" alarm, evaluated
+    * continuously at ingest instead of once at snapshot time), and the
+    * top drifting tokens are published as `reportDir/batch=N`. History is
+    * never re-tokenized: the state under `stateDir/batch=K` is the
+    * per-batch `(tok, c)` count partial — vocabulary-sized — and the
+    * accumulated side is their sum at read. Replay-safe like the other
+    * ingest sinks (own batch dir overwritten; accumulated read excludes
+    * the current batch id). First batch has no baseline → no report. */
+  def driftMonitorSink(stream: DataFrame, textCol: String,
+                       stateDir: String, reportDir: String,
+                       checkpointDir: String, minTotal: Long = 50L,
+                       topN: Int = 30)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.CorpusStats
+        try {
+          val batchCounts = CorpusStats.tokenCounts(batch, textCol)
+          if (new java.io.File(stateDir).isDirectory) {
+            val corpusCounts = spark.read.parquet(stateDir)
+              .filter(col("batch") =!= batchId)
+              .groupBy("tok").agg(sum("c").as("c"))
+            CorpusStats.tokenDriftFromCounts(
+              batchCounts, corpusCounts, minTotal, topN)
+              .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+          }
+          batchCounts
+            .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        } finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** Streaming event-rate anomaly monitor — the production form of q163:
+    * hourly count partials accumulate per batch (`stateDir/batch=N`,
+    * spine-sized), and after each batch the trailing-24h 2σ flags are
+    * recomputed over the merged spine and published to `reportDir`
+    * (overwrite — the report is hours-not-events sized). The exact
+    * integer arithmetic is q163's squared z-condition verbatim, so the
+    * streamed report equals the batch query over the union of all
+    * arrived events (spec-proven). */
+  def anomalyMonitorSink(stream: DataFrame, tsCol: String,
+                         stateDir: String, reportDir: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.groupBy(date_trunc("hour", col(tsCol)).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        val hourly = spark.read.parquet(stateDir)
+          .groupBy("h").agg(sum("c").as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("h")).rowsBetween(-24, -1)
+        hourly
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s", sum(col("c")).over(w))
+          .withColumn("q", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(w))
+          .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
+          .withColumn("varn", expr(
+            """24 * CAST(q AS DECIMAL(38,0))
+              | - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"""
+              .stripMargin))
+          .select(col("h"), col("c").cast("long").as("c"),
+            col("n").cast("long").as("n_prev"),
+            coalesce(col("s").cast("long"), lit(0L)).as("s_prev"),
+            when(col("n") === 24,
+              col("dev") * col("dev") > lit(4) * col("varn"))
+              .otherwise(lit(false)).as("anomaly"))
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** The queryable index stats over everything [[indexPartialsSink]] has
     * published so far (the `batch` partition key exists for replay
     * idempotence, not for the stats — dropped here). */

@@ -331,6 +331,70 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("drift monitor reports arriving-batch drift against accumulated counts") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
+    val wave2 = (30 until 60).map(i => (i.toLong, "drifty x drifty x z"))
+      .toDF("doc_id", "text")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.driftMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"), "text",
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt", minTotal = 10L)
+      .awaitTermination()
+    // batch 0 has no baseline → no report dir yet
+    assert(!new java.io.File(s"$tmp/report").isDirectory)
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.driftMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"), "text",
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt", minTotal = 10L)
+      .awaitTermination()
+    val report = spark.read.parquet(s"$tmp/report")
+      .orderBy(desc("drift6"), col("tok")).collect()
+    // the planted new token dominates the drift ranking
+    assert(report.head.getString(0) === "drifty", report.toSeq.toString)
+    // streamed report == the counts-form operator applied batch-vs-corpus
+    val direct = graft.operators.CorpusStats.tokenDriftFromCounts(
+      graft.operators.CorpusStats.tokenCounts(wave2, "text"),
+      graft.operators.CorpusStats.tokenCounts(wave1, "text"),
+      minTotal = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(report.map(r => (r.getString(0), r.getLong(3))).toSeq === direct)
+    // and the counts form agrees with the one-pass batch operator on the
+    // equivalent side-labeled corpus
+    val labeled = wave2.withColumn("side", lit("A"))
+      .unionByName(wave1.withColumn("side", lit("B")))
+    val onePass = graft.operators.CorpusStats.tokenDrift(
+      labeled, "text", sideA = col("side") === "A", minTotal = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(direct === onePass)
+  }
+
+  test("anomaly monitor over streamed waves equals the batch computation") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val base = 1767225600L // 2026-01-01 00:00:00 UTC
+    def wave(hrs: Range) = hrs.flatMap { hr =>
+      val n = if (hr == 30) 100 else 10
+      (0 until n).map(i => (hr.toLong * 1000 + i, base + hr * 3600L + 1800L))
+    }.toDF("event_id", "epoch")
+      .select(col("event_id"), timestamp_seconds(col("epoch")).as("ts"))
+    val w1 = wave(0 until 20); val w2 = wave(20 until 31)
+    w1.write.parquet(s"$tmp/in")
+    EventStreams.anomalyMonitorSink(
+      EventStreams.fileStream(spark, w1.schema, s"$tmp/in"), "ts",
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt").awaitTermination()
+    w2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.anomalyMonitorSink(
+      EventStreams.fileStream(spark, w1.schema, s"$tmp/in"), "ts",
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt").awaitTermination()
+    val report = spark.read.parquet(s"$tmp/report").orderBy("h").collect()
+    assert(report.length === 31)
+    val flagged = report.filter(_.getBoolean(4))
+    assert(flagged.length === 1 && flagged.head.getLong(1) === 100L)
+    // full-window quiet hours carry dev = 0 against a zero-variance
+    // baseline → never flagged; partial windows are gated off by n = 24
+    assert(report.count(r => r.getLong(2) === 24L) === 31 - 24)
+  }
+
   test("streamed embedding ingest drops semantic dups within and across batches") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val planes = graft.functions.VectorFunctions.gaussianPlanes(8, 8)
