@@ -473,6 +473,14 @@ object CorpusStats {
     val ct = toks.groupBy("tok").agg(
       sum(when(col("side_a"), lit(1L)).otherwise(lit(0L))).as("c_a"),
       sum(when(col("side_a"), lit(0L)).otherwise(lit(1L))).as("c_b"))
+    driftScores(ct, minTotal, topN)
+  }
+
+  /** Shared fixed-point scoring tail of both drift forms: `ct` must carry
+    * (tok, c_a, c_b). One copy of the smoothing/DECIMAL-seeding
+    * arithmetic keeps the batch operator, the counts form, and the
+    * streaming monitor provably identical. */
+  private def driftScores(ct: DataFrame, minTotal: Long, topN: Int): DataFrame = {
     val tot = ct.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
     ct.filter(col("c_a") + col("c_b") >= minTotal)
       .crossJoin(broadcast(tot))
@@ -504,21 +512,7 @@ object CorpusStats {
       .select(col("tok"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val tot = ct.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
-    ct.filter(col("c_a") + col("c_b") >= minTotal)
-      .crossJoin(broadcast(tot))
-      .withColumn("r6", expr(
-        """CAST((CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1) * 1000000)
-          |  DIV (CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"""
-          .stripMargin))
-      .withColumn("rinv6", expr(
-        """CAST((CAST(c_b + 1 AS DECIMAL(38,0)) * (n_a + 1) * 1000000)
-          |  DIV (CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1)) AS BIGINT)"""
-          .stripMargin))
-      .select(col("tok"), col("c_a"), col("c_b"),
-        greatest(col("r6"), col("rinv6")).as("drift6"))
-      .orderBy(desc("drift6"), asc("tok"))
-      .limit(topN)
+    driftScores(ct, minTotal, topN)
   }
 
   /** Per-doc token counts reduced to a `(tok, c)` frame — the partial the

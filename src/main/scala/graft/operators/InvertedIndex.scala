@@ -293,17 +293,11 @@ object InvertedIndex {
       .orderBy(desc("c"), asc("tri"))
       .limit(1)
     val topRow = top.collect().headOption.map(_.getString(0))
-    if (topRow.isEmpty) {
-      // no document has 3 tokens — empty result with the output schema
-      return docs.sparkSession.createDataFrame(
-        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          docs.schema(idCol),
-          org.apache.spark.sql.types.StructField("n_occ",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("first_pos",
-            org.apache.spark.sql.types.LongType, nullable = true))))
-    }
+    if (topRow.isEmpty)
+      // no document has 3 tokens — empty result, schema derived from the
+      // same projection shape the non-empty path aggregates into
+      return docs.select(col(idCol), lit(0L).as("n_occ"),
+        lit(0L).as("first_pos")).filter(lit(false))
     val Array(w1, w2, w3) = topRow.get.split(" ", 3)
     val toks = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "term")))

@@ -97,10 +97,13 @@ object Quality {
     * (no SQL engine can twin deflate, so it is deliberately outside the
     * oracle-gated query registry). */
   def compressionSignal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // call_function with a Column argument (the house kernel pattern):
+    // robust for any column name — no SQL-string interpolation to break
+    // on names needing quoting
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol),
         octet_length(col(textCol)).as("raw_len"),
-        expr(s"graft_deflate_len($textCol)").as("deflate_len"))
+        call_function("graft_deflate_len", col(textCol)).as("deflate_len"))
       .withColumn("ratio",
         when(col("raw_len") > 0,
           col("deflate_len").cast("double") / col("raw_len").cast("double")))

@@ -19,6 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object Transforms {
 
+  /** Trailing-24-observed-hours 2σ anomaly flags over an hourly count
+    * spine `(h, c)` — the ONE copy of the exact-integer squared
+    * z-condition shared by the q163 batch query and the streaming
+    * anomaly monitor (so the spec-proven batch/stream equality cannot
+    * silently diverge):
+    *   (c·n − S)² > 4·(n·Q − S²),  n = 24, S = Σc, Q = Σc²
+    * DECIMAL-seeded products (nothing wraps at any event rate), no sqrt,
+    * no float mean. The global window is over the hour spine, whose
+    * cardinality is hours-not-events. Returns
+    * (h, c, n_prev, s_prev, anomaly). */
+  def eventAnomalyFlags(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h")).rowsBetween(-24, -1)
+    hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(w))
+      .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
+      .withColumn("varn", expr(
+        """24 * CAST(q AS DECIMAL(38,0))
+          | - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"""
+          .stripMargin))
+      .select(col("h"), col("c").cast("long").as("c"),
+        col("n").cast("long").as("n_prev"),
+        coalesce(col("s").cast("long"), lit(0L)).as("s_prev"),
+        when(col("n") === 24,
+          col("dev") * col("dev") > lit(4) * col("varn"))
+          .otherwise(lit(false)).as("anomaly"))
+  }
+
   /** P2: keep rows whose `col` ends with `suffix`. */
   def filterSuffix(df: DataFrame, colName: String, suffix: String): DataFrame =
     df.filter(col(colName).endsWith(suffix))

@@ -906,29 +906,11 @@ object MiscQueries {
     // cardinality is hours-not-events (8.8k rows/year) — the one place a
     // single-partition window is the right call at any corpus size.
     QuerySpec("q163_event_anomaly",
-      (s, d) => {
-        val hourly = events(s, d)
+      (s, d) => graft.operators.Transforms.eventAnomalyFlags(
+        events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
-        hourly
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("s", sum(col("c")).over(w))
-          .withColumn("q", sum(expr(
-            "CAST(c AS DECIMAL(38,0)) * c")).over(w))
-          .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
-          .withColumn("varn", expr(
-            """24 * CAST(q AS DECIMAL(38,0))
-              | - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"""
-              .stripMargin))
-          .select(col("h"), col("c"),
-            col("n").cast("long").as("n_prev"),
-            coalesce(col("s").cast("long"), lit(0L)).as("s_prev"),
-            when(col("n") === 24,
-              col("dev") * col("dev") > lit(4) * col("varn"))
-              .otherwise(lit(false)).as("anomaly"))
-          .orderBy("h")
-      },
+          .agg(count(lit(1)).as("c")))
+        .orderBy("h"),
       Some("""WITH hourly AS (
              |  SELECT date_trunc('hour', ts) AS h, count(*) AS c
              |  FROM events GROUP BY 1

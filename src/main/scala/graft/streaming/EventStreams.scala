@@ -475,9 +475,14 @@ object EventStreams {
             val corpusCounts = spark.read.parquet(stateDir)
               .filter(col("batch") =!= batchId)
               .groupBy("tok").agg(sum("c").as("c"))
-            CorpusStats.tokenDriftFromCounts(
-              batchCounts, corpusCounts, minTotal, topN)
-              .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+            // gate on the FILTERED baseline, not the directory: a batch-0
+            // replay (state written, checkpoint uncommitted) would
+            // otherwise report batch-vs-nothing — every token phantom-
+            // drifting against an empty corpus
+            if (!corpusCounts.isEmpty)
+              CorpusStats.tokenDriftFromCounts(
+                batchCounts, corpusCounts, minTotal, topN)
+                .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
           }
           batchCounts
             .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
@@ -506,25 +511,8 @@ object EventStreams {
         batch.groupBy(date_trunc("hour", col(tsCol)).as("h"))
           .agg(count(lit(1)).as("c"))
           .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-        val hourly = spark.read.parquet(stateDir)
-          .groupBy("h").agg(sum("c").as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("h")).rowsBetween(-24, -1)
-        hourly
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("s", sum(col("c")).over(w))
-          .withColumn("q", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(w))
-          .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * 24 - s"))
-          .withColumn("varn", expr(
-            """24 * CAST(q AS DECIMAL(38,0))
-              | - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"""
-              .stripMargin))
-          .select(col("h"), col("c").cast("long").as("c"),
-            col("n").cast("long").as("n_prev"),
-            coalesce(col("s").cast("long"), lit(0L)).as("s_prev"),
-            when(col("n") === 24,
-              col("dev") * col("dev") > lit(4) * col("varn"))
-              .otherwise(lit(false)).as("anomaly"))
+        graft.operators.Transforms.eventAnomalyFlags(
+          spark.read.parquet(stateDir).groupBy("h").agg(sum("c").as("c")))
           .write.mode("overwrite").parquet(reportDir)
         ()
       }

@@ -53,7 +53,15 @@ class CompressionSignalSpec extends SparkSpec {
       .write.parquet(s"$tmp/docs")
     val docs = spark.read.parquet(s"$tmp/docs")
     val out = Quality.compressionSignal(docs, "doc_id", "text")
-    assert(out.count() === 10L)
+    // EXECUTE the codegen'd kernel (a count would prune the Project and
+    // never compile the generated call) and check it against the eval
+    // path — a broken doGenCode would silently fall back to interpreted
+    val fromCodegen = out.select("doc_id", "deflate_len").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = (0 until 10).map(i => i.toLong ->
+      graft.plans.DeflateLength.compressedLength(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"text $i"))).toMap
+    assert(fromCodegen === expected)
     // the "*(1)" prefix is the WholeStageCodegen span marker in this
     // plan-string format; the kernel's Project must sit inside one
     val plan = out.queryExecution.executedPlan.toString
