@@ -521,6 +521,32 @@ object CorpusStats {
     docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
 
+  /** The per-source DATASET CARD (q167's operator form, shared with the
+    * Refinery pipeline): one row per source with volume (docs, tokens,
+    * mean length), exact-copy duplication ([[md5]] multiplicity), and
+    * span novelty vs every other source ([[sourceNovelty]], left-joined —
+    * a source with no k-token doc reports null novelty). */
+  def datasetCard(docs: DataFrame, sourceCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), md5(col(textCol)).as("k"),
+      size(tokens(col(textCol))).cast("long").as("ntok"))
+    val m = base.groupBy("k").agg(count(lit(1)).as("m"))
+    val core = base.join(m, "k").groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("m") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"),
+      sum(col("ntok")).as("n_tokens"))
+    val nov = sourceNovelty(docs, sourceCol, textCol, k)
+      .select(col("source"), col("novelty"))
+    core.join(nov, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("novelty"))
+  }
+
   /** Per-source novelty mass — "what does this source add": for each
     * source, the fraction of its distinct k-token span fingerprints found
     * in NO other source. The marginal-utility signal behind source

@@ -109,6 +109,20 @@ object Quality {
           col("deflate_len").cast("double") / col("raw_len").cast("double")))
   }
 
+  /** Curriculum interleave ordering (q169's operator form, shared with
+    * the Refinery pipeline): rank each document within its source by
+    * quality (distinct-token richness, ties to id) — emitting the corpus
+    * sorted by (src_rank, source) yields source-balanced, best-first
+    * training order. The only window partitions by source. */
+  def curriculumOrder(docs: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val qv = docs.select(col(idCol), col(sourceCol).as("source"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("q"), col(idCol))
+    qv.withColumn("src_rank", row_number().over(w).cast("long"))
+  }
+
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")

@@ -519,28 +519,9 @@ object QualityQueries {
     // division per reported ratio. Novelty left-joins (a source with no
     // 8-token doc has no span set) — null then, in both engines.
     QuerySpec("q167_dataset_card",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = docs.select(col("source"), md5(col("text")).as("k"),
-          size(split(col("text"), " ")).cast("long").as("ntok"))
-        val m = base.groupBy("k").agg(count(lit(1)).as("m"))
-        val core = base.join(m, "k").groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("m") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"),
-          sum(col("ntok")).as("n_tokens"))
-        val nov = graft.operators.CorpusStats
-          .sourceNovelty(docs, "source", "text", k = 8)
-          .select(col("source"), col("novelty"))
-        core.join(nov, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("n_dup"),
-            (col("n_dup").cast("double") / col("n_docs").cast("double"))
-              .as("dup_frac"),
-            col("n_tokens"),
-            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
-              .as("mean_tokens"),
-            col("novelty"))
-          .orderBy("source")
-      },
+      (s, d) => graft.operators.CorpusStats.datasetCard(
+        t(s, d, "documents"), "source", "text", k = 8)
+        .orderBy("source"),
       Some("""WITH keyed AS (
              |  SELECT source, md5(text) AS k,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
@@ -585,14 +566,9 @@ object QualityQueries {
     // source (keyed, never global); the global interleave is the SORT
     // ORDER itself, not a materialized position column.
     QuerySpec("q169_curriculum_order",
-      (s, d) => {
-        val qv = t(s, d, "documents").select(col("doc_id"), col("source"),
-          size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(desc("q"), col("doc_id"))
-        qv.withColumn("src_rank", row_number().over(w).cast("long"))
-          .orderBy("src_rank", "source", "doc_id")
-      },
+      (s, d) => Quality.curriculumOrder(
+        t(s, d, "documents"), "doc_id", "source", "text")
+        .orderBy("src_rank", "source", "doc_id"),
       Some("""WITH qv AS (
              |  SELECT doc_id, source,
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
