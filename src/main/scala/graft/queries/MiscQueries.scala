@@ -991,6 +991,83 @@ object MiscQueries {
              |)
              |SELECT ws AS window_start, count(DISTINCT user_id) AS users,
              |  true AS within_tol
-             |FROM e GROUP BY ws ORDER BY ws""".stripMargin))
+             |FROM e GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Last-observation-carried-forward imputation per entity — the
+    // sparse-reading backfill of feature/metric pipelines ('view' events
+    // simulate the reading-absent rows; each user's latest prior reading
+    // fills them). Pure copy-forward, no arithmetic — the carried doubles
+    // hash-compare exactly. The window partitions by user (keyed at any
+    // scale) with (ts, event_id) total order; leading nulls stay null in
+    // both engines.
+    QuerySpec("q170_locf_impute",
+      (s, d) => {
+        val sparse = when(col("event_type") =!= "view", col("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            sparse.as("reading"))
+          .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |  CASE WHEN event_type <> 'view' THEN value END AS reading,
+             |  last_value(CASE WHEN event_type <> 'view' THEN value END
+             |             IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled
+             |FROM events ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Cohort retention matrix — the classic growth-analytics rollup:
+    // users cohorted by first-seen (Monday-aligned) week, each later
+    // active week bucketed as an exact integer week offset (epoch-second
+    // difference of two week-truncated timestamps DIV 604800), retention
+    // = active/cohort in ONE division. Shuffles are user- then
+    // cohort-keyed; the matrix itself is weeks², tiny forever.
+    QuerySpec("q171_cohort_retention",
+      (s, d) => {
+        val ev = events(s, d)
+        val firstWeek = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val sizes = firstWeek.groupBy("cohort")
+          .agg(count(lit(1)).as("n_cohort"))
+        active.join(firstWeek, "user_id")
+          .withColumn("wk_n", expr(
+            "(unix_timestamp(wk) - unix_timestamp(cohort)) DIV 604800"))
+          .groupBy("cohort", "wk_n")
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("wk_n"), col("n_active"), col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort").cast("double"))
+              .as("retention"))
+          .orderBy("cohort", "wk_n")
+      },
+      Some("""WITH fw AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+             |  FROM events GROUP BY user_id
+             |), act AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+             |  FROM events
+             |), sz AS (
+             |  SELECT cohort, count(*) AS n_cohort FROM fw GROUP BY cohort
+             |), m AS (
+             |  SELECT cohort,
+             |    (epoch(wk)::BIGINT - epoch(cohort)::BIGINT) // 604800 AS wk_n,
+             |    count(*) AS n_active
+             |  FROM act JOIN fw USING (user_id)
+             |  GROUP BY cohort, wk_n
+             |)
+             |SELECT cohort, wk_n, n_active, n_cohort,
+             |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+             |FROM m JOIN sz USING (cohort)
+             |ORDER BY cohort, wk_n""".stripMargin))
   )
 }
