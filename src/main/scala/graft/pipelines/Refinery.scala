@@ -3,16 +3,22 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusClean, CorpusStats, Dedup, OperatorCaches, Quality}
+import graft.operators.{CorpusClean, CorpusStats, Dedup, FramePool, OperatorCaches, Quality}
 
 /** The end-to-end corpus refinery — the one-call user story this library
   * exists for: raw document corpus in, audited training shards out.
   *
   *   1. gate → near-exact dedup → benchmark decontamination
   *      ([[CorpusClean.clean]] — the q148 composite);
-  *   2. containment pass: drop documents that are subsets/quotes of a
-  *      STRICTLY larger surviving document (acyclic keep rule — the
-  *      q155 operator applied as a filter);
+  *   2. containment pass: drop documents ≥ `minContainment` contained in
+  *      ANY other document that is larger (or equal-sized with a smaller
+  *      id — the acyclic tie rule, same as the streaming ingest filter).
+  *      Note the rule is deliberately non-recursive: in an A⊂B⊂C chain
+  *      where B is itself dropped, A still drops — at high thresholds
+  *      containment chains are near-transitive, so A's content is (close
+  *      to) represented by the surviving C, and the one-pass rule is a
+  *      single capped posting join where a keep-only-if-container-
+  *      survives rule would need a sized fixpoint iteration;
   *   3. dataset card: the per-source volume/duplication/novelty report
   *      ([[CorpusStats.datasetCard]], q167) written as one CSV — the
   *      artifact a curation review reads;
@@ -23,8 +29,12 @@ import graft.operators.{CorpusClean, CorpusStats, Dedup, OperatorCaches, Quality
   *
   * Every stage is the oracle-gated operator the registry proves —
   * RefinerySpec checks the composite against the stage-by-stage batch
-  * application. The curated frame is persisted once (consumed by the
-  * card, the curriculum, and the export) and released before return.
+  * application. Cache convention (the codebase-wide one Verify/Bench
+  * follow — one pipeline at a time per session): the run releases BOTH
+  * the per-query operator caches and the cross-query frame pool before
+  * returning, so nothing corpus-sized stays persisted; interleave other
+  * pipelines' cached frames across a run at your own cost (they recompute
+  * on next use).
   */
 object Refinery {
 
@@ -34,32 +44,44 @@ object Refinery {
 
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outDir: String, nShards: Int = 4,
+          idCol: String = "doc_id", textCol: String = "text",
+          sourceCol: String = "source",
           minTokens: Int = 10, maxTokens: Int = 1000,
           minContainment: Double = 0.8): Report = {
     val nInput = docs.count()
-    val cleaned = CorpusClean.clean(docs, benchmark, "doc_id", "text",
+    val cleaned = CorpusClean.clean(docs, benchmark, idCol, textCol,
       minTokens, maxTokens)
-    val contained = Dedup.containmentPairs(cleaned, "doc_id", "text",
-        k = 3, minContainment = minContainment)
-      .filter(col("na") < col("nb") ||
-        (col("na") === col("nb") && col("a_id") > col("b_id")))
-      .select(col("a_id").as("doc_id")).distinct()
+    // contained is persisted (id-sized): counted once for the report and
+    // reused by the anti-join without re-running the posting join
+    val contained = OperatorCaches.persistTracked(
+      Dedup.containmentPairs(cleaned, idCol, textCol,
+          k = 3, minContainment = minContainment)
+        .filter(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") > col("b_id")))
+        .select(col("a_id").as(idCol)).distinct())
     val curated = OperatorCaches.persistTracked(
-      cleaned.join(contained, Seq("doc_id"), "left_anti"))
+      cleaned.join(contained, Seq(idCol), "left_anti"))
     try {
-      val nCleaned = cleaned.count()
       val nCurated = curated.count()
+      // cleaned = curated ∪ contained (the anti-join's exact complement) —
+      // derived instead of paying a third full gate→dedup→decontam pass
+      val nCleaned = nCurated + contained.count()
       val cardPath = s"$outDir/dataset_card.csv"
       graft.operators.Convert.csvSingleFile(
-        CorpusStats.datasetCard(curated, "source", "text")
-          .orderBy("source").coalesce(1), cardPath)
+        CorpusStats.datasetCard(curated, sourceCol, textCol)
+          .orderBy("source"), cardPath)
       val curriculumPath = s"$outDir/curriculum"
-      Quality.curriculumOrder(curated, "doc_id", "source", "text")
-        .orderBy("src_rank", "source", "doc_id")
+      Quality.curriculumOrder(curated, idCol, sourceCol, textCol)
+        .orderBy("src_rank", "source", idCol)
         .write.mode("overwrite").parquet(curriculumPath)
-      val export = TrainingExport.run(spark, curated, "doc_id", "text",
+      val export = TrainingExport.run(spark, curated, idCol, textCol,
         s"$outDir/train", nShards)
       Report(nInput, nCleaned, nCurated, cardPath, curriculumPath, export)
-    } finally OperatorCaches.release()
+    } finally {
+      OperatorCaches.release()
+      // containmentPairs pools the cleaned corpus's shingle sets in
+      // FramePool — corpus-sized, must not outlive the pipeline
+      FramePool.release()
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.tools
-// One-shot audit: physical-plan anti-pattern counts for EVERY registered
-// query at sf0.001 (calibration input for RegistryPlanSpec's whitelist).
+// One-shot audit: physical-plan anti-pattern screen (graft.tools.PlanScreen,
+// shared with RegistryPlanSpec) over EVERY registered query at sf0.001,
+// plus the raw counts for recalibrating the screen's bounds.
 import org.apache.spark.sql.SparkSession
 
 object PlanAudit {
@@ -15,11 +16,16 @@ object PlanAudit {
       try {
         val plan = s.fn(spark, d).queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
-        val cart = n("CartesianProduct")
-        val bnlj = n("BroadcastNestedLoopJoin")
-        val single = n("Exchange SinglePartition")
-        if (cart + bnlj + single > 0)
-          println(f"AUDIT ${s.name}%-30s cart=$cart bnlj=$bnlj single=$single")
+        val counts = f"cart=${n("CartesianProduct")} " +
+          f"bnlj=${n("BroadcastNestedLoopJoin")} " +
+          f"single=${n("Exchange SinglePartition")}"
+        PlanScreen.offenses(s.name, plan) match {
+          case Nil if n("BroadcastNestedLoopJoin") +
+            n("Exchange SinglePartition") > 0 =>
+            println(f"AUDIT ${s.name}%-30s $counts")
+          case Nil => ()
+          case off => println(f"AUDIT ${s.name}%-30s $counts VIOLATION ${off.mkString("; ")}")
+        }
       } catch {
         case e: Throwable => println(s"AUDIT ${s.name} ERROR ${e.getMessage}")
       }
