@@ -814,6 +814,63 @@ object DedupQueries {
         |SELECT p.doc_id, d.lang AS own_lang, p.nl AS pred_lang,
         |  CAST(p.nn AS BIGINT) AS n_neighbors, d.lang = p.nl AS agree
         |FROM pick p JOIN documents d ON d.doc_id = p.doc_id
-        |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin))
+        |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin)),
+
+    // Triangle census of the near-dup graph, per duplicate cluster — the
+    // density diagnostic that separates TIGHT clusters (every member
+    // similar to every other: many triangles) from weak CHAINS (A≈B≈C
+    // but A≉C: zero triangles), which is the difference between "safe to
+    // keep one canonical doc" and "the transitive closure over-merged".
+    // Node-ordered adjacency (a < b from the pair stream) makes each
+    // triangle count exactly once via two edge-keyed equi-joins — the
+    // standard distributed triangle enumeration, never a matrix product.
+    // Edges and triangles attach to the cluster by their minimum node's
+    // component label (all three nodes share a component by definition).
+    QuerySpec("q172_dup_triangles",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val e = pairs.select(col("a_id"), col("b_id"))
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
+        val tri = e.as("ab")
+          .join(e.as("bc"), col("ab.b_id") === col("bc.a_id"))
+          .join(e.as("ac"),
+            col("ac.a_id") === col("ab.a_id") &&
+              col("ac.b_id") === col("bc.b_id"))
+          .select(col("ab.a_id").as("node"))
+        val triPerCluster = tri
+          .join(clusters.select(col("doc_id").as("node"), col("cluster_id")),
+            "node")
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_triangles"))
+        val edgesPerCluster = e
+          .join(clusters.select(col("doc_id").as("a_id"), col("cluster_id")),
+            "a_id")
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+        edgesPerCluster.join(triPerCluster, Seq("cluster_id"), "left")
+          .select(col("cluster_id"), col("n_edges"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          .orderBy("cluster_id")
+      },
+      Some(clustersCte + """
+        |, eg AS (
+        |  SELECT a_id, b_id FROM lsh_pairs WHERE jac >= 0.1
+        |), tri AS (
+        |  SELECT ab.a_id AS node
+        |  FROM eg ab
+        |  JOIN eg bc ON bc.a_id = ab.b_id
+        |  JOIN eg ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+        |), tc AS (
+        |  SELECT c.cluster_id, count(*) AS n_triangles
+        |  FROM tri JOIN clu c ON c.doc_id = tri.node
+        |  GROUP BY c.cluster_id
+        |), ec AS (
+        |  SELECT c.cluster_id, count(*) AS n_edges
+        |  FROM eg JOIN clu c ON c.doc_id = eg.a_id
+        |  GROUP BY c.cluster_id
+        |)
+        |SELECT ec.cluster_id, n_edges, COALESCE(n_triangles, 0) AS n_triangles
+        |FROM ec LEFT JOIN tc USING (cluster_id)
+        |ORDER BY ec.cluster_id""".stripMargin))
   )
 }

@@ -226,6 +226,26 @@ class ContainmentCollocationSpec extends SparkSpec {
     assert(out.find(_.getBoolean(2)).get.getLong(1) === 100L)
   }
 
+  test("triangle census: a tight triple yields one triangle, a chain yields none") {
+    // node-ordered edge list: a 3-clique {1,2,3}, a chain 11-12-13, a
+    // 4-clique {20..23} (4 triangles) — the LSH pairing that produces
+    // these edges in q172 is oracle-gated and recall-tested elsewhere;
+    // this pins the enumeration join (each triangle counted exactly once,
+    // anchored at its minimum node)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L))
+      .toDF("a_id", "b_id")
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b_id") === col("bc.a_id"))
+      .join(e.as("ac"), col("ac.a_id") === col("ab.a_id") &&
+        col("ac.b_id") === col("bc.b_id"))
+      .select(col("ab.a_id").as("node"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // clique{1,2,3}: 1 triangle at node 1; chain: none; 4-clique: C(4,3)=4
+    // triangles, anchored 20,20,20,21
+    assert(tri === Seq(1L, 20L, 20L, 20L, 21L), s"got $tri")
+  }
+
   test("pmi and bigram-lm plans stay linear: no cartesian joins") {
     val docs = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     for (df <- Seq(
