@@ -871,6 +871,64 @@ object DedupQueries {
         |)
         |SELECT ec.cluster_id, n_edges, COALESCE(n_triangles, 0) AS n_triangles
         |FROM ec LEFT JOIN tc USING (cluster_id)
-        |ORDER BY ec.cluster_id""".stripMargin))
+        |ORDER BY ec.cluster_id""".stripMargin)),
+
+    // Dedup-threshold percolation sweep — the calibration report behind
+    // picking minJaccard: pair/cluster statistics at five thresholds off
+    // ONE pooled pair computation (the banding always surfaces at 0.1;
+    // higher thresholds are filters over the same frame). Watching
+    // n_clusters and max_cluster percolate as the threshold drops is how
+    // a curation team distinguishes "true duplicate groups" from "the
+    // transitive closure is merging the corpus". Five bounded CC runs at
+    // plan time (cluster frames are pair-sized, not corpus-sized).
+    QuerySpec("q173_dedup_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        Seq(10, 20, 30, 40, 50).map { pct =>
+          val p = pairs.filter(col("jac") >= pct / 100.0)
+          val clusters = graft.operators.Dedup.dupClusters(p)
+          val stats = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          p.agg(count(lit(1)).as("n_pairs")).crossJoin(
+            stats.agg(
+              coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+              coalesce(sum("sz"), lit(0L)).as("n_docs"),
+              coalesce(max("sz"), lit(0L)).as("max_cluster")))
+            .select(lit(pct.toLong).as("thr_pct"), col("n_pairs"),
+              col("n_docs"), col("n_clusters"), col("max_cluster"))
+        }.reduce(_ unionAll _).orderBy("thr_pct")
+      },
+      Some(clustersCte.replaceFirst("WITH RECURSIVE ", "WITH RECURSIVE\n") +
+        Seq(10, 20, 30, 40, 50).map { pct =>
+          val t = pct / 100.0
+          s"""
+             |, e$pct AS (
+             |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= $t
+             |  UNION ALL
+             |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= $t
+             |), reach$pct AS (
+             |  SELECT DISTINCT s AS src, s AS node FROM e$pct
+             |  UNION
+             |  SELECT r.src, e$pct.t FROM reach$pct r
+             |  JOIN e$pct ON e$pct.s = r.node
+             |), clu$pct AS (
+             |  SELECT src AS doc_id, min(node) AS cluster_id
+             |  FROM reach$pct GROUP BY src
+             |), sz$pct AS (
+             |  SELECT cluster_id, count(*) AS sz FROM clu$pct
+             |  GROUP BY cluster_id
+             |), row$pct AS (
+             |  SELECT CAST($pct AS BIGINT) AS thr_pct,
+             |    (SELECT count(*) FROM lsh_pairs WHERE jac >= $t) AS n_pairs,
+             |    CAST(COALESCE((SELECT sum(sz) FROM sz$pct), 0) AS BIGINT) AS n_docs,
+             |    (SELECT count(*) FROM sz$pct) AS n_clusters,
+             |    CAST(COALESCE((SELECT max(sz) FROM sz$pct), 0) AS BIGINT) AS max_cluster
+             |)""".stripMargin
+        }.mkString +
+        "\n" + Seq(10, 20, 30, 40, 50)
+          .map(p => s"SELECT * FROM row$p").mkString("\nUNION ALL\n") +
+        "\nORDER BY thr_pct"))
   )
 }
