@@ -76,6 +76,54 @@ object Graphs {
     pr
   }
 
+  /** PERSONALIZED (topic-sensitive) PageRank: the teleport mass lands
+    * only on the `isPreferred` node set instead of uniformly — the
+    * standard seed-biased centrality used to rank a graph "from the
+    * perspective of" a trusted seed set (quality-seeded source weighting).
+    * Same integer fixed-point contract as [[pageRank]]; the per-node base
+    * for a preferred node conserves total teleport mass:
+    *
+    *   base_p = ((100 − dampNum) · scale · N) DIV (100 · |P|),  else 0
+    *
+    * computed driver-side from two bounded counts and joined as a column.
+    * Long arithmetic needs (100−d)·scale·N < 2^63 — at web scale drop
+    * `scale`, exactly as the uniform variant documents. */
+  def personalizedPageRank(edges: DataFrame,
+                           isPreferred: org.apache.spark.sql.Column,
+                           iterations: Int, dampNum: Long = 85L,
+                           scale: Long = 1000000000L,
+                           checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
+    val e = OperatorCaches.persistTracked(edges)
+    val ed = edgesWithDeg(e)
+    val nodes = OperatorCaches.persistTracked(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val nN = nodes.count()
+    val nP = nodes.filter(isPreferred).count()
+    require(nP > 0, "personalizedPageRank: the preferred set is empty")
+    val basePer = ((100L - dampNum) * scale * nN) / (100L * nP)
+    val nodesB = OperatorCaches.persistTracked(
+      nodes.withColumn("base",
+        when(isPreferred, lit(basePer)).otherwise(lit(0L))))
+    var pr = nodesB.select(col("node"), lit(scale).as("pr"))
+    for (i <- 1 to iterations) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr DIV deg")).as("s"))
+      pr = nodesB
+        .join(contrib, nodesB("node") === contrib("dst"), "left")
+        .select(nodesB("node"),
+          (col("base") + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
   /** One PageRank step, pre-checkpoint — separated so plan tests can
     * assert the iteration's physical shape (localCheckpoint truncates the
     * returned frame's plan to an RDD scan). */

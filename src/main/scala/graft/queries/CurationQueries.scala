@@ -58,6 +58,56 @@ object CurationQueries {
              |       FROM n LEFT JOIN c3 ON c3.dst = n.node)
              |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)),
 
+    // PERSONALIZED PageRank on the same copurchase graph: teleport mass
+    // lands only on the CUSTOMER nodes (the trusted seed set), ranking
+    // suppliers by customer-seeded centrality — topic-sensitive source
+    // weighting in the same integer fixed-point contract as q137, so
+    // three iterations hash-match the unrolled oracle with its per-node
+    // base computed from the same two counts.
+    QuerySpec("q175_personalized_pagerank",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graphs.personalizedPageRank(edges,
+          isPreferred = col("node").startsWith("c"), iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+             |         's' || l_suppkey::VARCHAR AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |), e AS (SELECT src, dst FROM e0
+             |         UNION ALL SELECT dst, src FROM e0),
+             |n AS (SELECT DISTINCT node FROM
+             |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |cnts AS (SELECT count(*) AS nn,
+             |           count(*) FILTER (node LIKE 'c%') AS np FROM n),
+             |nb AS (SELECT node,
+             |         CASE WHEN node LIKE 'c%'
+             |           THEN (15::BIGINT * 1000000000 * nn) // (100 * np)
+             |           ELSE 0 END AS base
+             |       FROM n CROSS JOIN cnts),
+             |p0 AS (SELECT node, 1000000000::BIGINT AS pr FROM n),
+             |c1 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY dst),
+             |p1 AS (SELECT nb.node, base + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM nb LEFT JOIN c1 ON c1.dst = nb.node),
+             |c2 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY dst),
+             |p2 AS (SELECT nb.node, base + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM nb LEFT JOIN c2 ON c2.dst = nb.node),
+             |c3 AS (SELECT dst, sum(pr // deg) AS s FROM e
+             |       JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY dst),
+             |p3 AS (SELECT nb.node, base + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM nb LEFT JOIN c3 ON c3.dst = nb.node)
+             |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)),
+
     // BM25 lexical retrieval: top-5 documents for a literal 3-query set,
     // scored with quantized-integer BM25 (k1=1.2, b=0.75 cleared to one
     // BIGINT floor division per term — see InvertedIndex.bm25TopK). The

@@ -565,6 +565,46 @@ object QualityQueries {
     // high-quality and source-balanced. The only window partitions by
     // source (keyed, never global); the global interleave is the SORT
     // ORDER itself, not a materialized position column.
+    // Leave-one-source-out influence: how much each source moves the
+    // corpus mean document length — the jackknife form of "is this source
+    // dragging our length distribution", computed from per-source integer
+    // sums (one vocabulary-sized aggregate) and the broadcast totals; each
+    // reported mean is ONE exact-integer division, the influence is one
+    // subtraction of two such doubles (deterministic in any engine).
+    QuerySpec("q174_source_influence",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("s_tok"))
+        val tot = per.agg(sum("n_docs").as("nn"), sum("s_tok").as("tt"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("s_tok"),
+            (col("tt").cast("double") / col("nn").cast("double"))
+              .as("full_mean"),
+            ((col("tt") - col("s_tok")).cast("double") /
+              (col("nn") - col("n_docs")).cast("double")).as("loo_mean"))
+          .withColumn("influence", col("full_mean") - col("loo_mean"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s_tok
+             |  FROM documents GROUP BY source
+             |), tot AS (
+             |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             |    CAST(sum(s_tok) AS BIGINT) AS tt FROM per
+             |)
+             |SELECT source, n_docs, s_tok,
+             |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) AS full_mean,
+             |  CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+             |    AS loo_mean,
+             |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    - CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+             |    AS influence
+             |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     QuerySpec("q169_curriculum_order",
       (s, d) => Quality.curriculumOrder(
         t(s, d, "documents"), "doc_id", "source", "text")
