@@ -64,7 +64,12 @@ object ScaleProbe {
       // vocabulary-/posting-shaped and should track ~1–2×
       "q155_containment_pairs", "q156_phrase_search",
       "q158_pmi_collocations", "q159_bigram_lm", "q160_token_drift",
-      "q161_label_spread")
+      "q161_label_spread",
+      // closing additions: novelty is span-posting-shaped; the card
+      // composes it; LOCF/retention are event-family; triangles grow with
+      // clique volume (twin replicas inflate cliques by construction)
+      "q162_source_novelty", "q167_dataset_card", "q170_locf_impute",
+      "q171_cohort_retention", "q172_dup_triangles")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
