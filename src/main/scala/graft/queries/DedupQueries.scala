@@ -883,22 +883,39 @@ object DedupQueries {
     // plan time (cluster frames are pair-sized, not corpus-sized).
     QuerySpec("q173_dedup_threshold_sweep",
       (s, d) => {
-        import s.implicits._
+        val thresholds = Seq(10, 20, 30, 40, 50)
         val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
-        Seq(10, 20, 30, 40, 50).map { pct =>
-          val p = pairs.filter(col("jac") >= pct / 100.0)
-          val clusters = graft.operators.Dedup.dupClusters(p)
-          val stats = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-          p.agg(count(lit(1)).as("n_pairs")).crossJoin(
-            stats.agg(
-              coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
-              coalesce(sum("sz"), lit(0L)).as("n_docs"),
-              coalesce(max("sz"), lit(0L)).as("max_cluster")))
-            .select(lit(pct.toLong).as("thr_pct"), col("n_pairs"),
-              col("n_docs"), col("n_clusters"), col("max_cluster"))
-        }.reduce(_ unionAll _).orderBy("thr_pct")
+        // every per-threshold statistic aggregates KEYED BY thr_pct (5
+        // keys), never as five one-row global aggregates — each pair row
+        // fans out to its covering thresholds once
+        val pairCounts = pairs
+          .select(col("jac"),
+            explode(typedLit(thresholds.map(_.toLong))).as("thr_pct"))
+          .filter(col("jac") >= col("thr_pct").cast("double") / 100.0)
+          .groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
+        val clusterSizes = thresholds.map { pct =>
+          graft.operators.Dedup
+            .dupClusters(pairs.filter(col("jac") >= pct / 100.0))
+            .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+            .select(lit(pct.toLong).as("thr_pct"), col("sz"))
+        }.reduce(_ unionAll _)
+        val clusterStats = clusterSizes.groupBy("thr_pct").agg(
+          count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          max("sz").as("max_cluster"))
+        // explicit threshold spine so a pair-free threshold still reports
+        // its all-zero row (as the oracle's per-threshold blocks do)
+        import s.implicits._
+        thresholds.map(_.toLong).toDF("thr_pct")
+          .join(pairCounts, Seq("thr_pct"), "left")
+          .join(clusterStats, Seq("thr_pct"), "left")
+          .select(col("thr_pct"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+            coalesce(col("max_cluster"), lit(0L)).as("max_cluster"))
+          .orderBy("thr_pct")
       },
       Some(clustersCte.replaceFirst("WITH RECURSIVE ", "WITH RECURSIVE\n") +
         Seq(10, 20, 30, 40, 50).map { pct =>
