@@ -605,6 +605,47 @@ object QualityQueries {
              |    AS influence
              |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
 
+    // Difficulty deciles: docs ranked corpus-wide by quality (distinct-
+    // token richness, ties to id) on the DISTRIBUTED rank axis
+    // (PrefixSum.rankedRunningSum — range partitions + broadcast offsets,
+    // no global window), bucketed ⌊(rank−1)·10/N⌋, with per-decile stats.
+    // The "bucket the corpus by difficulty" step of curriculum schedules
+    // — pairs with q169's within-source ordering.
+    QuerySpec("q176_difficulty_deciles",
+      (s, d) => {
+        val qv = t(s, d, "documents").select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("q"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val (ranked, n) = graft.operators.PrefixSum.rankedRunningSum(
+          qv, Seq(col("q"), col("doc_id")), lit(1L),
+          rnCol = "__rn", cumCol = "rk")
+        ranked
+          .withColumn("decile", expr(s"((rk - 1) * 10) DIV $n"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), min("q").as("min_q"),
+            max("q").as("max_q"), sum("ntok").as("s_tok"))
+          .select(col("decile"), col("n_docs"), col("min_q"), col("max_q"),
+            (col("s_tok").cast("double") / col("n_docs").cast("double"))
+              .as("mean_ntok"))
+          .orderBy("decile")
+      },
+      Some("""WITH qv AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents
+             |), r AS (
+             |  SELECT q, ntok,
+             |    row_number() OVER (ORDER BY q, doc_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM qv
+             |)
+             |SELECT ((rn - 1) * 10) // n AS decile, count(*) AS n_docs,
+             |  min(q) AS min_q, max(q) AS max_q,
+             |  CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS mean_ntok
+             |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
+
     QuerySpec("q169_curriculum_order",
       (s, d) => Quality.curriculumOrder(
         t(s, d, "documents"), "doc_id", "source", "text")
