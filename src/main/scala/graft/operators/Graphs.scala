@@ -67,7 +67,7 @@ object Graphs {
     val base = ((100L - dampNum) * scale) / 100L
     var pr = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iterations) {
-      pr = iterate(nodes, ed, pr, base, dampNum)
+      pr = iterate(nodes, ed, pr, lit(base), dampNum)
       // truncate lineage periodically, never on the final iteration (the
       // caller's own materialization is the last action anyway)
       if (i % checkpointEvery == 0 && i < iterations)
@@ -95,14 +95,17 @@ object Graphs {
                            checkpointEvery: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
+    require(checkpointEvery >= 1, s"checkpointEvery >= 1, got $checkpointEvery")
     val e = OperatorCaches.persistTracked(edges)
     val ed = edgesWithDeg(e)
     val nodes = OperatorCaches.persistTracked(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
-    val nN = nodes.count()
-    val nP = nodes.filter(isPreferred).count()
+    // both bounded counts in ONE driver action
+    val cnts = nodes.agg(count(lit(1)).as("nn"),
+      count(when(isPreferred, lit(1))).as("np")).head()
+    val (nN, nP) = (cnts.getLong(0), cnts.getLong(1))
     require(nP > 0, "personalizedPageRank: the preferred set is empty")
     val basePer = ((100L - dampNum) * scale * nN) / (100L * nP)
     val nodesB = OperatorCaches.persistTracked(
@@ -110,14 +113,7 @@ object Graphs {
         when(isPreferred, lit(basePer)).otherwise(lit(0L))))
     var pr = nodesB.select(col("node"), lit(scale).as("pr"))
     for (i <- 1 to iterations) {
-      val contrib = ed
-        .join(pr, ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("pr DIV deg")).as("s"))
-      pr = nodesB
-        .join(contrib, nodesB("node") === contrib("dst"), "left")
-        .select(nodesB("node"),
-          (col("base") + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
+      pr = iterate(nodesB, ed, pr, col("base"), dampNum)
       if (i % checkpointEvery == 0 && i < iterations)
         pr = pr.localCheckpoint()
     }
@@ -126,16 +122,19 @@ object Graphs {
 
   /** One PageRank step, pre-checkpoint — separated so plan tests can
     * assert the iteration's physical shape (localCheckpoint truncates the
-    * returned frame's plan to an RDD scan). */
+    * returned frame's plan to an RDD scan). `base` is a Column so the
+    * uniform variant passes a literal and the personalized variant its
+    * per-node base column — ONE copy of the iteration arithmetic. */
   private[graft] def iterate(nodes: DataFrame, ed: DataFrame, pr: DataFrame,
-                             base: Long, dampNum: Long): DataFrame = {
+                             base: org.apache.spark.sql.Column,
+                             dampNum: Long): DataFrame = {
     val contrib = ed
       .join(pr, ed("src") === pr("node"))
       .groupBy(col("dst"))
       .agg(sum(expr("pr DIV deg")).as("s"))
     nodes
       .join(contrib, nodes("node") === contrib("dst"), "left")
-      .select(col("node"),
-        (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
+      .select(nodes("node"),
+        (base + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
   }
 }

@@ -557,14 +557,6 @@ object QualityQueries {
              |FROM core c LEFT JOIN nov USING (source)
              |ORDER BY source""".stripMargin)),
 
-    // Curriculum interleave ordering — the deterministic data-ordering
-    // export: rank each document within its source by quality (distinct-
-    // token richness, ties to doc_id), then emit the corpus in
-    // (src_rank, source) order — a round-robin over sources with each
-    // source's best documents first, so early training batches are both
-    // high-quality and source-balanced. The only window partitions by
-    // source (keyed, never global); the global interleave is the SORT
-    // ORDER itself, not a materialized position column.
     // Leave-one-source-out influence: how much each source moves the
     // corpus mean document length — the jackknife form of "is this source
     // dragging our length distribution", computed from per-source integer
@@ -583,8 +575,11 @@ object QualityQueries {
           .select(col("source"), col("n_docs"), col("s_tok"),
             (col("tt").cast("double") / col("nn").cast("double"))
               .as("full_mean"),
-            ((col("tt") - col("s_tok")).cast("double") /
-              (col("nn") - col("n_docs")).cast("double")).as("loo_mean"))
+            // single-source corpus: leaving the only source out divides
+            // 0/0 → guard to NULL (both engines) instead of NaN-poisoning
+            when(col("nn") > col("n_docs"),
+              (col("tt") - col("s_tok")).cast("double") /
+                (col("nn") - col("n_docs")).cast("double")).as("loo_mean"))
           .withColumn("influence", col("full_mean") - col("loo_mean"))
           .orderBy("source")
       },
@@ -598,11 +593,13 @@ object QualityQueries {
              |)
              |SELECT source, n_docs, s_tok,
              |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) AS full_mean,
-             |  CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
-             |    AS loo_mean,
+             |  CASE WHEN nn > n_docs THEN
+             |    CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+             |  END AS loo_mean,
              |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)
-             |    - CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
-             |    AS influence
+             |    - CASE WHEN nn > n_docs THEN
+             |        CAST(tt - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+             |      END AS influence
              |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
 
     // Difficulty deciles: docs ranked corpus-wide by quality (distinct-
@@ -646,6 +643,14 @@ object QualityQueries {
              |    AS mean_ntok
              |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
 
+    // Curriculum interleave ordering — the deterministic data-ordering
+    // export: rank each document within its source by quality (distinct-
+    // token richness, ties to doc_id), then emit the corpus in
+    // (src_rank, source) order — a round-robin over sources with each
+    // source's best documents first, so early training batches are both
+    // high-quality and source-balanced. The only window partitions by
+    // source (keyed, never global); the global interleave is the SORT
+    // ORDER itself, not a materialized position column.
     QuerySpec("q169_curriculum_order",
       (s, d) => Quality.curriculumOrder(
         t(s, d, "documents"), "doc_id", "source", "text")

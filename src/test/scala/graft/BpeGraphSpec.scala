@@ -72,7 +72,7 @@ class BpeGraphSpec extends SparkSpec {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val pr0 = nodes.withColumn("pr", lit(1000000000L))
-    val prPlan = Graphs.iterate(nodes, ed, pr0, 150000000L, 85L)
+    val prPlan = Graphs.iterate(nodes, ed, pr0, lit(150000000L), 85L)
       .queryExecution.executedPlan.toString
     assert(!prPlan.contains("Exchange SinglePartition"), prPlan)
     assert(!prPlan.contains("BroadcastNestedLoopJoin") &&
