@@ -454,9 +454,14 @@ object Dedup {
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Checkpoints are LAZY: the labelSum probe right after each one is
+    // the action that materializes it, so every iteration costs ONE job
+    // (an eager checkpoint would pay a materialization job AND the probe
+    // job — at small/contracted graph sizes the loop is pure per-job
+    // overhead and this halves it).
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Convergence probe: labels only ever DECREASE (least of own and
     // neighbor min), so the label sum is strictly monotone while anything
     // changes — comparing sums is a single-stage aggregate per iteration
@@ -478,8 +483,8 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
+        .localCheckpoint(eager = false)
+      val s = labelSum(next) // materializes the lazy checkpoint
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -493,6 +498,100 @@ object Dedup {
           "(or switch to the large-star/small-star variant for extreme graphs) " +
           "rather than shipping non-minimal cluster labels")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components at EVERY threshold of a descending sweep, each
+    * incrementally from the previous — the percolation structure made
+    * explicit: clusters at a looser threshold are unions of the clusters
+    * at a stricter one (edge sets are nested), so full CC runs ONCE, at
+    * the strictest threshold, and each looser threshold contracts the
+    * previous clusters to supernodes (their min-id labels) and runs CC
+    * only on the contracted graph — edges whose endpoints already share
+    * a stricter-threshold label drop out before the loop ever iterates.
+    * 1 full + (T−1) cheap incremental runs instead of T full ones.
+    *
+    * `pairs` must carry (a_id, b_id, jac) and is persisted here (tracked
+    * — [[OperatorCaches.release]] drops it): the sweep reads it once per
+    * threshold, and without the persist each threshold would re-run the
+    * whole upstream pairing pipeline. Returns (thresholdPct →
+    * (doc_id, cluster_id)) for each input threshold, cluster_id = the
+    * component-minimum doc id — identical labels to running
+    * [[dupClusters]] from scratch per threshold (min of mins is the
+    * global min), property-tested in DedupSpec. Each level's label frame
+    * is localCheckpoint'ed by [[dupClusters]]'s own discipline; the
+    * composition joins below are label-keyed shuffles, never corpus-wide
+    * windows. */
+  def percolationClusters(pairs: DataFrame,
+                          thresholdsPct: Seq[Int]): Seq[(Int, DataFrame)] = {
+    val p = OperatorCaches.persistTracked(
+      pairs.select(col("a_id"), col("b_id"), col("jac")))
+    val desc = thresholdsPct.distinct.sorted.reverse
+    // Per-threshold pair counts in ONE pass (conditional sums, one-row
+    // aggregate): thresholds are nested filters over the same frame, so
+    // EQUAL counts at adjacent levels mean IDENTICAL edge sets — the
+    // level's cluster frame is the stricter level's, reused with zero
+    // further work. This is the cheapest tier of the monotone shortcut
+    // ladder (count-equal → frame reuse; contracted-empty → frame reuse;
+    // else → contracted CC), and on corpora whose pair mass sits above
+    // the ladder (near-exact duplicates) it collapses the sweep to one
+    // CC run plus one count.
+    val cntCols = desc.map(pct =>
+      coalesce(sum(when(col("jac") >= pct / 100.0, 1L)), lit(0L)).as(s"c$pct"))
+    val cntRow = p.agg(cntCols.head, cntCols.tail: _*).head()
+    val cnt: Map[Int, Long] =
+      desc.zipWithIndex.map { case (pct, i) => pct -> cntRow.getLong(i) }.toMap
+    var prev: Option[DataFrame] = None // (doc_id, cluster_id) one level up
+    var prevPct = -1
+    desc.map { pct =>
+      val e = p.filter(col("jac") >= pct / 100.0).select(col("a_id"), col("b_id"))
+      val clu = prev match {
+        case Some(up) if cnt(pct) == cnt(prevPct) => up
+        case None => dupClusters(e)
+        case Some(up) =>
+          // contract: node → its stricter-level label (self if unlabeled)
+          val lab = up.select(col("doc_id"), col("cluster_id").as("lab"))
+          val mapped = e
+            .join(lab.select(col("doc_id").as("a_id"), col("lab").as("la")),
+              Seq("a_id"), "left")
+            .join(lab.select(col("doc_id").as("b_id"), col("lab").as("lb")),
+              Seq("b_id"), "left")
+            .select(coalesce(col("la"), col("a_id")).as("sa"),
+              coalesce(col("lb"), col("b_id")).as("sb"))
+          val contracted = OperatorCaches.persistTracked(
+            mapped.filter(col("sa") =!= col("sb"))
+              .select(col("sa").as("a_id"), col("sb").as("b_id")))
+          // Empty contracted graph ⟹ every edge at this level already has
+          // both endpoints labeled AND sharing a label (an unlabeled
+          // endpoint maps to itself, so any edge touching one survives
+          // contraction) ⟹ node set and components are UNCHANGED from
+          // the stricter level — reuse its frame outright. This is the
+          // common case when the threshold ladder out-runs the corpus's
+          // similarity floor, and it costs one count instead of a CC run
+          // plus three composition joins.
+          if (contracted.isEmpty) up
+          else {
+            val merged = dupClusters(contracted) // supernode → merged label
+              .select(col("doc_id").as("sn"), col("cluster_id").as("mlab"))
+            // nodes at this level = every endpoint of e; label = the merge
+            // of its supernode when the contracted CC touched it, else the
+            // supernode label itself
+            val nodes = e.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+              .distinct()
+            nodes
+              .join(lab, Seq("doc_id"), "left")
+              .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("sn"))
+              .join(merged, Seq("sn"), "left")
+              .select(col("doc_id"),
+                coalesce(col("mlab"), col("sn")).as("cluster_id"))
+              // lazy: the caller's first aggregation (or the next level's
+              // mapping join) materializes it
+              .localCheckpoint(eager = false)
+          }
+      }
+      prev = Some(clu)
+      prevPct = pct
+      pct -> clu
+    }
   }
 
   /** Incremental (bipartite) LSH dedup: candidate pairs between NEW

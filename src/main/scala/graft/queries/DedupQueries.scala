@@ -821,11 +821,17 @@ object DedupQueries {
     // similar to every other: many triangles) from weak CHAINS (A≈B≈C
     // but A≉C: zero triangles), which is the difference between "safe to
     // keep one canonical doc" and "the transitive closure over-merged".
-    // Node-ordered adjacency (a < b from the pair stream) makes each
-    // triangle count exactly once via two edge-keyed equi-joins — the
-    // standard distributed triangle enumeration, never a matrix product.
-    // Edges and triangles attach to the cluster by their minimum node's
-    // component label (all three nodes share a component by definition).
+    // Compact-forward enumeration: every edge is oriented from its
+    // LOWER-DEGREE endpoint to the higher (ties by id), so wedge work at
+    // a node is O(out-degree²) with out-degrees bounded O(√m) on ANY
+    // degree distribution — an id-ordered orientation is O(hub-degree²)
+    // the moment the pair stream has a hub (it survives here only
+    // because the LSH bucket caps bound degrees; this shape doesn't need
+    // them to). Each triangle {x,y,z} with key(x)<key(y)<key(z) is found
+    // exactly once, as the wedge at x closed by the y→z edge — two
+    // equi-joins, never a matrix product. Edges and triangles attach to
+    // the cluster by any member node's component label (all three nodes
+    // share a component by definition).
     QuerySpec("q172_dup_triangles",
       (s, d) => {
         val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
@@ -833,12 +839,29 @@ object DedupQueries {
           rowsPerBand = RowsPerBand)
         val e = pairs.select(col("a_id"), col("b_id"))
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
-        val tri = e.as("ab")
-          .join(e.as("bc"), col("ab.b_id") === col("bc.a_id"))
-          .join(e.as("ac"),
-            col("ac.a_id") === col("ab.a_id") &&
-              col("ac.b_id") === col("bc.b_id"))
-          .select(col("ab.a_id").as("node"))
+        // degrees from the pair stream: one keyed aggregation
+        val deg = e.select(explode(array(col("a_id"), col("b_id"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val withDeg = e
+          .join(deg.select(col("n").as("a_id"), col("dg").as("da")), "a_id")
+          .join(deg.select(col("n").as("b_id"), col("dg").as("db")), "b_id")
+        val aFirst =
+          struct(col("da"), col("a_id")) < struct(col("db"), col("b_id"))
+        // (u → v) with key(u) < key(v) under the (degree, id) total order;
+        // kv carries v's key so the wedge join can order out-neighbors
+        // without a re-join. o feeds three join sides — persist (tracked).
+        val o = graft.operators.OperatorCaches.persistTracked(withDeg.select(
+          when(aFirst, col("a_id")).otherwise(col("b_id")).as("u"),
+          when(aFirst, col("b_id")).otherwise(col("a_id")).as("v"),
+          when(aFirst, struct(col("db").as("d"), col("b_id").as("i")))
+            .otherwise(struct(col("da").as("d"), col("a_id").as("i")))
+            .as("kv")))
+        val tri = o.as("e1")
+          .join(o.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+          .join(o.as("e3"),
+            col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+          .select(col("e1.u").as("node"))
         val triPerCluster = tri
           .join(clusters.select(col("doc_id").as("node"), col("cluster_id")),
             "node")
@@ -879,8 +902,12 @@ object DedupQueries {
     // higher thresholds are filters over the same frame). Watching
     // n_clusters and max_cluster percolate as the threshold drops is how
     // a curation team distinguishes "true duplicate groups" from "the
-    // transitive closure is merging the corpus". Five bounded CC runs at
-    // plan time (cluster frames are pair-sized, not corpus-sized).
+    // transitive closure is merging the corpus". Percolation is monotone
+    // (stricter clusters are sub-clusters of looser ones), so full CC
+    // runs ONCE, at the strictest threshold; each looser level runs only
+    // on the supernode-contracted residual graph
+    // (Dedup.percolationClusters) — 1 full + 4 cheap incremental runs,
+    // labels provably identical to 5 independent runs.
     QuerySpec("q173_dedup_threshold_sweep",
       (s, d) => {
         val thresholds = Seq(10, 20, 30, 40, 50)
@@ -895,12 +922,12 @@ object DedupQueries {
             explode(typedLit(thresholds.map(_.toLong))).as("thr_pct"))
           .filter(col("jac") >= col("thr_pct").cast("double") / 100.0)
           .groupBy("thr_pct").agg(count(lit(1)).as("n_pairs"))
-        val clusterSizes = thresholds.map { pct =>
-          graft.operators.Dedup
-            .dupClusters(pairs.filter(col("jac") >= pct / 100.0))
-            .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-            .select(lit(pct.toLong).as("thr_pct"), col("sz"))
-        }.reduce(_ unionAll _)
+        val clusterSizes = graft.operators.Dedup
+          .percolationClusters(pairs, thresholds)
+          .map { case (pct, clu) =>
+            clu.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+              .select(lit(pct.toLong).as("thr_pct"), col("sz"))
+          }.reduce(_ unionAll _)
         val clusterStats = clusterSizes.groupBy("thr_pct").agg(
           count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
           max("sz").as("max_cluster"))

@@ -104,6 +104,29 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 === 0L))
   }
 
+  test("percolationClusters equals per-threshold dupClusters, random weighted graphs") {
+    import spark.implicits._
+    // random jac weights exercise all three shortcut tiers: levels that
+    // admit new edges (contracted CC), levels whose edge set is unchanged
+    // (count-equal reuse), and an empty strictest level (90 > max jac)
+    val rnd = new scala.util.Random(173)
+    val pairs = (1 to 200).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b), rnd.nextInt(80) / 100.0)
+    }.filter(p => p._1 != p._2).distinctBy(p => (p._1, p._2))
+      .toDF("a_id", "b_id", "jac")
+    val sweep = Dedup.percolationClusters(pairs, Seq(90, 70, 45, 45, 20, 5))
+    assert(sweep.map(_._1) === Seq(90, 70, 45, 20, 5))
+    sweep.foreach { case (pct, clu) =>
+      val direct = Dedup
+        .dupClusters(pairs.filter(col("jac") >= pct / 100.0), maxIter = 100)
+        .as[(Long, Long)].collect().toSet
+      val got = clu.as[(Long, Long)].collect().toSet
+      assert(got === direct, s"threshold $pct")
+    }
+    graft.operators.OperatorCaches.release()
+  }
+
   test("lshPairsAgainst pairs only across sides") {
     import spark.implicits._
     val mk = (id: Long, words: String) => (id, words)
