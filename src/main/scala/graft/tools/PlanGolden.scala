@@ -1,0 +1,52 @@
+package graft.tools
+
+// Regenerates src/main/resources/plan_golden.tsv — the checked-in
+// per-query physical-plan shape baseline RegistryPlanSpec enforces
+// (any BNLJ / single-partition-exchange count above the recorded value
+// trips the spec). MUST replicate RegistryPlanSpec's traversal exactly:
+// same registry order, OperatorCaches released per query, the
+// cross-query pools (Postings/FramePool) alive for the whole sweep —
+// pooled-frame reuse makes later queries' plans depend on earlier ones.
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+object PlanGolden {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.allSpecs.flatMap { s =>
+      val r =
+        try {
+          val c = PlanScreen.counts(
+            s.fn(spark, d).queryExecution.executedPlan.toString)
+          if (c.cart > 0)
+            println(s"WARN ${s.name}: CartesianProduct — NOT recorded " +
+              "(never allowed; fix the query instead)")
+          Option.when(c.bnlj > 0 || c.single > 0)(
+            s"${s.name}\t${c.bnlj}\t${c.single}")
+        } catch {
+          case e: Throwable =>
+            println(s"WARN ${s.name}: plan build failed — ${e.getMessage}")
+            None
+        }
+      graft.operators.OperatorCaches.release()
+      r
+    }
+    graft.operators.Postings.release()
+    graft.operators.FramePool.release()
+    val out = Paths.get("src/main/resources/plan_golden.tsv")
+    Files.createDirectories(out.getParent)
+    Files.writeString(out,
+      "# Per-query golden plan-shape counts: name\\tBNLJ\\tsingle-partition\n" +
+        "# Regenerate with: sbt \"runMain graft.tools.PlanGolden\" (sf0.001)\n" +
+        "# Queries absent here are bound to 0\t0 by PlanScreen.\n" +
+        rows.sorted.mkString("", "\n", "\n"))
+    println(s"wrote ${rows.size} entries to $out")
+    spark.stop()
+  }
+}
