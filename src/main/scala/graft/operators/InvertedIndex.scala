@@ -114,12 +114,20 @@ object InvertedIndex {
     * oracle is unchanged; past the decimal bound Spark nulls (ANSI:
     * errors) rather than silently corrupting rankings. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+               queries: Seq[(String, Seq[String])], k: Int): DataFrame =
     // All five base frames come from the shared corpus index — built once,
     // persisted, reused by every retrieval query over this corpus.
-    val ix = Postings.forCorpus(docs, idCol, textCol)
+    bm25TopKFromIndex(Postings.forCorpus(docs, idCol, textCol), queries, k)
+
+  /** [[bm25TopK]] served from an explicit [[Postings.Index]] — the entry
+    * point for the PERSISTED index artifact (`Postings.load`): the
+    * corpus never enters the plan, only the index frames do, which is
+    * the 100 TB serving shape (scan the index table, not the corpus).
+    * Identical scoring pipeline; PostingsSpec proves artifact ≡ live. */
+  def bm25TopKFromIndex(ix: Postings.Index,
+                        queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val spark = ix.tf.sparkSession
+    import spark.implicits._
     val tf = ix.tf.select(col("term"), col("doc").as("doc_id"), col("tf"))
     val dl = ix.dl.select(col("doc").as("doc_id"), col("dl"))
     val dft = ix.df

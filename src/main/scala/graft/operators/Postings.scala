@@ -98,6 +98,35 @@ object Postings {
     Index(tf, df_, dl, nd, tt)
   }
 
+  /** Materialize an index as a parquet ARTIFACT — five plain parquet
+    * frames under `dir` (tf/df/dl/nd/tt), readable by any engine. This
+    * is the production form of the session pool's amortization: at
+    * 100 TB the posting index is built once, written next to the
+    * corpus, and every retrieval query scans the artifact instead of
+    * re-tokenizing the corpus (the streaming `indexPartialsSink` +
+    * `servingTermStats` pair is the incrementally-maintained variant of
+    * the same artifact). PostingsSpec proves BM25 served from a loaded
+    * artifact is row-identical to the live index; q177 oracle-gates it. */
+  def save(ix: Index, dir: String): Unit = {
+    ix.tf.write.mode("overwrite").parquet(s"$dir/tf")
+    ix.df.write.mode("overwrite").parquet(s"$dir/df")
+    ix.dl.write.mode("overwrite").parquet(s"$dir/dl")
+    ix.nd.write.mode("overwrite").parquet(s"$dir/nd")
+    ix.tt.write.mode("overwrite").parquet(s"$dir/tt")
+  }
+
+  /** Load a [[save]]d index artifact. Frames are NOT pooled or
+    * persisted — the artifact scan is the serving path (columnar,
+    * filter-pushdown on the term key), exactly how a 100 TB deployment
+    * reads its index table. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
+    Index(
+      tf = spark.read.parquet(s"$dir/tf"),
+      df = spark.read.parquet(s"$dir/df"),
+      dl = spark.read.parquet(s"$dir/dl"),
+      nd = spark.read.parquet(s"$dir/nd"),
+      tt = spark.read.parquet(s"$dir/tt"))
+
   /** Unpersist and forget every pooled index. Non-blocking; in-flight
     * frames derived from a released index recompute from source. */
   def release(): Unit = {

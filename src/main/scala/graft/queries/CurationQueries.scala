@@ -14,6 +14,41 @@ import Q._
   */
 object CurationQueries {
 
+  /** The BM25 query set + oracle shared by q138 (live pooled index) and
+    * q177 (served from the persisted parquet index artifact): both must
+    * hash-match the SAME DuckDB recompute, which is exactly the
+    * artifact-parity claim. */
+  private val Bm25Queries = Seq(
+    "q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"),
+    "q3" -> Seq("stream", "batch", "hash"))
+  private val Bm25Oracle = """WITH qt(q_id, term) AS (VALUES
+             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
+             |  ('q3','stream'),('q3','batch'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc)
+             |SELECT q_id, rank, doc_id, score FROM r
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Link-graph centrality for source quality weighting: a co-purchase
@@ -115,37 +150,29 @@ object CurationQueries {
     // terms' posting lists, never a corpus scan.
     QuerySpec("q138_bm25",
       (s, d) => graft.operators.InvertedIndex.bm25TopK(
-        t(s, d, "documents"), "doc_id", "text",
-        Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"),
-          "q3" -> Seq("stream", "batch", "hash")), k = 5)
+        t(s, d, "documents"), "doc_id", "text", Bm25Queries, k = 5)
         .orderBy("q_id", "rank"),
-      Some("""WITH qt(q_id, term) AS (VALUES
-             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
-             |  ('q3','stream'),('q3','batch'),('q3','hash')),
-             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
-             |        FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-             |       GROUP BY doc_id, term),
-             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
-             |       GROUP BY doc_id),
-             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-             |g AS (SELECT count(*) AS n_docs FROM documents),
-             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
-             |sc AS (
-             |  SELECT q_id, tf.doc_id,
-             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
-             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
-             |      AS BIGINT) AS score
-             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-             |  JOIN dl ON dl.doc_id = tf.doc_id
-             |  CROSS JOIN g CROSS JOIN tt
-             |  GROUP BY q_id, tf.doc_id),
-             |r AS (SELECT q_id, doc_id, score,
-             |        row_number() OVER (PARTITION BY q_id
-             |          ORDER BY score DESC, doc_id) AS rank
-             |      FROM sc)
-             |SELECT q_id, rank, doc_id, score FROM r
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(Bm25Oracle)),
+
+    // BM25 served from the PERSISTED text-index artifact: the pooled
+    // index materialized as five plain parquet frames (Postings.save),
+    // loaded back, and scored with the identical pipeline — the corpus
+    // never enters the plan. This is the production serving shape at
+    // 100 TB (the index is a table you scan, not a session cache you
+    // rebuild); hash-matching q138's oracle IS the artifact-parity
+    // proof, driver-gated. The vector-index twin is q140/PqSpec.
+    QuerySpec("q177_bm25_serve_artifact",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_text_index").toString
+        graft.operators.Postings.save(
+          graft.operators.Postings.forCorpus(
+            t(s, d, "documents"), "doc_id", "text"), dir)
+        graft.operators.InvertedIndex.bm25TopKFromIndex(
+          graft.operators.Postings.load(s, dir), Bm25Queries, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(Bm25Oracle)),
 
     // BPE tokenizer statistics: the corpus-wide adjacent-character-pair
     // scan that seeds byte-pair-encoding training (every stage-0 merge

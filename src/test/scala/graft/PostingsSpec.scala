@@ -61,4 +61,22 @@ class PostingsSpec extends SparkSpec {
       base.filter(col("doc_id") >= Postings.MaxCorpora - 1), "doc_id", "text").tf)
     Postings.release()
   }
+
+  test("BM25 served from a saved/loaded artifact is row-identical to the live index") {
+    Postings.release()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"))
+    val live = graft.operators.InvertedIndex
+      .bm25TopK(docs, "doc_id", "text", qs, k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    Postings.save(Postings.forCorpus(docs, "doc_id", "text"), dir)
+    Postings.release() // serving must not lean on the session pool
+    val served = graft.operators.InvertedIndex
+      .bm25TopKFromIndex(Postings.load(spark, dir), qs, k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served === live)
+    assert(served.nonEmpty)
+    Postings.release()
+  }
 }
