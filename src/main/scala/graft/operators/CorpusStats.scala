@@ -406,12 +406,15 @@ object CorpusStats {
     * count joins, which is what keeps the joined frame collocation-sized
     * rather than vocabulary²-sized.
     *
-    * 64-bit bound, documented not assumed: the numerator c(a,b)·N² with
+    * 64-bit bound, documented AND enforced: the numerator c(a,b)·N² with
     * c(a,b) ≤ w·N needs w·N³ < 2⁶³, which holds to N ≈ 1.4·10⁸ tokens at
     * w=3; past that, seed the products with DECIMAL(38,0) exactly as
     * [[bigramLmScore]] does (kept in BIGINT here so the oracle's
     * overflow-CHECKED BIGINT arithmetic independently proves the bound
-    * holds on the fixtures). */
+    * holds on the fixtures). A corpus past the bound would silently wrap
+    * in non-ANSI Spark while the oracle raises — so an in-plan
+    * `assert_true` on the token total makes the engine fail LOUDLY
+    * instead of shipping a corrupted ranking. */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       window: Int = 3, minPairCount: Long = 20L,
                       topN: Int = 50): DataFrame = {
@@ -433,10 +436,17 @@ object CorpusStats {
     val cpAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
     val nPair = cpAll.agg(sum(col("cab")).as("npr"))
     val cp = cpAll.filter(col("cab") >= minPairCount)
+    // N bound for 64-bit lift products (both numerator and denominator
+    // are ≤ w·N³): fail loudly in-plan rather than wrap silently
+    val maxN = math.cbrt(Long.MaxValue.toDouble / window).toLong - 1
     cp.join(cw.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
       .join(cw.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
       .crossJoin(broadcast(nTok))
       .crossJoin(broadcast(nPair))
+      .filter(isnull(assert_true(col("nn") <= maxN,
+        lit(s"pmiCollocations: corpus token count exceeds the 64-bit lift " +
+          s"bound ($maxN at window=$window) — seed the products with " +
+          "DECIMAL(38,0) as bigramLmScore does"))))
       .select(col("w1"), col("w2"), col("cab"),
         ((col("cab") * col("nn") * col("nn")).cast("double") /
           (col("npr") * col("ca") * col("cb")).cast("double")).as("lift"))

@@ -638,7 +638,15 @@ object Dedup {
     * hash — new×corpus pairs sharing content, never corpus×corpus. The
     * hot-shingle cap applies to the CORPUS side (the growing one); the
     * new side is a bounded micro-batch. Both inputs share the
-    * (idCol, textCol) shape; ids are namespaced by side. */
+    * (idCol, textCol) shape; ids are namespaced by side.
+    *
+    * Output carries BOTH sides' shingle-set sizes (`n_new`, `n_corpus`)
+    * so callers can apply the batch [[containmentPairs]] family's
+    * size-aware keep rule: a pair at containment ≥ 0.8 where the
+    * ARRIVAL is the larger side (n_new > n_corpus) is a richer superset
+    * of held content — dropping it would keep the poorer incumbent,
+    * the opposite of the batch rule that only drops a doc whose
+    * container is at least as large. */
   def containmentAgainst(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String, k: Int = 3,
                          minContainment: Double = 0.8,
@@ -648,14 +656,17 @@ object Dedup {
     val np = newSets.select(col(idCol).as("new_id"), explode(col("hset")).as("h"))
     val nsz = newSets.select(col(idCol).as("new_id"),
       size(col("hset")).cast("long").as("n_new"))
+    val csz = corpusSets.select(col(idCol).as("corpus_id"),
+      size(col("hset")).cast("long").as("n_corpus"))
     val cpAll = corpusSets.select(col(idCol).as("corpus_id"),
       explode(col("hset")).as("h"))
     val small = cpAll.groupBy("h").agg(count(lit(1)).as("pn"))
       .filter(col("pn") <= maxPostingSize).select("h")
     val inter = np.join(cpAll.join(small, Seq("h")), "h")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    inter.join(nsz, "new_id")
-      .select(col("new_id"), col("corpus_id"), col("n_new"), col("inter"),
+    inter.join(nsz, "new_id").join(csz, "corpus_id")
+      .select(col("new_id"), col("corpus_id"), col("n_new"), col("n_corpus"),
+        col("inter"),
         (col("inter").cast("double") / col("n_new").cast("double"))
           .as("containment"))
       .filter(col("containment") >= minContainment)

@@ -107,7 +107,19 @@ object Graphs {
       count(when(isPreferred, lit(1))).as("np")).head()
     val (nN, nP) = (cnts.getLong(0), cnts.getLong(1))
     require(nP > 0, "personalizedPageRank: the preferred set is empty")
-    val basePer = ((100L - dampNum) * scale * nN) / (100L * nP)
+    // multiplyExact: (100−d)·scale·nN silently wraps negative past
+    // ~6.1e8 nodes at the default scale, poisoning every rank with no
+    // error — overflow must surface loudly ("drop scale at web scale",
+    // as the docstring directs, is the fix; this is the enforcement).
+    val basePer =
+      try Math.multiplyExact(Math.multiplyExact(100L - dampNum, scale), nN) /
+        (100L * nP)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"personalizedPageRank: (100-$dampNum) * scale=$scale * nodes=$nN " +
+            "overflows Long — reduce `scale` (the fixed-point grid) for " +
+            "this graph size")
+      }
     val nodesB = OperatorCaches.persistTracked(
       nodes.withColumn("base",
         when(isPreferred, lit(basePer)).otherwise(lit(0L))))

@@ -54,9 +54,25 @@ case class DeflateLength(child: Expression) extends UnaryExpression {
 
 object DeflateLength {
 
+  /** Ends each thread's native zlib stream once its thread has exited
+    * and been GC'd: a ThreadLocal alone keeps the Deflater's native
+    * memory allocated for as long as its entry is reachable, which on
+    * thread churn (executor pool resize, ad-hoc threads) leaks native
+    * streams for the JVM lifetime. The cleanup action holds only the
+    * Deflater — never the Thread — so registration cannot pin the
+    * thread, and the entry itself dies with the thread's ThreadLocal
+    * map, after which the cleaner runs `end()`. */
+  private val cleaner = java.lang.ref.Cleaner.create()
+  private final class EndDeflater(d: Deflater) extends Runnable {
+    def run(): Unit = d.end()
+  }
+
   private val deflaters = new ThreadLocal[Deflater] {
-    override def initialValue(): Deflater =
-      new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    override def initialValue(): Deflater = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+      cleaner.register(Thread.currentThread(), new EndDeflater(d))
+      d
+    }
   }
 
   private val buffers = new ThreadLocal[Array[Byte]] {

@@ -357,8 +357,14 @@ object EventStreams {
     * inclusion — cases whose Jaccard stays low because the union is
     * large). Within each micro-batch the keep rule must be acyclic, so a
     * doc is dropped only when its container is STRICTLY larger (or equal-
-    * sized with a smaller id); against the accumulated corpus every
-    * contained arrival drops. Survivors are published append-only under
+    * sized with a smaller id); against the accumulated corpus the SAME
+    * size rule applies with the incumbent winning ties — an arrival
+    * drops only when its corpus container is at least as large
+    * (n_new ≤ n_corpus). An arrival that is a richer SUPERSET of held
+    * content (shared mass ≥ 0.8 of its shingles but n_new > n_corpus)
+    * is kept, matching the batch Refinery rule — dropping it would
+    * discard the richer document in favor of its own fragment.
+    * Survivors are published append-only under
     * `corpusDir/batch=N` with the same replay safety as the near-dup
     * sink (overwrite own batch dir, corpus read excludes the current
     * batch id). Per-batch cost is the bipartite posting join of
@@ -388,6 +394,11 @@ object EventStreams {
                 .select(col(idCol), col(textCol))
               val contained = Dedup.containmentAgainst(batchKept, corpus,
                 idCol, textCol, k, minContainment)
+                // incumbent-aware size rule: drop the arrival only when
+                // the corpus container is at least as large (ids are
+                // namespaced by side, so arrival order — not id — is
+                // the tie-break: incumbent wins)
+                .filter(col("n_new") <= col("n_corpus"))
                 .select(col("new_id").as(idCol)).distinct()
               batchKept.join(contained, Seq(idCol), "left_anti")
             } else batchKept

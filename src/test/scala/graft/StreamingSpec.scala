@@ -293,10 +293,14 @@ class StreamingSpec extends SparkSpec {
       (1L, full1), (2L, full2),
       (3L, full1.split(" ").slice(10, 22).mkString(" ")))
       .toDF("doc_id", "text")
-    // wave 2: a chunk of doc 2 (cross-batch containment), one fresh doc
+    // wave 2: a chunk of doc 2 (cross-batch containment), one fresh doc,
+    // and a SUPERSET of doc 1 (shared mass ≥ 0.8 of its shingles but
+    // larger than the incumbent — the richer arrival must be KEPT under
+    // the incumbent-aware size rule, not dropped as "contained")
     val wave2 = Seq(
       (11L, full2.split(" ").slice(30, 44).mkString(" ")),
-      (12L, longDoc(9)))
+      (12L, longDoc(9)),
+      (13L, full1 + " p9 q9 r9"))
       .toDF("doc_id", "text")
     wave1.write.parquet(s"$tmp/in")
     EventStreams.containmentIngestSink(
@@ -319,14 +323,15 @@ class StreamingSpec extends SparkSpec {
     val kept2w = withinKeep(wave2)
     val kept2 = kept2w.join(
       Dedup.containmentAgainst(kept2w, kept1, "doc_id", "text", 3, 0.8)
+        .filter(col("n_new") <= col("n_corpus")) // incumbent-aware size rule
         .select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val direct = kept1.select("doc_id").as[Long].collect().toSet ++
       kept2.select("doc_id").as[Long].collect().toSet
     assert(streamed === direct)
     // planted structure: chunks dropped (3 within-batch, 11 cross-batch),
-    // full docs and the fresh doc kept
-    assert(streamed === Set(1L, 2L, 12L))
+    // full docs, the fresh doc, and the richer SUPERSET of doc 1 kept
+    assert(streamed === Set(1L, 2L, 12L, 13L))
     graft.operators.OperatorCaches.release()
     graft.operators.FramePool.release()
   }
