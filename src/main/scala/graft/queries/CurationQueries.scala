@@ -598,5 +598,51 @@ object CurationQueries {
              |JOIN pres ON pres.q_id = r.q_id AND pres.doc_id = r.doc_id
              |JOIN nq ON nq.q_id = r.q_id
              |WHERE rank <= 10 AND n_present < n_terms
-             |ORDER BY r.q_id, rank""".stripMargin)))
+             |ORDER BY r.q_id, rank""".stripMargin)),
+
+    // Posting-list delta-compression audit — the index-ENGINEERING metric
+    // behind every inverted-index deployment decision: per term, the
+    // delta-encoded size of its doc-id posting list (sum of bit-lengths
+    // of successive doc-id gaps; first gap anchored at doc_id + 1 so a
+    // 0-id is representable) vs the raw 64-bit encoding. Dense terms
+    // (small gaps) compress hardest — exactly why real indexes
+    // gap-encode — and the report ranks the 30 heaviest lists, the ones
+    // paying the most index bytes. Exact integer end to end: the bit
+    // length is length(bin(gap)), no logs, no floats. Scale shape: the
+    // lag window and the aggregation are both keyed by term
+    // (vocabulary-shaped), off the pooled posting index — no corpus
+    // re-tokenize, nothing global.
+    QuerySpec("q178_posting_compression",
+      (s, d) => {
+        val ix = graft.operators.Postings.forCorpus(
+          t(s, d, "documents"), "doc_id", "text")
+        val tf = ix.tf.filter(length(col("term")) > 0)
+          .select(col("term"), col("doc").as("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("doc_id"))
+        tf.withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .withColumn("gap", when(col("prev").isNull, col("doc_id") + 1)
+            .otherwise(col("doc_id") - col("prev")))
+          .withColumn("bits", length(bin(col("gap"))).cast("long"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("bits")).as("delta_bits"))
+          .filter(col("df") >= 8)
+          .select(col("term"), col("df"), col("delta_bits"),
+            (col("df") * lit(64L)).as("raw_bits"))
+          .orderBy(desc("delta_bits"), col("term")).limit(30)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |             FROM documents),
+             |tf AS (SELECT term, doc_id FROM tok WHERE len(term) > 0
+             |       GROUP BY term, doc_id),
+             |g AS (SELECT term, doc_id,
+             |        CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id + 1
+             |             ELSE doc_id - lag(doc_id) OVER w END AS gap
+             |      FROM tf WINDOW w AS (PARTITION BY term ORDER BY doc_id)),
+             |a AS (SELECT term, count(*) AS df,
+             |        CAST(sum(len(bin(gap))) AS BIGINT) AS delta_bits
+             |      FROM g GROUP BY term)
+             |SELECT term, df, delta_bits, df * 64 AS raw_bits
+             |FROM a WHERE df >= 8
+             |ORDER BY delta_bits DESC, term LIMIT 30""".stripMargin)))
 }

@@ -1068,6 +1068,59 @@ object MiscQueries {
              |SELECT cohort, wk_n, n_active, n_cohort,
              |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
              |FROM m JOIN sz USING (cohort)
-             |ORDER BY cohort, wk_n""".stripMargin))
+             |ORDER BY cohort, wk_n""".stripMargin)),
+
+    // Behavioral motif mining: the top-20 3-step event-type sequences
+    // occurring WITHIN sessions (q14's 30-minute-gap sessionization) —
+    // the "what do users actually do, in order" report behind funnel
+    // design and anomaly triage (a motif like view>view>error surfacing
+    // above view>click>purchase is a product signal no per-type count
+    // shows). Order within a session is the (ts, event_id) total order,
+    // trigrams come from two lead() steps over it, and every window is
+    // keyed by user (sessionize) or (user, session) (motifs) — the
+    // per-motif count is one vocabulary-shaped aggregation; nothing
+    // global, nothing quadratic.
+    QuerySpec("q180_event_motifs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800L * 1000000L
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_us").isNull, 1)
+              .when(unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        sess
+          .withColumn("t2", lead(col("event_type"), 1).over(ws))
+          .withColumn("t3", lead(col("event_type"), 2).over(ws))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("motif"))
+          .groupBy(col("motif")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("motif")).limit(20)
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), y AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM x
+             |), tri AS (
+             |  SELECT concat_ws('>', event_type,
+             |    lead(event_type, 1) OVER ws, lead(event_type, 2) OVER ws) AS motif,
+             |    lead(event_type, 2) OVER ws AS t3
+             |  FROM y WINDOW ws AS (PARTITION BY user_id, session_id
+             |                       ORDER BY ts, event_id)
+             |)
+             |SELECT motif, count(*) AS cnt FROM tri WHERE t3 IS NOT NULL
+             |GROUP BY motif ORDER BY cnt DESC, motif LIMIT 20""".stripMargin))
   )
 }

@@ -663,6 +663,54 @@ object QualityQueries {
              |SELECT doc_id, source, q,
              |  row_number() OVER (PARTITION BY source
              |    ORDER BY q DESC, doc_id) AS src_rank
-             |FROM qv ORDER BY src_rank, source, doc_id""".stripMargin))
+             |FROM qv ORDER BY src_rank, source, doc_id""".stripMargin)),
+
+    // Multi-signal quality ensemble by reciprocal-rank fusion: three
+    // independent quality axes — token volume (more is better),
+    // duplicate-token excess (less is better), raw length — each ranked
+    // CORPUS-WIDE, fused in rank space (RRF, k=60: the q145 fusion
+    // applied to quality signals instead of retrieval scores). Rank
+    // fusion needs no signal normalization, which is what makes a
+    // heterogeneous ensemble reproducible: ranks are exact integers and
+    // each RRF term is one correctly-rounded division with a fixed
+    // association order. The three global ranks come from the
+    // DISTRIBUTED range-partition rank (operators/PrefixSum) — an
+    // ORDER-BY-only window would plan an Exchange SinglePartition and
+    // funnel the corpus through one task; this never does.
+    QuerySpec("q181_quality_rank_ensemble",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+        val (r1, _) = graft.operators.PrefixSum.rankedRunningSum(base,
+          Seq(col("n_tokens").desc, col("doc_id")), lit(0L), "r_vol", "__c1")
+        val (r2, _) = graft.operators.PrefixSum.rankedRunningSum(r1,
+          Seq((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double"), col("doc_id")), lit(0L), "r_dup", "__c2")
+        val (r3, _) = graft.operators.PrefixSum.rankedRunningSum(r2,
+          Seq(col("n_chars").desc, col("doc_id")), lit(0L), "r_len", "__c3")
+        r3.select(col("doc_id"), col("r_vol"), col("r_dup"), col("r_len"),
+            (lit(1.0) / (lit(60.0) + col("r_vol")) +
+              lit(1.0) / (lit(60.0) + col("r_dup")) +
+              lit(1.0) / (lit(60.0) + col("r_len"))).as("rrf"))
+          .orderBy(desc("rrf"), col("doc_id")).limit(25)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r_vol,
+             |    row_number() OVER (ORDER BY
+             |      CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+             |      doc_id) AS r_dup,
+             |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+             |  FROM base
+             |)
+             |SELECT doc_id, r_vol, r_dup, r_len,
+             |  1.0/(60.0 + r_vol) + 1.0/(60.0 + r_dup) + 1.0/(60.0 + r_len) AS rrf
+             |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin))
   )
 }

@@ -321,6 +321,112 @@ object SimilarityQueries {
              |SELECT a.vec_id, cluster_id,
              |  CAST(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
              |FROM a LEFT JOIN drops ON a.vec_id = drops.vec_id
-             |ORDER BY a.vec_id""".stripMargin))
+             |ORDER BY a.vec_id""".stripMargin)),
+
+    // Per-label embedding centroids + pairwise inter-label cosine — the
+    // class-level semantic-geometry report (how separable are the label
+    // populations in embedding space; which pairs of categories overlap
+    // enough to merge or to need disambiguation). EXACT fixed-point:
+    // each component quantizes to round(v·10⁶) BIGINT, per-(label, pos)
+    // sums are exact, and cosine-of-centroids = cosine-of-sums (the 1/n
+    // scalars cancel), so dots and norms are DECIMAL(38,0) integer sums
+    // (HUGEINT in the oracle) with one double division at the end —
+    // hash-stable on any engine, no float-summation order anywhere.
+    // Scale shape: one posexplode keyed by (label, pos) — map-side
+    // combinable; the pairwise join is labels²·dim rows on the tiny
+    // aggregated frame, never the corpus.
+    QuerySpec("q179_label_centroids",
+      (s, d) => {
+        val sums = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vv")))
+          .select(col("label"), col("pos"),
+            round(col("vv").cast("double") * 1000000d).cast("long").as("q"))
+          .groupBy(col("label"), col("pos")).agg(sum(col("q")).as("sv"))
+        val norms = sums.groupBy(col("label"))
+          .agg(sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("nn"))
+        val dots = sums.as("a").join(sums.as("b"),
+            col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum(expr("CAST(a.sv AS DECIMAL(38,0)) * b.sv")).as("dot"))
+        dots
+          .join(norms.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+          .join(norms.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+              4).as("cos4"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH comp AS (
+             |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+             |  FROM embeddings
+             |), sums AS (
+             |  SELECT label, pos, CAST(sum(q) AS HUGEINT) AS sv
+             |  FROM comp GROUP BY label, pos
+             |), norms AS (
+             |  SELECT label, sum(sv * sv) AS nn FROM sums GROUP BY label
+             |), dots AS (
+             |  SELECT a.label AS label_a, b.label AS label_b, sum(a.sv * b.sv) AS dot
+             |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+             |  GROUP BY a.label, b.label
+             |)
+             |SELECT label_a, label_b,
+             |  round(dot::DOUBLE / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 4) AS cos4
+             |FROM dots
+             |JOIN norms na ON na.label = dots.label_a
+             |JOIN norms nb ON nb.label = dots.label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // Multi-probe IVF search — the standard recall knob on q55's shape:
+    // each query probes its nprobe=2 nearest cells instead of 1,
+    // recovering true neighbors that fell across a centroid boundary at
+    // ~2× candidate cost (still ~nprobe·N/k per query, still an
+    // equi-join on cluster_id — never a scan). Same exact-cosine
+    // ranking; the oracle differs from q55's only in the probe rank
+    // bound, which is the whole point: the knob is a one-line plan
+    // change, not a new pipeline.
+    QuerySpec("q182_ivf_multiprobe",
+      (s, d) => {
+        val e = vecs(s, d)
+        val c = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.operators.Similarity
+          .ivfSearch(e, c, k = 3,
+            queryPred = col("vec_id") >= 100 && col("vec_id") < 110,
+            nprobe = 2)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cluster_id"),
+            round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+             |d AS (
+             |  SELECT e.vec_id, c_id,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(v, v) - 2.0*list_dot_product(v, cv)
+             |        + list_dot_product(cv, cv), c_id) AS rn
+             |  FROM e CROSS JOIN c
+             |),
+             |assign AS (SELECT vec_id, c_id AS cluster_id FROM d WHERE rn = 1),
+             |q AS (SELECT d.vec_id AS q_id, e.v AS qv, d.c_id AS cluster_id
+             |      FROM d JOIN e ON e.vec_id = d.vec_id
+             |      WHERE d.rn <= 2 AND d.vec_id >= 100 AND d.vec_id < 110),
+             |pairs AS (
+             |  SELECT q.q_id, a.cluster_id, a.vec_id AS neighbor_id,
+             |    list_dot_product(qv, e.v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM q
+             |  JOIN assign a ON a.cluster_id = q.cluster_id
+             |  JOIN e ON e.vec_id = a.vec_id
+             |  WHERE a.vec_id <> q.q_id
+             |), ranked AS (
+             |  SELECT q_id, cluster_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT q_id, rank, neighbor_id, cluster_id, round(cos, 4) AS cos4
+             |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }
