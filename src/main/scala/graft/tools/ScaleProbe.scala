@@ -69,7 +69,14 @@ object ScaleProbe {
       // composes it; LOCF/retention are event-family; triangles grow with
       // clique volume (twin replicas inflate cliques by construction)
       "q162_source_novelty", "q167_dataset_card", "q170_locf_impute",
-      "q171_cohort_retention", "q172_dup_triangles")
+      "q171_cohort_retention", "q172_dup_triangles",
+      // round-9 additions: the percolation sweep (1 full CC + contracted
+      // increments), posting compression (vocabulary-shaped), motifs
+      // (session-keyed), the rank ensemble (range-partition ranks), and
+      // the artifact-served BM25 (index build + scan)
+      "q173_dedup_threshold_sweep", "q177_bm25_serve_artifact",
+      "q178_posting_compression", "q180_event_motifs",
+      "q181_quality_rank_ensemble")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
