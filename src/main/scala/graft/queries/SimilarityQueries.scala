@@ -427,6 +427,53 @@ object SimilarityQueries {
              |  FROM pairs
              |)
              |SELECT q_id, rank, neighbor_id, cluster_id, round(cos, 4) AS cos4
+             |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // PRE-FILTERED ANN: exact top-3 cosine among vectors sharing the
+    // query's label — predicate-constrained vector search (the "filtered
+    // search" every production vector store must answer: same-category
+    // recommendations, per-tenant retrieval). Pre-filtering is the
+    // correctness-first strategy: candidates are label-equi-join matches
+    // BEFORE ranking, so the top-k is always full and always correct,
+    // while post-filtering an unfiltered ANN result can under-fill k
+    // (the documented trade-off; at 100 TB the same plan serves from
+    // label-partitioned index cells, the equi-join's physical analog).
+    // The expensive full-precision cosine runs on candidate rows only
+    // (Similarity.rerankExact — corpus joins by neighbor_id, queries
+    // broadcast, window keyed by query).
+    QuerySpec("q184_ann_prefilter",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        val cands = e.select(col("vec_id"), col("label"))
+          .join(broadcast(q.select(col("vec_id").as("q_id"), col("label"))),
+            "label")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        graft.operators.Similarity.rerankExact(cands,
+            e.select(col("vec_id"), col("v")),
+            q.select(col("vec_id").as("q_id"), col("v").as("qv")), k = 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 4).as("cos4"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv, label FROM e
+             |      WHERE vec_id >= 100 AND vec_id < 110),
+             |pairs AS (
+             |  SELECT q_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(qv, e.v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM q JOIN e USING (label) WHERE e.vec_id <> q_id
+             |), ranked AS (
+             |  SELECT q_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT q_id, rank, neighbor_id, round(cos, 4) AS cos4
              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }

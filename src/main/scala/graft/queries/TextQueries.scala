@@ -527,6 +527,56 @@ object TextQueries {
              |  CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
              |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
              |FROM nd JOIN per_src USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Repetition-loop detector: per document, the most-repeated trigram
+    // and its count — the WITHIN-document repetition signal that catches
+    // degenerate generation loops and boilerplate stutters ("batch batch
+    // batch…"), the complement of q118's corpus-wide span duplication
+    // and q68's token-level dup fractions (a doc can pass both while one
+    // phrase loops). The argmax is a struct-max per doc ((count, gram)
+    // lexicographic, ties to the largest gram — mirrored exactly in the
+    // oracle's ORDER BY c DESC, g DESC), never a corpus window; work is
+    // one linear trigram explode + one (doc, gram)-keyed aggregation +
+    // one doc-keyed rollup, all map-side combinable.
+    QuerySpec("q183_repetition_loops",
+      (s, d) => {
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("s"))
+          .filter(size(col("s")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(s)-2), i -> concat_ws(' ', s[i-1], s[i], s[i+1]))"))
+            .as("g"))
+        grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("c"), col("g"))).as("m"),
+            sum(col("c")).as("n_grams"),
+            count(lit(1)).as("n_distinct_grams"))
+          .select(col("doc_id"), col("m.c").as("max_repeat"),
+            col("m.g").as("top_gram"), col("n_grams"), col("n_distinct_grams"),
+            (col("m.c") >= 3).as("loop_flag"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3
+             |), g AS (
+             |  SELECT doc_id,
+             |    unnest([array_to_string(s[i:i+2], ' ')
+             |            FOR i IN range(1, len(s) - 1)]) AS g
+             |  FROM s
+             |), cnt AS (
+             |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+             |), pick AS (
+             |  SELECT doc_id, g, c,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY c DESC, g DESC) AS rn,
+             |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
+             |    count(*) OVER (PARTITION BY doc_id) AS n_distinct_grams
+             |  FROM cnt
+             |)
+             |SELECT doc_id, c AS max_repeat, g AS top_gram, n_grams,
+             |  n_distinct_grams, c >= 3 AS loop_flag
+             |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }
