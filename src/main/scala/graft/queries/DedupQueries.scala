@@ -973,6 +973,106 @@ object DedupQueries {
         }.mkString +
         "\n" + Seq(10, 20, 30, 40, 50)
           .map(p => s"SELECT * FROM row$p").mkString("\nUNION ALL\n") +
-        "\nORDER BY thr_pct"))
+        "\nORDER BY thr_pct")),
+
+    // Degree distribution of the near-dup graph, log₂-bucketed — the
+    // graph-health diagnostic read BEFORE clustering: a fat tail (nodes
+    // in high buckets) means boilerplate hubs that will chain-merge the
+    // corpus under transitive closure, and is the empirical basis for
+    // the LSH bucket caps. Buckets are exact integer bit lengths
+    // (length(bin(degree)) — no logs, no floats); work is one explode +
+    // two keyed aggregations over the pooled pair stream.
+    QuerySpec("q186_dupgraph_degrees",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        pairs.select(explode(array(col("a_id"), col("b_id"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+          .groupBy(length(bin(col("dg"))).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("dg")).as("min_deg"), max(col("dg")).as("max_deg"))
+          .orderBy("bucket")
+      },
+      Some(lshCte + """
+        |, e AS (SELECT a_id AS n FROM lsh_pairs WHERE jac >= 0.1
+        |        UNION ALL SELECT b_id FROM lsh_pairs WHERE jac >= 0.1),
+        |deg AS (SELECT n, count(*) AS dg FROM e GROUP BY n)
+        |SELECT CAST(len(bin(dg)) AS BIGINT) AS bucket, count(*) AS n_nodes,
+        |  min(dg) AS min_deg, max(dg) AS max_deg
+        |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Bounded-sketch corpus overlap between sources: each source keeps
+    // only its K=256 SMALLEST distinct 60-bit shingle hashes (a
+    // k-minimum-values sketch — order statistics of a uniform hash, so
+    // the sketches of two sources are comparable samples of their
+    // shingle spaces) and the report is every source pair's sketch
+    // intersection next to the true per-source shingle totals. This is
+    // the O(K·|sources|)-state pre-check run before q143's exact
+    // cross-source span pass: sketch_inter ≈ 0 rules a pair out without
+    // ever joining their full fingerprint masses. Exact-integer and
+    // deterministic end to end (the sketch is defined by order
+    // statistics, not sampling); the per-source window is source-keyed.
+    QuerySpec("q187_source_kmv_overlap",
+      (s, d) => {
+        val spark = s
+        graft.plans.GraftFunctions.ensureRegistered(spark)
+        val docs = t(s, d, "documents")
+        val sh = docs.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("source"), explode(
+            graft.plans.GraftFunctions.shingleHashesNative(
+              split(col("text"), " "), 3)).as("h"))
+          .distinct()
+        val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+        val wsk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))
+        val sk = sh.withColumn("rn", row_number().over(wsk))
+          .filter(col("rn") <= 256).select(col("source"), col("h"))
+        val inter = sk.as("a").join(sk.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("sketch_inter"))
+        val srcs = docs.select(col("source")).distinct()
+        val spine = srcs.select(col("source").as("src_a"))
+          .join(srcs.select(col("source").as("src_b")),
+            col("src_a") < col("src_b"))
+        spine.join(inter, Seq("src_a", "src_b"), "left")
+          .join(tot.select(col("source").as("src_a"), col("n_shingles").as("n_a")), "src_a")
+          .join(tot.select(col("source").as("src_b"), col("n_shingles").as("n_b")), "src_b")
+          .select(col("src_a"), col("src_b"),
+            coalesce(col("sketch_inter"), lit(0L)).as("sketch_inter"),
+            col("n_a"), col("n_b"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT source,
+             |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h
+             |  FROM (SELECT source, s, unnest(range(1, len(s)-1)) AS i
+             |        FROM (SELECT source, string_split(text, ' ') AS s FROM documents))
+             |), tot AS (
+             |  SELECT source, count(*) AS n_shingles FROM sh GROUP BY source
+             |), sk AS (
+             |  SELECT source, h FROM (
+             |    SELECT source, h,
+             |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |    FROM sh)
+             |  WHERE rn <= 256
+             |), inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS sketch_inter
+             |  FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY a.source, b.source
+             |), srcs AS (SELECT DISTINCT source FROM documents),
+             |pairs AS (
+             |  SELECT a.source AS src_a, b.source AS src_b
+             |  FROM srcs a JOIN srcs b ON a.source < b.source
+             |)
+             |SELECT p.src_a AS src_a, p.src_b AS src_b,
+             |  COALESCE(sketch_inter, 0) AS sketch_inter,
+             |  ta.n_shingles AS n_a, tb.n_shingles AS n_b
+             |FROM pairs p
+             |LEFT JOIN inter ON inter.src_a = p.src_a AND inter.src_b = p.src_b
+             |JOIN tot ta ON ta.source = p.src_a
+             |JOIN tot tb ON tb.source = p.src_b
+             |ORDER BY p.src_a, p.src_b""".stripMargin))
   )
 }

@@ -474,6 +474,45 @@ object SimilarityQueries {
              |  FROM pairs
              |)
              |SELECT q_id, rank, neighbor_id, round(cos, 4) AS cos4
-             |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Hubness diagnostic — the classic high-dimensional ANN pathology
+    // metric: a few "hub" vectors appear in MANY queries' top-k lists,
+    // degrading result diversity and inflating their retrieval weight.
+    // Reported as every vector landing in ≥ 2 of a 30-query sample's
+    // exact top-3 lists, with its occurrence count — the acceptance
+    // check run before trusting an embedding space for retrieval
+    // (k-occurrence distribution, Radovanović et al. 2010, public).
+    // Work is the q40 brute-force shape on a bounded query sample (the
+    // measurement privilege q140/q150 establish) + one neighbor-keyed
+    // count; at index scale the same report composes off the IVF/PQ
+    // candidates instead.
+    QuerySpec("q185_ann_hubness",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        graft.operators.Similarity.bruteForceTopK(e, q, 3)
+          .groupBy(col("neighbor_id")).agg(count(lit(1)).as("n_lists"))
+          .filter(col("n_lists") >= 2)
+          .orderBy(desc("n_lists"), col("neighbor_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 30),
+             |pairs AS (
+             |  SELECT q_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(qv, e.v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+             |), ranked AS (
+             |  SELECT q_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |), hub AS (
+             |  SELECT neighbor_id, count(*) AS n_lists
+             |  FROM ranked WHERE rank <= 3 GROUP BY neighbor_id
+             |)
+             |SELECT neighbor_id, n_lists FROM hub WHERE n_lists >= 2
+             |ORDER BY n_lists DESC, neighbor_id""".stripMargin))
   )
 }
