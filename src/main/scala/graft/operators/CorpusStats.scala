@@ -586,4 +586,44 @@ object CorpusStats {
         (col("n_unique").cast("double") / col("n_spans").cast("double"))
           .as("novelty"))
   }
+
+  /** Per-source KMV (k-minimum-values) shingle sketch: each source's
+    * `sketchK` smallest DISTINCT 60-bit k-gram shingle hashes — order
+    * statistics of a uniform hash, so two sources' sketches are
+    * comparable bounded samples of their shingle spaces. Shared by the
+    * q187 overlap report and the streaming maintenance sink
+    * (EventStreams.kmvSketchSink); deterministic by construction (order
+    * statistics, not sampling). The per-source top-K window is
+    * source-keyed, never global. */
+  def kmvSourceSketch(docs: DataFrame, srcCol: String, textCol: String,
+                      k: Int = 3, sketchK: Int = 256): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs.filter(size(split(col(textCol), " ")) >= k)
+      .select(col(srcCol).as("source"), explode(
+        graft.plans.GraftFunctions.shingleHashesNative(
+          split(col(textCol), " "), k)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sketchK).select(col("source"), col("h"))
+  }
+
+  /** Merge per-subset KMV sketch partials into the sketch of the UNION
+    * of their document sets — KMV's order-statistic mergeability: any
+    * hash among the union's sketchK smallest for a source must, inside
+    * the part containing it, be among THAT part's sketchK smallest
+    * (otherwise the part already holds sketchK smaller hashes, all in
+    * the union — contradiction). So dedup + re-rank over the stacked
+    * partials is EXACTLY the full-corpus sketch, never an
+    * approximation of it; history is never re-shingled. Parts must be
+    * (source, h) frames produced with the same k and an equal-or-larger
+    * sketchK. */
+  def mergeKmvSketches(parts: DataFrame, sketchK: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    parts.select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sketchK).select(col("source"), col("h"))
+  }
 }

@@ -1015,8 +1015,7 @@ object DedupQueries {
     // statistics, not sampling); the per-source window is source-keyed.
     QuerySpec("q187_source_kmv_overlap",
       (s, d) => {
-        val spark = s
-        graft.plans.GraftFunctions.ensureRegistered(spark)
+        graft.plans.GraftFunctions.ensureRegistered(s)
         val docs = t(s, d, "documents")
         val sh = docs.filter(size(split(col("text"), " ")) >= 3)
           .select(col("source"), explode(
@@ -1024,10 +1023,10 @@ object DedupQueries {
               split(col("text"), " "), 3)).as("h"))
           .distinct()
         val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
-        val wsk = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("h"))
-        val sk = sh.withColumn("rn", row_number().over(wsk))
-          .filter(col("rn") <= 256).select(col("source"), col("h"))
+        // the sketch itself is the shared operator (also maintained
+        // incrementally by EventStreams.kmvSketchSink)
+        val sk = graft.operators.CorpusStats
+          .kmvSourceSketch(docs, "source", "text", k = 3, sketchK = 256)
         val inter = sk.as("a").join(sk.as("b"),
             col("a.h") === col("b.h") && col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))

@@ -537,6 +537,38 @@ object EventStreams {
     graft.operators.InvertedIndex.mergeTermStats(
       Seq(spark.read.parquet(partialsDir).drop("batch")), minDf)
 
+  /** Streaming per-source KMV sketch maintenance — q187's corpus-overlap
+    * sketch kept fresh incrementally: each micro-batch publishes its own
+    * bounded partial (`stateDir/batch=N`, ≤ sketchK rows per source per
+    * batch — the only state that ever lands) and the serving sketch is
+    * the k-min merge of the partials. KMV's order-statistic
+    * mergeability (CorpusStats.mergeKmvSketches) makes the merged
+    * sketch EQUAL to the batch sketch over the union of all arrived
+    * documents — spec-proven, never approximate — and history is never
+    * re-shingled. */
+  def kmvSketchSink(stream: DataFrame, srcCol: String, textCol: String,
+                    stateDir: String, checkpointDir: String,
+                    k: Int = 3, sketchK: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try graft.operators.CorpusStats
+          .kmvSourceSketch(batch, srcCol, textCol, k, sketchK)
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** The queryable per-source sketch over everything [[kmvSketchSink]]
+    * has published: dedup + source-keyed re-rank of the partials. */
+  def servingSourceSketch(spark: SparkSession, stateDir: String,
+                          sketchK: Int = 256): DataFrame =
+    graft.operators.CorpusStats.mergeKmvSketches(
+      spark.read.parquet(stateDir).select(col("source"), col("h")), sketchK)
+
   /** Run any streaming DataFrame to completion over currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result for assertion/inspection. Used by tests and local tooling. */
