@@ -345,5 +345,49 @@ object CorpusQueries {
              |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE) AS novelty
              |FROM sp JOIN ns USING (fp)
-             |GROUP BY source ORDER BY source""".stripMargin)))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Span provenance: for the 10 most-duplicated 8-token spans in the
+    // corpus (total occurrences, ties by fingerprint, restricted to
+    // spans seen in ≥ 2 documents), the per-source occurrence
+    // distribution — "WHERE does the boilerplate come from", the
+    // follow-up question every q118 duplication report raises before a
+    // source gets down-weighted or a cleaning rule gets written. Work
+    // is one span explode + a fingerprint-keyed aggregate for the
+    // top-10 (TakeOrdered), then a broadcast of the 10 winners back
+    // onto the span stream for the per-source rollup — the corpus is
+    // walked once, the provenance join touches only the winners' rows.
+    QuerySpec("q188_span_provenance",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
+        val sp = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("source"),
+            explode(shingleHashSeqFromTokens(col("t"), 8)).as("fp"))
+        val top = sp.groupBy(col("fp"))
+          .agg(count(lit(1)).as("total_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(desc("total_occ"), col("fp")).limit(10)
+        sp.join(broadcast(top), "fp")
+          .groupBy(col("fp"), col("total_occ"), col("n_docs"), col("source"))
+          .agg(count(lit(1)).as("src_occ"))
+          .orderBy(desc("total_occ"), col("fp"), col("source"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source, string_split(text,' ') AS t FROM documents
+             |), sp AS (
+             |  SELECT doc_id, source,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+             |            FOR i IN range(1, len(t)-6)]) AS fp
+             |  FROM tk WHERE len(t) >= 8
+             |), top AS (
+             |  SELECT fp, count(*) AS total_occ, count(DISTINCT doc_id) AS n_docs
+             |  FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+             |  ORDER BY total_occ DESC, fp LIMIT 10
+             |)
+             |SELECT sp.fp AS fp, total_occ, n_docs, source, count(*) AS src_occ
+             |FROM sp JOIN top USING (fp)
+             |GROUP BY sp.fp, total_occ, n_docs, source
+             |ORDER BY total_occ DESC, sp.fp, source""".stripMargin)))
 }

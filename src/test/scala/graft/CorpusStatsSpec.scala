@@ -158,4 +158,32 @@ class CorpusStatsSpec extends SparkSpec {
       !contamPlan.contains("BroadcastNestedLoopJoin"),
       "contamination: quadratic join appeared")
   }
+
+  test("KMV sketch merge over random splits equals the full-corpus sketch") {
+    // order-statistic mergeability, property-tested: for random corpora
+    // and random partitions into parts, merging the per-part sketches
+    // must give EXACTLY the full sketch — the claim the streaming
+    // maintenance sink (EventStreams.kmvSketchSink) rests on
+    val vocab = Vector("qa", "wb", "ec", "rd", "te", "yf", "ug", "ih", "oj", "pk")
+    (1 to 3).foreach { trial =>
+      val rng = new scala.util.Random(1000 + trial)
+      val docs = (1 to 60).map { i =>
+        val text = Seq.fill(10 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")
+        (i.toLong, s"src${rng.nextInt(4)}", text, rng.nextInt(3))
+      }
+      val df = docs.toDF("doc_id", "source", "text", "part")
+      val k = 5
+      val full = CorpusStats.kmvSourceSketch(df, "source", "text", 3, k)
+        .as[(String, Long)].collect().toSet
+      val partials = (0 until 3).map(p =>
+        CorpusStats.kmvSourceSketch(df.filter(col("part") === p),
+          "source", "text", 3, k))
+      val merged = CorpusStats
+        .mergeKmvSketches(partials.reduce(_ unionByName _), k)
+        .as[(String, Long)].collect().toSet
+      assert(merged === full, s"trial $trial")
+      assert(full.nonEmpty)
+    }
+  }
 }
