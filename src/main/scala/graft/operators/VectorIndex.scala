@@ -47,6 +47,24 @@ object VectorIndex {
         .select(col("vec_id"), col("cluster_id")))
   }
 
+  /** Append a NEW vector batch to an existing index under FROZEN
+    * quantizers — the ONLINE half of vector-index maintenance (the
+    * offline half, retraining coarse/codebook, produces a new artifact;
+    * production systems run exactly this split). Codes and cells are
+    * per-vector functions of the frozen quantizer frames, so
+    * `append(build(old), batch)` equals `build(old ∪ batch)` EXACTLY —
+    * not approximately — which PqSpec proves and q189 oracle-gates.
+    * The appended frames are plain unions: at artifact scale this is a
+    * parquet append of the batch's narrow code/cell rows; nothing old
+    * is rewritten or re-encoded. */
+  def append(idx: Frames, newVecs: DataFrame, idCol: String, vecCol: String,
+             m: Int, subDim: Int): Frames = {
+    val add = build(newVecs, idCol, vecCol, m, subDim, idx.coarse, idx.codebook)
+    Frames(idx.coarse, idx.codebook,
+      codes = idx.codes.unionByName(add.codes),
+      cells = idx.cells.unionByName(add.cells))
+  }
+
   def save(frames: Frames, dir: String): Unit = {
     frames.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     frames.codebook.write.mode("overwrite").parquet(s"$dir/codebook")

@@ -89,6 +89,44 @@ object PqQueries {
        |cb1 AS (SELECT c0.sub, c0.code, COALESCE(u.cv, c0.cv) AS cv
        |        FROM cb0 c0 LEFT JOIN cb1u u ON u.sub = c0.sub AND u.code = c0.code)""".stripMargin
 
+  /** The full IVF-PQ-ADC search oracle (cells from the 8-seed coarse
+    * quantizer, cb1 codes, integer ADC distances, per-query top-3) —
+    * shared by q116 (live-trained pipeline) and q189 (the same search
+    * served from an APPEND-maintained index: frozen-quantizer append is
+    * exactly a full build, so the two queries must hash-match the same
+    * recompute). */
+  private lazy val ivfAdcSearchSql: String =
+    s"""WITH $svSql,
+       |$cb1Sql,
+       |enc AS (SELECT vec_id, sub, code FROM ${assignSql("cb1")} t),
+       |cells AS (SELECT vec_id, c_id AS cluster_id FROM (
+       |    SELECT e.vec_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.v)
+       |          + list_dot_product(c.v, c.v), c.vec_id) AS rn
+       |    FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) c)
+       |  WHERE rn = 1),
+       |pairs AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id
+       |          FROM cells x JOIN cells q USING (cluster_id)
+       |          WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+       |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
+       |          CAST(floor((list_dot_product(s.sv, s.sv)
+       |            - 2.0*list_dot_product(s.sv, c.cv)
+       |            + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS qd
+       |        FROM sv s JOIN cb1 c USING (sub) WHERE s.vec_id < 5),
+       |dists AS (SELECT p.q_id, p.neighbor_id,
+       |            CAST(sum(l.qd) AS BIGINT) AS adc_qdist
+       |          FROM pairs p
+       |          JOIN enc n ON n.vec_id = p.neighbor_id
+       |          JOIN lut l ON l.q_id = p.q_id AND l.sub = n.sub AND l.code = n.code
+       |          GROUP BY p.q_id, p.neighbor_id),
+       |ranked AS (SELECT q_id, neighbor_id, adc_qdist,
+       |             row_number() OVER (PARTITION BY q_id
+       |               ORDER BY adc_qdist, neighbor_id) AS rank
+       |           FROM dists)
+       |SELECT q_id, rank, neighbor_id, adc_qdist
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // PQ codebook training step: per-subspace fixed-point Lloyd update
@@ -164,36 +202,7 @@ object PqQueries {
             col("neighbor_id"), col("adc_qdist"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH $svSql,
-              |$cb1Sql,
-              |enc AS (SELECT vec_id, sub, code FROM ${assignSql("cb1")} t),
-              |cells AS (SELECT vec_id, c_id AS cluster_id FROM (
-              |    SELECT e.vec_id, c.vec_id AS c_id,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.v)
-              |          + list_dot_product(c.v, c.v), c.vec_id) AS rn
-              |    FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) c)
-              |  WHERE rn = 1),
-              |pairs AS (SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id
-              |          FROM cells x JOIN cells q USING (cluster_id)
-              |          WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
-              |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
-              |          CAST(floor((list_dot_product(s.sv, s.sv)
-              |            - 2.0*list_dot_product(s.sv, c.cv)
-              |            + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS qd
-              |        FROM sv s JOIN cb1 c USING (sub) WHERE s.vec_id < 5),
-              |dists AS (SELECT p.q_id, p.neighbor_id,
-              |            CAST(sum(l.qd) AS BIGINT) AS adc_qdist
-              |          FROM pairs p
-              |          JOIN enc n ON n.vec_id = p.neighbor_id
-              |          JOIN lut l ON l.q_id = p.q_id AND l.sub = n.sub AND l.code = n.code
-              |          GROUP BY p.q_id, p.neighbor_id),
-              |ranked AS (SELECT q_id, neighbor_id, adc_qdist,
-              |             row_number() OVER (PARTITION BY q_id
-              |               ORDER BY adc_qdist, neighbor_id) AS rank
-              |           FROM dists)
-              |SELECT q_id, rank, neighbor_id, adc_qdist
-              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+      Some(ivfAdcSearchSql)),
 
     // Two-stage retrieval, end to end: IVF-cell + PQ-ADC coarse recall
     // (q116's pipeline, widened to top-10 candidates) followed by an
@@ -260,6 +269,34 @@ object PqQueries {
               |  SELECT q_id, neighbor_id, cos,
               |    row_number() OVER (PARTITION BY q_id
               |      ORDER BY cos DESC, neighbor_id) AS rank
-              |  FROM rer) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+              |  FROM rer) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Vector-index APPEND maintenance, oracle-gated: the index is built
+    // over 90% of the corpus, the held-out 10% (vec_id % 10 = 7) is
+    // APPENDED under frozen quantizers (VectorIndex.append — the online
+    // half of index maintenance; retraining is the offline half), and
+    // the q116 search runs against the appended frames. Frozen-quantizer
+    // encoding/assignment is per-vector, so append ≡ full build EXACTLY
+    // — which is why this query shares q116's oracle verbatim: the
+    // append-maintained index must hash-match the same full-corpus
+    // recompute. The text-index twin is q147's partial merge.
+    QuerySpec("q189_vector_index_append",
+      (s, d) => {
+        val (_, _, cb1) = trained(s, d)
+        val e = vecs(s, d)
+        val coarse = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val oldIdx = graft.operators.VectorIndex.build(
+          e.filter(col("vec_id") % 10 =!= 7), "vec_id", "v", M, SubDim,
+          coarse, cb1)
+        val idx = graft.operators.VectorIndex.append(
+          oldIdx, e.filter(col("vec_id") % 10 === 7), "vec_id", "v", M, SubDim)
+        graft.operators.VectorIndex.searchTopK(idx,
+            e.filter(col("vec_id") < 5), "vec_id", "v", M, SubDim, k = 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_qdist"))
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfAdcSearchSql))
   )
 }

@@ -109,4 +109,28 @@ class PqSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes").columns.toSet
       === Set("vec_id", "sub", "code"))
   }
+
+  test("append under frozen quantizers equals a full rebuild, through save/load") {
+    import graft.operators.VectorIndex
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val oldIdx = VectorIndex.build(
+      e.filter(col("vec_id") % 10 =!= 7), "vec_id", "v", M, SubDim, coarse, cb1)
+    val appended = VectorIndex.append(
+      oldIdx, e.filter(col("vec_id") % 10 === 7), "vec_id", "v", M, SubDim)
+    // round-trip the appended index through the artifact form too
+    val dir = java.nio.file.Files.createTempDirectory("vecidx_app").toString
+    VectorIndex.save(appended, dir)
+    val queries = e.filter(col("vec_id") < 5)
+    def results(ix: VectorIndex.Frames) = VectorIndex
+      .searchTopK(ix, queries, "vec_id", "v", M, SubDim, k = 3)
+      .select("q_id", "rank", "neighbor_id", "adc_qdist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val full = results(VectorIndex.build(e, "vec_id", "v", M, SubDim, coarse, cb1))
+    assert(results(appended) === full)
+    assert(results(VectorIndex.load(spark, dir)) === full)
+    assert(full.nonEmpty)
+    // the batch genuinely added rows to the narrow frames
+    assert(appended.codes.count() > oldIdx.codes.count())
+  }
 }
