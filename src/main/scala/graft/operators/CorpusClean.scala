@@ -51,4 +51,61 @@ object CorpusClean {
       .select(col(idCol))
     deduped.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Per-stage survivorship of [[clean]] — the curation FUNNEL every
+    * dataset card publishes (docs/tokens in → after gate → after dedup →
+    * after decontamination): one row per stage with surviving doc and
+    * token counts. Computed in ONE corpus pass, not four: each document
+    * is tagged with the DEEPEST stage it survives (the gate is a scalar
+    * predicate; keeper-ship and contamination arrive as two id-keyed
+    * left joins — the same joins [[clean]] pays), a 4-key aggregation
+    * collapses the corpus, and the nested stage counts are a running
+    * sum over the 4-row stage spine (cardinality = stages — the
+    * hour-spine argument for its window). Stage s's count = docs with
+    * deepest ≥ s, which is exactly "survives stages 1..s". */
+  def funnel(docs: DataFrame, benchmark: DataFrame, idCol: String,
+             textCol: String, minTokens: Int = 10, maxTokens: Int = 1000,
+             k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol), col(textCol),
+      size(split(col(textCol), " ")).cast("long").as("__nt"))
+    val gated = base.filter(col("__nt").between(minTokens, maxTokens))
+    val keepIds = gated
+      .select(col(idCol), md5(normalizeNative(col(textCol))).as("__nk"))
+      .groupBy(col("__nk")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), lit(true).as("__keep"))
+    val contaminated = Quality
+      .contaminatedDocs(gated.join(keepIds.select(col(idCol)), Seq(idCol), "left_semi"),
+        benchmark, idCol, textCol, k)
+      .select(col(idCol), lit(true).as("__cont"))
+    val perDeepest = base
+      .join(keepIds, Seq(idCol), "left")
+      .join(contaminated, Seq(idCol), "left")
+      .select(col("__nt"),
+        when(col("__nt") < minTokens || col("__nt") > maxTokens, lit(0L))
+          .when(col("__keep").isNull, lit(1L))
+          .when(col("__cont").isNotNull, lit(2L))
+          .otherwise(lit(3L)).as("__deepest"))
+      .groupBy(col("__deepest"))
+      .agg(count(lit(1)).as("__d"), sum(col("__nt")).as("__t"))
+    val names = Seq("raw", "gated", "deduped", "decontaminated")
+    val spine = names.indices.map(_.toLong).toDF("stage")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine
+      .join(perDeepest.select(col("__deepest").as("stage"), col("__d"), col("__t")),
+        Seq("stage"), "left")
+      .select(col("stage"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__t"), lit(0L)).as("__t"))
+      .withColumn("n_docs", sum(col("__d")).over(w))
+      .withColumn("n_tokens", sum(col("__t")).over(w))
+      .select(col("stage"),
+        element_at(typedLit(names), (col("stage") + 1).cast("int"))
+          .as("stage_name"),
+        col("n_docs"), col("n_tokens"))
+  }
 }

@@ -360,10 +360,14 @@ object CorpusQueries {
     QuerySpec("q188_span_provenance",
       (s, d) => {
         import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
-        val sp = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-          .select(col("doc_id"), col("source"),
-            explode(shingleHashSeqFromTokens(col("t"), 8)).as("fp"))
+        // persisted (tracked): the span stream feeds the top-10 aggregate
+        // AND the provenance join — without it the corpus is tokenized
+        // and md5'd twice
+        val sp = graft.operators.OperatorCaches.persistTracked(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+            .select(col("doc_id"), col("source"),
+              explode(shingleHashSeqFromTokens(col("t"), 8)).as("fp")))
         val top = sp.groupBy(col("fp"))
           .agg(count(lit(1)).as("total_occ"),
             countDistinct(col("doc_id")).as("n_docs"))

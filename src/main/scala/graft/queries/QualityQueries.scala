@@ -711,6 +711,67 @@ object QualityQueries {
              |)
              |SELECT doc_id, r_vol, r_dup, r_len,
              |  1.0/(60.0 + r_vol) + 1.0/(60.0 + r_dup) + 1.0/(60.0 + r_len) AS rrf
-             |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin))
+             |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // The curation FUNNEL: per-stage survivorship of the q96 cleaning
+    // pipeline (raw → token gate → normalized dedup → benchmark
+    // decontamination), docs and tokens per stage — the pipeline's own
+    // dataset-card row, the table every curation paper publishes.
+    // Engine-side it is ONE corpus pass (CorpusClean.funnel: deepest-
+    // surviving-stage tagging + a 4-key aggregate + a running sum over
+    // the 4-row stage spine), not four count queries; the oracle walks
+    // q96's own CTE chain and counts each stage.
+    QuerySpec("q190_curation_funnel",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        graft.operators.CorpusClean.funnel(train, bench, "doc_id", "text")
+          .orderBy("stage")
+      },
+      Some("WITH gated AS (\n" +
+        """  SELECT doc_id, text, source FROM documents
+          |  WHERE doc_id % 10 <> 0
+          |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM (
+          |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+          |    FROM gated) GROUP BY nk
+          |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+          |sh AS (
+          |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
+        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        """), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+          |        WHERE len(s) >= 8)
+          |), bm AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+          |cont AS (
+          |  SELECT DISTINCT sh.doc_id FROM sh JOIN bm USING (h)
+          |  JOIN dd ON dd.doc_id = sh.doc_id
+          |), fin AS (
+          |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
+          |  WHERE cont.doc_id IS NULL
+          |), st AS (
+          |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+          |    count(*) AS n_docs,
+          |    CAST(COALESCE(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens
+          |  FROM documents WHERE doc_id % 10 <> 0
+          |  UNION ALL
+          |  SELECT 1, 'gated', count(*),
+          |    CAST(COALESCE(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+          |  FROM gated
+          |  UNION ALL
+          |  SELECT 2, 'deduped', count(*),
+          |    CAST(COALESCE(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+          |  FROM dd
+          |  UNION ALL
+          |  SELECT 3, 'decontaminated', count(*),
+          |    CAST(COALESCE(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+          |  FROM fin
+          |)
+          |SELECT stage, stage_name, n_docs, n_tokens FROM st
+          |ORDER BY stage""".stripMargin))
   )
 }
