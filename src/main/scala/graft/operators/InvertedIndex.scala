@@ -128,13 +128,22 @@ object InvertedIndex {
                         queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
     val spark = ix.tf.sparkSession
     import spark.implicits._
+    bm25TopKTerms(ix, broadcast(
+      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term")), k)
+  }
+
+  /** The BM25 scoring core over an explicit (q_id, term) FRAME — the
+    * entry point for DATA-DEPENDENT query sets (pseudo-relevance-
+    * feedback expansion, q191: the second retrieval stage's terms come
+    * out of the first stage's hits, so they are a DataFrame, not a
+    * literal). Callers broadcast the frame when it is query-sized.
+    * Scoring pipeline and overflow contract are [[bm25TopK]]'s. */
+  def bm25TopKTerms(ix: Postings.Index, qt: DataFrame, k: Int): DataFrame = {
     val tf = ix.tf.select(col("term"), col("doc").as("doc_id"), col("tf"))
     val dl = ix.dl.select(col("doc").as("doc_id"), col("dl"))
     val dft = ix.df
     val nd = ix.nd
     val tt = ix.tt
-    val qt = broadcast(
-      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term"))
     val scored = qt
       .join(tf, "term").join(dft, "term").join(dl, "doc_id")
       .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))

@@ -644,5 +644,103 @@ object CurationQueries {
              |      FROM g GROUP BY term)
              |SELECT term, df, delta_bits, df * 64 AS raw_bits
              |FROM a WHERE df >= 8
-             |ORDER BY delta_bits DESC, term LIMIT 30""".stripMargin)))
+             |ORDER BY delta_bits DESC, term LIMIT 30""".stripMargin)),
+
+    // Pseudo-relevance feedback (the RM3 recipe, rank-pipeline form):
+    // stage 1 retrieves BM25 top-5 per query; each query is EXPANDED
+    // with the 3 highest-weight terms from its own top documents
+    // (weight = Σ tf·idfq over the hit docs, integer-quantized idf —
+    // exact BIGINT, ties by term; original query terms excluded); stage
+    // 2 re-retrieves with original ∪ expansion terms. The second
+    // stage's query set is DATA-DEPENDENT — it comes out of stage 1's
+    // hits as a DataFrame (bm25TopKTerms), which is the capability this
+    // query pins: the scorer composes with computed query sets, not
+    // just literals. Both stages and the expansion weights run off the
+    // ONE pooled posting index; candidate mass is the hit-docs' posting
+    // rows, never the corpus.
+    QuerySpec("q191_rm3_expansion",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ix = graft.operators.Postings.forCorpus(
+          t(s, d, "documents"), "doc_id", "text")
+        val qt0 = Bm25Queries.flatMap { case (q, ts) => ts.map(q -> _) }
+          .toDF("q_id", "term")
+        val hits1 = graft.operators.InvertedIndex
+          .bm25TopKTerms(ix, broadcast(qt0), 5)
+          .select(col("q_id"), col("doc_id"))
+        val tf = ix.tf.filter(length(col("term")) > 0)
+          .select(col("term"), col("doc").as("doc_id"), col("tf"))
+        val cand = hits1.join(tf, "doc_id")
+          .join(ix.df, "term").crossJoin(broadcast(ix.nd))
+          .withColumn("idfq", expr("(n_docs * 1000) DIV df"))
+          .groupBy(col("q_id"), col("term"))
+          .agg(sum(col("tf") * col("idfq")).as("w"))
+          .join(qt0, Seq("q_id", "term"), "left_anti")
+        val wx = Window.partitionBy(col("q_id")).orderBy(desc("w"), col("term"))
+        val exp = cand.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= 3).select(col("q_id"), col("term"))
+        val qt2 = qt0.unionByName(exp).distinct()
+        graft.operators.InvertedIndex.bm25TopKTerms(ix, broadcast(qt2), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH qt0(q_id, term) AS (VALUES
+             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
+             |  ('q3','stream'),('q3','batch'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc1 AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt0 JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |h1 AS (SELECT q_id, doc_id FROM (
+             |    SELECT q_id, doc_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY score DESC, doc_id) AS rank
+             |    FROM sc1) WHERE rank <= 5),
+             |cand AS (
+             |  SELECT h1.q_id, tf.term,
+             |    CAST(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS w
+             |  FROM h1 JOIN tf ON tf.doc_id = h1.doc_id
+             |  JOIN df USING (term) CROSS JOIN g
+             |  WHERE len(tf.term) > 0
+             |  GROUP BY h1.q_id, tf.term),
+             |cand2 AS (
+             |  SELECT c.* FROM cand c
+             |  LEFT JOIN qt0 ON qt0.q_id = c.q_id AND qt0.term = c.term
+             |  WHERE qt0.term IS NULL),
+             |exp AS (SELECT q_id, term FROM (
+             |    SELECT q_id, term,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY w DESC, term) AS rn
+             |    FROM cand2) WHERE rn <= 3),
+             |qt2 AS (SELECT q_id, term FROM qt0
+             |        UNION SELECT q_id, term FROM exp),
+             |sc2 AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt2 JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r2 AS (SELECT q_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY score DESC, doc_id) AS rank
+             |       FROM sc2)
+             |SELECT q_id, rank, doc_id, score FROM r2
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)))
 }
