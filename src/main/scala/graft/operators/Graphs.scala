@@ -149,4 +149,55 @@ object Graphs {
       .select(nodes("node"),
         (base + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
   }
+
+  /** WEIGHTED PageRank: each out-edge carries a positive integer weight
+    * `w` and a node's rank splits proportionally —
+    *
+    *   pr'(v) = base + (dampNum * Σ_{u→v} ((pr(u) * w(u,v)) DIV sw(u))) DIV 100
+    *
+    * with sw(u) = Σ out-weights of u, floor division PER EDGE (the
+    * documented quantization, exactly [[pageRank]]'s per-edge `pr DIV
+    * deg` generalized: the unweighted form IS this with w ≡ 1). The
+    * natural use is link multiplicity or interaction volume as edge
+    * strength — a supplier serving a customer 50 times should pull more
+    * of that customer's rank than a one-order supplier, which uniform
+    * PageRank cannot express. Same integer contract, same per-iteration
+    * shuffle shape (one join keyed by src, one aggregation keyed by
+    * dst), same lineage discipline. 64-bit bound: pr·w_max < 2^63 —
+    * rank concentrates at most total mass ≈ nodes·scale on one node, so
+    * nodes·scale·w_max must stay under 2^63 (drop `scale` or pre-scale
+    * weights down at web scale; the overflow surfaces as ANSI error /
+    * null, never a silent wrap into a plausible ranking, because the
+    * oracle's BIGINT is overflow-checked and the engine's sums here
+    * feed a final equality-checked artifact). */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+                       dampNum: Long = 85L, scale: Long = 1000000000L,
+                       checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100, s"dampNum in [0,100], got $dampNum")
+    require(checkpointEvery >= 1, s"checkpointEvery >= 1, got $checkpointEvery")
+    val e = OperatorCaches.persistTracked(edges)
+    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val ed = OperatorCaches.persistTracked(
+      e.join(sw, "src").repartition(col("src")))
+    val nodes = OperatorCaches.persistTracked(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val base = ((100L - dampNum) * scale) / 100L
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (i <- 1 to iterations) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(pr * w) DIV sw")).as("s"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) DIV 100")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
 }

@@ -742,5 +742,53 @@ object CurationQueries {
              |           ORDER BY score DESC, doc_id) AS rank
              |       FROM sc2)
              |SELECT q_id, rank, doc_id, score FROM r2
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)))
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // WEIGHTED link-graph centrality: the q137 co-purchase graph with
+    // edge strength = interaction volume (lineitem count between the
+    // customer and supplier), so a node's rank splits proportionally to
+    // how much business each neighbor carries — the form a source-
+    // weighting pipeline actually wants (link multiplicity matters;
+    // uniform PageRank can't see it). Same integer fixed-point contract
+    // as q137 — per-edge (pr·w) DIV sw floor division, 3 iterations —
+    // hash-matching an unrolled 3-layer SQL oracle; same two shuffles
+    // per iteration.
+    QuerySpec("q193_weighted_pagerank",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        graft.operators.Graphs.weightedPageRank(edges, iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT 'c' || o_custkey::VARCHAR AS src,
+             |         's' || l_suppkey::VARCHAR AS dst,
+             |         count(*) AS w
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2
+             |), e AS (SELECT src, dst, w FROM e0
+             |         UNION ALL SELECT dst, src, w FROM e0),
+             |n AS (SELECT DISTINCT node FROM
+             |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY src),
+             |p0 AS (SELECT node, 1000000000::BIGINT AS pr FROM n),
+             |c1 AS (SELECT dst, sum((pr * w) // sw) AS s FROM e
+             |       JOIN sw USING (src) JOIN p0 ON p0.node = e.src GROUP BY dst),
+             |p1 AS (SELECT n.node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c1 ON c1.dst = n.node),
+             |c2 AS (SELECT dst, sum((pr * w) // sw) AS s FROM e
+             |       JOIN sw USING (src) JOIN p1 ON p1.node = e.src GROUP BY dst),
+             |p2 AS (SELECT n.node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c2 ON c2.dst = n.node),
+             |c3 AS (SELECT dst, sum((pr * w) // sw) AS s FROM e
+             |       JOIN sw USING (src) JOIN p2 ON p2.node = e.src GROUP BY dst),
+             |p3 AS (SELECT n.node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
+             |       FROM n LEFT JOIN c3 ON c3.dst = n.node)
+             |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)))
 }

@@ -772,6 +772,50 @@ object QualityQueries {
           |  FROM fin
           |)
           |SELECT stage, stage_name, n_docs, n_tokens FROM st
-          |ORDER BY stage""".stripMargin))
+          |ORDER BY stage""".stripMargin)),
+
+    // Source-volume concentration (Gini coefficient) — the one-number
+    // balance metric behind mixture design: gini → 0 means token mass
+    // is spread evenly across sources, → 1 means one source dominates
+    // (and the mixture/temperature samplers q136/q142 have real work to
+    // do). Exact rational form: with per-source token masses x ranked
+    // ascending (ties by source), gini = (2·Σ r·x − (n+1)·Σx)/(n·Σx) —
+    // integer numerator and denominator, ONE final double division. The
+    // rank window runs over the SOURCE-sized frame (cardinality =
+    // sources — the hour-spine argument); corpus-scale work ends at the
+    // per-source aggregate.
+    QuerySpec("q192_source_gini",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val x = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("x"))
+        val ranked = x.withColumn("r",
+          row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
+        ranked
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+            sum(col("r") * col("x")).as("srx"))
+          .select(col("n").as("n_sources"), col("tot").as("total_tokens"),
+            ((lit(2L) * col("srx") - (col("n") + lit(1L)) * col("tot"))
+              .cast("double") /
+              (col("n") * col("tot")).cast("double")).as("gini"))
+      },
+      Some("""WITH x AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+             |  FROM documents GROUP BY source
+             |), r AS (
+             |  SELECT source, x,
+             |    CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS r
+             |  FROM x
+             |), a AS (
+             |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tot,
+             |    CAST(sum(r * x) AS BIGINT) AS srx
+             |  FROM r
+             |)
+             |SELECT n AS n_sources, tot AS total_tokens,
+             |  CAST(2 * srx - (n + 1) * tot AS DOUBLE)
+             |    / CAST(n * tot AS DOUBLE) AS gini
+             |FROM a""".stripMargin))
   )
 }
