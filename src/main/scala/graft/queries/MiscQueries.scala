@@ -1121,6 +1121,94 @@ object MiscQueries {
              |                       ORDER BY ts, event_id)
              |)
              |SELECT motif, count(*) AS cnt FROM tri WHERE t3 IS NOT NULL
-             |GROUP BY motif ORDER BY cnt DESC, motif LIMIT 20""".stripMargin))
+             |GROUP BY motif ORDER BY cnt DESC, motif LIMIT 20""".stripMargin)),
+
+    // Market-basket pair mining: the top-20 part pairs co-occurring in
+    // orders, with support and exact-rational lift — the association-
+    // rules classic (Agrawal et al.), reduced to its scale-safe core:
+    // the pair join is keyed by BASKET (order key), so work is
+    // Σ basket² with baskets bounded by order size (≤ 7 lineitems in
+    // this schema; at 100 TB the same plan holds for any bounded-basket
+    // domain, and a hot-basket cap handles degenerate ones). Lift's
+    // numerator/denominator are exact integers (support·N vs c_a·c_b)
+    // with one final double division; the one-row order count enters as
+    // a broadcast-singleton cross.
+    QuerySpec("q194_basket_pairs",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        val nOrders = li.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+          .agg(count(lit(1)).as("support"))
+          .join(cnt.select(col("pk").as("p_a"), col("c").as("ca")), "p_a")
+          .join(cnt.select(col("pk").as("p_b"), col("c").as("cb")), "p_b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("p_a"), col("p_b"), col("support"),
+            ((col("support") * col("n_orders")).cast("double") /
+              (col("ca") * col("cb")).cast("double")).as("lift"))
+          .orderBy(desc("support"), col("p_a"), col("p_b")).limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), cnt AS (SELECT pk, count(*) AS c FROM li GROUP BY pk),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+             |p AS (
+             |  SELECT a.pk AS p_a, b.pk AS p_b, count(*) AS support
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk
+             |)
+             |SELECT p_a, p_b, support,
+             |  CAST(support * n_orders AS DOUBLE)
+             |    / CAST(ca.c * cb.c AS DOUBLE) AS lift
+             |FROM p
+             |JOIN cnt ca ON ca.pk = p_a
+             |JOIN cnt cb ON cb.pk = p_b
+             |CROSS JOIN n
+             |ORDER BY support DESC, p_a, p_b LIMIT 20""".stripMargin)),
+
+    // Inter-arrival latency percentiles per event type: the time between
+    // a user's consecutive events of the same type, summarized as exact
+    // interpolated p50/p90/p99 — the ops/behavioral report behind
+    // engagement cadence and alerting thresholds. Deltas are exact
+    // integer microseconds from a (user, type)-keyed lag; the grouped
+    // percentiles run through the DISTRIBUTED grouped rank selection
+    // (operators/Percentiles — a giant group spans partitions instead of
+    // pinning one reducer, values bit-equal to quantile_cont's
+    // interpolation).
+    QuerySpec("q195_interarrival_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val deltas = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - col("prev_us")).as("delta_us"))
+        graft.operators.Percentiles
+          .groupedExactInterpolated(deltas, "event_type", "delta_us",
+            Seq(0.5, 0.9, 0.99))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
+            max(when(col("p") === 0.9, col("value"))).as("p90"),
+            max(when(col("p") === 0.99, col("value"))).as("p99"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS delta_us
+             |  FROM events
+             |)
+             |SELECT event_type,
+             |  quantile_cont(delta_us, 0.5) AS p50,
+             |  quantile_cont(delta_us, 0.9) AS p90,
+             |  quantile_cont(delta_us, 0.99) AS p99
+             |FROM x WHERE delta_us IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
