@@ -1072,6 +1072,53 @@ object DedupQueries {
              |LEFT JOIN inter ON inter.src_a = p.src_a AND inter.src_b = p.src_b
              |JOIN tot ta ON ta.source = p.src_a
              |JOIN tot tb ON tb.source = p.src_b
-             |ORDER BY p.src_a, p.src_b""".stripMargin))
+             |ORDER BY p.src_a, p.src_b""".stripMargin)),
+
+    // MinHash estimator calibration: per LSH pair, the signature-
+    // agreement Jaccard ESTIMATE (agreeing signatures / 8) next to the
+    // exact Jaccard — the sketch-acceptance report that says how far the
+    // 8-signature estimator wanders from truth on THIS corpus (its
+    // per-signature agreement probability is exactly the Jaccard; with
+    // 8 draws the estimate is coarse, which is precisely what the
+    // report exposes and what sizing the signature count trades
+    // against). Complements q150, which measures the BANDING's recall;
+    // this measures the ESTIMATOR's accuracy on the surfaced pairs.
+    // Exact-integer agreement counts off the pooled signature frame —
+    // one pair-keyed double join, no new corpus pass.
+    QuerySpec("q196_minhash_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val sig = graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3),
+          "doc_id", NumSigs)
+        val agree = (0 until NumSigs)
+          .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs
+          .join(sig.as("a"), col("a_id") === col("a.doc_id"))
+          .join(sig.as("b"), col("b_id") === col("b.doc_id"))
+          .select(col("a_id"), col("b_id"), col("jac"),
+            agree.as("n_agree"),
+            (agree.cast("double") / NumSigs.toDouble).as("jac_est"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(lshCte + """
+        |SELECT a_id, b_id, jac,
+        |  CAST(""".stripMargin +
+        (0 until 8).map(j =>
+          s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ") +
+        """ AS BIGINT) AS n_agree,
+        |  CAST(""".stripMargin +
+        (0 until 8).map(j =>
+          s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ") +
+        """ AS DOUBLE) / 8.0 AS jac_est
+        |FROM lsh_pairs
+        |JOIN sig sa ON sa.doc_id = a_id
+        |JOIN sig sb ON sb.doc_id = b_id
+        |WHERE jac >= 0.1
+        |ORDER BY a_id, b_id""".stripMargin))
   )
 }

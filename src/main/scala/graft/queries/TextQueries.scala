@@ -577,6 +577,40 @@ object TextQueries {
              |)
              |SELECT doc_id, c AS max_repeat, g AS top_gram, n_grams,
              |  n_distinct_grams, c >= 3 AS loop_flag
-             |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+             |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Zipf rank-frequency profile: the top-50 tokens with their global
+    // frequency rank and the rank·count product — the corpus-linguistics
+    // sanity check (Zipf's law: rank·freq ≈ constant) that exposes a
+    // synthetic or template-stamped corpus (flat products) versus
+    // natural text (≈ hyperbolic decay) at a glance, and sizes stopword
+    // lists. Corpus-scale work is one vocabulary-shaped aggregation +
+    // TakeOrdered 50; the rank column is a window over the 50
+    // SURVIVORS, not the vocabulary (the spine argument).
+    QuerySpec("q197_zipf_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("tok")).limit(50)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(desc("cnt"), col("tok"))).cast("long"))
+          .select(col("rank"), col("tok"), col("cnt"),
+            (col("rank") * col("cnt")).as("rank_times_cnt"))
+          .orderBy("rank")
+      },
+      Some("""WITH c AS (
+             |  SELECT tok, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE len(tok) > 0 GROUP BY tok
+             |  ORDER BY cnt DESC, tok LIMIT 50
+             |)
+             |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+             |  tok, cnt,
+             |  CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) * cnt
+             |    AS rank_times_cnt
+             |FROM c ORDER BY rank""".stripMargin))
   )
 }
