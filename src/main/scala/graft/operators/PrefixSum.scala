@@ -67,4 +67,56 @@ object PrefixSum {
       .drop("__psv", "__pid")
     (out, total)
   }
+
+  /** Add a global 1-based row number and the EXCLUSIVE prefix maximum of
+    * `value` (the max over all STRICT predecessors in the total order —
+    * null when there are none) — the running-max sibling of
+    * [[rankedRunningSum]], same two-pass shape with the per-partition
+    * offset being a prefix MAX of partition maxima instead of a prefix
+    * sum. Exclusive rather than inclusive because its consumer is
+    * dominance testing (skyline/Pareto sweeps, q198): "is my value
+    * strictly above everything cheaper than me" reads the
+    * strict-predecessor max, and the inclusive form cannot recover it.
+    * `value` must be integral and non-null (filter upstream); callers
+    * must include a tiebreak column in `sortExprs`. */
+  def rankedRunningMax(df: DataFrame, sortExprs: Seq[Column], value: Column,
+                       rnCol: String, maxCol: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = OperatorCaches.persistTracked(
+      df.withColumn("__pmv", value.cast("long"))
+        .repartitionByRange(parts, sortExprs: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val stats = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"), max(col("__pmv")).as("m"))
+      .collect().map { r =>
+        require(!r.isNullAt(2), "rankedRunningMax: value must be non-null")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }.sortBy(_._1)
+    val pids = stats.map(_._1)
+    val rnOffsets: Map[Int, Long] =
+      pids.zip(stats.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // exclusive prefix max of the preceding partitions' maxima; the
+    // first non-empty partition has no entry (→ null via element_at)
+    val exclMax: Map[Int, Long] = pids
+      .zip(stats.map(_._3).scanLeft(Option.empty[Long]) {
+        (acc, m) => Some(acc.fold(m)(math.max(_, m)))
+      })
+      .collect { case (pid, Some(m)) => pid -> m }
+      .toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
+    ranged
+      .withColumn(rnCol,
+        row_number().over(w).cast("long") +
+          element_at(typedLit(rnOffsets), col("__pid")))
+      .withColumn(maxCol,
+        greatest(
+          max(col("__pmv")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          element_at(typedLit(exclMax), col("__pid"))))
+      .drop("__pmv", "__pid")
+  }
 }

@@ -409,6 +409,45 @@ object RelationalQueries {
              |  purchase_ts,
              |  CAST(CASE WHEN purchase_ts IS NOT NULL THEN 3
              |       WHEN click_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
-             |FROM p ORDER BY user_id""".stripMargin))
+             |FROM p ORDER BY user_id""".stripMargin)),
+
+    // Skyline (Pareto frontier): parts not dominated on (price asc,
+    // size desc) — x is dominated if some y is no worse on both axes
+    // and strictly better on one. The multi-objective shortlist query
+    // (cheapest-for-its-size catalog) no single ORDER BY can answer.
+    // 2D sweep form: collapse to per-price maxima, then a price-ordered
+    // STRICT-predecessor running max (PrefixSum.rankedRunningMax — the
+    // distributed two-pass prefix machinery, no ORDER-BY-only window);
+    // a price group survives iff its max size strictly exceeds
+    // everything cheaper, and the frontier joins back to all parts
+    // attaining (price, max size) — equal-(price,size) twins are
+    // mutually non-dominating and all kept.
+    QuerySpec("q198_pareto_parts",
+      (s, d) => {
+        val parts = t(s, d, "part")
+        val g = parts.groupBy(col("p_retailprice").as("price"))
+          .agg(max(col("p_size")).as("msz"))
+        val gm = graft.operators.PrefixSum.rankedRunningMax(
+          g, Seq(col("price")), col("msz"), "__rn", "pm")
+        val kept = gm
+          .filter(col("pm").isNull || col("msz") > col("pm"))
+          .select(col("price"), col("msz"))
+        parts.join(kept,
+            col("p_retailprice") === col("price") &&
+              col("p_size") === col("msz").cast("int"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT p_retailprice AS price, max(p_size) AS msz
+             |  FROM part GROUP BY 1
+             |), r AS (
+             |  SELECT price, msz, max(msz) OVER (ORDER BY price
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM g
+             |), k AS (SELECT price, msz FROM r WHERE pm IS NULL OR msz > pm)
+             |SELECT p_partkey, p_retailprice, p_size
+             |FROM part JOIN k ON p_retailprice = price AND p_size = msz
+             |ORDER BY p_partkey""".stripMargin))
   )
 }

@@ -38,6 +38,26 @@ class PrefixSumSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("rankedRunningMax equals the strict-predecessor window, no SinglePartition") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sized = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val dist = PrefixSum.rankedRunningMax(
+      sized, Seq(col("doc_id")), col("n"), "rn", "pm", numPartitions = 7)
+    assertNoSinglePartition(dist, "rankedRunningMax")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val ref = sized
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pm", max(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+    val a = dist.orderBy("doc_id").collect().toSeq
+    val b = ref.select(dist.columns.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // the first row's strict-predecessor max is genuinely null
+    assert(dist.orderBy("rn").head().isNullAt(dist.columns.indexOf("pm")))
+    OperatorCaches.release()
+  }
+
   test("rankedRunningSum handles a descending total order with tiebreak") {
     val tf = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("term"))
