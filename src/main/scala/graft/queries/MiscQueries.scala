@@ -1209,6 +1209,47 @@ object MiscQueries {
              |  quantile_cont(delta_us, 0.9) AS p90,
              |  quantile_cont(delta_us, 0.99) AS p99
              |FROM x WHERE delta_us IS NOT NULL
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Event-type transition matrix: first-order Markov counts over each
+    // user's chronological event stream (from → to, count, and the
+    // row-normalized transition probability) — the behavioral model
+    // behind "what usually follows a view", next-event prediction
+    // baselines, and bot detection (improbable transition mass). One
+    // user-keyed lag window, one (from,to)-keyed aggregation (≤
+    // |types|² rows), per-from totals rejoined on the same key;
+    // probability is one exact-integer division per cell.
+    QuerySpec("q200_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        tr.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |), tr AS (
+             |  SELECT prev AS from_type, event_type AS to_type,
+             |    count(*) AS n
+             |  FROM x WHERE prev IS NOT NULL
+             |  GROUP BY prev, event_type
+             |), tot AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+             |  FROM tr GROUP BY from_type
+             |)
+             |SELECT tr.from_type AS from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+             |FROM tr JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin))
   )
 }

@@ -448,6 +448,39 @@ object RelationalQueries {
              |), k AS (SELECT price, msz FROM r WHERE pm IS NULL OR msz > pm)
              |SELECT p_partkey, p_retailprice, p_size
              |FROM part JOIN k ON p_retailprice = price AND p_size = msz
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Key-gap audit (islands-and-gaps): every missing run in a key
+    // sequence, as (gap_start, gap_end, n_missing) — the ingestion
+    // completeness check run after every bulk load ("did we drop a
+    // batch"). Audited here over the fulfilled-order ('F') key stream,
+    // whose gaps are the other statuses' keys — a real, non-empty gap
+    // report. Over DISTINCT ascending keys the strict-predecessor
+    // running max IS the previous key, so the same distributed
+    // PrefixSum.rankedRunningMax machinery answers it with no
+    // ORDER-BY-only window — the oracle's lag() is the oracle's
+    // single-node privilege. Output is capped to the 50 WIDEST gaps
+    // (ties by start) so the report stays triage-sized at any scale.
+    QuerySpec("q199_key_gap_audit",
+      (s, d) => {
+        val keys = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k"))
+        graft.operators.PrefixSum.rankedRunningMax(
+            keys, Seq(col("k")), col("k"), "__rn", "pm")
+          .filter(col("pm").isNotNull && col("k") > col("pm") + 1)
+          .select((col("pm") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+            (col("k") - col("pm") - 1).as("n_missing"))
+          .orderBy(desc("n_missing"), col("gap_start")).limit(50)
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderkey AS k,
+             |    lag(o_orderkey) OVER (ORDER BY o_orderkey) AS pm
+             |  FROM orders WHERE o_orderstatus = 'F'
+             |)
+             |SELECT pm + 1 AS gap_start, k - 1 AS gap_end,
+             |  k - pm - 1 AS n_missing
+             |FROM r WHERE pm IS NOT NULL AND k > pm + 1
+             |ORDER BY n_missing DESC, gap_start LIMIT 50""".stripMargin))
   )
 }
