@@ -76,7 +76,13 @@ object ScaleProbe {
       // the artifact-served BM25 (index build + scan)
       "q173_dedup_threshold_sweep", "q177_bm25_serve_artifact",
       "q178_posting_compression", "q180_event_motifs",
-      "q181_quality_rank_ensemble")
+      "q181_quality_rank_ensemble",
+      // post-close round-9 additions: loops/funnel/RM3 are corpus-linear;
+      // KMV overlap is posting-shaped; percentiles/transitions are
+      // event-family keyed windows
+      "q183_repetition_loops", "q187_source_kmv_overlap",
+      "q190_curation_funnel", "q191_rm3_expansion",
+      "q195_interarrival_percentiles", "q200_event_transitions")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
