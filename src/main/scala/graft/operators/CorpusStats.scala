@@ -609,6 +609,25 @@ object CorpusStats {
       .filter(col("rn") <= sketchK).select(col("source"), col("h"))
   }
 
+  /** Gini concentration of a (source, x) volume frame — the shared core
+    * of q192 and the streaming balance monitor: with volumes ranked
+    * ascending (ties by source), gini = (2·Σ r·x − (n+1)·Σx)/(n·Σx),
+    * exact integers until one final double division. The rank window
+    * runs over the SOURCE-sized frame. Returns one row
+    * (n_sources, total_tokens, gini). */
+  def giniFromVolumes(volumes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x"), col("source"))
+    volumes.select(col("source"), col("x").cast("long").as("x"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+        sum(col("r") * col("x")).as("srx"))
+      .select(col("n").as("n_sources"), col("tot").as("total_tokens"),
+        ((lit(2L) * col("srx") - (col("n") + lit(1L)) * col("tot"))
+          .cast("double") /
+          (col("n") * col("tot")).cast("double")).as("gini"))
+  }
+
   /** Merge per-subset KMV sketch partials into the sketch of the UNION
     * of their document sets — KMV's order-statistic mergeability: any
     * hash among the union's sketchK smallest for a source must, inside

@@ -785,21 +785,10 @@ object QualityQueries {
     // sources — the hour-spine argument); corpus-scale work ends at the
     // per-source aggregate.
     QuerySpec("q192_source_gini",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val x = t(s, d, "documents")
+      (s, d) => graft.operators.CorpusStats.giniFromVolumes(
+        t(s, d, "documents")
           .groupBy(col("source"))
-          .agg(sum(size(split(col("text"), " ")).cast("long")).as("x"))
-        val ranked = x.withColumn("r",
-          row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
-        ranked
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
-            sum(col("r") * col("x")).as("srx"))
-          .select(col("n").as("n_sources"), col("tot").as("total_tokens"),
-            ((lit(2L) * col("srx") - (col("n") + lit(1L)) * col("tot"))
-              .cast("double") /
-              (col("n") * col("tot")).cast("double")).as("gini"))
-      },
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("x"))),
       Some("""WITH x AS (
              |  SELECT source,
              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x

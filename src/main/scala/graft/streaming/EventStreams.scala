@@ -569,6 +569,37 @@ object EventStreams {
     graft.operators.CorpusStats.mergeKmvSketches(
       spark.read.parquet(stateDir).select(col("source"), col("h")), sketchK)
 
+  /** Streaming source-balance monitor — q192's production form: each
+    * micro-batch publishes its per-source token-volume partial
+    * (`stateDir/batch=N`, |sources| rows), and after every batch the
+    * Gini concentration report is recomputed over the MERGED volumes
+    * and published to `reportDir` (overwrite — the report is one row).
+    * Token sums are exact integers, so merged-partials ≡ full recompute
+    * and the streamed report equals the batch q192 computation over the
+    * union of all arrived documents (spec-proven). The monitor is how a
+    * live ingestion pipeline watches its mixture drift toward a
+    * dominant source — the alarm that triggers re-balancing — without
+    * ever re-tokenizing history. */
+  def sourceBalanceMonitorSink(stream: DataFrame, srcCol: String,
+                               textCol: String, stateDir: String,
+                               reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.groupBy(col(srcCol).as("source"))
+          .agg(sum(size(split(col(textCol), " ")).cast("long")).as("x"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        graft.operators.CorpusStats.giniFromVolumes(
+          spark.read.parquet(stateDir)
+            .groupBy("source").agg(sum(col("x")).as("x")))
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** Run any streaming DataFrame to completion over currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result for assertion/inspection. Used by tests and local tooling. */

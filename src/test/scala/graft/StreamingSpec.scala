@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("source-balance monitor's streamed Gini equals the batch computation") {
+    import graft.operators.CorpusStats
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // wave 2 deliberately skews the mix toward src0
+    val wave1 = (1 to 20).map(i =>
+      (i.toLong, s"src${i % 4}", Seq.fill(5 + i % 7)("tk").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val wave2 = (21 to 40).map(i =>
+      (i.toLong, s"src${i % 2}", Seq.fill(20 + i % 5)("tk").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.sourceBalanceMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "text", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.sourceBalanceMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "text", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/report")
+      .as[(Long, Long, Double)].collect().toSeq
+    val direct = CorpusStats.giniFromVolumes(
+      wave1.unionByName(wave2)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("x")))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed === direct)
+    assert(streamed.head._1 === 4L) // all four sources present in the union
+    assert(streamed.head._3 > 0.0) // the skew is visible
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
