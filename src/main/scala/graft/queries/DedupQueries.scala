@@ -1119,6 +1119,68 @@ object DedupQueries {
         |JOIN sig sa ON sa.doc_id = a_id
         |JOIN sig sb ON sb.doc_id = b_id
         |WHERE jac >= 0.1
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Degree assortativity of the near-dup graph: Pearson correlation of
+    // endpoint degrees over the (both-directions) edge list — positive
+    // means similar-degree nodes pair (clean twin clusters), negative
+    // means hubs attach to leaves (boilerplate cores pulling in
+    // satellites — the over-merge precursor q186's tail buckets hint
+    // at). All five sums are exact DECIMAL(38,0) integers (HUGEINT in
+    // the oracle) with the final r assembled in double; a zero-variance
+    // graph reports NULL rather than 0/0. Work: the degree aggregate +
+    // two id-keyed joins + one one-row reduction — nothing beyond the
+    // pair stream the family already pays for.
+    QuerySpec("q202_degree_assortativity",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val und = pairs.select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        val xy = und
+          .join(deg.select(col("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
+        val agg = xy.agg(
+          count(lit(1)).as("m"),
+          sum(expr("CAST(du AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(dv AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("sxy"),
+          sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("sxx"),
+          sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("syy"))
+        agg.select(col("m").as("n_directed_edges"),
+          when(
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+              === 0.0, lit(null).cast("double"))
+            .otherwise(
+              (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("assortativity"))
+      },
+      Some(lshCte + """
+        |, e AS (SELECT a_id AS u, b_id AS v FROM lsh_pairs WHERE jac >= 0.1
+        |        UNION ALL SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1),
+        |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+        |xy AS (
+        |  SELECT CAST(da.dg AS HUGEINT) AS du, CAST(db.dg AS HUGEINT) AS dv
+        |  FROM e JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v
+        |), a AS (
+        |  SELECT count(*) AS m, sum(du) AS sx, sum(dv) AS sy,
+        |    sum(du * dv) AS sxy, sum(du * du) AS sxx, sum(dv * dv) AS syy
+        |  FROM xy
+        |)
+        |SELECT CAST(m AS BIGINT) AS n_directed_edges,
+        |  CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE)
+        |            * CAST(m * syy - sy * sy AS DOUBLE) = 0.0 THEN NULL
+        |       ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM a""".stripMargin))
   )
 }

@@ -1250,6 +1250,49 @@ object MiscQueries {
              |SELECT tr.from_type AS from_type, to_type, n,
              |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
              |FROM tr JOIN tot USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Conversion latency: for every click/purchase, the time since the
+    // same user's MOST RECENT PRIOR view (the backward as-of over the
+    // interleaved stream, as a running last-view watermark — one keyed
+    // window pass, no join), summarized as exact interpolated p50/p90
+    // per conversion kind. The "how long does intent take to convert"
+    // report product analytics runs daily; exact integer µs deltas, and
+    // the percentiles go through the distributed grouped rank selection
+    // (no per-group reducer), bit-equal to quantile_cont.
+    QuerySpec("q201_conversion_latency",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val lastView = last(
+          when(col("event_type") === "view", unix_micros(col("ts"))),
+          ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val lat = events(s, d)
+          .withColumn("lv", lastView)
+          .filter(col("event_type").isin("click", "purchase") &&
+            col("lv").isNotNull)
+          .select(concat(lit("view>"), col("event_type")).as("conv"),
+            (unix_micros(col("ts")) - col("lv")).as("delta_us"))
+        graft.operators.Percentiles
+          .groupedExactInterpolated(lat, "conv", "delta_us", Seq(0.5, 0.9))
+          .groupBy(col("conv"))
+          .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
+            max(when(col("p") === 0.9, col("value"))).as("p90"))
+          .orderBy("conv")
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, epoch_us(ts) AS us,
+             |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+             |  FROM events
+             |), lat AS (
+             |  SELECT 'view>' || event_type AS conv, us - lv AS delta_us
+             |  FROM x WHERE event_type IN ('click', 'purchase')
+             |    AND lv IS NOT NULL
+             |)
+             |SELECT conv, quantile_cont(delta_us, 0.5) AS p50,
+             |  quantile_cont(delta_us, 0.9) AS p90
+             |FROM lat GROUP BY conv ORDER BY conv""".stripMargin))
   )
 }
