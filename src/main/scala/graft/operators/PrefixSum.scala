@@ -116,7 +116,12 @@ object PrefixSum {
         greatest(
           max(col("__pmv")).over(
             w.rowsBetween(Window.unboundedPreceding, -1)),
-          element_at(typedLit(exclMax), col("__pid"))))
+          // the first non-empty partition is INTENTIONALLY absent from
+          // exclMax — try_element_at makes the missing-key→null contract
+          // explicit (map-typed element_at happens to return null even
+          // under ANSI, but that is easy to misread against the
+          // array-typed form, which throws)
+          try_element_at(typedLit(exclMax), col("__pid"))))
       .drop("__pmv", "__pid")
   }
 }

@@ -446,7 +446,8 @@ object QualityQueries {
             col("n_chars").cast("double").as("score"))
         val at = graft.operators.Percentiles.groupedAtRanks(
           docs, "source", "score",
-          n => Seq((n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1).distinct)
+          n => array(graft.operators.Percentiles.floorPctRank(n, 10),
+            graft.operators.Percentiles.floorPctRank(n, 90)))
         val bounds = at.groupBy(col("source")).agg(
           min(col("value")).as("p10"), max(col("value")).as("p90"))
         docs.join(broadcast(bounds), "source")

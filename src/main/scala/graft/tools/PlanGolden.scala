@@ -19,6 +19,11 @@ object PlanGolden {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    // a failed plan build must ABORT the regeneration, not be skipped:
+    // PlanScreen binds absent queries to (0,0), so writing a partial file
+    // (e.g. on a machine with stale fixtures) would silently TIGHTEN the
+    // bounds for legitimate queries and misread as plan regressions
+    var failed = List.empty[String]
     val rows = graft.SparkEntry.allSpecs.flatMap { s =>
       val r =
         try {
@@ -31,7 +36,8 @@ object PlanGolden {
             s"${s.name}\t${c.bnlj}\t${c.single}")
         } catch {
           case e: Throwable =>
-            println(s"WARN ${s.name}: plan build failed — ${e.getMessage}")
+            println(s"ERROR ${s.name}: plan build failed — ${e.getMessage}")
+            failed ::= s.name
             None
         }
       graft.operators.OperatorCaches.release()
@@ -39,6 +45,13 @@ object PlanGolden {
     }
     graft.operators.Postings.release()
     graft.operators.FramePool.release()
+    if (failed.nonEmpty) {
+      System.err.println(s"REFUSING to write plan_golden.tsv: " +
+        s"${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed " +
+        s"to build (${failed.reverse.mkString(", ")})")
+      spark.stop()
+      sys.exit(1)
+    }
     val out = Paths.get("src/main/resources/plan_golden.tsv")
     Files.createDirectories(out.getParent)
     Files.writeString(out,

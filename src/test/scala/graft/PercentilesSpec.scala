@@ -73,7 +73,8 @@ class PercentilesSpec extends SparkSpec {
       (1 to 23).map(i => ("small", (i % 5).toDouble))
     val df = rows.toDF("g", "v").repartition(13)
     val got = Percentiles.groupedAtRanks(df, "g", "v",
-      n => Seq(1L, (n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1, n))
+      n => array(lit(1L), Percentiles.floorPctRank(n, 10),
+        Percentiles.floorPctRank(n, 90), n))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     rows.groupBy(_._1).foreach { case (g, rs) =>
       val sorted = rs.map(_._2).sorted
@@ -81,6 +82,40 @@ class PercentilesSpec extends SparkSpec {
       Seq(1L, (n - 1) * 10 / 100 + 1, (n - 1) * 90 / 100 + 1, n).foreach { rn =>
         assert(got((g, rn)) === sorted((rn - 1).toInt),
           s"group $g rank $rn")
+      }
+    }
+    OperatorCaches.release()
+  }
+
+  test("10k-cardinality group key: plan stays group-size-free") {
+    // the shape the typedLit offset map would have choked on — 10,000
+    // groups would have serialized a ≈10k·partitions-entry literal into
+    // the plan and every task binary; the joined-offsets form must keep
+    // the optimized plan FREE of group-scaled literals and still be exact
+    val rows = (0 until 40000).map { i =>
+      (s"g${i % 10000}", ((i * 2654435761L) % 997).toDouble)
+    }
+    val df = rows.toDF("g", "v").repartition(16)
+    val ps = Seq(0.0, 0.5, 1.0)
+    val got = Percentiles.groupedExactInterpolated(df, "g", "v", ps)
+    // no literal in the optimized plan may scale with group count
+    val planStr = got.queryExecution.optimizedPlan.toString
+    assert(planStr.length < 200000,
+      s"plan unexpectedly large (${planStr.length} chars) — group-scaled literal?")
+    val gotMap = got.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(gotMap.size === 10000 * ps.size)
+    // exactness, checked per group against driver-side sorted truth
+    val truth = rows.groupBy(_._1)
+    (0 until 10000 by 997).map(i => s"g$i").foreach { g =>
+      val sorted = truth(g).map(_._2).sorted
+      ps.foreach { p =>
+        val pos = p * (sorted.length - 1)
+        val (lo, hi) = (pos.floor.toInt, pos.ceil.toInt)
+        val expect =
+          if (lo == hi) sorted(lo)
+          else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+        assert(gotMap((g, p)) === expect, s"group $g p $p")
       }
     }
     OperatorCaches.release()
