@@ -14,6 +14,26 @@ import Q._
   */
 object CurationQueries {
 
+  /** One served-index artifact per corpus dir per JVM for q177: the
+    * build-and-save runs once (memoized) instead of on every DataFrame
+    * construction — plan screening, golden sweeps, and bench warm+timed
+    * runs previously each rebuilt AND leaked a full index copy under a
+    * fresh temp dir. The one dir is removed at JVM exit. */
+  private val servedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String =
+    servedIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_text_index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.operators.Convert.deleteRecursively(dir)
+        catch { case _: Throwable => () }))
+      graft.operators.Postings.save(
+        graft.operators.Postings.forCorpus(
+          t(s, d, "documents"), "doc_id", "text"), dir.toString)
+      dir.toString
+    })
+
   /** The BM25 query set + oracle shared by q138 (live pooled index) and
     * q177 (served from the persisted parquet index artifact): both must
     * hash-match the SAME DuckDB recompute, which is exactly the
@@ -161,17 +181,16 @@ object CurationQueries {
     // 100 TB (the index is a table you scan, not a session cache you
     // rebuild); hash-matching q138's oracle IS the artifact-parity
     // proof, driver-gated. The vector-index twin is q140/PqSpec.
+    // NOTE: constructing this query's DataFrame has a side effect — it
+    // builds and WRITES the index artifact (once per corpus dir per JVM,
+    // memoized below and removed at exit); plan screening and bench
+    // warm-up therefore pay the build exactly once, and the timed runs
+    // measure pure serve-from-storage.
     QuerySpec("q177_bm25_serve_artifact",
-      (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_text_index").toString
-        graft.operators.Postings.save(
-          graft.operators.Postings.forCorpus(
-            t(s, d, "documents"), "doc_id", "text"), dir)
-        graft.operators.InvertedIndex.bm25TopKFromIndex(
-          graft.operators.Postings.load(s, dir), Bm25Queries, k = 5)
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => graft.operators.InvertedIndex.bm25TopKFromIndex(
+        graft.operators.Postings.load(s, servedTextIndexDir(s, d)),
+        Bm25Queries, k = 5)
+        .orderBy("q_id", "rank"),
       Some(Bm25Oracle)),
 
     // BPE tokenizer statistics: the corpus-wide adjacent-character-pair

