@@ -55,13 +55,16 @@ case class DeflateLength(child: Expression) extends UnaryExpression {
 object DeflateLength {
 
   /** Ends each thread's native zlib stream once its thread has exited
-    * and been GC'd: a ThreadLocal alone keeps the Deflater's native
-    * memory allocated for as long as its entry is reachable, which on
-    * thread churn (executor pool resize, ad-hoc threads) leaks native
-    * streams for the JVM lifetime. The cleanup action holds only the
-    * Deflater — never the Thread — so registration cannot pin the
-    * thread, and the entry itself dies with the thread's ThreadLocal
-    * map, after which the cleaner runs `end()`. */
+    * and been GC'd. This makes the release EAGER and DETERMINISTIC, not
+    * leak-proofing: since JDK 12 the Deflater registers its own Cleaner
+    * that calls `end()` when the Deflater becomes unreachable — which
+    * happens anyway once the dead thread's ThreadLocal map is collected
+    * — so native memory would be reclaimed eventually regardless; this
+    * cleaner just ties the release to thread death instead of a later
+    * Deflater GC cycle (`end()` is idempotent, so double-ending with
+    * the JDK's own cleaner is harmless). The cleanup action holds only
+    * the Deflater — never the Thread — so registration cannot pin the
+    * thread. */
   private val cleaner = java.lang.ref.Cleaner.create()
   private final class EndDeflater(d: Deflater) extends Runnable {
     def run(): Unit = d.end()
