@@ -1181,6 +1181,42 @@ object DedupQueries {
         |         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
         |            * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
         |  END AS assortativity
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin)),
+
+    // Near-dup graph served from the PERSISTED artifact: the LSH pair
+    // frame + connected-component labels materialized as two plain
+    // parquet frames (DupGraph.save — the dedup-family sibling of the
+    // q177 text index and q189 vector index), loaded back, and the
+    // cluster labels answered from storage — the corpus is never
+    // re-shingled. Hash-matching q111's own oracle IS the
+    // artifact-parity proof, driver-gated; DupGraphSpec pins frame
+    // round-trip. NOTE: constructing this query's DataFrame has a side
+    // effect — it builds and WRITES the graph artifact (once per corpus
+    // dir per JVM, memoized; removed at exit), so plan screening and
+    // bench warm-up pay the build exactly once and the timed runs
+    // measure pure serve-from-storage.
+    QuerySpec("q203_dupgraph_serve_artifact",
+      (s, d) => graft.operators.DupGraph
+        .load(s, servedDupGraphDir(s, d)).clusters
+        .orderBy("doc_id"),
+      Some(clustersOracle))
   )
+
+  /** One served dup-graph artifact per corpus dir per JVM for q203 —
+    * the q177 memoization pattern (build+save once, serve many). */
+  private val servedGraphDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedDupGraphDir(s: org.apache.spark.sql.SparkSession,
+                                d: String): String =
+    servedGraphDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dup_graph")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.operators.Convert.deleteRecursively(dir)
+        catch { case _: Throwable => () }))
+      graft.operators.DupGraph.save(
+        graft.operators.DupGraph.build(t(s, d, "documents"), "doc_id",
+          "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand), dir.toString)
+      dir.toString
+    })
 }
