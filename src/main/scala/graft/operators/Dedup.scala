@@ -594,6 +594,58 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW pairs into an
+    * existing (doc_id, cluster_id) labeling without re-running CC over
+    * every pair ever seen — the [[percolationClusters]] contraction
+    * applied to streaming arrivals instead of threshold levels. Existing
+    * clusters contract to supernodes (their min-id labels); CC runs only
+    * on the new pairs MAPPED through those labels (an endpoint without a
+    * label maps to itself); the merged supernode labels then compose
+    * back over (previous nodes ∪ new endpoints). Per batch the CC input
+    * is |new pairs| edges over supernodes, never the accumulated graph.
+    *
+    * Labels are identical to `dupClusters(all pairs so far)` — the
+    * min-of-mins argument: each supernode's label is already its
+    * component minimum, so the contracted CC's component minimum is the
+    * global one (property-tested in DedupSpec over random pair batches).
+    * Replay-safe by construction: re-folding an already-folded batch
+    * maps every edge to endpoints that share a label, the contracted
+    * graph is empty, and the labeling returns unchanged. */
+  def incrementalClusters(prev: Option[DataFrame],
+                          newPairs: DataFrame): DataFrame = {
+    val e = newPairs.select(col("a_id"), col("b_id"))
+    prev match {
+      case None => dupClusters(e)
+      case Some(up) =>
+        val lab = up.select(col("doc_id"), col("cluster_id").as("lab"))
+        val mapped = e
+          .join(lab.select(col("doc_id").as("a_id"), col("lab").as("la")),
+            Seq("a_id"), "left")
+          .join(lab.select(col("doc_id").as("b_id"), col("lab").as("lb")),
+            Seq("b_id"), "left")
+          .select(coalesce(col("la"), col("a_id")).as("sa"),
+            coalesce(col("lb"), col("b_id")).as("sb"))
+        val contracted = OperatorCaches.persistTracked(
+          mapped.filter(col("sa") =!= col("sb"))
+            .select(col("sa").as("a_id"), col("sb").as("b_id")))
+        if (contracted.isEmpty) up
+        else {
+          val merged = dupClusters(contracted)
+            .select(col("doc_id").as("sn"), col("cluster_id").as("mlab"))
+          val nodes = up.select(col("doc_id"))
+            .union(e.select(explode(array(col("a_id"), col("b_id")))
+              .as("doc_id")))
+            .distinct()
+          nodes
+            .join(lab, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("sn"))
+            .join(merged, Seq("sn"), "left")
+            .select(col("doc_id"),
+              coalesce(col("mlab"), col("sn")).as("cluster_id"))
+        }
+    }
+  }
+
   /** Incremental (bipartite) LSH dedup: candidate pairs between NEW
     * documents and an EXISTING corpus — never new×new or corpus×corpus.
     * The shape of a production ingest step: dedup today's crawl against

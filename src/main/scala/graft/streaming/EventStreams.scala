@@ -317,8 +317,21 @@ object EventStreams {
   def nearDupIngestSink(stream: DataFrame, idCol: String, textCol: String,
                         corpusDir: String, checkpointDir: String,
                         numBands: Int = 4, minJaccard: Double = 0.1,
-                        k: Int = 3, rowsPerBand: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                        k: Int = 3, rowsPerBand: Int = 2,
+                        labelsDir: String = null)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // LIVE cluster labels over every arrival ever streamed, maintained
+    // INCREMENTALLY (Dedup.incrementalClusters — existing clusters
+    // contract to supernodes, CC runs only on the batch's new pairs):
+    // the streaming half of the DupGraph artifact lifecycle. Labels are
+    // epoch-versioned (`epoch=N` = the complete labeling AFTER folding
+    // batch N; readers take the highest epoch) because a labeling is a
+    // whole-graph property — a merge relabels old docs — unlike the
+    // append-only survivor corpus. Replay-safe twice over: the epoch
+    // read excludes the current batch id, and re-folding an
+    // already-folded batch is an identity (see incrementalClusters).
+    val ldir = Option(labelsDir).getOrElse(
+      corpusDir.stripSuffix("/") + "_labels")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -330,18 +343,41 @@ object EventStreams {
             numBands, minJaccard, k, rowsPerBand)
           val batchKept = Dedup.applyClusters(batch, idCol,
             Dedup.dupClusters(pairs))
-          val survivors =
+          val (survivors, crossPairs) =
             if (new java.io.File(corpusDir).isDirectory) {
               val corpus = spark.read.parquet(corpusDir)
                 .filter(col("batch") =!= batchId)
                 .select(col(idCol), col(textCol))
-              val dupped = Dedup.lshPairsAgainst(batchKept, corpus,
+              val cross = Dedup.lshPairsAgainst(batchKept, corpus,
                 idCol, textCol, numBands, minJaccard, k, rowsPerBand)
-                .select(col("new_id").as(idCol)).distinct()
-              batchKept.join(dupped, Seq(idCol), "left_anti")
-            } else batchKept
+              val dupped = cross.select(col("new_id").as(idCol)).distinct()
+              (batchKept.join(dupped, Seq(idCol), "left_anti"),
+                Some(cross.select(col("new_id").as("a_id"),
+                  col("corpus_id").as("b_id"))))
+            } else (batchKept, None)
           survivors.select(col(idCol), col(textCol))
             .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          // fold this batch's discovered pairs (within-batch + cross)
+          // into the live labeling
+          // the current batch id is EXCLUDED from the read (a crashed
+          // attempt may have left its own partial epoch) but the epoch
+          // it read FROM is never deleted in this batch — a replay after
+          // a crash anywhere in this body still finds it intact; only
+          // epochs already superseded when this batch STARTED are GC'd
+          val prevEpochs = Option(new java.io.File(ldir).listFiles())
+            .getOrElse(Array.empty)
+            .flatMap(f => scala.util.Try(
+              f.getName.stripPrefix("epoch=").toLong).toOption)
+            .filter(_ != batchId)
+          val prev = if (prevEpochs.isEmpty) None
+            else Some(spark.read.parquet(s"$ldir/epoch=${prevEpochs.max}"))
+          val newPairs = crossPairs.foldLeft(
+            pairs.select(col("a_id"), col("b_id")))(_ unionByName _)
+          Dedup.incrementalClusters(prev, newPairs)
+            .write.mode("overwrite").parquet(s"$ldir/epoch=$batchId")
+          prevEpochs.filter(e => prevEpochs.nonEmpty && e < prevEpochs.max)
+            .foreach(e => graft.operators.Convert.deleteRecursively(
+              java.nio.file.Paths.get(s"$ldir/epoch=$e")))
         } finally {
           graft.operators.OperatorCaches.release()
           graft.operators.FramePool.release()
@@ -349,6 +385,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /** Streaming CONTAINMENT ingest filter — the subset/quotation axis of
     * [[nearDupIngestSink]]: an arriving document is dropped when ≥

@@ -306,4 +306,32 @@ class DedupSpec extends SparkSpec {
     }
     graft.operators.OperatorCaches.release()
   }
+
+  test("incrementalClusters folds pair batches to one-shot CC labels") {
+    // random multi-component graph arriving in 3 batches: folding batch
+    // by batch (contract + CC on new pairs only) must reproduce the
+    // single dupClusters run over every pair — including batches that
+    // MERGE clusters formed by earlier batches — and re-folding an
+    // already-folded batch must be an identity (the replay-safety claim)
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(120)(
+      (rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+      .filter { case (a, b) => a != b }
+    val batches = all.grouped(40).toSeq
+    var labels = Option.empty[org.apache.spark.sql.DataFrame]
+    batches.foreach { b =>
+      labels = Some(Dedup.incrementalClusters(labels, b.toDF("a_id", "b_id"))
+        .localCheckpoint(true)) // the sink's parquet materialization stand-in
+    }
+    val got = labels.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Dedup.dupClusters(all.toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === ref)
+    assert(got.nonEmpty)
+    val refolded = Dedup.incrementalClusters(labels,
+      batches.last.toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refolded === got)
+    graft.operators.OperatorCaches.release()
+  }
 }

@@ -273,6 +273,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(3L) && streamed.contains(14L))
     assert(streamed.contains(11L) && !streamed.contains(12L))
     assert(!streamed.contains(13L))
+    // LIVE cluster labels, maintained incrementally per batch
+    // (Dedup.incrementalClusters), equal the batch CC over the union of
+    // every arrival: {1,2,13} one cluster (min 1), {11,12} another
+    val ldir = new java.io.File(s"$tmp/corpus_labels")
+    val epochs = ldir.listFiles.map(_.getName.stripPrefix("epoch=").toLong)
+    val labels = spark.read.parquet(s"$tmp/corpus_labels/epoch=${epochs.max}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refLabels = Dedup.dupClusters(
+        Dedup.lshPairs(wave1.unionByName(wave2), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels === refLabels)
+    assert(labels === Set((1L, 1L), (2L, 1L), (13L, 1L), (11L, 11L), (12L, 11L)))
     graft.operators.OperatorCaches.release()
     graft.operators.FramePool.release()
   }
