@@ -42,6 +42,37 @@ object DupGraph {
     Frames(pairs, Dedup.dupClustersStar(pairs))
   }
 
+  /** Append a NEW document batch to an existing graph artifact — the
+    * ONLINE half of dup-graph maintenance (re-detecting from scratch is
+    * the offline half). New pairs are the batch's internal pairs plus
+    * the bipartite batch×corpus pairs ([[Dedup.lshPairsAgainst]] — never
+    * corpus×corpus); labels fold in via [[Dedup.incrementalClusters]]
+    * (contract-and-merge, CC over the new pairs only). Because the
+    * banding and exact-Jaccard confirm are the same algorithm on both
+    * paths, the appended pair set equals the full-rebuild pair set
+    * whenever no LSH bucket cap triggers differently across the split —
+    * and the labels then match the full rebuild EXACTLY (min-of-mins),
+    * which q204 oracle-gates and DupGraphSpec pins. `corpus` must be
+    * the previously-indexed documents (idCol, textCol). */
+  def append(idx: Frames, corpus: DataFrame, newDocs: DataFrame,
+             idCol: String, textCol: String,
+             numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
+             rowsPerBand: Int = 2): Frames = {
+    val within = Dedup.lshPairs(newDocs, idCol, textCol,
+      numBands = numBands, minJaccard = minJaccard, k = k,
+      rowsPerBand = rowsPerBand)
+    val cross = Dedup.lshPairsAgainst(newDocs, corpus, idCol, textCol,
+      numBands = numBands, minJaccard = minJaccard, k = k,
+      rowsPerBand = rowsPerBand)
+      .select(org.apache.spark.sql.functions.col("new_id").as("a_id"),
+        org.apache.spark.sql.functions.col("corpus_id").as("b_id"),
+        org.apache.spark.sql.functions.col("jac"))
+    val newPairs = within.unionByName(cross)
+    Frames(
+      pairs = idx.pairs.unionByName(newPairs),
+      clusters = Dedup.incrementalClusters(Some(idx.clusters), newPairs))
+  }
+
   def save(frames: Frames, dir: String): Unit = {
     frames.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
     frames.clusters.write.mode("overwrite").parquet(s"$dir/clusters")

@@ -1199,6 +1199,33 @@ object DedupQueries {
       (s, d) => graft.operators.DupGraph
         .load(s, servedDupGraphDir(s, d)).clusters
         .orderBy("doc_id"),
+      Some(clustersOracle)),
+
+    // Dup-graph APPEND maintenance, oracle-gated: the graph is built
+    // over 90% of the corpus, the held-out 10% (doc_id % 10 = 7) is
+    // APPENDED (DupGraph.append — batch-internal pairs + bipartite
+    // batch×corpus pairs folded into the labels by the supernode
+    // contraction of Dedup.incrementalClusters; the online half of graph
+    // maintenance, mirroring q189's frozen-quantizer vector append and
+    // q147's text-index delta merge), and the resulting labels must
+    // hash-match the SAME full-corpus recompute oracle as q37/q111/q203
+    // — append ≡ rebuild, because both paths surface the identical pair
+    // set (same banding, same exact-Jaccard confirm) and the contracted
+    // CC's min-of-mins is the global min.
+    QuerySpec("q204_dupgraph_append",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+        val newDocs = docs.filter(col("doc_id") % 10 === 7)
+        val idx = graft.operators.DupGraph.build(oldDocs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        graft.operators.DupGraph.append(idx, oldDocs, newDocs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+          .clusters
+          .orderBy("doc_id")
+      },
       Some(clustersOracle))
   )
 

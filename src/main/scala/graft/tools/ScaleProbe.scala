@@ -82,7 +82,11 @@ object ScaleProbe {
       // event-family keyed windows
       "q183_repetition_loops", "q187_source_kmv_overlap",
       "q190_curation_funnel", "q191_rm3_expansion",
-      "q195_interarrival_percentiles", "q200_event_transitions")
+      "q195_interarrival_percentiles", "q200_event_transitions",
+      // round-10 additions: artifact serve is a parquet scan of
+      // pair/member-sized frames (plus the memoized one-time build);
+      // append pays one bipartite pairing + a contracted CC
+      "q203_dupgraph_serve_artifact", "q204_dupgraph_append")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -50,4 +50,27 @@ class DupGraphSpec extends SparkSpec {
       FramePool.release()
     }
   }
+
+  test("append to the graph artifact equals a full rebuild") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val appended = DupGraph.append(
+      DupGraph.build(oldDocs, "doc_id", "text"), oldDocs, newDocs,
+      "doc_id", "text")
+    val rebuilt = DupGraph.build(docs, "doc_id", "text")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(appended.clusters) === labels(rebuilt.clusters))
+    assert(labels(rebuilt.clusters).nonEmpty, "no clusters — vacuous fixture")
+    // the appended pair set covers the rebuild's (orientation-free)
+    def pairKeys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    assert(pairKeys(appended.pairs) === pairKeys(rebuilt.pairs))
+    OperatorCaches.release()
+    FramePool.release()
+  }
 }
