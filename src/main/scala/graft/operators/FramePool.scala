@@ -24,7 +24,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object FramePool {
 
-  val MaxEntries = 16
+  /** A full 204-query registry run touches ~14 distinct keys for ONE
+    * corpus (per-corpus shingle/band frames multiply per bipartite side
+    * and per evaluation sample); 32 leaves a ×2 margin before any
+    * eviction fires at all. */
+  val MaxEntries = 32
 
   private val pool = new ConcurrentHashMap[Any, Seq[DataFrame]]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
@@ -34,10 +38,15 @@ object FramePool {
     * persisted (e.g. so later frames in the set reuse earlier ones while
     * building) — re-persisting at the same level is a no-op.
     *
-    * Capacity: exceeding [[MaxEntries]] evicts the OLDEST entry only
-    * (insertion-order FIFO) — a flush-all would also drop the hot frames
-    * the in-flight query family is amortizing, silently reverting every
-    * pooled access to a full recompute mid-run. */
+    * Capacity: exceeding [[MaxEntries]] evicts the LEAST-RECENTLY-USED
+    * entry only — a flush-all would also drop the hot frames the
+    * in-flight query family is amortizing, and FIFO (insertion order)
+    * could evict a key the CURRENT query just re-accessed. That matters
+    * more than a cache miss: pooled frames may be `localCheckpoint`ed
+    * (lineage-truncated — e.g. the PQ codebook/codes artifacts), and
+    * unpersisting one while an in-flight plan still references it is
+    * unrecoverable, not a recompute. LRU keeps the active family's keys
+    * at the back of the eviction order. */
   def frames(key: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
     if (!pool.containsKey(key)) {
       while (pool.size >= MaxEntries) {
@@ -47,6 +56,12 @@ object FramePool {
         val dropped = pool.remove(oldest)
         if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
       }
+    }
+    val hit = pool.get(key)
+    if (hit != null) {
+      // LRU touch: move the key to the back of the eviction order
+      if (order.remove(key)) order.add(key)
+      return hit
     }
     pool.computeIfAbsent(key, _ => {
       order.add(key)

@@ -21,7 +21,7 @@ class FramePoolSpec extends SparkSpec {
     assert(FramePool.pooledCount === 0)
   }
 
-  test("pool caps its size by evicting the oldest entry, not flushing everything") {
+  test("pool caps its size by evicting the LRU entry, not flushing everything") {
     FramePool.release()
     import spark.implicits._
     var rebuilds = 0
@@ -29,15 +29,20 @@ class FramePoolSpec extends SparkSpec {
       rebuilds += 1
       Seq(Seq((i.toLong, "x")).toDF("id", "s"))
     }
-    (0 to FramePool.MaxEntries).foreach(touch) // one past capacity
-    assert(FramePool.pooledCount === FramePool.MaxEntries)
-    // the newest entries survived the eviction — no rebuild on re-access
-    val before = rebuilds
-    touch(FramePool.MaxEntries)
-    assert(rebuilds === before, "hot entry was evicted by a flush-all")
-    // the oldest entry (fp-0) was the one dropped
+    (0 until FramePool.MaxEntries).foreach(touch) // exactly at capacity
+    // LRU, not FIFO: re-access the OLDEST entry, then overflow — the
+    // victim must be fp-1 (now least recently used), never the
+    // just-touched fp-0. This is the hazard that matters for
+    // localCheckpoint'ed pooled frames: evicting a key the in-flight
+    // family just accessed would drop blocks its plans cannot recompute.
     touch(0)
-    assert(rebuilds === before + 1)
+    val before = rebuilds
+    touch(FramePool.MaxEntries) // one past capacity → evict LRU
+    assert(FramePool.pooledCount === FramePool.MaxEntries)
+    touch(0)
+    assert(rebuilds === before + 1, "recently-used entry was evicted")
+    touch(1)
+    assert(rebuilds === before + 2, "LRU entry survived the eviction")
     FramePool.release()
   }
 }
