@@ -1226,7 +1226,87 @@ object DedupQueries {
           .clusters
           .orderBy("doc_id")
       },
-      Some(clustersOracle))
+      Some(clustersOracle)),
+
+    // Source-partition MODULARITY of the near-dup graph — label homophily
+    // along the `source` axis: per source s, the observed within-source
+    // edge fraction e_s/m versus the degree-expected (d_s/2m)² under
+    // random rewiring, and their difference (the per-source Newman
+    // modularity contribution; Q = Σ_s delta). High delta = a source's
+    // near-dups are its own (internal templating); negative/low with fat
+    // cross_edges = cross-source syndication — the boilerplate-import
+    // signal q143's exact span matrix confirms span-by-span. Counts are
+    // exact integers off the pooled pair stream (deg_sum = 2·within +
+    // cross needs no per-node degree pass), the one-row edge total
+    // crosses back as a declared broadcast singleton, and the doubles
+    // are assembled by the same literal expression tree in both engines
+    // (divide, then square, then subtract — bit-identical IEEE).
+    QuerySpec("q206_dupgraph_source_modularity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val src = docs.select(col("doc_id"), col("source"))
+        val e = pairs
+          .join(src.as("sa"), col("a_id") === col("sa.doc_id"))
+          .join(src.as("sb"), col("b_id") === col("sb.doc_id"))
+          .select(col("sa.source").as("s_a"), col("sb.source").as("s_b"))
+        val tot = e.agg(count(lit(1)).as("m"))
+        val within = e.filter(col("s_a") === col("s_b"))
+          .groupBy(col("s_a").as("source"))
+          .agg(count(lit(1)).as("within_edges"))
+        val crossE = e.filter(col("s_a") =!= col("s_b"))
+          .select(explode(array(col("s_a"), col("s_b"))).as("source"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cross_edges"))
+        val halfDeg = col("deg_sum").cast("double") / (lit(2.0d) * col("m"))
+        within.join(crossE, Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+            coalesce(col("cross_edges"), lit(0L)).as("cross_edges"))
+          .crossJoin(broadcast(tot))
+          .withColumn("deg_sum",
+            lit(2L) * col("within_edges") + col("cross_edges"))
+          .withColumn("within_frac",
+            col("within_edges").cast("double") / col("m"))
+          .withColumn("expected_frac", halfDeg * halfDeg)
+          .select(col("source"), col("within_edges"), col("cross_edges"),
+            col("deg_sum"), col("within_frac"), col("expected_frac"),
+            (col("within_frac") - col("expected_frac")).as("modularity_delta"))
+          .orderBy("source")
+      },
+      Some(lshCte + """
+        |, e AS (
+        |  SELECT da.source AS s_a, db.source AS s_b
+        |  FROM lsh_pairs
+        |  JOIN documents da ON da.doc_id = a_id
+        |  JOIN documents db ON db.doc_id = b_id
+        |  WHERE jac >= 0.1
+        |), tot AS (SELECT count(*) AS m FROM e),
+        |w AS (SELECT s_a AS source, count(*) AS within_edges
+        |      FROM e WHERE s_a = s_b GROUP BY 1),
+        |c AS (SELECT source, count(*) AS cross_edges FROM (
+        |        SELECT s_a AS source FROM e WHERE s_a <> s_b
+        |        UNION ALL SELECT s_b FROM e WHERE s_a <> s_b)
+        |      GROUP BY 1),
+        |ps AS (SELECT coalesce(w.source, c.source) AS source,
+        |              coalesce(within_edges, 0) AS within_edges,
+        |              coalesce(cross_edges, 0) AS cross_edges
+        |       FROM w FULL OUTER JOIN c ON w.source = c.source)
+        |SELECT source,
+        |  CAST(within_edges AS BIGINT) AS within_edges,
+        |  CAST(cross_edges AS BIGINT) AS cross_edges,
+        |  CAST(2*within_edges + cross_edges AS BIGINT) AS deg_sum,
+        |  CAST(within_edges AS DOUBLE) / m AS within_frac,
+        |  (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
+        |    * (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
+        |    AS expected_frac,
+        |  CAST(within_edges AS DOUBLE) / m
+        |    - (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
+        |      * (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
+        |    AS modularity_delta
+        |FROM ps, tot ORDER BY source""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

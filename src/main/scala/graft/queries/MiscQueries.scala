@@ -1293,6 +1293,98 @@ object MiscQueries {
              |)
              |SELECT conv, quantile_cont(delta_us, 0.5) AS p50,
              |  quantile_cont(delta_us, 0.9) AS p90
-             |FROM lat GROUP BY conv ORDER BY conv""".stripMargin))
+             |FROM lat GROUP BY conv ORDER BY conv""".stripMargin)),
+
+    // RFM segmentation — the classic growth-analytics user-value grid:
+    // per-user Recency / Frequency / Monetary, each scored 1–5 against
+    // corpus-wide QUINTILE thresholds, users counted per (r,f,m) segment.
+    // Scale shape: one user-keyed aggregate over events, then the four
+    // quintile boundaries per axis come from the DISTRIBUTED exact
+    // order-statistic machinery (Percentiles.groupedAtRanks under a
+    // constant group — one "group" spanning every partition is exactly
+    // what the joined-offsets rewrite supports; the ntile() alternative
+    // is an ORDER-BY-only window that pins the whole user frame on one
+    // reducer AND splits tied metrics nondeterministically, so no oracle
+    // could hash-match it). Scores are pure value comparisons against
+    // the 4 broadcast thresholds (strictly-greater ⇒ next bucket), which
+    // makes ties deterministic in both engines; monetary is exact
+    // integer cents (floor(value·100) — identical IEEE floor in both),
+    // and only 3 one-row threshold frames cross back (declared broadcast
+    // singletons). Rank wishlist = greatest(⌊n·k/5⌋, 1), k=1..4, derived
+    // in-frame from the per-axis non-null count.
+    QuerySpec("q205_rfm_segments",
+      (s, d) => {
+        // persisted: the three quintile passes AND the scoring join all
+        // read this |users|-sized frame — without the cache the events
+        // scan+aggregate would run four times (released per query by the
+        // harness via OperatorCaches, the library-wide convention)
+        val u = graft.operators.OperatorCaches.persistTracked(
+          events(s, d).groupBy(col("user_id")).agg(
+            max(unix_micros(col("ts"))).as("r_us"),
+            count(lit(1)).as("f_cnt"),
+            sum(floor(col("value") * lit(100))).as("m_cents")))
+        val quintiles: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          ng => array((1 to 4).map(k =>
+            greatest(floor((ng * lit(k.toLong)) / lit(5.0d)).cast("long"),
+              lit(1L))): _*)
+        // ONE rank-selection pass for all three axes: stack (axis, value)
+        // rows and let the axis BE the group — 1 sort shuffle instead of 3
+        val stacked = u.select(explode(map(
+          lit("r"), col("r_us").cast("double"),
+          lit("f"), col("f_cnt").cast("double"),
+          lit("m"), col("m_cents").cast("double"))).as(Seq("axis", "v")))
+        val thr = graft.operators.Percentiles
+          .groupedAtRanks(stacked, "axis", "v", quintiles)
+          .groupBy(col("axis"))
+          .agg(sort_array(collect_list(col("value"))).as("t"))
+          .groupBy()
+          .agg(map_from_arrays(
+            collect_list(col("axis")), collect_list(col("t"))).as("ts"))
+        def score(metric: org.apache.spark.sql.Column, axis: String) =
+          (lit(1) + size(filter(element_at(col("ts"), lit(axis)),
+            tv => metric > tv))).cast("long")
+        u.crossJoin(broadcast(thr))
+          .select(
+            score(col("r_us"), "r").as("r_score"),
+            score(col("f_cnt"), "f").as("f_score"),
+            score(col("m_cents"), "m").as("m_score"),
+            col("m_cents"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("users"), sum(col("m_cents")).as("cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(epoch_us(ts)) AS r_us, count(*) AS f_cnt,
+             |    sum(CAST(floor(value*100) AS BIGINT)) AS m_cents
+             |  FROM events GROUP BY user_id
+             |), ks AS (SELECT unnest([1,2,3,4]) AS k),
+             |rt AS (
+             |  SELECT x.rn, x.v
+             |  FROM (SELECT r_us AS v, row_number() OVER (ORDER BY r_us) AS rn
+             |        FROM u WHERE r_us IS NOT NULL) x
+             |  JOIN (SELECT DISTINCT greatest((n*k)//5, 1) AS rn
+             |        FROM (SELECT count(r_us) AS n FROM u), ks) r USING (rn)
+             |), ft AS (
+             |  SELECT x.rn, x.v
+             |  FROM (SELECT f_cnt AS v, row_number() OVER (ORDER BY f_cnt) AS rn
+             |        FROM u WHERE f_cnt IS NOT NULL) x
+             |  JOIN (SELECT DISTINCT greatest((n*k)//5, 1) AS rn
+             |        FROM (SELECT count(f_cnt) AS n FROM u), ks) r USING (rn)
+             |), mt AS (
+             |  SELECT x.rn, x.v
+             |  FROM (SELECT m_cents AS v, row_number() OVER (ORDER BY m_cents) AS rn
+             |        FROM u WHERE m_cents IS NOT NULL) x
+             |  JOIN (SELECT DISTINCT greatest((n*k)//5, 1) AS rn
+             |        FROM (SELECT count(m_cents) AS n FROM u), ks) r USING (rn)
+             |), sc AS (
+             |  SELECT user_id, m_cents,
+             |    1 + (SELECT count(*) FROM rt WHERE u.r_us > rt.v) AS r_score,
+             |    1 + (SELECT count(*) FROM ft WHERE u.f_cnt > ft.v) AS f_score,
+             |    1 + (SELECT count(*) FROM mt WHERE u.m_cents > mt.v) AS m_score
+             |  FROM u)
+             |SELECT r_score, f_score, m_score, count(*) AS users,
+             |  CAST(sum(m_cents) AS BIGINT) AS cents
+             |FROM sc GROUP BY 1, 2, 3
+             |ORDER BY r_score, f_score, m_score""".stripMargin))
   )
 }

@@ -86,7 +86,11 @@ object ScaleProbe {
       // round-10 additions: artifact serve is a parquet scan of
       // pair/member-sized frames (plus the memoized one-time build);
       // append pays one bipartite pairing + a contracted CC
-      "q203_dupgraph_serve_artifact", "q204_dupgraph_append")
+      "q203_dupgraph_serve_artifact", "q204_dupgraph_append",
+      // RFM is one user-keyed aggregate + 3 constant-group rank
+      // selections; modularity rides the pooled pair stream (pair mass
+      // grows with twin-clique volume, like every pair consumer)
+      "q205_rfm_segments", "q206_dupgraph_source_modularity")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
