@@ -1306,7 +1306,80 @@ object DedupQueries {
         |    - (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
         |      * (CAST(2*within_edges + cross_edges AS DOUBLE) / (2.0 * m))
         |    AS modularity_delta
-        |FROM ps, tot ORDER BY source""".stripMargin))
+        |FROM ps, tot ORDER BY source""".stripMargin)),
+
+    // Per-node LOCAL clustering coefficient over the near-dup graph —
+    // the node-resolution sibling of q172's per-cluster census: for each
+    // document in the pair graph, its degree d, its triangle count t,
+    // and c = 2t/(d(d−1)) — c≈1 marks docs inside tight copy-cliques
+    // (template farms), c≈0 marks chain articulation points where the
+    // transitive closure is doing the merging (the doc to re-examine
+    // before trusting its cluster). Same compact-forward enumeration as
+    // q172 (edges oriented low-degree→high, wedge work O(out-deg²) with
+    // out-degrees O(√m) on any degree distribution); the one new move is
+    // exploding all THREE corners of each found triangle before the
+    // per-node count, so each triangle credits x, y, and z exactly once.
+    // Counts are exact longs; c is assembled per-row from them by the
+    // same literal expression tree in both engines.
+    QuerySpec("q207_local_clustering",
+      (s, d) => {
+        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val e = pairs.select(col("a_id"), col("b_id"))
+        val deg = e.select(explode(array(col("a_id"), col("b_id"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val withDeg = e
+          .join(deg.select(col("n").as("a_id"), col("dg").as("da")), "a_id")
+          .join(deg.select(col("n").as("b_id"), col("dg").as("db")), "b_id")
+        val aFirst =
+          struct(col("da"), col("a_id")) < struct(col("db"), col("b_id"))
+        val o = graft.operators.OperatorCaches.persistTracked(withDeg.select(
+          when(aFirst, col("a_id")).otherwise(col("b_id")).as("u"),
+          when(aFirst, col("b_id")).otherwise(col("a_id")).as("v"),
+          when(aFirst, struct(col("db").as("d"), col("b_id").as("i")))
+            .otherwise(struct(col("da").as("d"), col("a_id").as("i")))
+            .as("kv")))
+        val corners = o.as("e1")
+          .join(o.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+          .join(o.as("e3"),
+            col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+          .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+            .as("n"))
+        val tcnt = corners.groupBy("n").agg(count(lit(1)).as("t"))
+        deg.join(tcnt, Seq("n"), "left")
+          .select(col("n").as("doc_id"), col("dg").as("degree"),
+            coalesce(col("t"), lit(0L)).as("n_triangles"),
+            when(col("dg") < 2, lit(0.0d))
+              .otherwise(lit(2.0d) * coalesce(col("t"), lit(0L))
+                / (col("dg") * (col("dg") - lit(1L))))
+              .as("clustering_coeff"))
+          .orderBy("doc_id")
+      },
+      Some(lshCte + """
+        |, eg AS (
+        |  SELECT a_id, b_id FROM lsh_pairs WHERE jac >= 0.1
+        |), tri AS (
+        |  SELECT ab.a_id AS x, ab.b_id AS y, bc.b_id AS z
+        |  FROM eg ab
+        |  JOIN eg bc ON bc.a_id = ab.b_id
+        |  JOIN eg ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+        |), corners AS (
+        |  SELECT x AS n FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |), tcnt AS (SELECT n, count(*) AS t FROM corners GROUP BY 1),
+        |deg AS (
+        |  SELECT n, count(*) AS dg FROM (
+        |    SELECT a_id AS n FROM eg UNION ALL SELECT b_id AS n FROM eg)
+        |  GROUP BY 1)
+        |SELECT deg.n AS doc_id, dg AS degree,
+        |  COALESCE(t, 0) AS n_triangles,
+        |  CASE WHEN dg < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(t, 0) / (dg * (dg - 1)) END
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN tcnt USING (n) ORDER BY doc_id""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

@@ -1385,6 +1385,80 @@ object MiscQueries {
              |SELECT r_score, f_score, m_score, count(*) AS users,
              |  CAST(sum(m_cents) AS BIGINT) AS cents
              |FROM sc GROUP BY 1, 2, 3
-             |ORDER BY r_score, f_score, m_score""".stripMargin))
+             |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
+    // Robust per-group outlier audit: per-supplier MEDIAN and MAD
+    // (median absolute deviation) of line price, plus the count of that
+    // supplier's lines beyond the 3σ-equivalent robust fence
+    // (3·1.4826·MAD) — the mean/stddev-free screen that a handful of
+    // mispriced lines can't drag the way they drag a z-score (q103's
+    // moment-based sibling). TWO grouped rank selections ride
+    // Percentiles.groupedAtRanks — the round-10 joined-offsets rewrite —
+    // at the highest group cardinality in the registry (|suppliers|
+    // groups: 100 at sf0.01, 1000 at sf0.1), with a group's values
+    // spanning range partitions and nothing group-sized in the plan.
+    // Lower-median integer ranks (rank ⌊(n−1)/2⌋+1, floorPctRank(n,50))
+    // keep both engines on the same well-defined order statistic — no
+    // interpolation-formula coupling — and the deviations and the fence
+    // comparison are per-row double expressions identical on both sides.
+    QuerySpec("q208_grouped_mad",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice").as("x"))
+        // the rank machinery stringifies its group key internally —
+        // restore the long key here so every downstream join and the
+        // report column stay bigint
+        def med50(df: org.apache.spark.sql.DataFrame,
+                  valueCol: String, outCol: String) =
+          graft.operators.Percentiles.groupedAtRanks(
+            df, "l_suppkey", valueCol,
+            n => array(graft.operators.Percentiles.floorPctRank(n, 50)))
+            .select(col("l_suppkey").cast("long").as("l_suppkey"),
+              col("value").as(outCol))
+        val med = med50(base, "x", "med")
+        val dev = base.join(broadcast(med), "l_suppkey")
+          .select(col("l_suppkey"), abs(col("x") - col("med")).as("dev"))
+        val mad = med50(dev, "dev", "mad")
+        val stats = dev.join(broadcast(mad), "l_suppkey")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dev") > lit(3.0d) * lit(1.4826d) * col("mad"),
+              lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+        med.join(mad, "l_suppkey").join(stats, "l_suppkey")
+          .select(col("l_suppkey"), col("n"), col("med"), col("mad"),
+            col("n_outliers"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_suppkey, l_extendedprice AS x FROM lineitem
+             |), r AS (
+             |  SELECT l_suppkey, x,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS rn,
+             |    count(*) OVER (PARTITION BY l_suppkey) AS n
+             |  FROM base
+             |), med AS (
+             |  SELECT l_suppkey,
+             |    min(CASE WHEN rn = (n-1)*50//100 + 1 THEN x END) AS med
+             |  FROM r GROUP BY 1
+             |), dev AS (
+             |  SELECT b.l_suppkey, abs(b.x - m.med) AS dev
+             |  FROM base b JOIN med m USING (l_suppkey)
+             |), rd AS (
+             |  SELECT l_suppkey, dev,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY dev) AS rn,
+             |    count(*) OVER (PARTITION BY l_suppkey) AS n
+             |  FROM dev
+             |), mad AS (
+             |  SELECT l_suppkey,
+             |    min(CASE WHEN rn = (n-1)*50//100 + 1 THEN dev END) AS mad
+             |  FROM rd GROUP BY 1
+             |), st AS (
+             |  SELECT v.l_suppkey, count(*) AS n,
+             |    CAST(sum(CASE WHEN v.dev > 3.0 * 1.4826 * d.mad
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |  FROM dev v JOIN mad d USING (l_suppkey) GROUP BY 1)
+             |SELECT m.l_suppkey, st.n, m.med, d.mad, st.n_outliers
+             |FROM med m JOIN mad d USING (l_suppkey) JOIN st USING (l_suppkey)
+             |ORDER BY l_suppkey""".stripMargin))
   )
 }

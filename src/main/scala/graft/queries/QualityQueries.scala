@@ -806,6 +806,123 @@ object QualityQueries {
              |SELECT n AS n_sources, tot AS total_tokens,
              |  CAST(2 * srx - (n + 1) * tot AS DOUBLE)
              |    / CAST(n * tot AS DOUBLE) AS gini
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Benford first-digit audit on line prices — the classic
+    // synthetic-data / fabrication screen: organically-generated
+    // magnitudes follow P(d) = log10(1 + 1/d); templated or synthesized
+    // numbers don't. The leading digit comes from a comparison LADDER of
+    // exact power-of-ten double literals (x ≥ 1e7, ≥ 1e6, …) and one
+    // IEEE division — NOT floor(log10(x)), whose 1-ulp slack at exact
+    // powers of ten flips the bracket and differs between libm and
+    // java.lang.Math. Expected frequencies are spelled as full-precision
+    // double LITERALS on both sides (decimal→double parsing is
+    // round-to-nearest in both engines), so every double in the report
+    // is reproduced bit-for-bit; counts are exact longs and the one-row
+    // total is a declared broadcast singleton.
+    QuerySpec("q209_benford_audit",
+      (s, d) => {
+        val x = t(s, d, "lineitem")
+          .select(col("l_extendedprice").as("x"))
+          .filter(col("x") >= lit(1.0d))
+        // fold smallest→largest so the LARGEST power's test lands
+        // outermost in the nested when-chain (first match wins)
+        val p = Seq(1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7)
+          .foldLeft(lit(1.0d)) { (acc, pw) =>
+            when(col("x") >= lit(pw), lit(pw)).otherwise(acc)
+          }
+        val dg = x.select(floor(col("x") / p).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = dg.agg(sum(col("n")).as("tot"))
+        val benford = Seq(
+          1L -> 0.3010299956639812d, 2L -> 0.17609125905568124d,
+          3L -> 0.12493873660829992d, 4L -> 0.09691001300805642d,
+          5L -> 0.07918124604762482d, 6L -> 0.06694678963061322d,
+          7L -> 0.05799194697768673d, 8L -> 0.05115252244738129d,
+          9L -> 0.04575749056067514d)
+          .foldLeft(lit(0.0d)) { case (acc, (dig, f)) =>
+            when(col("digit") === lit(dig), lit(f)).otherwise(acc)
+          }
+        dg.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double"))
+              .as("freq"),
+            benford.as("benford_freq"),
+            abs(col("n").cast("double") / col("tot").cast("double")
+              - benford).as("abs_dev"))
+          .orderBy("digit")
+      },
+      Some("""WITH x AS (
+             |  SELECT l_extendedprice AS x FROM lineitem
+             |  WHERE l_extendedprice >= 1.0
+             |), dg AS (
+             |  SELECT CAST(floor(x / (CASE
+             |      WHEN x >= 1e7 THEN 1e7 WHEN x >= 1e6 THEN 1e6
+             |      WHEN x >= 1e5 THEN 1e5 WHEN x >= 1e4 THEN 1e4
+             |      WHEN x >= 1e3 THEN 1e3 WHEN x >= 1e2 THEN 1e2
+             |      WHEN x >= 1e1 THEN 1e1 ELSE 1.0 END)) AS BIGINT)
+             |    AS digit
+             |  FROM x
+             |), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |b AS (
+             |  SELECT digit, n,
+             |    CAST(CASE digit
+             |      WHEN 1 THEN 0.3010299956639812
+             |      WHEN 2 THEN 0.17609125905568124
+             |      WHEN 3 THEN 0.12493873660829992
+             |      WHEN 4 THEN 0.09691001300805642
+             |      WHEN 5 THEN 0.07918124604762482
+             |      WHEN 6 THEN 0.06694678963061322
+             |      WHEN 7 THEN 0.05799194697768673
+             |      WHEN 8 THEN 0.05115252244738129
+             |      WHEN 9 THEN 0.04575749056067514
+             |      ELSE 0.0 END AS DOUBLE) AS benford_freq
+             |  FROM c)
+             |SELECT digit, n,
+             |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS freq,
+             |  benford_freq,
+             |  abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford_freq)
+             |    AS abs_dev
+             |FROM b, t ORDER BY digit""".stripMargin)),
+
+    // k-anonymity audit over quasi-identifiers — the privacy-governance
+    // screen a training corpus's metadata table gets before release: bin
+    // the population by its (nationality, market-segment) equivalence
+    // classes and report, per class SIZE, how many classes and rows sit
+    // there and whether the size clears k=5 — rows in small classes are
+    // re-identifiable by the quasi-identifiers alone. Two keyed
+    // aggregations (class sizes, then the size histogram) plus a one-row
+    // broadcast total; every reported number is an exact long or a
+    // per-row ratio of longs.
+    QuerySpec("q210_k_anonymity",
+      (s, d) => {
+        val g = t(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("gsz"))
+        val tot = g.agg(sum(col("gsz")).as("tot"))
+        g.groupBy(col("gsz").as("group_size"))
+          .agg(count(lit(1)).as("n_groups"))
+          .crossJoin(broadcast(tot))
+          .select(col("group_size"), col("n_groups"),
+            (col("group_size") * col("n_groups")).as("n_rows"),
+            ((col("group_size") * col("n_groups")).cast("double")
+              / col("tot").cast("double")).as("frac_rows"),
+            (col("group_size") < lit(5L)).as("risky"))
+          .orderBy("group_size")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS gsz
+             |  FROM customer GROUP BY 1, 2
+             |), t AS (SELECT CAST(sum(gsz) AS BIGINT) AS tot FROM g),
+             |h AS (
+             |  SELECT gsz AS group_size, count(*) AS n_groups
+             |  FROM g GROUP BY 1)
+             |SELECT group_size, n_groups,
+             |  CAST(group_size * n_groups AS BIGINT) AS n_rows,
+             |  CAST(group_size * n_groups AS DOUBLE) / CAST(tot AS DOUBLE)
+             |    AS frac_rows,
+             |  group_size < 5 AS risky
+             |FROM h, t ORDER BY group_size""".stripMargin))
   )
 }

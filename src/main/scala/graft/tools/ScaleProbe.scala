@@ -90,7 +90,13 @@ object ScaleProbe {
       // RFM is one user-keyed aggregate + 3 constant-group rank
       // selections; modularity rides the pooled pair stream (pair mass
       // grows with twin-clique volume, like every pair consumer)
-      "q205_rfm_segments", "q206_dupgraph_source_modularity")
+      "q205_rfm_segments", "q206_dupgraph_source_modularity",
+      // local clustering rides the pooled pair stream (wedge work
+      // bounded by the degree orientation); MAD is two grouped rank
+      // selections; benford/k-anonymity are keyed aggregates + one-row
+      // broadcast totals
+      "q207_local_clustering", "q208_grouped_mad",
+      "q209_benford_audit", "q210_k_anonymity")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
