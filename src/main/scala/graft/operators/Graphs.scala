@@ -200,4 +200,50 @@ object Graphs {
     }
     pr
   }
+
+  /** Per-source within/cross edge incidences from a source-labeled edge
+    * list (s_a, s_b): (source, within_edges, cross_edges), exact longs.
+    * A within edge counts once for its source; a cross edge counts once
+    * for EACH endpoint source (so Σ cross_edges = 2 · #cross edges).
+    * Sources with no incidences don't appear. The counters are plain
+    * sums, so partials over any partition of the edge stream merge to
+    * the full counts — the property the streaming monitor rides. */
+  def sourceEdgeCounts(es: DataFrame): DataFrame = {
+    val within = es.filter(col("s_a") === col("s_b"))
+      .groupBy(col("s_a").as("source"))
+      .agg(count(lit(1)).as("within_edges"))
+    val crossE = es.filter(col("s_a") =!= col("s_b"))
+      .select(explode(array(col("s_a"), col("s_b"))).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("cross_edges"))
+    within.join(crossE, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        coalesce(col("cross_edges"), lit(0L)).as("cross_edges"))
+  }
+
+  /** Newman per-community modularity report from [[sourceEdgeCounts]]
+    * counters: per source, e_s/m vs the degree-expected (d_s/2m)² and
+    * their difference. m = Σ within + (Σ cross)/2 — the incidence sum
+    * counts each cross edge twice, so the (always-even) halved sum is
+    * the exact total edge count; the one-row total crosses back as a
+    * broadcast singleton and every double is assembled per-row from
+    * exact longs by one literal expression tree. */
+  def modularityReport(perSource: DataFrame): DataFrame = {
+    val tot = perSource.agg(
+      (sum(col("within_edges"))
+        + shiftright(sum(col("cross_edges")), 1)).as("m"))
+    val halfDeg = col("deg_sum").cast("double") / (lit(2.0d) * col("m"))
+    perSource
+      .crossJoin(broadcast(tot))
+      .withColumn("deg_sum",
+        lit(2L) * col("within_edges") + col("cross_edges"))
+      .withColumn("within_frac",
+        col("within_edges").cast("double") / col("m"))
+      .withColumn("expected_frac", halfDeg * halfDeg)
+      .select(col("source"), col("within_edges"), col("cross_edges"),
+        col("deg_sum"), col("within_frac"), col("expected_frac"),
+        (col("within_frac") - col("expected_frac")).as("modularity_delta"))
+      .orderBy("source")
+  }
 }

@@ -1252,29 +1252,13 @@ object DedupQueries {
           .join(src.as("sa"), col("a_id") === col("sa.doc_id"))
           .join(src.as("sb"), col("b_id") === col("sb.doc_id"))
           .select(col("sa.source").as("s_a"), col("sb.source").as("s_b"))
-        val tot = e.agg(count(lit(1)).as("m"))
-        val within = e.filter(col("s_a") === col("s_b"))
-          .groupBy(col("s_a").as("source"))
-          .agg(count(lit(1)).as("within_edges"))
-        val crossE = e.filter(col("s_a") =!= col("s_b"))
-          .select(explode(array(col("s_a"), col("s_b"))).as("source"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("cross_edges"))
-        val halfDeg = col("deg_sum").cast("double") / (lit(2.0d) * col("m"))
-        within.join(crossE, Seq("source"), "full_outer")
-          .select(col("source"),
-            coalesce(col("within_edges"), lit(0L)).as("within_edges"),
-            coalesce(col("cross_edges"), lit(0L)).as("cross_edges"))
-          .crossJoin(broadcast(tot))
-          .withColumn("deg_sum",
-            lit(2L) * col("within_edges") + col("cross_edges"))
-          .withColumn("within_frac",
-            col("within_edges").cast("double") / col("m"))
-          .withColumn("expected_frac", halfDeg * halfDeg)
-          .select(col("source"), col("within_edges"), col("cross_edges"),
-            col("deg_sum"), col("within_frac"), col("expected_frac"),
-            (col("within_frac") - col("expected_frac")).as("modularity_delta"))
-          .orderBy("source")
+        // counters + report are the shared Graphs machinery so the
+        // streaming monitor (EventStreams.modularityMonitorSink) and
+        // this batch query are the SAME expression tree over the same
+        // exact-integer counters; m = Σ within + (Σ cross)/2 equals the
+        // old direct edge count by construction
+        graft.operators.Graphs.modularityReport(
+          graft.operators.Graphs.sourceEdgeCounts(e))
       },
       Some(lshCte + """
         |, e AS (

@@ -637,6 +637,82 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming source-modularity monitor — q206's production form: each
+    * arriving batch contributes its near-dup edges (batch-internal LSH
+    * pairs, plus the bipartite batch×earlier-arrivals pairs — each
+    * unordered pair is discovered exactly once, when its LATER element
+    * arrives, so the union over batches is the full-corpus pair set,
+    * the same parity q204/DupGraphSpec prove for append ≡ rebuild; at
+    * real scale it holds as long as the LSH bucket caps aren't binding,
+    * the same caveat as the append path), labels endpoints with their
+    * sources, and publishes per-source within/cross counter PARTIALS to
+    * `stateDir/batch=N`. Counters are plain integer sums, so merged
+    * partials ≡ full recompute, and [[servingModularity]] assembles the
+    * exact q206 report from them through the SAME shared expression
+    * tree ([[graft.operators.Graphs.modularityReport]]) — the live
+    * "is this source templating internally or syndicating across
+    * sources" dial, maintained without ever re-pairing history.
+    * Replay-safe: arrivals land append-only under `corpusDir/batch=N`
+    * (overwriting their own batch subdir), the corpus read excludes the
+    * current batch id, and both writes are per-batch overwrites. */
+  def modularityMonitorSink(stream: DataFrame, idCol: String,
+                            textCol: String, srcCol: String,
+                            corpusDir: String, stateDir: String,
+                            checkpointDir: String,
+                            numBands: Int = 4, minJaccard: Double = 0.1,
+                            k: Int = 3, rowsPerBand: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        try {
+          val docs = batch.select(col(idCol), col(textCol), col(srcCol))
+          val within = Dedup.lshPairs(docs, idCol, textCol,
+            numBands, minJaccard, k, rowsPerBand)
+            .select(col("a_id"), col("b_id"))
+          val prior =
+            if (new java.io.File(corpusDir).isDirectory)
+              Some(spark.read.parquet(corpusDir)
+                .filter(col("batch") =!= batchId)
+                .select(col(idCol), col(textCol), col(srcCol)))
+            else None
+          val cross = prior.map(corpus =>
+            Dedup.lshPairsAgainst(docs, corpus, idCol, textCol,
+              numBands, minJaccard, k, rowsPerBand)
+              .select(col("new_id").as("a_id"),
+                col("corpus_id").as("b_id")))
+          docs.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          val srcMap = prior.foldLeft(docs)(_ unionByName _)
+            .select(col(idCol).as("id"), col(srcCol).as("src"))
+          val es = cross.foldLeft(within)(_ unionByName _)
+            .join(srcMap.as("sa"), col("a_id") === col("sa.id"))
+            .join(srcMap.as("sb"), col("b_id") === col("sb.id"))
+            .select(col("sa.src").as("s_a"), col("sb.src").as("s_b"))
+          graft.operators.Graphs.sourceEdgeCounts(es)
+            .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release()
+        }
+        ()
+      }
+      .start()
+
+  /** The queryable modularity report over everything
+    * [[modularityMonitorSink]] has published: sum the per-batch counter
+    * partials by source (exact longs — merged ≡ full recompute), then
+    * the shared report assembly. Equals the batch q206 over the union
+    * of all arrivals, spec-proven. */
+  def servingModularity(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.Graphs.modularityReport(
+      spark.read.parquet(stateDir)
+        .groupBy(col("source"))
+        .agg(sum(col("within_edges")).as("within_edges"),
+          sum(col("cross_edges")).as("cross_edges")))
+
   /** Run any streaming DataFrame to completion over currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result for assertion/inspection. Used by tests and local tooling. */

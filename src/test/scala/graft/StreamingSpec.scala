@@ -418,6 +418,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head._3 > 0.0) // the skew is visible
   }
 
+  test("streaming modularity monitor equals the batch q206 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // exact-duplicate texts pin the pair set (SourceModularitySpec's
+    // fixture, split so the load-bearing edges are CROSS-BATCH: (3,4)
+    // within-source across waves, (1,5)/(2,5) cross-source across waves,
+    // (1,2) within one batch)
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "one two three four five"
+    val t3 = "north south east west center"
+    val wave1 = Seq((1L, t1, "x"), (2L, t1, "x"), (3L, t2, "x"))
+      .toDF("doc_id", "text", "source")
+    val wave2 = Seq((4L, t2, "x"), (5L, t1, "y"), (6L, t3, "z"))
+      .toDF("doc_id", "text", "source")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.modularityMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", "source",
+      s"$tmp/corpus", s"$tmp/state", s"$tmp/ckpt").awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.modularityMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", "source",
+      s"$tmp/corpus", s"$tmp/state", s"$tmp/ckpt").awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val streamed = rows(EventStreams.servingModularity(spark, s"$tmp/state"))
+    // the registered batch query over the union of all arrivals
+    wave1.unionByName(wave2).write.parquet(s"$tmp/all/documents.parquet")
+    val batchQ = rows(
+      SparkEntry.queries("q206_dupgraph_source_modularity")(spark, s"$tmp/all"))
+    assert(streamed === batchQ)
+    // and the hand-computed table, so BOTH paths are pinned to the math
+    assert(streamed === Seq(
+      ("x", 2L, 2L, 6L, 0.5, 0.5625, -0.0625),
+      ("y", 0L, 2L, 2L, 0.0, 0.0625, -0.0625)))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
