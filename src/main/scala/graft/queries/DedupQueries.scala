@@ -1363,7 +1363,70 @@ object DedupQueries {
         |  CASE WHEN dg < 2 THEN 0.0
         |       ELSE 2.0 * COALESCE(t, 0) / (dg * (dg - 1)) END
         |    AS clustering_coeff
-        |FROM deg LEFT JOIN tcnt USING (n) ORDER BY doc_id""".stripMargin))
+        |FROM deg LEFT JOIN tcnt USING (n) ORDER BY doc_id""".stripMargin)),
+
+    // 2-CORE of the near-dup graph by bounded peeling — the dense-core
+    // extractor: iteratively discard degree-<2 nodes (chain tendrils,
+    // isolated pairs) until what remains is the subgraph where every doc
+    // has ≥2 surviving near-dup partners — the part of the dup graph
+    // where transitive-closure clustering is structurally corroborated
+    // rather than riding one fragile edge. Both engines run the SAME
+    // fixed 8 peel rounds (the oracle unrolls them as chained CTEs, the
+    // q175 discipline), so parity is unconditional — no convergence
+    // argument needed; 8 rounds converge on every gate fixture, and at
+    // production scale the peel loop runs to fixpoint instead (each
+    // round is two semi-joins + one keyed count on a shrinking frame —
+    // the textbook distributed k-core shape). Filtering the FULL edge
+    // set by round-i survivors equals filtering round i's residual
+    // (survivor sets are nested), which keeps every round a 2-join
+    // restriction of the one pooled pair frame.
+    QuerySpec("q211_kcore_peel",
+      (s, d) => {
+        val e = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+          .select(col("a_id"), col("b_id"))
+        def degrees(g: org.apache.spark.sql.DataFrame) =
+          g.select(explode(array(col("a_id"), col("b_id"))).as("n"))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+        def restrict(alive: org.apache.spark.sql.DataFrame) =
+          e.join(alive.select(col("n").as("a_id")), "a_id")
+            .join(alive.select(col("n").as("b_id")), "b_id")
+        var g = e
+        for (_ <- 1 to 8) {
+          // eager localCheckpoint: truncates the per-round join lineage
+          // (8 stacked restrictions otherwise compound into one
+          // heap-exhausting plan) and gives the optimizer exact sizes
+          // for the survivor side — the Graphs.pageRank discipline
+          val alive = degrees(g).filter(col("dg") >= 2).select("n")
+            .localCheckpoint()
+          g = restrict(alive)
+        }
+        degrees(g)
+          .select(col("n").as("doc_id"), col("dg").as("core_degree"))
+          .orderBy("doc_id")
+      },
+      Some(lshCte + {
+        // MATERIALIZED: each CTE is referenced 2-3× downstream; without
+        // the hint DuckDB inlines them and re-runs the whole LSH shingle
+        // pipeline per reference (observed: fd exhaustion at 9 copies)
+        val sb = new StringBuilder(
+          "\n, eg AS MATERIALIZED" +
+            " (SELECT a_id, b_id FROM lsh_pairs WHERE jac >= 0.1)" +
+            "\n, g1 AS MATERIALIZED (SELECT a_id, b_id FROM eg)")
+        for (i <- 1 to 8) {
+          sb ++= s"\n, a$i AS MATERIALIZED" +
+            s" (SELECT n FROM (SELECT a_id AS n FROM g$i" +
+            s" UNION ALL SELECT b_id FROM g$i) GROUP BY n" +
+            " HAVING count(*) >= 2)"
+          sb ++= s"\n, g${i + 1} AS MATERIALIZED (SELECT a_id, b_id FROM eg" +
+            s" JOIN a$i x ON x.n = eg.a_id JOIN a$i y ON y.n = eg.b_id)"
+        }
+        sb ++= "\nSELECT n AS doc_id, CAST(count(*) AS BIGINT)" +
+          " AS core_degree FROM (SELECT a_id AS n FROM g9" +
+          " UNION ALL SELECT b_id FROM g9) GROUP BY n ORDER BY doc_id"
+        sb.toString
+      }))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

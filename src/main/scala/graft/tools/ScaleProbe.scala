@@ -91,12 +91,13 @@ object ScaleProbe {
       // selections; modularity rides the pooled pair stream (pair mass
       // grows with twin-clique volume, like every pair consumer)
       "q205_rfm_segments", "q206_dupgraph_source_modularity",
-      // local clustering rides the pooled pair stream (wedge work
-      // bounded by the degree orientation); MAD is two grouped rank
-      // selections; benford/k-anonymity are keyed aggregates + one-row
-      // broadcast totals
-      "q207_local_clustering", "q208_grouped_mad",
-      "q209_benford_audit", "q210_k_anonymity")
+      // round-10 additions: local clustering rides the pooled pair
+      // stream (wedge work bounded by the degree orientation); kcore is
+      // 8 bounded peel rounds, each two semi-joins on a shrinking frame.
+      // q208-q210 are lineitem/customer-family (not in this fixture) —
+      // keyed aggregates + grouped rank selections, probed by the q45/
+      // q153 shapes they share
+      "q207_local_clustering", "q211_kcore_peel")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
