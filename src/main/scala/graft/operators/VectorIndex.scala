@@ -65,6 +65,22 @@ object VectorIndex {
       cells = idx.cells.unionByName(add.cells))
   }
 
+  /** DELETE maintenance under frozen quantizers — the other online half
+    * of index life next to [[append]]: drop the deleted ids' code and
+    * cell rows (one anti-join per corpus-sized frame; at artifact scale,
+    * a tombstone filter on the narrow frames). The quantizers are
+    * membership-independent and encoding is per-vector, so
+    * `delete(build(all), ids)` equals `build(all ∖ ids)` EXACTLY —
+    * PqSpec-pinned, q212 oracle-gated. A deleted vector can still be
+    * used as a QUERY (search assigns queries fresh against the coarse
+    * quantizer); it just can't be retrieved. */
+  def delete(idx: Frames, ids: DataFrame, idCol: String): Frames = {
+    val del = ids.select(col(idCol).as("vec_id"))
+    Frames(idx.coarse, idx.codebook,
+      codes = idx.codes.join(del, Seq("vec_id"), "left_anti"),
+      cells = idx.cells.join(del, Seq("vec_id"), "left_anti"))
+  }
+
   def save(frames: Frames, dir: String): Unit = {
     frames.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     frames.codebook.write.mode("overwrite").parquet(s"$dir/codebook")

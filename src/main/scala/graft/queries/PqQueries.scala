@@ -324,6 +324,43 @@ object PqQueries {
             col("neighbor_id"), col("adc_qdist"))
           .orderBy("q_id", "rank")
       },
-      Some(ivfAdcSearchSql))
+      Some(ivfAdcSearchSql)),
+
+    // Vector-index DELETE maintenance, oracle-gated — q189's other half:
+    // the index is built over the FULL corpus, the vec_id % 10 = 3 ids
+    // are DELETED (VectorIndex.delete — an anti-join dropping their
+    // code/cell rows; the frozen quantizers are membership-independent,
+    // so delete ≡ build-over-remaining EXACTLY), and the q116 search
+    // runs against the pruned frames. The oracle is q116's pipeline with
+    // the deleted ids excluded from the INDEX side only: queries keep
+    // their fresh coarse assignment — a deleted doc can still query, it
+    // just can't be retrieved. With append (q189) and the persisted
+    // artifact (q140/PqSpec save-load), the online index lifecycle is
+    // now closed under both mutations.
+    QuerySpec("q212_vector_index_delete",
+      (s, d) => {
+        val (_, _, cb1) = trained(s, d)
+        val e = vecs(s, d)
+        val coarse = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val full = graft.operators.VectorIndex.build(
+          e, "vec_id", "v", M, SubDim, coarse, cb1)
+        val idx = graft.operators.VectorIndex.delete(full,
+          e.filter(col("vec_id") % 10 === 3), "vec_id")
+        graft.operators.VectorIndex.searchTopK(idx,
+            e.filter(col("vec_id") < 5), "vec_id", "v", M, SubDim, k = 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_qdist"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        // q116's oracle with the deletion applied to the index (x) side
+        // of the candidate join only
+        val marker = "WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id"
+        require(ivfAdcSearchSql.contains(marker),
+          "q212 oracle: q116 candidate-join marker not found")
+        ivfAdcSearchSql.replace(marker,
+          marker + " AND x.vec_id % 10 <> 3")
+      })
   )
 }

@@ -133,4 +133,38 @@ class PqSpec extends SparkSpec {
     // the batch genuinely added rows to the narrow frames
     assert(appended.codes.count() > oldIdx.codes.count())
   }
+
+  test("delete under frozen quantizers equals a rebuild over the remainder") {
+    import graft.operators.VectorIndex
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val full = VectorIndex.build(e, "vec_id", "v", M, SubDim, coarse, cb1)
+    val deleted = VectorIndex.delete(
+      full, e.filter(col("vec_id") % 10 === 3), "vec_id")
+    // frame-level: the pruned frames equal a fresh build on the remainder
+    val rebuilt = VectorIndex.build(
+      e.filter(col("vec_id") % 10 =!= 3), "vec_id", "v", M, SubDim,
+      coarse, cb1)
+    def codeSet(ix: VectorIndex.Frames) =
+      ix.codes.collect().map(_.toSeq).toSet
+    def cellSet(ix: VectorIndex.Frames) =
+      ix.cells.collect().map(_.toSeq).toSet
+    assert(codeSet(deleted) === codeSet(rebuilt))
+    assert(cellSet(deleted) === cellSet(rebuilt))
+    // search-level, through the artifact round-trip; a DELETED id still
+    // works as a query (vec_id 3 is both deleted and in the query set)
+    // but never appears as a neighbor
+    val dir = java.nio.file.Files.createTempDirectory("vecidx_del").toString
+    VectorIndex.save(deleted, dir)
+    val queries = e.filter(col("vec_id") < 5)
+    def results(ix: VectorIndex.Frames) = VectorIndex
+      .searchTopK(ix, queries, "vec_id", "v", M, SubDim, k = 3)
+      .select("q_id", "rank", "neighbor_id", "adc_qdist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val got = results(VectorIndex.load(spark, dir))
+    assert(got === results(rebuilt))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.contains(3L))
+    assert(!got.exists(_._3 % 10 == 3))
+  }
 }
