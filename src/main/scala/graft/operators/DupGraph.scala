@@ -73,6 +73,26 @@ object DupGraph {
       clusters = Dedup.incrementalClusters(Some(idx.clusters), newPairs))
   }
 
+  /** DELETE a document set from the graph artifact — the other online
+    * half next to [[append]]. Pairs are pairwise, so the residual pair
+    * set after dropping every pair that TOUCHES a deleted id equals the
+    * rebuild-over-remainder pair set with no re-shingling (exactly,
+    * modulo the same bucket-cap caveat as append: a cap that binds on
+    * the full corpus but not the remainder would make the rebuild
+    * surface extra pairs — q213's full-recompute oracle proves caps
+    * don't bind at gate scale). Cluster labels are RE-DERIVED from the
+    * residual pairs rather than filtered, because deletion can SPLIT a
+    * component — the deleted doc may be its only bridge, and a label
+    * filter would leave the phantom merge behind. Cost: one anti-join
+    * pass over the pair frame + a pairs-sized CC; never a corpus pass. */
+  def delete(idx: Frames, ids: DataFrame, idCol: String): Frames = {
+    import org.apache.spark.sql.functions.col
+    val residual = idx.pairs
+      .join(ids.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+      .join(ids.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
+    Frames(residual, Dedup.dupClustersStar(residual))
+  }
+
   def save(frames: Frames, dir: String): Unit = {
     frames.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
     frames.clusters.write.mode("overwrite").parquet(s"$dir/clusters")

@@ -100,8 +100,8 @@ object DedupQueries {
     * (recursive reachability + per-source minimum) — the shared oracle of
     * q37 (label propagation) and q111 (star contraction): both clusterers
     * promise (doc_id, cluster_id = component minimum). */
-  private lazy val clustersCte: String =
-    lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+  private def clustersCteFrom(rel: String): String =
+    lshCteFrom(rel).replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """
         |, e AS (
         |  SELECT a_id AS s, b_id AS t FROM lsh_pairs WHERE jac >= 0.1
@@ -115,6 +115,8 @@ object DedupQueries {
         |  SELECT src AS doc_id, min(node) AS cluster_id
         |  FROM reach GROUP BY src
         |)""".stripMargin
+
+  private lazy val clustersCte: String = clustersCteFrom("documents")
 
   private lazy val clustersOracle: String =
     clustersCte + "\nSELECT doc_id, cluster_id FROM clu ORDER BY doc_id"
@@ -1426,7 +1428,33 @@ object DedupQueries {
           " AS core_degree FROM (SELECT a_id AS n FROM g9" +
           " UNION ALL SELECT b_id FROM g9) GROUP BY n ORDER BY doc_id"
         sb.toString
-      }))
+      })),
+
+    // Dup-graph DELETE maintenance, oracle-gated — q204's other half
+    // (and the dedup sibling of q212's vector delete): the graph is
+    // built over the FULL corpus, the doc_id % 10 = 4 documents are
+    // DELETED (DupGraph.delete — every pair touching a deleted id drops
+    // via two anti-joins; pairs are pairwise, so the residual IS the
+    // rebuild-over-remainder pair set with no re-shingling), and the
+    // labels are RE-DERIVED from the residual pairs — deletion can
+    // SPLIT a component (the deleted doc may be its only bridge), which
+    // is exactly what a label filter would get wrong. The oracle is the
+    // same recursive-CC recompute over the REMAINING documents, so the
+    // split case is proven, not assumed.
+    QuerySpec("q213_dupgraph_delete",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val full = graft.operators.DupGraph.build(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        graft.operators.DupGraph.delete(full,
+            docs.filter(col("doc_id") % 10 === 4), "doc_id")
+          .clusters
+          .orderBy("doc_id")
+      },
+      Some(clustersCteFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 4)") +
+        "\nSELECT doc_id, cluster_id FROM clu ORDER BY doc_id"))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —
