@@ -115,6 +115,40 @@ object Postings {
     ix.tt.write.mode("overwrite").parquet(s"$dir/tt")
   }
 
+  /** DELETE a document set from an index — the text-family sibling of
+    * `VectorIndex.delete`/`DupGraph.delete`, closing the lifecycle
+    * under both mutations next to q147's delta MERGE. Every adjustment
+    * is INCREMENTAL and |deleted|-proportional: the dropped postings
+    * (tf ⋈ deleted) are exactly the per-term df decrements and the
+    * dropped doc-lengths are the n_docs/t_total decrements — no
+    * recount touches the surviving corpus. Counters are exact longs,
+    * so delete ≡ rebuild-over-remainder EXACTLY (PostingsSpec pins the
+    * frames; q214 oracle-gates BM25 served from the pruned index
+    * against a full recompute on the remaining documents). Terms whose
+    * df reaches 0 leave the dictionary, matching a fresh build. */
+  def delete(ix: Index, ids: DataFrame, idCol: String): Index = {
+    val del = ids.select(col(idCol).as("doc"))
+    val deadTf = ix.tf.join(del, Seq("doc"))
+    val deadDl = ix.dl.join(del, Seq("doc"))
+    val dfDelta = deadTf.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val ndDelta = deadDl.agg(count(lit(1)).as("dnd"))
+    val ttDelta = deadDl.agg(coalesce(sum(col("dl")), lit(0L)).as("dtt"))
+    Index(
+      // the using-column anti-join puts the key first — restore the
+      // (term, doc, tf) frame contract
+      tf = ix.tf.join(del, Seq("doc"), "left_anti")
+        .select(col("term"), col("doc"), col("tf")),
+      df = ix.df.join(dfDelta, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0),
+      dl = ix.dl.join(del, Seq("doc"), "left_anti"),
+      nd = ix.nd.crossJoin(ndDelta)
+        .select((col("n_docs") - col("dnd")).as("n_docs")),
+      tt = ix.tt.crossJoin(ttDelta)
+        .select((col("t_total") - col("dtt")).as("t_total")))
+  }
+
   /** Load a [[save]]d index artifact. Frames are NOT pooled or
     * persisted — the artifact scan is the serving path (columnar,
     * filter-pushdown on the term key), exactly how a 100 TB deployment

@@ -41,17 +41,17 @@ object CurationQueries {
   private val Bm25Queries = Seq(
     "q1" -> Seq("spark", "join"), "q2" -> Seq("window", "scan"),
     "q3" -> Seq("stream", "batch", "hash"))
-  private val Bm25Oracle = """WITH qt(q_id, term) AS (VALUES
+  private def bm25OracleFrom(rel: String) = s"""WITH qt(q_id, term) AS (VALUES
              |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
              |  ('q3','stream'),('q3','batch'),('q3','hash')),
              |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
-             |        FROM documents),
+             |        FROM $rel),
              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
              |       GROUP BY doc_id, term),
              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
              |       GROUP BY doc_id),
              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |g AS (SELECT count(*) AS n_docs FROM $rel),
              |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
              |sc AS (
              |  SELECT q_id, tf.doc_id,
@@ -68,6 +68,8 @@ object CurationQueries {
              |      FROM sc)
              |SELECT q_id, rank, doc_id, score FROM r
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private val Bm25Oracle = bm25OracleFrom("documents")
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -809,5 +811,29 @@ object CurationQueries {
              |       JOIN sw USING (src) JOIN p2 ON p2.node = e.src GROUP BY dst),
              |p3 AS (SELECT n.node, 150000000 + (85 * COALESCE(s, 0)) // 100 AS pr
              |       FROM n LEFT JOIN c3 ON c3.dst = n.node)
-             |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)))
+             |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY node""".stripMargin)),
+
+    // Text-index DELETE maintenance, oracle-gated — the retrieval-family
+    // sibling of q212 (vector) and q213 (dup graph), next to q147's
+    // delta MERGE on the append side: the doc_id % 10 = 6 documents are
+    // deleted from the posting index by INCREMENTAL, |deleted|-sized
+    // adjustments (Postings.delete — the dropped postings ARE the
+    // per-term df decrements, the dropped doc-lengths the n_docs/t_total
+    // decrements; no recount touches the surviving corpus), and the q138
+    // BM25 scoring runs from the pruned index. Counters are exact longs,
+    // so the scores hash-match the oracle's FULL recompute over the
+    // remaining documents — delete ≡ rebuild, with the three queries'
+    // candidate sets exercising both pruned postings and pruned stats.
+    QuerySpec("q214_bm25_delete",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pruned = graft.operators.Postings.delete(
+          graft.operators.Postings.forCorpus(docs, "doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 6), "doc_id")
+        graft.operators.InvertedIndex.bm25TopKFromIndex(pruned,
+          Bm25Queries, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(bm25OracleFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 6)"))))
 }

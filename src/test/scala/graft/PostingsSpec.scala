@@ -42,6 +42,41 @@ class PostingsSpec extends SparkSpec {
     Postings.release()
   }
 
+  test("delete adjusts every frame incrementally, equal to a rebuild") {
+    Postings.release()
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "c d d")
+    ).toDF("doc_id", "text")
+    val pruned = Postings.delete(
+      Postings.forCorpus(docs, "doc_id", "text"),
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    // hand-checked against the remaining docs {1, 3}: term d vanishes
+    // (df hit 0), c vanishes, b's df drops to 1
+    assert(pruned.tf.as[(String, Long, Long)].collect().toSet
+      === Set(("a", 1L, 2L), ("b", 1L, 1L), ("a", 3L, 1L)))
+    assert(pruned.df.as[(String, Long)].collect().toSet
+      === Set(("a", 2L), ("b", 1L)))
+    assert(pruned.dl.as[(Long, Long)].collect().toSet
+      === Set((1L, 3L), (3L, 1L)))
+    assert(pruned.nd.head().getLong(0) === 2L)
+    assert(pruned.tt.head().getLong(0) === 4L)
+    // and frame-for-frame equal to a fresh build over the remainder
+    val rebuilt = Postings.forCorpus(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    assert(pruned.tf.collect().map(_.toSeq).toSet
+      === rebuilt.tf.collect().map(_.toSeq).toSet)
+    assert(pruned.df.collect().map(_.toSeq).toSet
+      === rebuilt.df.collect().map(_.toSeq).toSet)
+    // deleting an id that is not in the corpus is a no-op on the counts
+    val noop = Postings.delete(
+      Postings.forCorpus(docs, "doc_id", "text"),
+      Seq(99L).toDF("doc_id"), "doc_id")
+    assert(noop.nd.head().getLong(0) === 4L)
+    assert(noop.tt.head().getLong(0) === 9L)
+    Postings.release()
+  }
+
   test("distinct corpora pool separately; overflow evicts only the oldest") {
     Postings.release()
     import spark.implicits._
