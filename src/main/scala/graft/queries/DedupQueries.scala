@@ -1455,6 +1455,51 @@ object DedupQueries {
       Some(clustersCteFrom(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 4)") +
         "\nSELECT doc_id, cluster_id FROM clu ORDER BY doc_id"))
+
+    ,
+    // Dedup SURVIVORSHIP-BIAS audit — the "what did dedup do to my
+    // data" report a curation team signs off on before shipping a
+    // deduped corpus: per (source, kept/dropped) cell under the
+    // keep-cluster-minimum rule (q65's exact keep policy — kept =
+    // singleton or component minimum), document counts and the
+    // length profile of each cell. A dropped-mean ≫ kept-mean gap
+    // inside a source is the survivorship red flag: the dedup policy
+    // is systematically discarding the longer (often richer) twin
+    // instead of a random one. Counts and char totals are exact longs
+    // off the pooled pair/cluster frames; the mean is one per-row
+    // division.
+    QuerySpec("q216_dedup_survivorship",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
+        docs.join(clusters, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("cluster_id").isNull
+                || col("cluster_id") === col("doc_id"),
+              lit("kept")).otherwise(lit("dropped")).as("status"),
+            col("n_chars"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+          .select(col("source"), col("status"), col("n_docs"),
+            col("total_chars"),
+            (col("total_chars").cast("double") / col("n_docs"))
+              .as("mean_chars"))
+          .orderBy("source", "status")
+      },
+      Some(clustersCte + """
+        |SELECT source,
+        |  CASE WHEN cluster_id IS NULL OR cluster_id = doc_id
+        |       THEN 'kept' ELSE 'dropped' END AS status,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+        |    AS mean_chars
+        |FROM documents LEFT JOIN clu USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

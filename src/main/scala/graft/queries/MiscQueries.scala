@@ -1459,6 +1459,52 @@ object MiscQueries {
              |  FROM dev v JOIN mad d USING (l_suppkey) GROUP BY 1)
              |SELECT m.l_suppkey, st.n, m.med, d.mad, st.n_outliers
              |FROM med m JOIN mad d USING (l_suppkey) JOIN st USING (l_suppkey)
-             |ORDER BY l_suppkey""".stripMargin))
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // Burst detection over the event stream — the rate-anomaly monitor
+    // of an ingestion pipeline: each (event_type, hour) cell's count
+    // against the SUM of the trailing 24 hours (a RANGE frame on the
+    // epoch key, [−86400 s, −3600 s] — value-ranged, so missing hours
+    // weigh zero without gap-filling), flagged when the hourly rate
+    // exceeds 3× the trailing average. The flag is the pure-integer
+    // comparison 24·n > 3·base24 — no doubles in the decision — and the
+    // reported ratio is one per-row division of exact longs (null while
+    // the trailing window is empty). One keyed aggregation plus one
+    // window partitioned by event_type: never a global sort.
+    QuerySpec("q215_burst_detection",
+      (s, d) => {
+        val hourly = events(s, d).filter(col("ts").isNotNull)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("hsec", unix_timestamp(col("hour")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hsec"))
+          .rangeBetween(-86400L, -3600L)
+        hourly
+          .withColumn("base24", coalesce(sum(col("n")).over(w), lit(0L)))
+          .select(col("event_type"), col("hour"), col("n"), col("base24"),
+            when(col("base24") > 0,
+              (lit(24L) * col("n")).cast("double") / col("base24"))
+              .as("burst_ratio"),
+            (col("base24") > 0 && lit(24L) * col("n") > lit(3L) * col("base24"))
+              .as("is_burst"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    count(*) AS n
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+             |), w AS (
+             |  SELECT event_type, hour, n,
+             |    COALESCE(sum(n) OVER (PARTITION BY event_type
+             |      ORDER BY epoch_us(hour) // 1000000
+             |      RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING), 0)
+             |      AS base24
+             |  FROM hourly)
+             |SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+             |  CAST(base24 AS BIGINT) AS base24,
+             |  CASE WHEN base24 > 0 THEN CAST(24 * n AS DOUBLE) / base24 END
+             |    AS burst_ratio,
+             |  base24 > 0 AND 24 * n > 3 * base24 AS is_burst
+             |FROM w ORDER BY event_type, hour""".stripMargin))
   )
 }

@@ -47,6 +47,32 @@ class RobustAuditSpec extends SparkSpec {
     }
   }
 
+  test("q215: trailing-24h base, strict 3x threshold, empty-window null") {
+    // type "e": hours 0..23 get 1 event each; hour 24 gets 3 (rate is
+    // EXACTLY 3x the trailing mean -> 24*3 > 3*24 is false, no burst);
+    // hour 25 gets 4 (base = hours 1..24 = 23 + 3 = 26; 96 > 78, burst)
+    val tmp = Files.createTempDirectory("burstspec").toString
+    import spark.implicits._
+    val evs =
+      (0 until 24).map(h => (java.sql.Timestamp.valueOf(
+        f"2024-03-01 ${h}%02d:15:00"), "e")) ++
+        Seq.fill(3)((java.sql.Timestamp.valueOf("2024-03-02 00:30:00"), "e")) ++
+        Seq.fill(4)((java.sql.Timestamp.valueOf("2024-03-02 01:30:00"), "e"))
+    evs.toDF("ts", "event_type").write.parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q215_burst_detection")(spark, tmp)
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getBoolean(5)))
+    assert(got.length === 26)
+    val first = got.head
+    assert(first._2 === 1L && first._3 === 0L
+      && first._4.isNaN && !first._5) // empty trailing window
+    val h24 = got(24)
+    assert(h24 === (("2024-03-02 00:00:00.0", 3L, 24L, 3.0, false)))
+    val h25 = got(25)
+    assert(h25 === (("2024-03-02 01:00:00.0", 4L, 26L, 96.0 / 26, true)))
+  }
+
   test("q209: digit ladder survives exact power-of-ten boundaries") {
     // 1000.0 and 1e7 sit ON ladder rungs → digit 1; 999.99 and
     // 9999999.99 sit just under → digit 9; 0.5 is filtered (< 1.0)
