@@ -49,6 +49,32 @@ object Transforms {
           .otherwise(lit(false)).as("anomaly"))
   }
 
+  /** Burst table from an hourly count frame (event_type, hour, n) — the
+    * assembly q215 and the streaming burst monitor SHARE, so streamed
+    * reports over merged count partials are the identical expression
+    * tree (hourly counts are plain integer sums: merged partials ≡ one
+    * batch aggregation). The trailing baseline is a RANGE frame on the
+    * epoch key ([−86400 s, −3600 s] — value-ranged, absent hours weigh
+    * zero with no gap-fill), the burst decision is the pure-integer
+    * 24·n > 3·base24, and the only double is one per-row ratio (null
+    * while the trailing window is empty). Window partitioned by
+    * event_type — never a global sort. */
+  def burstFlags(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("hsec")).rangeBetween(-86400L, -3600L)
+    hourly
+      .withColumn("hsec", unix_timestamp(col("hour")))
+      .withColumn("base24", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("event_type"), col("hour"), col("n"), col("base24"),
+        when(col("base24") > 0,
+          (lit(24L) * col("n")).cast("double") / col("base24"))
+          .as("burst_ratio"),
+        (col("base24") > 0 && lit(24L) * col("n") > lit(3L) * col("base24"))
+          .as("is_burst"))
+      .orderBy("event_type", "hour")
+  }
+
   /** P2: keep rows whose `col` ends with `suffix`. */
   def filterSuffix(df: DataFrame, colName: String, suffix: String): DataFrame =
     df.filter(col(colName).endsWith(suffix))

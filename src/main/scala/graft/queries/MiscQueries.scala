@@ -1472,23 +1472,10 @@ object MiscQueries {
     // the trailing window is empty). One keyed aggregation plus one
     // window partitioned by event_type: never a global sort.
     QuerySpec("q215_burst_detection",
-      (s, d) => {
-        val hourly = events(s, d).filter(col("ts").isNotNull)
+      (s, d) => graft.operators.Transforms.burstFlags(
+        events(s, d).filter(col("ts").isNotNull)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("hsec", unix_timestamp(col("hour")))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("hsec"))
-          .rangeBetween(-86400L, -3600L)
-        hourly
-          .withColumn("base24", coalesce(sum(col("n")).over(w), lit(0L)))
-          .select(col("event_type"), col("hour"), col("n"), col("base24"),
-            when(col("base24") > 0,
-              (lit(24L) * col("n")).cast("double") / col("base24"))
-              .as("burst_ratio"),
-            (col("base24") > 0 && lit(24L) * col("n") > lit(3L) * col("base24"))
-              .as("is_burst"))
-          .orderBy("event_type", "hour")
-      },
+          .agg(count(lit(1)).as("n"))),
       Some("""WITH hourly AS (
              |  SELECT event_type, date_trunc('hour', ts) AS hour,
              |    count(*) AS n

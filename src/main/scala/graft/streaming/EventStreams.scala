@@ -701,6 +701,39 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming burst monitor — q215's production form: each micro-batch
+    * publishes its (event_type, hour) count partial, and the burst
+    * report is recomputed over the MERGED counts through the SAME
+    * [[graft.operators.Transforms.burstFlags]] assembly the batch query
+    * uses. Hourly counts are plain integer sums, so merged partials ≡
+    * one batch aggregation and the streamed report equals batch q215
+    * over the union of all arrivals (spec-proven) — the live rate-spike
+    * alarm of an ingestion pipeline, maintained without re-scanning
+    * history (the window rides the hours×types count frame, not the
+    * event stream). */
+  def burstMonitorSink(stream: DataFrame, tsCol: String, typeCol: String,
+                       stateDir: String, reportDir: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.filter(col(tsCol).isNotNull)
+          .groupBy(col(typeCol).as("event_type"),
+            date_trunc("hour", col(tsCol)).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        graft.operators.Transforms.burstFlags(
+          spark.read.parquet(stateDir)
+            .groupBy(col("event_type"), col("hour"))
+            .agg(sum(col("n")).as("n")))
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** The queryable modularity report over everything
     * [[modularityMonitorSink]] has published: sum the per-batch counter
     * partials by source (exact longs — merged ≡ full recompute), then

@@ -458,6 +458,44 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streaming burst monitor equals the batch q215 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def mk(s: String) = java.sql.Timestamp.valueOf(s)
+    // the hour-24 cell is SPLIT across the waves (1 event in wave 1,
+    // 2 in wave 2), so the serving report must merge partials for one
+    // (type, hour) cell — the failure mode a per-batch-only report has
+    val wave1 = ((0 until 24).map(h => (mk(f"2024-03-01 $h%02d:15:00"), "e"))
+      :+ ((mk("2024-03-02 00:30:00"), "e"))).toDF("ts", "event_type")
+    val wave2 = (Seq.fill(2)((mk("2024-03-02 00:30:00"), "e"))
+      ++ Seq.fill(4)((mk("2024-03-02 01:30:00"), "e"))).toDF("ts", "event_type")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.burstMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "ts", "event_type", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.burstMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "ts", "event_type", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "hour").collect().map(r =>
+        (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4), // null: NaN != NaN
+          r.getBoolean(5))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).write.parquet(s"$tmp/all/events.parquet")
+    val batchQ = rows(
+      SparkEntry.queries("q215_burst_detection")(spark, s"$tmp/all"))
+    assert(streamed === batchQ)
+    // the split cell merged to n=3 (exactly 3x: not a burst) and the
+    // hour-25 spike IS flagged
+    val h24 = streamed.find(_._2 == "2024-03-02 00:00:00.0").get
+    assert(h24._3 === 3L && h24._4 === 24L && !h24._6)
+    assert(streamed.exists(_._6))
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
