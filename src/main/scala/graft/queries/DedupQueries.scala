@@ -1395,14 +1395,23 @@ object DedupQueries {
           e.join(alive.select(col("n").as("a_id")), "a_id")
             .join(alive.select(col("n").as("b_id")), "b_id")
         var g = e
-        for (_ <- 1 to 8) {
+        var prevAlive = -1L
+        var round = 0
+        while (round < 8 && prevAlive != 0L) {
           // eager localCheckpoint: truncates the per-round join lineage
           // (8 stacked restrictions otherwise compound into one
           // heap-exhausting plan) and gives the optimizer exact sizes
           // for the survivor side — the Graphs.pageRank discipline
           val alive = degrees(g).filter(col("dg") >= 2).select("n")
             .localCheckpoint()
-          g = restrict(alive)
+          // early exit on a FIXPOINT: peeling is monotone (alive_i ⊆
+          // alive_{i-1}), so an unchanged count means an unchanged set
+          // and every remaining round is an identity — the result is
+          // exactly the oracle's full 8-round unroll, minus the no-op
+          // jobs (8 sequential checkpoints cost ~2.8 s even converged)
+          val n = alive.count()
+          if (n == prevAlive) round = 8
+          else { prevAlive = n; g = restrict(alive); round += 1 }
         }
         degrees(g)
           .select(col("n").as("doc_id"), col("dg").as("core_degree"))

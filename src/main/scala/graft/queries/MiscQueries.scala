@@ -1415,10 +1415,18 @@ object MiscQueries {
             n => array(graft.operators.Percentiles.floorPctRank(n, 50)))
             .select(col("l_suppkey").cast("long").as("l_suppkey"),
               col("value").as(outCol))
-        val med = med50(base, "x", "med")
-        val dev = base.join(broadcast(med), "l_suppkey")
-          .select(col("l_suppkey"), abs(col("x") - col("med")).as("dev"))
-        val mad = med50(dev, "dev", "mad")
+        // med/dev/mad each feed TWO consumers (the deviation pass + the
+        // final report join; the fence count + the report) — persist so
+        // the rank machinery runs once per frame, not once per consumer
+        // (unpersisted: 5.4 s at sf0.1; persisted: the four range-sorts
+        // collapse to two)
+        val med = graft.operators.OperatorCaches.persistTracked(
+          med50(base, "x", "med"))
+        val dev = graft.operators.OperatorCaches.persistTracked(
+          base.join(broadcast(med), "l_suppkey")
+            .select(col("l_suppkey"), abs(col("x") - col("med")).as("dev")))
+        val mad = graft.operators.OperatorCaches.persistTracked(
+          med50(dev, "dev", "mad"))
         val stats = dev.join(broadcast(mad), "l_suppkey")
           .groupBy("l_suppkey")
           .agg(count(lit(1)).as("n"),
