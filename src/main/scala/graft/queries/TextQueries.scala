@@ -611,6 +611,70 @@ object TextQueries {
              |  tok, cnt,
              |  CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) * cnt
              |    AS rank_times_cnt
-             |FROM c ORDER BY rank""".stripMargin))
+             |FROM c ORDER BY rank""".stripMargin)),
+
+    // Count-Min sketch heavy hitters, oracle-gated END TO END — the
+    // mergeable frequency sketch next to the KMV distinct sketch (q187)
+    // and HLL (q73/q99): 4 affine hash rows × 1024 buckets of exact
+    // long counters built in ONE keyed aggregation (map-side combined;
+    // the counter frame is ≤4096 rows no matter the corpus), point
+    // estimates as the min over a term's 4 bucket reads, and the
+    // one-sided error surfaced as `overcount` (collisions only ever
+    // inflate — estimate ≥ exact ALWAYS, which the planted spec pins
+    // and the exact column exposes per term). The md5 term-hash bridge
+    // and literal affine constants make the whole sketch bit-identical
+    // in DuckDB — the sketch is hash-CHECKED, not statistically
+    // trusted. Streaming form: cmsMonitorSink merges per-batch counter
+    // partials by plain addition.
+    QuerySpec("q217_countmin_heavyhitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+        val counters = graft.operators.CountMin.sketch(toks, "term")
+        val qt = CmsTerms.toDF("term")
+        val exacts = toks.join(broadcast(qt), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        graft.operators.CountMin.report(counters, exacts, qt)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+             |), h AS (
+             |  SELECT term,
+             |    ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM tok
+             |), pairs AS (
+             |  SELECT 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM h
+             |  UNION ALL SELECT 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM h
+             |  UNION ALL SELECT 2, (134775813*hp + 1) % 2147483647 % 1024 FROM h
+             |  UNION ALL SELECT 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM h
+             |), counters AS (SELECT r, bkt, count(*) AS c FROM pairs GROUP BY 1, 2),
+             |qt(term) AS (VALUES ('spark'),('join'),('window'),('scan'),
+             |                    ('stream'),('batch'),('hash')),
+             |qh AS (
+             |  SELECT term,
+             |    ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM qt
+             |), qp AS (
+             |  SELECT term, 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM qh
+             |  UNION ALL SELECT term, 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM qh
+             |  UNION ALL SELECT term, 2, (134775813*hp + 1) % 2147483647 % 1024 FROM qh
+             |  UNION ALL SELECT term, 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM qh
+             |), est AS (
+             |  SELECT term, CAST(min(COALESCE(c, 0)) AS BIGINT) AS cms_estimate
+             |  FROM qp LEFT JOIN counters USING (r, bkt) GROUP BY term
+             |), ex AS (
+             |  SELECT term, count(*) AS exact_cnt FROM tok
+             |  WHERE term IN (SELECT term FROM qt) GROUP BY term)
+             |SELECT qt.term, COALESCE(exact_cnt, 0) AS exact_cnt,
+             |  cms_estimate,
+             |  cms_estimate - COALESCE(exact_cnt, 0) AS overcount
+             |FROM qt LEFT JOIN ex USING (term) JOIN est USING (term)
+             |ORDER BY term""".stripMargin))
   )
+
+  /** q217's fixed probe terms — shared with the streaming CMS monitor
+    * so the streamed report is comparable to the batch query. */
+  val CmsTerms: Seq[String] =
+    Seq("spark", "join", "window", "scan", "stream", "batch", "hash")
 }

@@ -734,6 +734,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming Count-Min maintenance — q217's production form, and the
+    * frequency sibling of [[kmvSketchSink]]: each micro-batch publishes
+    * its ≤4096-row counter partial plus its probe-term exact counts,
+    * and the heavy-hitter report is recomputed over the MERGED state
+    * through the SAME [[graft.operators.CountMin.report]] assembly the
+    * batch query uses. Counters are plain integer sums, so merged
+    * partials ≡ the one-pass sketch (spec-proven against batch q217
+    * over all arrivals) — history is never re-tokenized, and the live
+    * state is constant-size regardless of stream length. */
+  def cmsMonitorSink(stream: DataFrame, textCol: String,
+                     terms: Seq[String], stateDir: String,
+                     reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val toks = batch.filter(col(textCol).isNotNull)
+          .select(explode(split(col(textCol), " ")).as("term"))
+        val qt = terms.toDF("term")
+        graft.operators.CountMin.sketch(toks, "term")
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/counters/batch=$batchId")
+        toks.join(broadcast(qt), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/exact/batch=$batchId")
+        graft.operators.CountMin.report(
+          spark.read.parquet(s"$stateDir/counters")
+            .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("c")),
+          spark.read.parquet(s"$stateDir/exact")
+            .groupBy(col("term")).agg(sum(col("exact_cnt")).as("exact_cnt")),
+          qt)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** The queryable modularity report over everything
     * [[modularityMonitorSink]] has published: sum the per-batch counter
     * partials by source (exact longs — merged ≡ full recompute), then

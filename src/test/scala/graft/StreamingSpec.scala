@@ -496,6 +496,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._6))
   }
 
+  test("streaming CMS maintenance equals the batch q217 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // probe terms 'spark'/'join'/'scan' straddle the waves, so serving
+    // must merge both counter AND exact partials per term
+    val wave1 = Seq((1L, "spark join filter spark"), (2L, "scan the window"))
+      .toDF("doc_id", "text")
+    val wave2 = Seq((3L, "spark stream batch"), (4L, "join scan hash hash"))
+      .toDF("doc_id", "text")
+    val terms = graft.queries.TextQueries.CmsTerms
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.cmsMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "text", terms, s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.cmsMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "text", terms, s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).select("doc_id", "text")
+      .write.parquet(s"$tmp/all/documents.parquet")
+    val batchQ = rows(
+      SparkEntry.queries("q217_countmin_heavyhitters")(spark, s"$tmp/all"))
+    assert(streamed === batchQ)
+    // the straddling terms merged to their true totals
+    val byTerm = streamed.map(t => t._1 -> t._2).toMap
+    assert(byTerm("spark") === 3L && byTerm("join") === 2L
+      && byTerm("scan") === 2L && byTerm("hash") === 2L)
+    assert(streamed.forall(t => t._3 >= t._2)) // one-sided, streamed too
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
