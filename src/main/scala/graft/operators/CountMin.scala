@@ -67,6 +67,23 @@ object CountMin {
       .groupBy(col("term"))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
 
+  /** CMS inner products per hash row — the sketch-based JOIN-SIZE
+    * estimate (AGMS/CMS classic): for token streams A and B,
+    * Σ_b cA[r][b]·cB[r][b] ≥ Σ_t fA(t)·fB(t) for every row r, with the
+    * min over rows the usable estimate — a one-sided equijoin
+    * cardinality bound from two constant-size frames, no matter how
+    * large the joined inputs (what a planner consults before picking a
+    * strategy). Products are exact longs (bucket counts ≤ stream
+    * length; c·c ≤ 2^62 far beyond any fixture). Returns (r,
+    * estimate). */
+  def joinSizeEstimates(countersA: DataFrame,
+                        countersB: DataFrame): DataFrame =
+    countersA.join(
+        countersB.withColumnsRenamed(Map("c" -> "cb")),
+        Seq("r", "bkt"))
+      .groupBy(col("r"))
+      .agg(sum(col("c") * col("cb")).as("estimate"))
+
   /** The heavy-hitter report q217 and the streaming monitor SHARE:
     * for each query term, its exact count (0 when absent), the CMS
     * estimate, and the one-sided overcount. `exacts` is (term,

@@ -18,7 +18,11 @@ object TextQueries {
   private val Vowels = "[aeiou]"
   private val EnMarkers = "\\b(the|and|of|to|in|join|group)\\b"
 
-  val specs: Seq[QuerySpec] = Seq(
+  // lazy: cmsJoinSizeSpec is declared below (next to its term list) —
+  // a strict val here would read it before initialization
+  lazy val specs: Seq[QuerySpec] = baseSpecs :+ cmsJoinSizeSpec
+
+  private lazy val baseSpecs: Seq[QuerySpec] = Seq(
 
     // Corpus TF-IDF top terms per language: explode tokens (one shuffle to
     // the (lang, tok) grouping), document frequency per token, score =
@@ -677,4 +681,76 @@ object TextQueries {
     * so the streamed report is comparable to the batch query. */
   val CmsTerms: Seq[String] =
     Seq("spark", "join", "window", "scan", "stream", "batch", "hash")
+
+  /** q218 lives here rather than in the Seq literal above only to keep
+    * the two CMS queries adjacent to their shared term list. */
+  val cmsJoinSizeSpec: QuerySpec =
+    // Sketch-based JOIN-SIZE estimation (the AGMS/CMS inner-product
+    // classic) — what a planner consults BEFORE picking a join
+    // strategy at 100 TB: the equijoin cardinality between two token
+    // streams (even vs odd doc_ids) bounded from two CONSTANT-SIZE
+    // counter frames, Σ_b cA[r][b]·cB[r][b] per hash row, one-sided
+    // (≥ the true Σ_t fA·fB for every row; the min over the 4 rows is
+    // the usable estimate). The true size is computed exactly beside
+    // it, so the report carries its own error audit — and everything
+    // is exact longs + one per-row ratio, bit-identical in DuckDB.
+    QuerySpec("q218_cms_join_size",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def toks(even: Boolean) = docs
+          .filter(col("doc_id") % 2 === (if (even) 0 else 1))
+          .select(explode(split(col("text"), " ")).as("term"))
+        val (a, b) = (toks(even = true), toks(even = false))
+        val est = graft.operators.CountMin.joinSizeEstimates(
+          graft.operators.CountMin.sketch(a, "term"),
+          graft.operators.CountMin.sketch(b, "term"))
+        val exact = a.groupBy(col("term")).agg(count(lit(1)).as("fa"))
+          .join(b.groupBy(col("term")).agg(count(lit(1)).as("fb")), "term")
+          .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))
+            .as("exact_size"))
+        est.crossJoin(broadcast(exact))
+          .select(col("r").cast("long").as("r"), col("estimate"),
+            col("exact_size"),
+            when(col("exact_size") > 0,
+              col("estimate").cast("double") / col("exact_size"))
+              .as("ratio"))
+          .orderBy("r")
+      },
+      Some("""WITH ta AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), tb AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), ha AS (
+             |  SELECT ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647
+             |    AS hp FROM ta
+             |), pa AS (
+             |  SELECT 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM ha
+             |  UNION ALL SELECT 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM ha
+             |  UNION ALL SELECT 2, (134775813*hp + 1) % 2147483647 % 1024 FROM ha
+             |  UNION ALL SELECT 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM ha
+             |), ca AS (SELECT r, bkt, count(*) AS c FROM pa GROUP BY 1, 2),
+             |hb AS (
+             |  SELECT ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647
+             |    AS hp FROM tb
+             |), pb AS (
+             |  SELECT 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM hb
+             |  UNION ALL SELECT 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM hb
+             |  UNION ALL SELECT 2, (134775813*hp + 1) % 2147483647 % 1024 FROM hb
+             |  UNION ALL SELECT 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM hb
+             |), cb AS (SELECT r, bkt, count(*) AS c FROM pb GROUP BY 1, 2),
+             |est AS (
+             |  SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS estimate
+             |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bkt = cb.bkt
+             |  GROUP BY ca.r
+             |), ex AS (
+             |  SELECT CAST(COALESCE(sum(fa * fb), 0) AS BIGINT) AS exact_size
+             |  FROM (SELECT term, count(*) AS fa FROM ta GROUP BY 1) a
+             |  JOIN (SELECT term, count(*) AS fb FROM tb GROUP BY 1) b
+             |    USING (term))
+             |SELECT CAST(r AS BIGINT) AS r, estimate, exact_size,
+             |  CASE WHEN exact_size > 0
+             |       THEN CAST(estimate AS DOUBLE) / exact_size END AS ratio
+             |FROM est, ex ORDER BY r""".stripMargin))
 }

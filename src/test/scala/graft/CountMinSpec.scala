@@ -63,6 +63,31 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("join-size inner products match the reference and bound the true size") {
+    val a = Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ (1 to 30).map(i => s"a$i")
+    val b = Seq.fill(3)("x") ++ Seq.fill(5)("z") ++ (1 to 30).map(i => s"b$i")
+    val trueSize = 4L * 3L // only "x" is shared
+    val est = CountMin.joinSizeEstimates(
+        CountMin.sketch(a.toDF("term"), "term"),
+        CountMin.sketch(b.toDF("term"), "term"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // reference inner products from the pure-Scala counters
+    def refCounters(ts: Seq[String]) = {
+      val m = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      ts.foreach(t => refBuckets(t).foreach(k =>
+        m(k) = m.getOrElse(k, 0L) + 1L))
+      m.toMap
+    }
+    val (ca, cb) = (refCounters(a), refCounters(b))
+    val refEst = (0 until 4).map { r =>
+      r -> ca.collect { case ((`r`, bkt), c) =>
+        c * cb.getOrElse((r, bkt), 0L) }.sum
+    }.toMap
+    assert(est === refEst)
+    // one-sided: every row's inner product bounds the true join size
+    (0 until 4).foreach(r => assert(est(r) >= trueSize))
+  }
+
   test("a probe term absent from the corpus reports exact 0, overcount = estimate") {
     val toks = Seq("a b c", "a b").flatMap(_.split(" ")).toDF("term")
     val counters = CountMin.sketch(toks, "term")
