@@ -835,5 +835,68 @@ object CurationQueries {
           .orderBy("q_id", "rank")
       },
       Some(bm25OracleFrom(
-        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 6)"))))
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 6)"))),
+
+    // Bloom-filter membership, oracle-gated END TO END — the
+    // set-membership sketch next to CMS (q217, frequencies) and KMV
+    // (q187, distincts): k = 3 affine hash rows into m = 16384 bits,
+    // built as a DISTINCT (bit) frame ≤ m rows no matter the corpus,
+    // probed by a bit-keyed equi-join (k rows per probe term, never a
+    // corpus pass). One source's vocabulary is the member set, another
+    // source's vocabulary probes it, and the report carries the
+    // filter's verdict NEXT TO exact ground truth — false positives
+    // surfaced per term, false negatives impossible by construction
+    // (the planted spec pins that, and `present AND NOT in_bloom`
+    // rows would fail the hash gate here). The md5 bridge + literal
+    // affine constants make the set-bit frame itself bit-identical in
+    // DuckDB — the filter is hash-CHECKED, not statistically trusted;
+    // q92's opaque driver-built Bloom prefilter gets an auditable,
+    // mergeable (union-of-partials) sibling the streaming monitor
+    // maintains per batch (EventStreams.bloomMonitorSink).
+    QuerySpec("q219_bloom_membership",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def vocab(src: String) = docs.filter(col("source") === src)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        val members = vocab("src0")
+        val bits = graft.operators.BloomSet.sketch(members, "term")
+        graft.operators.BloomSet.report(bits, members, vocab("src1"))
+      },
+      Some("""WITH mem AS (
+             |  SELECT DISTINCT t.term FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term
+             |    FROM documents WHERE source = 'src0') t
+             |  WHERE len(t.term) > 0
+             |), mh AS (
+             |  SELECT ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM mem
+             |), bits AS (
+             |  SELECT DISTINCT bit FROM (
+             |    SELECT (1103515245*hp + 12345) % 2147483647 % 16384 AS bit FROM mh
+             |    UNION ALL SELECT (214013*hp + 2531011) % 2147483647 % 16384 FROM mh
+             |    UNION ALL SELECT (134775813*hp + 1) % 2147483647 % 16384 FROM mh)
+             |), probes AS (
+             |  SELECT DISTINCT t.term FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term
+             |    FROM documents WHERE source = 'src1') t
+             |  WHERE len(t.term) > 0
+             |), ph AS (
+             |  SELECT term,
+             |    ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM probes
+             |), pb AS (
+             |  SELECT term, (1103515245*hp + 12345) % 2147483647 % 16384 AS bit FROM ph
+             |  UNION ALL SELECT term, (214013*hp + 2531011) % 2147483647 % 16384 FROM ph
+             |  UNION ALL SELECT term, (134775813*hp + 1) % 2147483647 % 16384 FROM ph
+             |), mm AS (
+             |  SELECT pb.term, count(b.bit) = 3 AS in_bloom
+             |  FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+             |  GROUP BY pb.term
+             |)
+             |SELECT mm.term, mm.in_bloom,
+             |  (mm.term IN (SELECT term FROM mem)) AS present,
+             |  mm.in_bloom AND NOT (mm.term IN (SELECT term FROM mem))
+             |    AS false_positive
+             |FROM mm ORDER BY mm.term""".stripMargin)))
 }

@@ -1508,7 +1508,73 @@ object DedupQueries {
         |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
         |    AS mean_chars
         |FROM documents LEFT JOIN clu USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
+
+    // Common-neighbor link prediction over the co-purchase graph — the
+    // recommendation classic: parts NEVER bought together that share
+    // many co-purchase partners are the missing edges a recommender
+    // surfaces first. (The near-dup graph is the wrong domain for this
+    // — transitive LSH clusters are cliques, so its two-hop pairs are
+    // already edges; measured: 3 wedge pairs at sf0.01, all adjacent.)
+    // Graph: nodes = parts, edges = pairs co-occurring in ≥2 distinct
+    // orders (the support threshold sparsifies the projection), built
+    // by q194's basket-keyed self-join so pair work is Σ basket²,
+    // never n². Wedges: one self-join of the undirected adjacency on
+    // the center part, each unordered neighbor pair kept once by id
+    // order (work Σ deg², on the support-thresholded graph); existing
+    // edges drop by one anti-join against the canonical pair frame,
+    // and only the top 20 (common DESC, part ids) survive.
+    QuerySpec("q223_link_prediction",
+      (s, d) => {
+        val b = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val strong = b.as("a")
+          .join(b.as("bb"),
+            col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+          .groupBy(col("a.pk").as("x"), col("bb.pk").as("y"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2L)
+        val und = graft.operators.OperatorCaches.persistTracked(
+          strong.select(explode(array(
+              struct(col("x").as("u"), col("y").as("v")),
+              struct(col("y").as("u"), col("x").as("v")))).as("e"))
+            .select(col("e.u").as("u"), col("e.v").as("v")))
+        val cn = und.as("e1")
+          .join(und.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .select(col("e1.v").as("x"), col("e2.v").as("y"))
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("common_neighbors"))
+        cn.join(strong.select(col("x"), col("y")), Seq("x", "y"),
+            "left_anti")
+          .select(col("x").as("part_a"), col("y").as("part_b"),
+            col("common_neighbors"))
+          .orderBy(desc("common_neighbors"), col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), strong AS (
+        |  SELECT a.pk AS x, bb.pk AS y, count(*) AS support
+        |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e AS (
+        |  SELECT x AS u, y AS v FROM strong
+        |  UNION ALL SELECT y, x FROM strong
+        |), w AS (
+        |  SELECT a.v AS x, bb.v AS y
+        |  FROM e a JOIN e bb ON a.u = bb.u AND a.v < bb.v
+        |), cn AS (
+        |  SELECT x, y, count(*) AS common_neighbors FROM w GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT * FROM cn WHERE NOT EXISTS (
+        |    SELECT 1 FROM strong WHERE strong.x = cn.x AND strong.y = cn.y)
+        |)
+        |SELECT x AS part_a, y AS part_b,
+        |  CAST(common_neighbors AS BIGINT) AS common_neighbors
+        |FROM pred
+        |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 20""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

@@ -1500,6 +1500,126 @@ object MiscQueries {
              |  CASE WHEN base24 > 0 THEN CAST(24 * n AS DOUBLE) / base24 END
              |    AS burst_ratio,
              |  base24 > 0 AND 24 * n > 3 * base24 AS is_burst
-             |FROM w ORDER BY event_type, hour""".stripMargin))
+             |FROM w ORDER BY event_type, hour""".stripMargin)),
+
+    // Per-type OLS trend — closed-form simple linear regression of
+    // event value over time (is this metric drifting?): x = whole days
+    // since 2024-01-01 (exact integers), y = value in EXACT micro-units
+    // (the deterministic IEEE→DECIMAL(18,6) cast ×10⁶ — the dsum
+    // discipline), all five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    // exact DECIMAL(38,0) / HUGEINT sums, and the normal-equation
+    // solution published FIXED-POINT: slope·10⁹ = ⌊Sxy·10³/Sxx⌋ and
+    // intercept·10⁹ = ⌊(Σy·Sxx − Sxy·Σx)·10³/(n·Sxx)⌋ (the ×10³ on
+    // micro-scaled y lands both on a 10⁹ grid; integer division
+    // truncates toward zero IDENTICALLY in both engines — verified,
+    // and deliberately chosen over a decimal→double cast, which is NOT
+    // correctly rounded for >2⁵³ intermediates in every engine). The
+    // whole query is one map + one 5-accumulator aggregation per type:
+    // at 100 TB it is a single map-side-combined pass, no window, no
+    // join, constant output. Degenerate (single-day) groups report
+    // NULL, not 0/0. The algebra lives in operators/Ols — sufficient
+    // statistics merge by addition, so the streaming monitor
+    // (EventStreams.olsMonitorSink) maintains the same report from
+    // per-batch partials, spec-proven equal to this query.
+    QuerySpec("q222_ols_value_trend",
+      (s, d) => {
+        import graft.operators.Ols
+        Ols.solve(Ols.suffStats(Ols.xy(events(s, d))))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS x,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+             |  FROM events WHERE ts IS NOT NULL
+             |), a AS (
+             |  SELECT event_type, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM e GROUP BY 1
+             |), b AS (
+             |  SELECT event_type, n,
+             |    n * sxy - sx * sy AS s_num, n * sxx - sx * sx AS s_den,
+             |    sy, sx
+             |  FROM a)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN s_den = 0 THEN NULL
+             |       ELSE CAST((s_num * 1000) // s_den AS BIGINT)
+             |  END AS slope_fp9,
+             |  CASE WHEN s_den = 0 THEN NULL
+             |       ELSE CAST(((sy * s_den - s_num * sx) * 1000)
+             |                 // (n * s_den) AS BIGINT)
+             |  END AS intercept_fp9
+             |FROM b ORDER BY event_type""".stripMargin)),
+
+    // Equi-width histogram quantile sketch, oracle-gated END TO END
+    // with its exact error audit — the quantile sibling completing the
+    // sketch family (CMS q217 frequencies, KMV q187 distincts, Bloom
+    // q219 membership): event values in micro-units land in 1.0-unit
+    // bins of exact long counters (ONE map-side-combined aggregation
+    // into a range/W-sized frame), every requested percentile is
+    // answered from the bin frame alone — target rank ⌈p·N/100⌉,
+    // cumulative walk, within-bin linear interpolation, all integer
+    // fixed-point — and the EXACT order statistic at the same rank is
+    // computed beside it on the distributed rank axis
+    // (PrefixSum.rankedRunningSum — range partitions + broadcast
+    // offsets, never a single-partition window over data), so the
+    // report carries the sketch's true error per percentile. At 100 TB
+    // the serving cost is sketch-sized (the walk touches ≤ range/W
+    // rows); bin partials merge by addition, which the streaming
+    // monitor rides (EventStreams.histMonitorSink, spec-proven equal
+    // to this query's estimate columns).
+    QuerySpec("q224_hist_quantile_sketch",
+      (s, d) => {
+        val e = events(s, d).filter(col("value").isNotNull)
+          .select((col("value").cast("decimal(18,6)") * lit(1000000))
+            .cast("long").as("y"))
+        val est = graft.operators.HistSketch.quantiles(
+          graft.operators.HistSketch.sketch(e, "y"), HistPcts)
+        val (ranked, _) = graft.operators.PrefixSum.rankedRunningSum(
+          e, Seq(col("y")), lit(1L), rnCol = "__rn", cumCol = "__cum")
+        broadcast(est).join(ranked.select(col("__rn").as("target_rank"),
+            col("y").as("exact_fp")), Seq("target_rank"))
+          .select(col("p_pct"), col("target_rank"), col("est_fp"),
+            col("exact_fp"), (col("est_fp") - col("exact_fp")).as("err_fp"))
+          .orderBy("p_pct")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             |    AS y
+             |  FROM events WHERE value IS NOT NULL
+             |), nn AS (SELECT count(*) AS n FROM e),
+             |b AS (SELECT y // 1000000 AS bin, count(*) AS c FROM e GROUP BY 1),
+             |cumb AS (
+             |  SELECT bin, c, sum(c) OVER (ORDER BY bin
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b
+             |), q(p_pct) AS (VALUES (1),(5),(25),(50),(75),(90),(99)),
+             |t AS (
+             |  SELECT CAST(p_pct AS BIGINT) AS p_pct,
+             |    CAST((p_pct * n + 99) // 100 AS BIGINT) AS target_rank
+             |  FROM q, nn
+             |), hit AS (
+             |  SELECT t.p_pct, t.target_rank, min(cb.bin) AS bin
+             |  FROM t JOIN cumb cb ON cb.cum >= t.target_rank
+             |  GROUP BY 1, 2
+             |), est AS (
+             |  SELECT h.p_pct, h.target_rank,
+             |    CAST(h.bin * 1000000
+             |      + (1000000 * (h.target_rank - (cb.cum - cb.c))) // cb.c
+             |      AS BIGINT) AS est_fp
+             |  FROM hit h JOIN cumb cb USING (bin)
+             |), ranked AS (
+             |  SELECT y, CAST(row_number() OVER (ORDER BY y) AS BIGINT) AS rn
+             |  FROM e)
+             |SELECT est.p_pct, est.target_rank, est.est_fp,
+             |  r.y AS exact_fp, CAST(est.est_fp - r.y AS BIGINT) AS err_fp
+             |FROM est JOIN ranked r ON r.rn = est.target_rank
+             |ORDER BY est.p_pct""".stripMargin))
   )
+
+  /** q224's fixed percentile list — shared with the streaming histogram
+    * monitor so the streamed report is comparable to the batch query. */
+  val HistPcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 90, 99)
 }

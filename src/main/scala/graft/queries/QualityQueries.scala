@@ -923,6 +923,266 @@ object QualityQueries {
              |  CAST(group_size * n_groups AS DOUBLE) / CAST(tot AS DOUBLE)
              |    AS frac_rows,
              |  group_size < 5 AS risky
-             |FROM h, t ORDER BY group_size""".stripMargin))
+             |FROM h, t ORDER BY group_size""".stripMargin)),
+
+    // Exact AUC (Mann–Whitney, tie-corrected) of the quality logit as a
+    // detector of exact-duplicate boilerplate — the classifier
+    // EVALUATION metric next to q141's threshold sweep: score is
+    // q123's linear logit z (bit-equal in both engines by the fixed
+    // association-order contract), label is "doc has an exact twin"
+    // (md5(text) multiplicity > 1, the q30 axis). The rank statistic
+    // is computed on the DISTINCT-SCORE axis — group to (z, n_pos,
+    // n_neg) first, then one exclusive prefix sum of n_neg in score
+    // order via the distributed PrefixSum.rankedRunningSum (range
+    // partitions + broadcast offsets, never a single-partition
+    // window): 2·U = Σ_z n_pos(z)·(2·cumNegBelow(z) + n_neg(z)) counts
+    // each (pos, neg) pair twice, ties once each — all exact longs,
+    // with AUC = U / (n_pos·n_neg) assembled in ONE double division.
+    // At 100 TB the windowed frame is |distinct scores|, not |docs|.
+    QuerySpec("q220_auc_dup_detection",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = docs
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("text"),
+            size(col("tk")).cast("long").as("n_tok"),
+            size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
+              .cast("long").as("n_stop"),
+            col("n_chars"))
+          .withColumn("z",
+            lit(-1.5) + lit(0.02) * col("n_tok")
+              + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
+              - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
+                  / col("n_tok").cast("double")))
+        val dupd = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("tw"))
+        val lab = scored
+          .withColumn("h", md5(col("text"))).join(dupd, "h")
+          .select(col("z"), (col("tw") > 1).as("dup"))
+        val byScore = lab.groupBy(col("z"))
+          .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_neg"))
+        val (cum, _) = graft.operators.PrefixSum.rankedRunningSum(
+          byScore, Seq(col("z")), col("n_neg"), "__rn", "cum_neg")
+        cum.agg(
+            sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
+            sum(col("n_pos") * (lit(2L) * col("cum_neg") - col("n_neg")))
+              .as("u2"))
+          .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+            col("u2"),
+            when(col("np") === 0L || col("nn") === 0L,
+              lit(null).cast("double"))
+              .otherwise(col("u2").cast("double") /
+                (lit(2L) * col("np") * col("nn")).cast("double"))
+              .as("auc"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
+             |    n_chars
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, text,
+             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
+             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
+             |          / CAST(n_tok AS DOUBLE)) AS z
+             |  FROM f
+             |), lab AS (
+             |  SELECT z, count(*) OVER (PARTITION BY md5(text)) > 1 AS dup
+             |  FROM g
+             |), s AS (
+             |  SELECT z,
+             |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+             |  FROM lab GROUP BY z
+             |), c AS (
+             |  SELECT n_pos, n_neg,
+             |    CAST(sum(n_neg) OVER (ORDER BY z
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_neg
+             |  FROM s
+             |), a AS (
+             |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             |    CAST(sum(n_pos * (2 * cum_neg - n_neg)) AS BIGINT) AS u2
+             |  FROM c)
+             |SELECT n_pos, n_neg, u2,
+             |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             |       ELSE CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+             |  END AS auc
+             |FROM a""".stripMargin)),
+
+    // Chi-squared discriminative tokens per source — the classic
+    // feature-selection statistic over the (token present in doc) ×
+    // (doc from source) 2×2 table: a = docs of the source containing
+    // the token, b/c/d the complements, χ² = N(ad−bc)² / ((a+b)(c+d)
+    // (a+c)(b+d)). The numerator is a SQUARE, so everything is
+    // non-negative and the fixed-point ⌊χ²·10⁶⌋ integer division has
+    // no floor-vs-truncate ambiguity between engines; intermediates
+    // peak ≈ N³·10⁶ and ride DECIMAL(38,0) / HUGEINT. Work: one
+    // distinct (doc, term) pass, a vocabulary-shaped (term, source)
+    // aggregation, broadcast source totals + a one-row N cross — the
+    // per-source ranking window runs over |sources|·|vocab ≥ minDf|
+    // rows, never docs. Top-5 per source = "what marks this source's
+    // text apart" — the mixture-design diagnostic next to q160's
+    // drift and q158's novelty.
+    QuerySpec("q221_chi2_tokens",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val docTok = docs
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        val tokSrc = docTok.groupBy(col("term"), col("source"))
+          .agg(count(lit(1)).as("a"))
+        val tokDf = docTok.groupBy(col("term"))
+          .agg(count(lit(1)).as("df")).filter(col("df") >= 5L)
+        val srcTot = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("ns"))
+        val tot = docs.agg(count(lit(1)).as("nn"))
+        val cells = tokSrc.join(tokDf, "term")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(tot))
+          // a token in EVERY doc has zero column variance — χ²
+          // undefined (and its denominator literally 0); drop it
+          .filter(col("df") < col("nn"))
+        val chi = cells.select(col("source"), col("term"),
+            col("a"), col("df"),
+            expr("""CAST(nn AS DECIMAL(38,0))
+                 * (CAST(a AS DECIMAL(38,0)) * (nn - df - ns + a)
+                    - CAST(df - a AS DECIMAL(38,0)) * (ns - a))
+                 * (CAST(a AS DECIMAL(38,0)) * (nn - df - ns + a)
+                    - CAST(df - a AS DECIMAL(38,0)) * (ns - a))
+                 * 1000000
+                 DIV (CAST(df AS DECIMAL(38,0)) * (nn - df)
+                      * ns * (nn - ns))""").as("chi2_fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(desc("chi2_fp"), col("term"))
+        chi.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5L)
+          .select(col("source"), col("rank"), col("term"), col("a"),
+            col("df"), col("chi2_fp"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id, source, t.term FROM (
+             |    SELECT doc_id, source,
+             |      unnest(string_split(text, ' ')) AS term
+             |    FROM documents) t
+             |  WHERE len(t.term) > 0
+             |), ts AS (
+             |  SELECT term, source, count(*) AS a FROM dt GROUP BY 1, 2
+             |), td AS (
+             |  SELECT term, count(*) AS df FROM dt GROUP BY 1
+             |  HAVING count(*) >= 5
+             |), st AS (
+             |  SELECT source, count(*) AS ns FROM documents GROUP BY 1
+             |), tt AS (SELECT count(*) AS nn FROM documents),
+             |chi AS (
+             |  SELECT source, term, a, df,
+             |    CAST((CAST(nn AS HUGEINT)
+             |      * (CAST(a AS HUGEINT) * (nn - df - ns + a)
+             |         - CAST(df - a AS HUGEINT) * (ns - a))
+             |      * (CAST(a AS HUGEINT) * (nn - df - ns + a)
+             |         - CAST(df - a AS HUGEINT) * (ns - a))
+             |      * 1000000)
+             |      // (CAST(df AS HUGEINT) * (nn - df) * ns * (nn - ns))
+             |      AS BIGINT) AS chi2_fp
+             |  FROM ts JOIN td USING (term) JOIN st USING (source), tt
+             |  WHERE df < nn
+             |), r AS (
+             |  SELECT source, term, a, df, chi2_fp,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY chi2_fp DESC, term) AS BIGINT) AS rank
+             |  FROM chi)
+             |SELECT source, rank, term, a, df, chi2_fp
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov drift test of every source's
+    // document-length distribution against the src0 baseline — the
+    // distribution-level drift statistic next to q160's token drift
+    // and q220's AUC: D = sup_x |F_src(x) − F_base(x)|, computed
+    // EXACTLY as max |cum_src·n_base − cum_base·n_src| over the merged
+    // threshold axis (the sup over all reals is attained at a step of
+    // either CDF, and every step is a distinct observed length) with
+    // the single double division deferred to the final KS column. The
+    // axis is the DISTINCT-LENGTH frame — bounded by the length
+    // domain, never by the corpus: one (source, x) count aggregation,
+    // a dense axis × sources completion (axis join broadcast sources),
+    // per-source cumulative windows (partitioned BY SOURCE — never a
+    // single-partition window over data), and a per-source max. At
+    // 100 TB every frame after the first aggregation is
+    // |axis|·|sources|-sized.
+    QuerySpec("q225_ks_drift",
+      (s, d) => {
+        val v = t(s, d, "documents").filter(col("n_chars").isNotNull)
+          .select(col("source"), col("n_chars").cast("long").as("x"))
+        val axis = v.select(col("x")).distinct()
+        val srcs = v.select(col("source")).distinct()
+        val cnts = v.groupBy(col("source"), col("x"))
+          .agg(count(lit(1)).as("c"))
+        val dense = axis.crossJoin(broadcast(srcs))
+          .join(cnts, Seq("source", "x"), "left")
+          .na.fill(0L, Seq("c"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cum = dense.withColumn("cum", sum(col("c")).over(wc))
+        val tot = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val base = cum.filter(col("source") === "src0")
+          .select(col("x"), col("cum").as("cum0"))
+        val nb = tot.filter(col("source") === "src0")
+          .select(col("n").as("n_base"))
+        cum.filter(col("source") =!= "src0")
+          .join(base, Seq("x"))
+          .join(broadcast(tot), Seq("source"))
+          .crossJoin(broadcast(nb))
+          .groupBy(col("source"), col("n_base"), col("n").as("n_src"))
+          // cross products ride DECIMAL(38,0) (long·long would wrap
+          // silently at extreme corpus sizes); the final long cast is
+          // loud under ANSI if D's numerator ever outgrows BIGINT
+          .agg(max(abs(col("cum").cast("decimal(38,0)") * col("n_base")
+              - col("cum0").cast("decimal(38,0)") * col("n")))
+            .cast("long").as("d_num"))
+          .select(col("source"), col("n_base"), col("n_src"), col("d_num"),
+            (col("d_num").cast("double")
+              / (col("n_src") * col("n_base")).cast("double")).as("ks"))
+          .orderBy("source")
+      },
+      Some("""WITH v AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+             |  WHERE n_chars IS NOT NULL
+             |), axis AS (SELECT DISTINCT x FROM v),
+             |srcs AS (SELECT DISTINCT source FROM v),
+             |cnts AS (
+             |  SELECT source, x, count(*) AS c FROM v GROUP BY 1, 2
+             |), dense AS (
+             |  SELECT s.source, a.x, COALESCE(c.c, 0) AS c
+             |  FROM axis a CROSS JOIN srcs s
+             |  LEFT JOIN cnts c ON c.source = s.source AND c.x = a.x
+             |), cum AS (
+             |  SELECT source, x,
+             |    sum(c) OVER (PARTITION BY source ORDER BY x
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM dense
+             |), tot AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+             |base AS (SELECT x, cum AS cum0 FROM cum WHERE source = 'src0'),
+             |nb AS (SELECT n AS n_base FROM tot WHERE source = 'src0'),
+             |d AS (
+             |  SELECT c.source, nb.n_base, t.n AS n_src,
+             |    CAST(max(abs(CAST(c.cum AS HUGEINT) * nb.n_base
+             |      - CAST(b.cum0 AS HUGEINT) * t.n)) AS BIGINT) AS d_num
+             |  FROM cum c
+             |  JOIN base b USING (x) JOIN tot t USING (source), nb
+             |  WHERE c.source <> 'src0'
+             |  GROUP BY 1, 2, 3)
+             |SELECT source, n_base, n_src, d_num,
+             |  CAST(d_num AS DOUBLE) / CAST(n_src * n_base AS DOUBLE) AS ks
+             |FROM d ORDER BY source""".stripMargin))
   )
 }

@@ -774,6 +774,104 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming Bloom-filter maintenance — q219's production form, the
+    * set-membership sibling of [[cmsMonitorSink]]: each micro-batch
+    * publishes its ≤16384-row set-bit partial plus its distinct member
+    * terms, and the membership audit is recomputed over the MERGED
+    * state through the SAME [[graft.operators.BloomSet.report]]
+    * assembly the batch query uses. Set bits merge by plain union
+    * (distinct of unioned partials ≡ the one-pass sketch — Bloom's
+    * textbook mergeability), so the streamed report equals batch q219
+    * over all arrivals, spec-proven; history is never re-tokenized and
+    * the live state is bounded by m bits regardless of stream length. */
+  def bloomMonitorSink(stream: DataFrame, textCol: String,
+                       probes: DataFrame, stateDir: String,
+                       reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val terms = batch.filter(col(textCol).isNotNull)
+          .select(explode(split(col(textCol), " ")).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        graft.operators.BloomSet.sketch(terms, "term")
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/bits/batch=$batchId")
+        terms.write.mode("overwrite")
+          .parquet(s"$stateDir/members/batch=$batchId")
+        graft.operators.BloomSet.report(
+          spark.read.parquet(s"$stateDir/bits").select(col("bit")).distinct(),
+          spark.read.parquet(s"$stateDir/members").select(col("term")).distinct(),
+          probes)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
+  /** Streaming histogram-sketch maintenance — q224's production form,
+    * the quantile sibling of [[cmsMonitorSink]]: each micro-batch
+    * publishes its bin-count partial (a range/W-sized frame of exact
+    * longs), and the quantile report is re-assembled over the per-bin
+    * SUM of all partials through the SAME
+    * [[graft.operators.HistSketch.quantiles]] walk the batch query
+    * uses. Bin counters merge by addition (sums of sums ≡ the one-pass
+    * sketch), so the streamed estimates equal batch q224's over all
+    * arrivals, spec-proven; history is never re-scanned and the live
+    * state is bounded by the value range over the bin width. */
+  def histMonitorSink(stream: DataFrame, valueCol: String,
+                      stateDir: String, reportDir: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val y = batch.filter(col(valueCol).isNotNull)
+          .select((col(valueCol).cast("decimal(18,6)") * lit(1000000))
+            .cast("long").as("y"))
+        graft.operators.HistSketch.sketch(y, "y")
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/bins/batch=$batchId")
+        val merged = spark.read.parquet(s"$stateDir/bins")
+          .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+        graft.operators.HistSketch
+          .quantiles(merged, graft.queries.MiscQueries.HistPcts)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
+  /** Streaming OLS trend maintenance — q222's production form: each
+    * micro-batch publishes its per-type 5-accumulator sufficient-
+    * statistic partial ([[graft.operators.Ols.suffStats]] over the
+    * SAME (x, y) mapping the batch query uses), and the trend report
+    * is re-solved over the per-type SUM of all partials
+    * ([[graft.operators.Ols.mergeStats]] → [[graft.operators.Ols.solve]]).
+    * Sufficient statistics merge by plain addition — exact longs and
+    * DECIMAL(38,0), no floating point anywhere — so the streamed
+    * report equals batch q222 over all arrivals, spec-proven; the live
+    * state is |event types| × 5 numbers regardless of stream length. */
+  def olsMonitorSink(stream: DataFrame, stateDir: String,
+                     reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Ols.suffStats(graft.operators.Ols.xy(batch))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/stats/batch=$batchId")
+        graft.operators.Ols.solve(graft.operators.Ols.mergeStats(
+            spark.read.parquet(s"$stateDir/stats")))
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** The queryable modularity report over everything
     * [[modularityMonitorSink]] has published: sum the per-batch counter
     * partials by source (exact longs — merged ≡ full recompute), then

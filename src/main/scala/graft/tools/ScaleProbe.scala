@@ -97,7 +97,17 @@ object ScaleProbe {
       // q208-q210 are lineitem/customer-family (not in this fixture) —
       // keyed aggregates + grouped rank selections, probed by the q45/
       // q153 shapes they share
-      "q207_local_clustering", "q211_kcore_peel")
+      "q207_local_clustering", "q211_kcore_peel",
+      // round-10 statistics/sketch additions: bloom is a constant-size
+      // bit frame + vocabulary-keyed probe join; AUC runs on the
+      // distinct-score axis; chi2 is vocabulary-shaped; OLS is one
+      // 5-accumulator keyed aggregate. q223 is lineitem-family (not in
+      // this fixture)
+      "q219_bloom_membership", "q220_auc_dup_detection",
+      "q221_chi2_tokens", "q222_ols_value_trend",
+      // hist sketch: bin frame bounded by range/W; KS: every frame
+      // after the first aggregation is |axis|·|sources|-sized
+      "q224_hist_quantile_sketch", "q225_ks_drift")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -532,6 +532,116 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(t => t._3 >= t._2)) // one-sided, streamed too
   }
 
+  test("streaming Bloom maintenance equals the batch q219 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // the member stream is src0 text arriving in two waves; probes are
+    // src1's vocabulary — q219's exact shape, with probe terms present
+    // in BOTH waves so serving must merge bit AND member partials
+    val wave1 = Seq((1L, "alpha beta gamma", "src0"),
+      (2L, "delta epsilon", "src0")).toDF("doc_id", "text", "source")
+    val wave2 = Seq((3L, "zeta eta alpha", "src0"),
+      (4L, "theta iota", "src0")).toDF("doc_id", "text", "source")
+    val probeDocs = Seq((5L, "alpha theta nu xi omicron", "src1"))
+      .toDF("doc_id", "text", "source")
+    val probes = probeDocs
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.bloomMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "text", probes, s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.bloomMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "text", probes, s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).unionByName(probeDocs)
+      .write.parquet(s"$tmp/all/documents.parquet")
+    val batchQ = rows(
+      SparkEntry.queries("q219_bloom_membership")(spark, s"$tmp/all"))
+    assert(streamed === batchQ)
+    // members straddling the waves test positive; no false negatives
+    val byTerm = streamed.map(t => t._1 -> t).toMap
+    assert(byTerm("alpha")._2 && byTerm("alpha")._3)
+    assert(byTerm("theta")._2 && byTerm("theta")._3)
+    assert(streamed.forall(t => !t._3 || t._2))
+  }
+
+  test("streaming histogram maintenance equals batch q224 estimates over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // values straddle bin boundaries and the waves split unevenly, so
+    // serving must merge per-bin partials (sums of sums), not read the
+    // last batch; wave2 shifts the distribution to move the quantiles
+    def ev(id: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1L,
+        "m", v, "{}")
+    val wave1 = (0 until 40).map(i => ev(i.toLong, 0.5 + i * 0.35))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wave2 = (0 until 25).map(i => ev(100L + i, 9.25 + i * 1.1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.histMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "value", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.histMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "value", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("p_pct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).write.parquet(s"$tmp/all/events.parquet")
+    val batchQ = SparkEntry.queries("q224_hist_quantile_sketch")(spark, s"$tmp/all")
+      .select(col("p_pct"), col("target_rank"), col("est_fp"))
+    assert(streamed === rows(batchQ))
+    assert(streamed.map(_._1) === Seq(1L, 5L, 25L, 50L, 75L, 90L, 99L))
+  }
+
+  test("streaming OLS maintenance equals batch q222 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // y = 3 + 2x split across waves mid-series: the solved trend is
+    // only correct if the five sufficient statistics truly merge
+    def ev(id: Long, day: Int, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 06:00:00"),
+        1L, typ, v, "{}")
+    val wave1 = ((0 until 5).map(x => ev(x.toLong, x, "lin", 3.0 + 2.0 * x))
+      :+ ev(50L, 4, "flat", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wave2 = (5 until 10).map(x => ev(x.toLong, x, "lin", 3.0 + 2.0 * x))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.olsMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.olsMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).write.parquet(s"$tmp/all/events.parquet")
+    assert(streamed ===
+      rows(SparkEntry.queries("q222_ols_value_trend")(spark, s"$tmp/all")))
+    // and the merged solve is the exact planted line
+    val byType = streamed.map(t => t._1 -> t).toMap
+    assert(byType("lin")._3 === Some(2000000000L))
+    assert(byType("lin")._4 === Some(3000000000L))
+    assert(byType("flat") === (("flat", 1L, None, None)))
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
