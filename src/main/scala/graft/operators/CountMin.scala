@@ -84,6 +84,23 @@ object CountMin {
       .groupBy(col("r"))
       .agg(sum(col("c") * col("cb")).as("estimate"))
 
+  /** DELETE maintenance by sketch LINEARITY — the counters are plain
+    * per-(row, bucket) sums, so subtracting the deleted stream's own
+    * sketch leaves EXACTLY the sketch a fresh build over the remainder
+    * would produce (zero-count buckets dropped — a fresh build never
+    * materializes untouched buckets), spec-pinned. This is the
+    * sketch-family property Bloom and KMV provably lack: a plain Bloom
+    * filter cannot unset a bit two members share, and a KMV sketch
+    * cannot recover the (k+1)-th minimum it discarded — deletion there
+    * means rebuild, deletion here is a |deleted|-sized adjustment. */
+  def delete(counters: DataFrame, deletedCounters: DataFrame): DataFrame =
+    counters.join(
+        deletedCounters.withColumnsRenamed(Map("c" -> "cd")),
+        Seq("r", "bkt"), "left")
+      .select(col("r"), col("bkt"),
+        (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
+      .filter(col("c") > 0L)
+
   /** The heavy-hitter report q217 and the streaming monitor SHARE:
     * for each query term, its exact count (0 when absent), the CMS
     * estimate, and the one-sided overcount. `exacts` is (term,

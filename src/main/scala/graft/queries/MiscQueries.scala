@@ -1616,7 +1616,134 @@ object MiscQueries {
              |SELECT est.p_pct, est.target_rank, est.est_fp,
              |  r.y AS exact_fp, CAST(est.est_fp - r.y AS BIGINT) AS err_fp
              |FROM est JOIN ranked r ON r.rn = est.target_rank
-             |ORDER BY est.p_pct""".stripMargin))
+             |ORDER BY est.p_pct""".stripMargin)),
+
+    // Apriori frequent-triple mining — the candidate-generation step
+    // that makes market-basket analysis survive scale (Agrawal et al.):
+    // NEVER enumerate all Σ basket³ triples; instead (1) mine L2 =
+    // pairs with support ≥ 2 (q194's basket-keyed self-join, work
+    // Σ basket²), (2) generate candidate triples only as TWO L2 pairs
+    // sharing (order, first item) — the per-order occurrence stream is
+    // semi-joined to L2 FIRST, so candidate work is Σ_order Σ_x
+    // freq_pairs(x)², (3) prune candidates whose third face (y, z) is
+    // not in L2 (the Apriori closure property: every subset of a
+    // frequent set is frequent), (4) confirm by exact count. The x<y<z
+    // orientation counts each triple once. Top-20 by support — at the
+    // fixture's sparsity the confirmation pass IS the report (sf0.1
+    // has exactly one surviving candidate); the pruning ratio, not the
+    // threshold, is what transfers to 100 TB.
+    QuerySpec("q226_frequent_triples",
+      (s, d) => {
+        val b = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val occ2 = graft.operators.OperatorCaches.persistTracked(
+          b.as("a").join(b.as("bb"),
+              col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+            .select(col("a.ok").as("ok"), col("a.pk").as("x"),
+              col("bb.pk").as("y")))
+        val l2 = occ2.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("s")).filter(col("s") >= 2L)
+          .select(col("x"), col("y"))
+        val occ2f = graft.operators.OperatorCaches.persistTracked(
+          occ2.join(l2, Seq("x", "y"), "left_semi"))
+        val cand = occ2f.as("p").join(occ2f.as("q"),
+            col("p.ok") === col("q.ok") && col("p.x") === col("q.x")
+              && col("p.y") < col("q.y"))
+          .select(col("p.ok").as("ok"), col("p.x").as("x"),
+            col("p.y").as("y"), col("q.y").as("z"))
+        val pruned = cand.join(
+          l2.select(col("x").as("y"), col("y").as("z")),
+          Seq("y", "z"), "left_semi")
+        pruned.groupBy(col("x"), col("y"), col("z"))
+          .agg(count(lit(1)).as("support"))
+          .select(col("x").as("part_a"), col("y").as("part_b"),
+            col("z").as("part_c"), col("support"))
+          .orderBy(desc("support"), col("part_a"), col("part_b"),
+            col("part_c"))
+          .limit(20)
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), occ2 AS (
+             |  SELECT a.ok, a.pk AS x, bb.pk AS y
+             |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+             |), l2 AS (
+             |  SELECT x, y FROM (
+             |    SELECT x, y, count(*) AS s FROM occ2 GROUP BY 1, 2)
+             |  WHERE s >= 2
+             |), occ2f AS (
+             |  SELECT occ2.* FROM occ2 SEMI JOIN l2 USING (x, y)
+             |), cand AS (
+             |  SELECT p.ok, p.x, p.y, q.y AS z
+             |  FROM occ2f p JOIN occ2f q
+             |    ON p.ok = q.ok AND p.x = q.x AND p.y < q.y
+             |), pruned AS (
+             |  SELECT cand.* FROM cand
+             |  SEMI JOIN (SELECT x AS y, y AS z FROM l2) USING (y, z)
+             |)
+             |SELECT x AS part_a, y AS part_b, z AS part_c,
+             |  count(*) AS support
+             |FROM pruned GROUP BY 1, 2, 3
+             |ORDER BY support DESC, part_a, part_b, part_c
+             |LIMIT 20""".stripMargin)),
+
+    // Multi-touch (linear) conversion attribution — the marketing-
+    // analytics classic the single-touch q201 cannot answer: every
+    // view in the 24 h before a purchase shares that conversion's
+    // credit EQUALLY (1/k to each of the k views), and the report
+    // rolls credit up by the VIEW's hour-of-day — "which hours'
+    // impressions actually drive purchases". Credit is exact
+    // fixed-point ⌊10⁶/k⌋ per pair (integer division, no float sums);
+    // hour-of-day is pure epoch arithmetic ((µs DIV 3600·10⁶) mod 24 —
+    // no timezone/locale surface between engines). The view×purchase
+    // pairing is a USER-KEYED equi-join with a range residual — per-
+    // user work is views·purchases within the same user, never a
+    // cross-user product; k comes from one purchase-keyed count joined
+    // back. At 100 TB everything is user-partitioned until the 24-row
+    // final rollup.
+    QuerySpec("q227_multitouch_attribution",
+      (s, d) => {
+        val e = events(s, d).filter(col("ts").isNotNull)
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vts"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("pts"))
+        val pairs = graft.operators.OperatorCaches.persistTracked(
+          views.join(purch, Seq("user_id"))
+            .filter(col("vts") < col("pts")
+              && col("vts") >= col("pts") - lit(86400000000L)))
+        val k = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("k"))
+        pairs.join(k, Seq("p_id"))
+          .select((pmod(expr("vts DIV 3600000000"), lit(24L))).as("hour"),
+            col("p_id"), expr("1000000 DIV k").as("credit_fp"))
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("touches"),
+            countDistinct(col("p_id")).as("purchases_touched"),
+            sum(col("credit_fp")).as("credit_fp"))
+          .orderBy("hour")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+             |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+             |), p AS (
+             |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS pts
+             |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+             |), pairs AS (
+             |  SELECT v.view_id, p.p_id, v.vts
+             |  FROM v JOIN p ON v.user_id = p.user_id
+             |    AND v.vts < p.pts AND v.vts >= p.pts - 86400000000
+             |), k AS (
+             |  SELECT p_id, count(*) AS k FROM pairs GROUP BY 1
+             |)
+             |SELECT (pairs.vts // 3600000000) % 24 AS hour,
+             |  count(*) AS touches,
+             |  CAST(count(DISTINCT pairs.p_id) AS BIGINT) AS purchases_touched,
+             |  CAST(sum(1000000 // k.k) AS BIGINT) AS credit_fp
+             |FROM pairs JOIN k USING (p_id)
+             |GROUP BY 1 ORDER BY hour""".stripMargin))
   )
 
   /** q224's fixed percentile list — shared with the streaming histogram

@@ -1116,43 +1116,15 @@ object QualityQueries {
     // per-source cumulative windows (partitioned BY SOURCE — never a
     // single-partition window over data), and a per-source max. At
     // 100 TB every frame after the first aggregation is
-    // |axis|·|sources|-sized.
+    // |axis|·|sources|-sized. The algebra lives in operators/KsDrift —
+    // (source, value) count partials merge by addition, so the
+    // streaming monitor (EventStreams.ksMonitorSink) maintains the
+    // same report from per-batch partials, spec-proven equal.
     QuerySpec("q225_ks_drift",
       (s, d) => {
-        val v = t(s, d, "documents").filter(col("n_chars").isNotNull)
-          .select(col("source"), col("n_chars").cast("long").as("x"))
-        val axis = v.select(col("x")).distinct()
-        val srcs = v.select(col("source")).distinct()
-        val cnts = v.groupBy(col("source"), col("x"))
-          .agg(count(lit(1)).as("c"))
-        val dense = axis.crossJoin(broadcast(srcs))
-          .join(cnts, Seq("source", "x"), "left")
-          .na.fill(0L, Seq("c"))
-        val wc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("x"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val cum = dense.withColumn("cum", sum(col("c")).over(wc))
-        val tot = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val base = cum.filter(col("source") === "src0")
-          .select(col("x"), col("cum").as("cum0"))
-        val nb = tot.filter(col("source") === "src0")
-          .select(col("n").as("n_base"))
-        cum.filter(col("source") =!= "src0")
-          .join(base, Seq("x"))
-          .join(broadcast(tot), Seq("source"))
-          .crossJoin(broadcast(nb))
-          .groupBy(col("source"), col("n_base"), col("n").as("n_src"))
-          // cross products ride DECIMAL(38,0) (long·long would wrap
-          // silently at extreme corpus sizes); the final long cast is
-          // loud under ANSI if D's numerator ever outgrows BIGINT
-          .agg(max(abs(col("cum").cast("decimal(38,0)") * col("n_base")
-              - col("cum0").cast("decimal(38,0)") * col("n")))
-            .cast("long").as("d_num"))
-          .select(col("source"), col("n_base"), col("n_src"), col("d_num"),
-            (col("d_num").cast("double")
-              / (col("n_src") * col("n_base")).cast("double")).as("ks"))
-          .orderBy("source")
+        import graft.operators.KsDrift
+        KsDrift.report(
+          KsDrift.counts(t(s, d, "documents"), "source", "n_chars"), "src0")
       },
       Some("""WITH v AS (
              |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents

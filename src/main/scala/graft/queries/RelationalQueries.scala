@@ -481,6 +481,168 @@ object RelationalQueries {
              |SELECT pm + 1 AS gap_start, k - 1 AS gap_end,
              |  k - pm - 1 AS n_missing
              |FROM r WHERE pm IS NOT NULL AND k > pm + 1
-             |ORDER BY n_missing DESC, gap_start LIMIT 50""".stripMargin))
+             |ORDER BY n_missing DESC, gap_start LIMIT 50""".stripMargin)),
+
+    // Referential-integrity audit across every FK edge of the star —
+    // the ingestion health check a 100 TB warehouse runs after each
+    // load: per edge, child volume, distinct child keys, ORPHAN child
+    // keys (no matching parent — broken joins waiting to happen) and
+    // UNREFERENCED parents (e.g. customers with no orders — real data,
+    // not an error, but the number mixture design wants). Each edge is
+    // one child-side aggregation + ONE full-outer key join rolled to a
+    // one-row summary (never an anti-join pair per direction); the
+    // 5-row report assembles by union. Key frames only — no payload
+    // columns ever shuffle.
+    QuerySpec("q229_ref_integrity",
+      (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+                 childKey: String, parent: org.apache.spark.sql.DataFrame,
+                 parentKey: String) = {
+          val ck = child.select(col(childKey).as("k"))
+          val stats = ck.agg(count(lit(1)).as("child_rows"),
+            countDistinct(col("k")).as("child_keys"))
+          val j = ck.distinct().withColumn("c", lit(1))
+            .join(parent.select(col(parentKey).as("k")).distinct()
+              .withColumn("p", lit(1)), Seq("k"), "full_outer")
+            .agg(sum(when(col("p").isNull, 1L).otherwise(0L))
+                .as("orphan_keys"),
+              sum(when(col("c").isNull, 1L).otherwise(0L))
+                .as("unreferenced_parents"))
+          stats.crossJoin(broadcast(j))
+            .select(lit(name).as("fk"), col("child_rows"), col("child_keys"),
+              col("orphan_keys"), col("unreferenced_parents"))
+        }
+        val li = t(s, d, "lineitem")
+        Seq(
+          edge("customer.c_nationkey->nation", t(s, d, "customer"),
+            "c_nationkey", t(s, d, "nation"), "n_nationkey"),
+          edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+            t(s, d, "orders"), "o_orderkey"),
+          edge("lineitem.l_partkey->part", li, "l_partkey",
+            t(s, d, "part"), "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey"),
+          edge("orders.o_custkey->customer", t(s, d, "orders"),
+            "o_custkey", t(s, d, "customer"), "c_custkey"))
+          .reduce(_ unionByName _)
+          .orderBy("fk")
+      },
+      Some("""WITH e1 AS (
+             |  SELECT 'customer.c_nationkey->nation' AS fk,
+             |    (SELECT count(*) FROM customer) AS child_rows,
+             |    (SELECT count(DISTINCT c_nationkey) FROM customer) AS child_keys,
+             |    (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+             |      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS orphan_keys,
+             |    (SELECT count(*) FROM nation
+             |      WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)) AS unreferenced_parents
+             |), e2 AS (
+             |  SELECT 'lineitem.l_orderkey->orders',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+             |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+             |    (SELECT count(*) FROM orders
+             |      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+             |), e3 AS (
+             |  SELECT 'lineitem.l_partkey->part',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+             |      WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+             |    (SELECT count(*) FROM part
+             |      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+             |), e4 AS (
+             |  SELECT 'lineitem.l_suppkey->supplier',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+             |      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+             |    (SELECT count(*) FROM supplier
+             |      WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+             |), e5 AS (
+             |  SELECT 'orders.o_custkey->customer',
+             |    (SELECT count(*) FROM orders),
+             |    (SELECT count(DISTINCT o_custkey) FROM orders),
+             |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+             |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |    (SELECT count(*) FROM customer
+             |      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+             |)
+             |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+             |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+             |UNION ALL SELECT * FROM e5 ORDER BY fk""".stripMargin)),
+
+    // Financial reconciliation: does o_totalprice equal the recomputed
+    // Σ extendedprice·(1−discount)·(1+tax) over the order's lineitems?
+    // The audit every billing/warehouse pipeline runs, in arithmetic
+    // that cannot drift: money enters as integer CENTS and rate
+    // BASIS-POINT-hundredths via the deterministic IEEE→DECIMAL casts,
+    // the recomputed total is exact integer cents·10⁴ (e_cents ·
+    // (100−d) · (100+t)), and the order-level diff is an exact long —
+    // mismatch means |diff| > 1 cent. One lineitem aggregation + one
+    // key join + a |status|-row rollup; sums ride DECIMAL(38,0). (This
+    // fixture's totals are synthetic, so the report shows 100%
+    // mismatch with a wide error distribution — the audit's value is
+    // the exactness of the measurement, which both engines reproduce
+    // bit-identically.)
+    QuerySpec("q230_order_total_audit",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
+          ((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("e_cents"),
+          ((col("l_discount").cast("decimal(6,2)") * 100)
+            .cast("long")).as("d_bp"),
+          ((col("l_tax").cast("decimal(6,2)") * 100)
+            .cast("long")).as("t_bp"))
+        val recomputed = li
+          .select(col("ok"),
+            (col("e_cents") * (lit(10000L) - lit(100L) * col("d_bp")
+              + lit(100L) * col("t_bp")
+              - col("d_bp") * col("t_bp"))).as("part_u"))
+          .groupBy(col("ok"))
+          .agg(sum(expr("CAST(part_u AS DECIMAL(38,0))")).as("recomputed_u"))
+        t(s, d, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_orderstatus"),
+            ((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long") * lit(10000L)).as("stated_u"))
+          .join(recomputed, Seq("ok"), "left")
+          .select(col("o_orderstatus"),
+            (col("stated_u") - coalesce(col("recomputed_u"),
+              lit(0L).cast("decimal(38,0)"))).as("diff_u"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(abs(col("diff_u")) > 10000L, 1L).otherwise(0L))
+              .as("n_mismatch"),
+            sum(abs(col("diff_u"))).cast("decimal(38,0)")
+              .as("total_abs_diff_u"),
+            max(abs(col("diff_u"))).cast("long").as("max_abs_diff_u"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey AS ok,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS e_cents,
+             |    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS d_bp,
+             |    CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS t_bp
+             |  FROM lineitem
+             |), rc AS (
+             |  SELECT ok, sum(CAST(e_cents * (10000 - 100*d_bp + 100*t_bp
+             |    - d_bp*t_bp) AS HUGEINT)) AS recomputed_u
+             |  FROM li GROUP BY 1
+             |), o AS (
+             |  SELECT o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      * 10000 AS stated_u,
+             |    COALESCE(rc.recomputed_u, 0) AS recomputed_u
+             |  FROM orders LEFT JOIN rc ON o_orderkey = rc.ok
+             |)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN abs(stated_u - recomputed_u) > 10000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+             |  CAST(sum(abs(stated_u - recomputed_u)) AS DECIMAL(38,0))
+             |    AS total_abs_diff_u,
+             |  CAST(max(abs(stated_u - recomputed_u)) AS BIGINT)
+             |    AS max_abs_diff_u
+             |FROM o GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -513,6 +513,65 @@ object SimilarityQueries {
              |  FROM ranked WHERE rank <= 3 GROUP BY neighbor_id
              |)
              |SELECT neighbor_id, n_lists FROM hub WHERE n_lists >= 2
-             |ORDER BY n_lists DESC, neighbor_id""".stripMargin))
+             |ORDER BY n_lists DESC, neighbor_id""".stripMargin)),
+
+    // Reciprocal-nearest-neighbor alignment between two label groups —
+    // the mutual-NN matching used for cross-domain entity alignment
+    // and batch-effect pairing: a ∈ label 0 and b ∈ label 1 are
+    // ALIGNED iff each is the other's top-1 cosine neighbor across the
+    // divide. Both directions reuse the brute-force top-k kernel
+    // (query side broadcast, codegen'd dot; ties by neighbor id), and
+    // the reciprocity check is one equi-join of the two 1-row-per-
+    // query frames. The report is never empty: the globally best
+    // cross-pair is reciprocal by definition. At 100 TB the label
+    // slices ride the same candidate-pruning composition as q184
+    // (IVF/LSH prefilter in front of the exact kernel) — this query
+    // gates the exact form.
+    QuerySpec("q231_rnn_alignment",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        val a = e.filter(col("label") === 0)
+          .select(col("vec_id"), col("v"))
+        val b = e.filter(col("label") === 1)
+          .select(col("vec_id"), col("v"))
+        def nn1(corpus: org.apache.spark.sql.DataFrame,
+                queries: org.apache.spark.sql.DataFrame) =
+          graft.operators.Similarity.bruteForceTopK(
+            corpus,
+            queries.select(col("vec_id").as("q_id"), col("v").as("qv")), 1)
+        val aToB = nn1(b, a).select(col("q_id").as("a_id"),
+          col("neighbor_id").as("b_id"), col("cos"))
+        val bToA = nn1(a, b).select(col("neighbor_id").as("a_id"),
+          col("q_id").as("b_id"))
+        aToB.join(bToA, Seq("a_id", "b_id"))
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos4"))
+          .orderBy("a_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+             |), a AS (SELECT vec_id, v FROM e WHERE label = 0),
+             |b AS (SELECT vec_id, v FROM e WHERE label = 1),
+             |ab AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v))
+             |         * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |  FROM a CROSS JOIN b
+             |), atob AS (
+             |  SELECT a_id, b_id, cos FROM (
+             |    SELECT a_id, b_id, cos, row_number() OVER (
+             |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+             |    FROM ab) WHERE rk = 1
+             |), btoa AS (
+             |  SELECT a_id, b_id FROM (
+             |    SELECT a_id, b_id, row_number() OVER (
+             |      PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk
+             |    FROM ab) WHERE rk = 1
+             |)
+             |SELECT atob.a_id, atob.b_id, round(atob.cos, 4) AS cos4
+             |FROM atob JOIN btoa USING (a_id, b_id)
+             |ORDER BY a_id""".stripMargin))
   )
 }

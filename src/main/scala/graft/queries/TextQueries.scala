@@ -20,7 +20,8 @@ object TextQueries {
 
   // lazy: cmsJoinSizeSpec is declared below (next to its term list) —
   // a strict val here would read it before initialization
-  lazy val specs: Seq[QuerySpec] = baseSpecs :+ cmsJoinSizeSpec
+  lazy val specs: Seq[QuerySpec] =
+    baseSpecs :+ cmsJoinSizeSpec :+ cmsDeleteSpec
 
   private lazy val baseSpecs: Seq[QuerySpec] = Seq(
 
@@ -753,4 +754,80 @@ object TextQueries {
              |  CASE WHEN exact_size > 0
              |       THEN CAST(estimate AS DOUBLE) / exact_size END AS ratio
              |FROM est, ex ORDER BY r""".stripMargin))
+
+  /** CMS DELETE maintenance — the sketch family closed under deletion
+    * where the mathematics allows it: counters are linear, so the
+    * pruned sketch is the full sketch MINUS the tombstoned docs' own
+    * sketch — a |deleted|-sized adjustment, never a recount of the
+    * surviving corpus — and equals a fresh build over the remainder
+    * EXACTLY (CountMinSpec pins frame equality; this query gates the
+    * served report). Bloom (q219) and KMV (q187) provably lack the
+    * property (a shared bit cannot be unset, a discarded (k+1)-th
+    * minimum cannot be recovered) — for them deletion means rebuild,
+    * which is why only CMS gets the delete column in the lifecycle
+    * table. The report is q217's, served from the pruned sketch with
+    * exact remainder counts beside it — one-sidedness survives pruning
+    * because pruned ≡ rebuild-over-remainder.
+    */
+  val cmsDeleteSpec: QuerySpec =
+    QuerySpec("q228_cms_delete",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        def toks(df: org.apache.spark.sql.DataFrame) =
+          df.select(explode(split(col("text"), " ")).as("term"))
+        val full = graft.operators.CountMin.sketch(toks(docs), "term")
+        val deleted = graft.operators.CountMin.sketch(
+          toks(docs.filter(col("doc_id") % 10 === 7)), "term")
+        val pruned = graft.operators.CountMin.delete(full, deleted)
+        val qt = CmsTerms.toDF("term")
+        val remainder = toks(docs.filter(col("doc_id") % 10 =!= 7))
+        val exacts = remainder.join(broadcast(qt), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        graft.operators.CountMin.report(pruned, exacts, qt)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM tok
+             |), pairs AS (
+             |  SELECT doc_id, 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM h
+             |  UNION ALL SELECT doc_id, 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM h
+             |  UNION ALL SELECT doc_id, 2, (134775813*hp + 1) % 2147483647 % 1024 FROM h
+             |  UNION ALL SELECT doc_id, 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM h
+             |), full_c AS (SELECT r, bkt, count(*) AS c FROM pairs GROUP BY 1, 2),
+             |del_c AS (
+             |  SELECT r, bkt, count(*) AS c FROM pairs
+             |  WHERE doc_id % 10 = 7 GROUP BY 1, 2
+             |), pruned AS (
+             |  SELECT f.r, f.bkt, f.c - COALESCE(d.c, 0) AS c
+             |  FROM full_c f LEFT JOIN del_c d
+             |    ON f.r = d.r AND f.bkt = d.bkt
+             |  WHERE f.c - COALESCE(d.c, 0) > 0
+             |), qt(term) AS (VALUES ('spark'),('join'),('window'),('scan'),
+             |                       ('stream'),('batch'),('hash')),
+             |qh AS (
+             |  SELECT term,
+             |    ('0x' || substr(md5(term),1,15))::BIGINT % 2147483647 AS hp
+             |  FROM qt
+             |), qp AS (
+             |  SELECT term, 0 AS r, (1103515245*hp + 12345) % 2147483647 % 1024 AS bkt FROM qh
+             |  UNION ALL SELECT term, 1, (214013*hp + 2531011) % 2147483647 % 1024 FROM qh
+             |  UNION ALL SELECT term, 2, (134775813*hp + 1) % 2147483647 % 1024 FROM qh
+             |  UNION ALL SELECT term, 3, (22695477*hp + 7777) % 2147483647 % 1024 FROM qh
+             |), est AS (
+             |  SELECT term, CAST(min(COALESCE(c, 0)) AS BIGINT) AS cms_estimate
+             |  FROM qp LEFT JOIN pruned USING (r, bkt) GROUP BY term
+             |), ex AS (
+             |  SELECT term, count(*) AS exact_cnt FROM tok
+             |  WHERE doc_id % 10 <> 7 AND term IN (SELECT term FROM qt)
+             |  GROUP BY term)
+             |SELECT qt.term, COALESCE(exact_cnt, 0) AS exact_cnt,
+             |  cms_estimate,
+             |  cms_estimate - COALESCE(exact_cnt, 0) AS overcount
+             |FROM qt LEFT JOIN ex USING (term) JOIN est USING (term)
+             |ORDER BY term""".stripMargin))
 }

@@ -872,6 +872,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming KS drift maintenance — q225's production form: each
+    * micro-batch publishes its (source, value) count partial
+    * ([[graft.operators.KsDrift.counts]] over the SAME mapping the
+    * batch query uses), and the drift report is re-assembled over the
+    * per-key SUM of all partials ([[graft.operators.KsDrift.mergeCounts]]
+    * → [[graft.operators.KsDrift.report]]). Counts merge by plain
+    * addition and the whole assembly up to the final division is
+    * integer/decimal-exact, so the streamed report equals batch q225
+    * over all arrivals, spec-proven; history is never re-scanned and
+    * the live state is |sources|·|distinct values| regardless of
+    * stream length. */
+  def ksMonitorSink(stream: DataFrame, sourceCol: String, valueCol: String,
+                    baselineSource: String, stateDir: String,
+                    reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.KsDrift.counts(batch, sourceCol, valueCol)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/counts/batch=$batchId")
+        graft.operators.KsDrift.report(
+            graft.operators.KsDrift.mergeCounts(
+              spark.read.parquet(s"$stateDir/counts")),
+            baselineSource)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** The queryable modularity report over everything
     * [[modularityMonitorSink]] has published: sum the per-batch counter
     * partials by source (exact longs — merged ≡ full recompute), then

@@ -107,7 +107,12 @@ object ScaleProbe {
       "q221_chi2_tokens", "q222_ols_value_trend",
       // hist sketch: bin frame bounded by range/W; KS: every frame
       // after the first aggregation is |axis|·|sources|-sized
-      "q224_hist_quantile_sketch", "q225_ks_drift")
+      "q224_hist_quantile_sketch", "q225_ks_drift",
+      // attribution is a user-keyed pairing (views·purchases within a
+      // user) + a 24-row rollup; q226 is lineitem-family (not in this
+      // fixture) — its Σ basket² / Σ_x freq_pairs(x)² cost model is the
+      // measured q194/q223 shape with Apriori pruning in front
+      "q227_multitouch_attribution")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -103,4 +103,31 @@ class CountMinSpec extends SparkSpec {
     val (ex0, est0, over0) = rep("zzz_absent")
     assert(ex0 === 0L && est0 >= 0L && over0 === est0)
   }
+
+  test("delete by sketch linearity equals a fresh build over the remainder, frame-exactly") {
+    // tokens chosen so deleted terms SHARE buckets with survivors
+    // (same md5-affine pipeline → collisions by pigeonhole at 300
+    // distinct terms) and some buckets drain to zero — those must be
+    // DROPPED, because a fresh build never materializes them
+    val all = (1 to 300).flatMap(i => Seq.fill(i % 3 + 1)(s"tok$i"))
+    val deleted = all.filter(t => t.drop(3).toInt % 5 == 0)
+    val remainder = {
+      // multiset subtraction (deleted is a sub-multiset of all)
+      val budget = scala.collection.mutable.Map(
+        deleted.groupBy(identity).view.mapValues(_.size).toSeq: _*)
+      all.filter { t =>
+        val left = budget.getOrElse(t, 0)
+        if (left > 0) { budget(t) = left - 1; false } else true
+      }
+    }
+    val pruned = CountMin.delete(
+      CountMin.sketch(all.toDF("term"), "term"),
+      CountMin.sketch(deleted.toDF("term"), "term"))
+    val rebuilt = CountMin.sketch(remainder.toDF("term"), "term")
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(frame(pruned) === frame(rebuilt))
+    // and zero buckets really existed to drop (the interesting case)
+    assert(pruned.count() < CountMin.sketch(all.toDF("term"), "term").count())
+  }
 }

@@ -179,4 +179,137 @@ class MetricsSpec extends SparkSpec {
     assert(got("src2") === ((lens0.size.toLong, lens2.size.toLong, 0L, 0.0)))
     assert(!got.contains("src0"), "baseline must not be compared to itself")
   }
+
+  test("q226 confirms planted triples and Apriori-prunes candidates with an infrequent face") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // baskets: {1,2,3} ×3 (triple support 3; all faces frequent),
+    // {1,2,4} once + pair (1,4) once more and (2,4) NOWHERE else —
+    // faces (1,2) and (1,4) are frequent but (2,4) has support 1, so
+    // candidate (1,2,4) must be PRUNED by the closure property, not
+    // reported with support 1
+    val baskets = Seq(
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), Seq(1L, 2L, 3L),
+      Seq(1L, 2L, 4L), Seq(1L, 4L, 9L))
+    val rows = baskets.zipWithIndex.flatMap { case (parts, ok) =>
+      parts.map(pk => (ok.toLong, pk))
+    }.toDF("l_orderkey", "l_partkey")
+    rows.write.parquet(s"$tmp/lineitem.parquet")
+
+    val got = SparkEntry.queries("q226_frequent_triples")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(got === Map((1L, 2L, 3L) -> 3L))
+  }
+
+  test("q227 splits conversion credit equally among 24h-window views, exact boundaries") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    def ev(id: Long, user: Long, typ: String, ts: String) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    val pTs = "2024-03-10 12:00:00"
+    val rows = Seq(
+      // user 1: purchase with 3 in-window views (hours 13, 9, 12 prev
+      // day), one view exactly AT the 24h boundary (included: >= pts-24h),
+      // one view a second past it (excluded), one view at pts (excluded)
+      ev(1, 1, "purchase", pTs),
+      ev(2, 1, "view", "2024-03-10 09:30:00"),
+      ev(3, 1, "view", "2024-03-10 11:59:59"),
+      ev(4, 1, "view", "2024-03-09 13:00:00"),
+      ev(5, 1, "view", "2024-03-09 12:00:00"),   // boundary: included
+      ev(6, 1, "view", "2024-03-09 11:59:59"),   // past window: excluded
+      ev(7, 1, "view", pTs),                     // at purchase: excluded
+      // user 2: purchase with ONE view → full 10^6 credit
+      ev(10, 2, "purchase", "2024-03-10 12:00:00"),
+      ev(11, 2, "view", "2024-03-10 09:45:00"),
+      // user 3: view with no purchase → no credit anywhere
+      ev(20, 3, "view", "2024-03-10 09:00:00"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+
+    val got = SparkEntry.queries("q227_multitouch_attribution")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // user 1's k = 4 (three inner views + the boundary view) → 250000
+    // each; user 2's k = 1 → 1000000
+    assert(got(9L) === ((2L, 2L, 250000L + 1000000L))) // 09:30 + 09:45
+    assert(got(11L) === ((1L, 1L, 250000L)))           // 11:59:59
+    assert(got(13L) === ((1L, 1L, 250000L)))           // prev-day 13:00
+    assert(got(12L) === ((1L, 1L, 250000L)))           // boundary view
+    assert(got.values.map(_._3).sum === 2000000L)      // credit conserves
+    assert(!got.contains(20L) && got.size === 4)
+  }
+
+  test("q229 counts planted orphans and unreferenced parents per FK edge") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // nation 0-2; customer 10 (nation 0), 11 (nation 1), 12 (nation 99
+    // — ORPHAN); nation 2 unreferenced. orders: cust 10 twice, cust 77
+    // (orphan); customer 11/12 orderless. lineitem edges all clean.
+    Seq((0L, "A"), (1L, "B"), (2L, "C")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$tmp/nation.parquet")
+    Seq((10L, 0L), (11L, 1L), (12L, 99L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$tmp/customer.parquet")
+    Seq((100L, 10L), (101L, 10L), (102L, 77L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$tmp/orders.parquet")
+    Seq((500L, "p")).toDF("p_partkey", "p_name")
+      .write.parquet(s"$tmp/part.parquet")
+    Seq((600L, "s")).toDF("s_suppkey", "s_name")
+      .write.parquet(s"$tmp/supplier.parquet")
+    Seq((100L, 500L, 600L), (101L, 500L, 600L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+
+    val got = SparkEntry.queries("q229_ref_integrity")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("customer.c_nationkey->nation") === ((3L, 3L, 1L, 1L)))
+    assert(got("orders.o_custkey->customer") === ((3L, 2L, 1L, 2L)))
+    assert(got("lineitem.l_orderkey->orders") === ((2L, 2L, 0L, 1L)))
+    assert(got("lineitem.l_partkey->part") === ((2L, 1L, 0L, 0L)))
+    assert(got("lineitem.l_suppkey->supplier") === ((2L, 1L, 0L, 0L)))
+  }
+
+  test("q230 reconciles exact orders to zero diff and measures planted drift exactly") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // order 1: 2 lineitems, total EXACTLY Σ e(1-d)(1+t) → diff 0.
+    // order 2: stated total off by exactly one cent (NOT a mismatch —
+    // the tolerance is strict >1 cent)
+    // order 3: off by +1.00 → mismatch of exactly 10^6 units.
+    // order 4: no lineitems → full stated total is the diff.
+    val l = Seq(
+      (1L, 100.00, 0.10, 0.05), // 100·0.90·1.05 = 94.50
+      (1L, 50.00, 0.00, 0.08),  // 50·1.08 = 54.00 → order 1 = 148.50
+      (2L, 10.25, 0.00, 0.00),
+      (3L, 20.00, 0.50, 0.00))  // 10.00
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    l.write.parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, "O", 148.50), (2L, "O", 10.26), (3L, "F", 11.00),
+      (4L, "F", 7.25))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+
+    val got = SparkEntry.queries("q230_order_total_audit")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getLong(4)))).toMap
+    // status O: order 1 diff 0; order 2 diff exactly 0.01 = 10^4 units
+    assert(got("O") === ((2L, 0L, 10000L, 10000L)))
+    // status F: order 3 diff 1.00 = 10^6; order 4 diff 7.25 = 7.25·10^6
+    assert(got("F") === ((2L, 2L, 1000000L + 7250000L, 7250000L)))
+  }
+
+  test("q231 aligns exactly the mutual top-1 pairs across the label divide") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // label 0: a1=(1,0), a2=(0.9,0.1), a3=(0,1); label 1: b1=(1,0.01),
+    // b2=(0.1,1). a1↔b1 mutual (cos≈1). a2's NN is b1 too — but b1's
+    // NN is a1, so a2 stays unmatched. a3↔b2 mutual.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (11L, Array(1.0f, 0.01f), 1), (12L, Array(0.1f, 1.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val got = SparkEntry.queries("q231_rnn_alignment")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 11L), (3L, 12L)))
+  }
 }

@@ -642,6 +642,40 @@ class StreamingSpec extends SparkSpec {
     assert(byType("flat") === (("flat", 1L, None, None)))
   }
 
+  test("streaming KS drift maintenance equals batch q225 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // every source straddles both waves with overlapping lengths, so
+    // the served D is only right if count partials truly merge — and
+    // wave 2 shifts src1's distribution to move its sup point
+    def doc(id: Long, src: String, len: Long) =
+      (id, "x" * len.toInt, "en", src, len)
+    val wave1 = Seq(doc(1, "src0", 4), doc(2, "src0", 7), doc(3, "src0", 9),
+      doc(4, "src1", 7), doc(5, "src1", 12), doc(6, "src2", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wave2 = Seq(doc(7, "src0", 5), doc(8, "src0", 12),
+      doc(9, "src1", 15), doc(10, "src1", 18), doc(11, "src2", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.ksMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "n_chars", "src0", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.ksMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "n_chars", "src0", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    wave1.unionByName(wave2).write.parquet(s"$tmp/all/documents.parquet")
+    assert(streamed ===
+      rows(SparkEntry.queries("q225_ks_drift")(spark, s"$tmp/all")))
+    assert(streamed.map(_._1) === Seq("src1", "src2"))
+  }
+
   test("drift monitor reports arriving-batch drift against accumulated counts") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave1 = (0 until 30).map(i => (i.toLong, "x y x y x")).toDF("doc_id", "text")
