@@ -1743,7 +1743,146 @@ object MiscQueries {
              |  CAST(count(DISTINCT pairs.p_id) AS BIGINT) AS purchases_touched,
              |  CAST(sum(1000000 // k.k) AS BIGINT) AS credit_fp
              |FROM pairs JOIN k USING (p_id)
-             |GROUP BY 1 ORDER BY hour""".stripMargin))
+             |GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    // Next-event prediction BACKTEST — the temporal-split evaluation
+    // discipline every production model is judged by, run on the
+    // simplest possible model (first-order Markov argmax, q200's
+    // transition matrix turned into a predictor): TRAIN on consecutive
+    // (prev, next) pairs whose successor lands before 2024-01-22,
+    // predict argmax next-type per prev-type (ties to the
+    // lexicographically first — engine-deterministic), EVALUATE on the
+    // pairs at or after the boundary. The split is on the SUCCESSOR's
+    // timestamp, so no test label ever leaks into training. Exact
+    // integer hits with ONE double division per row; prev-types absent
+    // from training predict NULL and score misses (the honest-coverage
+    // rule). One user-keyed lead() pass, one |types|²-shaped model
+    // aggregation, one broadcast model join back onto test pairs.
+    QuerySpec("q232_markov_backtest",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = graft.operators.OperatorCaches.persistTracked(
+          events(s, d).filter(col("ts").isNotNull)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+            .withColumn("next_type", lead(col("event_type"), 1).over(w))
+            .withColumn("next_ts", lead(col("ts"), 1).over(w))
+            .filter(col("next_type").isNotNull)
+            .select(col("event_type").as("prev_type"), col("next_type"),
+              col("next_ts")))
+        val boundary = lit("2024-01-22").cast("timestamp")
+        val model = pairs.filter(col("next_ts") < boundary)
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("prev_type"))
+              .orderBy(desc("cnt"), col("next_type"))))
+          .filter(col("rk") === 1)
+          .select(col("prev_type"), col("next_type").as("predicted"))
+        pairs.filter(col("next_ts") >= boundary)
+          .join(broadcast(model), Seq("prev_type"), "left")
+          .groupBy(col("prev_type"), col("predicted"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("next_type") === col("predicted"), 1L)
+              .otherwise(0L)).as("hits"))
+          .select(col("prev_type"), col("predicted"), col("n_test"),
+            col("hits"),
+            (col("hits").cast("double") / col("n_test").cast("double"))
+              .as("accuracy"))
+          .orderBy("prev_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS prev_type,
+             |    lead(event_type, 1) OVER w AS next_type,
+             |    lead(ts, 1) OVER w AS next_ts
+             |  FROM events WHERE ts IS NOT NULL
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), pairs AS (
+             |  SELECT * FROM p WHERE next_type IS NOT NULL
+             |), model AS (
+             |  SELECT prev_type, next_type AS predicted FROM (
+             |    SELECT prev_type, next_type, count(*) AS cnt,
+             |      row_number() OVER (PARTITION BY prev_type
+             |        ORDER BY count(*) DESC, next_type) AS rk
+             |    FROM pairs WHERE next_ts < TIMESTAMP '2024-01-22'
+             |    GROUP BY 1, 2)
+             |  WHERE rk = 1
+             |)
+             |SELECT pairs.prev_type, model.predicted,
+             |  count(*) AS n_test,
+             |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS hits,
+             |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*) AS accuracy
+             |FROM pairs LEFT JOIN model USING (prev_type)
+             |WHERE next_ts >= TIMESTAMP '2024-01-22'
+             |GROUP BY 1, 2 ORDER BY prev_type""".stripMargin)),
+
+    // Shard-balance audit — the key-choice check run BEFORE committing
+    // a shuffle-heavy job to a partition key at 100 TB: for each
+    // candidate key, hash rows into 32 buckets (the md5 bridge, so the
+    // assignment is engine-deterministic — Spark's internal hash would
+    // not be) and report the balance profile: bucket-count max, min,
+    // nonempty buckets, and the max/mean skew ratio in one double
+    // division. user_id spreads fine; event_type has 5 values for 32
+    // buckets (structural skew — the report SHOWS it, which is the
+    // point); day is in between. One keyed aggregation per candidate
+    // into a ≤32-row frame, rolled to one row per key — the whole
+    // report costs three map-side-combined passes, output 3 rows.
+    QuerySpec("q234_shard_balance",
+      (s, d) => {
+        val e = events(s, d).filter(col("ts").isNotNull)
+        def profile(keyName: String, key: org.apache.spark.sql.Column) =
+          e.select((graft.functions.TextFunctions.md5Long(key.cast("string"))
+              % lit(32L)).as("bucket"))
+            .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).as("n_rows"),
+              count(lit(1)).as("buckets_used"),
+              max(col("c")).as("max_bucket"),
+              min(col("c")).as("min_bucket"))
+            .select(lit(keyName).as("key"), col("n_rows"),
+              col("buckets_used"), col("max_bucket"), col("min_bucket"),
+              ((col("max_bucket") * lit(32L)).cast("double")
+                / col("n_rows").cast("double")).as("skew_ratio"))
+        profile("day", col("ts").cast("date"))
+          .unionByName(profile("event_type", col("event_type")))
+          .unionByName(profile("user_id", col("user_id")))
+          .orderBy("key")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+             |p1 AS (
+             |  SELECT ('0x' || substr(md5(CAST(CAST(ts AS DATE)
+             |    AS VARCHAR)),1,15))::BIGINT % 32 AS bucket, count(*) AS c
+             |  FROM e GROUP BY 1
+             |), p2 AS (
+             |  SELECT ('0x' || substr(md5(event_type),1,15))::BIGINT % 32
+             |    AS bucket, count(*) AS c
+             |  FROM e GROUP BY 1
+             |), p3 AS (
+             |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))
+             |    ::BIGINT % 32 AS bucket, count(*) AS c
+             |  FROM e GROUP BY 1
+             |), r1 AS (
+             |  SELECT 'day' AS key, CAST(sum(c) AS BIGINT) AS n_rows,
+             |    count(*) AS buckets_used, max(c) AS max_bucket,
+             |    min(c) AS min_bucket,
+             |    CAST(max(c) * 32 AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             |      AS skew_ratio
+             |  FROM p1
+             |), r2 AS (
+             |  SELECT 'event_type', CAST(sum(c) AS BIGINT), count(*),
+             |    max(c), min(c),
+             |    CAST(max(c) * 32 AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             |  FROM p2
+             |), r3 AS (
+             |  SELECT 'user_id', CAST(sum(c) AS BIGINT), count(*),
+             |    max(c), min(c),
+             |    CAST(max(c) * 32 AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             |  FROM p3
+             |)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |UNION ALL SELECT * FROM r3 ORDER BY key""".stripMargin))
   )
 
   /** q224's fixed percentile list — shared with the streaming histogram

@@ -572,6 +572,125 @@ object SimilarityQueries {
              |)
              |SELECT atob.a_id, atob.b_id, round(atob.cos, 4) AS cos4
              |FROM atob JOIN btoa USING (a_id, b_id)
-             |ORDER BY a_id""".stripMargin))
+             |ORDER BY a_id""".stripMargin)),
+
+    // Cluster cohesion/separation report per label — the silhouette-
+    // style acceptance check run before trusting labels as semantic
+    // units: cohesion = MEAN PAIRWISE intra-label cosine, separation =
+    // the best (largest) mean cross-label cosine to any other label,
+    // margin = cohesion − separation (positive = labels are tighter
+    // inside than across — healthy geometry). The whole statistic
+    // avoids float summation entirely via the sum-of-normalized-
+    // vectors identity: with u = round(v/|v|·10⁶) quantized unit
+    // vectors, Σ_{i≠j} cos(u_i,u_j) = |S|² − Σ|u|² in EXACT integers
+    // (S = component sums), and mean cross cosine = S_a·S_b/(n_a·n_b)
+    // — one deterministic double division per reported number, like
+    // q179. Work: one posexplode keyed by (label, pos); every frame
+    // after it is labels·dim-sized, never the corpus.
+    QuerySpec("q233_label_cohesion",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("label"),
+            graft.functions.VectorFunctions.dot(
+              asDouble(col("embedding")), asDouble(col("embedding")))
+              .as("nrm2"),
+            col("embedding"))
+          .filter(col("nrm2") > 0d)
+        val comp = e.select(col("label"), col("nrm2"),
+            posexplode(col("embedding")).as(Seq("pos", "vv")))
+          .select(col("label"), col("pos"),
+            round(col("vv").cast("double") / sqrt(col("nrm2")) * 1000000d)
+              .cast("long").as("q"))
+        val sums = graft.operators.OperatorCaches.persistTracked(
+          comp.groupBy(col("label"), col("pos"))
+            .agg(sum(col("q")).as("sv")))
+        val perLabel = comp.groupBy(col("label"))
+          .agg(sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sumsq"))
+        val nPer = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        val s2 = sums.groupBy(col("label"))
+          .agg(sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("s2"))
+        val cohesion = nPer.join(s2, Seq("label"))
+          .join(perLabel, Seq("label"))
+          .select(col("label"), col("n"),
+            ((col("s2") - col("sumsq")).cast("double")
+              / (col("n") * (col("n") - 1)).cast("double") / 1e12)
+              .as("cohesion"))
+        val cross = sums.as("a").join(sums.as("b"),
+            col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+          .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+          .agg(sum(expr("CAST(a.sv AS DECIMAL(38,0)) * b.sv")).as("dot"))
+          .join(broadcast(nPer), Seq("label"))
+          .join(broadcast(nPer.select(col("label").as("other"),
+            col("n").as("n_other"))), Seq("other"))
+          .select(col("label"), col("other"),
+            (col("dot").cast("double")
+              / (col("n") * col("n_other")).cast("double") / 1e12)
+              .as("mean_cross"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(desc("mean_cross"), col("other"))))
+          .filter(col("rk") === 1)
+          .select(col("label"), col("other").as("nearest_label"),
+            col("mean_cross").as("separation"))
+        cohesion.join(cross, Seq("label"))
+          .select(col("label"), col("n"),
+            round(col("cohesion"), 4).as("cohesion4"),
+            col("nearest_label"),
+            round(col("separation"), 4).as("separation4"),
+            round(col("cohesion") - col("separation"), 4).as("margin4"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+             |  SELECT label, embedding,
+             |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+             |      AS nrm2
+             |  FROM embeddings
+             |  WHERE list_dot_product(embedding::DOUBLE[],
+             |                         embedding::DOUBLE[]) > 0
+             |), comp AS (
+             |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(round(unnest(embedding)::DOUBLE / sqrt(nrm2) * 1000000)
+             |      AS BIGINT) AS q
+             |  FROM e
+             |), sums AS (
+             |  SELECT label, pos, CAST(sum(q) AS HUGEINT) AS sv
+             |  FROM comp GROUP BY 1, 2
+             |), perlabel AS (
+             |  SELECT label, sum(CAST(q AS HUGEINT) * q) AS sumsq
+             |  FROM comp GROUP BY 1
+             |), npr AS (SELECT label, count(*) AS n FROM e GROUP BY 1),
+             |s2 AS (SELECT label, sum(sv * sv) AS s2 FROM sums GROUP BY 1),
+             |coh AS (
+             |  SELECT npr.label, npr.n,
+             |    CAST(s2.s2 - perlabel.sumsq AS DOUBLE)
+             |      / CAST(npr.n * (npr.n - 1) AS DOUBLE) / 1e12 AS cohesion
+             |  FROM npr JOIN s2 USING (label) JOIN perlabel USING (label)
+             |), crossd AS (
+             |  SELECT a.label AS label, b.label AS other,
+             |    sum(a.sv * b.sv) AS dot
+             |  FROM sums a JOIN sums b
+             |    ON a.pos = b.pos AND a.label <> b.label
+             |  GROUP BY 1, 2
+             |), crossm AS (
+             |  SELECT c.label, c.other,
+             |    CAST(c.dot AS DOUBLE)
+             |      / CAST(na.n * nb.n AS DOUBLE) / 1e12 AS mean_cross
+             |  FROM crossd c
+             |  JOIN npr na ON na.label = c.label
+             |  JOIN npr nb ON nb.label = c.other
+             |), nearest AS (
+             |  SELECT label, other AS nearest_label,
+             |    mean_cross AS separation
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+             |    ORDER BY mean_cross DESC, other) AS rk FROM crossm)
+             |  WHERE rk = 1
+             |)
+             |SELECT coh.label, coh.n,
+             |  round(coh.cohesion, 4) AS cohesion4,
+             |  nearest.nearest_label,
+             |  round(nearest.separation, 4) AS separation4,
+             |  round(coh.cohesion - nearest.separation, 4) AS margin4
+             |FROM coh JOIN nearest USING (label)
+             |ORDER BY label""".stripMargin))
   )
 }

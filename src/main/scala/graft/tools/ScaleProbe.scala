@@ -112,7 +112,13 @@ object ScaleProbe {
       // user) + a 24-row rollup; q226 is lineitem-family (not in this
       // fixture) — its Σ basket² / Σ_x freq_pairs(x)² cost model is the
       // measured q194/q223 shape with Apriori pruning in front
-      "q227_multitouch_attribution")
+      "q227_multitouch_attribution",
+      // backtest: one user-keyed lead pass + |types|²-model join;
+      // q233 is embeddings-family (not in this fixture) — every frame
+      // after its posexplode is labels·dim-sized
+      "q232_markov_backtest",
+      // three map-side-combined bucket aggregations into ≤32-row frames
+      "q234_shard_balance")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

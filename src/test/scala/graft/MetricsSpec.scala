@@ -312,4 +312,69 @@ class MetricsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 11L), (3L, 12L)))
   }
+
+  test("q232 trains on pre-boundary successors only and scores the planted test pairs") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    def ev(id: Long, user: Long, typ: String, ts: String) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    // TRAIN (successor before 01-22): user 1 contributes a->b, a->b,
+    // b->a; user 2 contributes a->c. Model: a predicts b (2 > 1),
+    // b predicts a. TEST: user 1's b->b (miss) and the CROSS-BOUNDARY
+    // a->b pair (hit; its successor is post-boundary so it must NOT
+    // have trained), user 3's c->a (c absent from training -> NULL
+    // prediction, scored as a miss).
+    val rows = Seq(
+      ev(1, 1, "a", "2024-01-10 10:00:00"),
+      ev(2, 1, "b", "2024-01-10 11:00:00"),
+      ev(3, 1, "a", "2024-01-11 10:00:00"),
+      ev(4, 1, "b", "2024-01-11 11:00:00"),
+      ev(5, 1, "a", "2024-01-12 10:00:00"),  // b->a trains too
+      ev(20, 2, "a", "2024-01-15 10:00:00"),
+      ev(21, 2, "c", "2024-01-15 11:00:00"),
+      // cross-boundary: prev at 01-21, successor at 01-23 -> TEST
+      ev(6, 1, "a", "2024-01-21 10:00:00"),
+      ev(7, 1, "b", "2024-01-23 10:00:00"),
+      ev(8, 1, "b", "2024-01-24 10:00:00"),  // b->b test miss
+      ev(30, 3, "c", "2024-01-25 10:00:00"),
+      ev(31, 3, "a", "2024-01-25 11:00:00")) // c->a, c untrained
+    // the 01-21 a-event's PREDECESSOR pair (a at 01-12... wait: user 1
+    // stream is a,b,a,b,a,a,b,b -> pairs: a->b, b->a, a->b, b->a,
+    // a->a (01-12 -> 01-21, successor pre-boundary TRAIN), a->b
+    // (cross-boundary TEST), b->b (TEST).
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+
+    val got = SparkEntry.queries("q232_markov_backtest")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+    // train pairs: a->b x2, b->a x2, a->a x1, a->c x1 => a: b wins
+    // (2 > 1 = a, 1 = c); b predicts a
+    assert(got("a") === ((Some("b"), 1L, 1L, 1.0))) // the cross-boundary hit
+    assert(got("b") === ((Some("a"), 1L, 0L, 0.0))) // b->b miss
+    assert(got("c") === ((None, 1L, 0L, 0.0)))      // untrained prev
+  }
+
+  test("q233 recovers hand-computed cohesion/separation on planted unit vectors") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // label 0: two copies of e_x (cohesion 1); label 1: two copies of
+    // e_y; label 2: one e_x + one e_y (cohesion 0). cross(0,1) = 0,
+    // cross(0,2) = cross(1,2) = 0.5 -> labels 0/1 are nearest to 2
+    // with margin 0.5; label 2's crosses tie at 0.5 -> nearest is the
+    // smaller label 0, margin -0.5.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 0.0f), 2), (6L, Array(0.0f, 1.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val got = SparkEntry.queries("q233_label_cohesion")(spark, tmp)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0) === ((2L, 1.0, 2, 0.5, 0.5)))
+    assert(got(1) === ((2L, 1.0, 2, 0.5, 0.5)))
+    assert(got(2) === ((2L, 0.0, 0, 0.5, -0.5)))
+  }
 }
