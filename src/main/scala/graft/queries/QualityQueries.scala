@@ -1155,6 +1155,89 @@ object QualityQueries {
              |  GROUP BY 1, 2, 3)
              |SELECT source, n_base, n_src, d_num,
              |  CAST(d_num AS DOUBLE) / CAST(n_src * n_base AS DOUBLE) AS ks
-             |FROM d ORDER BY source""".stripMargin))
+             |FROM d ORDER BY source""".stripMargin)),
+
+    // Calibration by score decile (the reliability diagram's table
+    // form) — the third leg of the classifier-evaluation trio: q141
+    // sweeps thresholds, q220 scores ranking (AUC), this measures
+    // whether the score's LEVELS mean anything — per score-decile, the
+    // observed duplicate rate next to the decile's score range. A
+    // well-calibrated detector shows monotone rates; a flat column
+    // says the score ranks but its magnitudes lie. Deciles come from
+    // the DISTRIBUTED rank axis (rankedRunningSum over (z, doc_id) —
+    // the doc_id tiebreak makes bucket boundaries engine-deterministic
+    // even across equal scores; never an ntile() single-reducer
+    // window), the bucket formula ⌊(rn−1)·10/N⌋ is exact integer
+    // arithmetic, counts are exact longs, and the only doubles are
+    // min/max score per decile (order statistics, not sums) and ONE
+    // division for the rate.
+    QuerySpec("q235_calibration_deciles",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = docs
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("text"),
+            size(col("tk")).cast("long").as("n_tok"),
+            size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
+              .cast("long").as("n_stop"),
+            col("n_chars"))
+          .withColumn("z",
+            lit(-1.5) + lit(0.02) * col("n_tok")
+              + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
+              - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
+                  / col("n_tok").cast("double")))
+        val dupd = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("tw"))
+        val lab = scored
+          .withColumn("h", md5(col("text"))).join(dupd, Seq("h"))
+          .select(col("doc_id"), col("z"),
+            when(col("tw") > 1, 1L).otherwise(0L).as("pos"))
+        val (ranked, n) = graft.operators.PrefixSum.rankedRunningSum(
+          lab, Seq(col("z"), col("doc_id")), lit(1L),
+          rnCol = "__rn", cumCol = "__cum")
+        ranked
+          .select(expr(s"((__rn - 1) * 10) DIV ${n}L").as("decile"),
+            col("z"), col("pos"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_dup"),
+            min(col("z")).as("z_lo"), max(col("z")).as("z_hi"))
+          .select(col("decile"), col("n"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n").cast("double"))
+              .as("dup_rate"),
+            round(col("z_lo"), 4).as("z_lo4"),
+            round(col("z_hi"), 4).as("z_hi4"))
+          .orderBy("decile")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
+             |    n_chars
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
+             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
+             |          / CAST(n_tok AS DOUBLE)) AS z,
+             |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+             |         THEN 1 ELSE 0 END AS pos
+             |  FROM f
+             |), r AS (
+             |  SELECT z, pos,
+             |    row_number() OVER (ORDER BY z, doc_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM g
+             |), b AS (
+             |  SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile, z, pos
+             |  FROM r
+             |)
+             |SELECT decile, count(*) AS n,
+             |  CAST(sum(pos) AS BIGINT) AS n_dup,
+             |  CAST(sum(pos) AS DOUBLE) / count(*) AS dup_rate,
+             |  round(min(z), 4) AS z_lo4, round(max(z), 4) AS z_hi4
+             |FROM b GROUP BY 1 ORDER BY decile""".stripMargin))
   )
 }

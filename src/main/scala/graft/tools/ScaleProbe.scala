@@ -118,7 +118,9 @@ object ScaleProbe {
       // after its posexplode is labels·dim-sized
       "q232_markov_backtest",
       // three map-side-combined bucket aggregations into ≤32-row frames
-      "q234_shard_balance")
+      "q234_shard_balance",
+      // calibration deciles ride the distributed rank axis (q176 shape)
+      "q235_calibration_deciles")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -377,4 +377,25 @@ class MetricsSpec extends SparkSpec {
     assert(got(1) === ((2L, 1.0, 2, 0.5, 0.5)))
     assert(got(2) === ((2L, 0.0, 0, 0.5, -0.5)))
   }
+
+  test("q235 buckets by exact global rank and reports per-decile dup rates") {
+    val tmp = Files.createTempDirectory("metrics").toString
+    // 20 docs: 10 distinct low-z one-worders ("w0".."w9" — each text
+    // unique → neg) and one 10-way duplicated higher-z text (pos).
+    // Ranks 1-10 are the unique docs (z ≈ -1.54 each, doc_id breaks
+    // the tie), 11-20 the dup copies → deciles 0-4 pure negative,
+    // 5-9 pure positive: rate steps 0→1 exactly at decile 5.
+    val uniq = (0 until 10).map(i => (i.toLong, s"w$i", "en", "s", 2L))
+    val dups = (10 until 20).map(i =>
+      (i.toLong, "the a of to common text here", "en", "s", 28L))
+    (uniq ++ dups).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val got = SparkEntry.queries("q235_calibration_deciles")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === (0L to 9L).toSet)
+    (0L to 4L).foreach(d => assert(got(d) === ((2L, 0L, 0.0)), s"decile $d"))
+    (5L to 9L).foreach(d => assert(got(d) === ((2L, 2L, 1.0)), s"decile $d"))
+  }
 }
