@@ -14,6 +14,27 @@ object QualityQueries {
   /** PII injection: the fixture text is clean, so both engines append the
     * same synthetic PII to a deterministic subset of docs before
     * scrubbing — the scrub itself is then a real-work parity check. */
+  /** q123's fixed-weight linear quality logit, scored per doc —
+    * the SAME expression tree in both consumers (q220 AUC, q235
+    * calibration deciles) so the score is bit-equal across the whole
+    * evaluation trio. Returns (doc_id, text, z); the IEEE ops run in
+    * the association order both oracles mirror. */
+  private def dupLogitScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("text"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
+          .cast("long").as("n_stop"),
+        col("n_chars"))
+      .withColumn("z",
+        lit(-1.5) + lit(0.02) * col("n_tok")
+          + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
+          - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
+              / col("n_tok").cast("double")))
+
   private def injectPii(textCol: org.apache.spark.sql.Column,
                         idCol: org.apache.spark.sql.Column) = {
     val m = pmod(idCol, lit(7))
@@ -942,19 +963,7 @@ object QualityQueries {
     QuerySpec("q220_auc_dup_detection",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val scored = docs
-          .select(col("doc_id"), col("n_chars"), col("text"),
-            split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), col("text"),
-            size(col("tk")).cast("long").as("n_tok"),
-            size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
-              .cast("long").as("n_stop"),
-            col("n_chars"))
-          .withColumn("z",
-            lit(-1.5) + lit(0.02) * col("n_tok")
-              + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
-              - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
-                  / col("n_tok").cast("double")))
+        val scored = dupLogitScores(docs)
         val dupd = docs.groupBy(md5(col("text")).as("h"))
           .agg(count(lit(1)).as("tw"))
         val lab = scored
@@ -1174,19 +1183,7 @@ object QualityQueries {
     QuerySpec("q235_calibration_deciles",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val scored = docs
-          .select(col("doc_id"), col("n_chars"), col("text"),
-            split(col("text"), " ").as("tk"))
-          .select(col("doc_id"), col("text"),
-            size(col("tk")).cast("long").as("n_tok"),
-            size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
-              .cast("long").as("n_stop"),
-            col("n_chars"))
-          .withColumn("z",
-            lit(-1.5) + lit(0.02) * col("n_tok")
-              + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
-              - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
-                  / col("n_tok").cast("double")))
+        val scored = dupLogitScores(docs)
         val dupd = docs.groupBy(md5(col("text")).as("h"))
           .agg(count(lit(1)).as("tw"))
         val lab = scored
