@@ -584,16 +584,22 @@ object RelationalQueries {
     // fixture's totals are synthetic, so the report shows 100%
     // mismatch with a wide error distribution — the audit's value is
     // the exactness of the measurement, which both engines reproduce
-    // bit-identically.)
+    // bit-identically.) Cents quantization is floor(x*100+0.5) on the
+    // raw double in BOTH engines: a double→DECIMAL(18,2) cast is
+    // engine-dependent when the stored value carries >2 decimal digits
+    // (Spark rounds the shortest decimal representation, DuckDB the
+    // exact binary expansion), while IEEE multiply/add/floor is
+    // bit-identical everywhere — this keeps the audit fixture-drift-
+    // proof no matter what precision a regenerated fixture emits.
     QuerySpec("q230_order_total_audit",
       (s, d) => {
         val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
-          ((col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long")).as("e_cents"),
-          ((col("l_discount").cast("decimal(6,2)") * 100)
-            .cast("long")).as("d_bp"),
-          ((col("l_tax").cast("decimal(6,2)") * 100)
-            .cast("long")).as("t_bp"))
+          floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+            .cast("long").as("e_cents"),
+          floor(col("l_discount") * lit(100.0d) + lit(0.5d))
+            .cast("long").as("d_bp"),
+          floor(col("l_tax") * lit(100.0d) + lit(0.5d))
+            .cast("long").as("t_bp"))
         val recomputed = li
           .select(col("ok"),
             (col("e_cents") * (lit(10000L) - lit(100L) * col("d_bp")
@@ -603,7 +609,7 @@ object RelationalQueries {
           .agg(sum(expr("CAST(part_u AS DECIMAL(38,0))")).as("recomputed_u"))
         t(s, d, "orders")
           .select(col("o_orderkey").as("ok"), col("o_orderstatus"),
-            ((col("o_totalprice").cast("decimal(18,2)") * 100)
+            (floor(col("o_totalprice") * lit(100.0d) + lit(0.5d))
               .cast("long") * lit(10000L)).as("stated_u"))
           .join(recomputed, Seq("ok"), "left")
           .select(col("o_orderstatus"),
@@ -620,10 +626,10 @@ object RelationalQueries {
       },
       Some("""WITH li AS (
              |  SELECT l_orderkey AS ok,
-             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
              |      AS e_cents,
-             |    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS d_bp,
-             |    CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS t_bp
+             |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d_bp,
+             |    CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS t_bp
              |  FROM lineitem
              |), rc AS (
              |  SELECT ok, sum(CAST(e_cents * (10000 - 100*d_bp + 100*t_bp
@@ -631,7 +637,7 @@ object RelationalQueries {
              |  FROM li GROUP BY 1
              |), o AS (
              |  SELECT o_orderstatus,
-             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
              |      * 10000 AS stated_u,
              |    COALESCE(rc.recomputed_u, 0) AS recomputed_u
              |  FROM orders LEFT JOIN rc ON o_orderkey = rc.ok

@@ -61,4 +61,37 @@ class FixtureSchemaSpec extends SparkSpec {
       }
     }
   }
+
+  /** ~40 registry oracles sum money/rate columns through
+    * CAST(x AS DECIMAL(18,2)) for exact, order-free summation. That cast
+    * is engine-identical ONLY when the stored double is 2-decimal-exact:
+    * on a value with a 3rd decimal digit Spark rounds the shortest
+    * decimal representation while DuckDB rounds the exact binary
+    * expansion, and boundary values land one cent apart (this bit q230
+    * in round 10 when a fixture regeneration emitted full-precision
+    * o_totalprice). This test pins the guarantee those oracles assume,
+    * so the next drifting regeneration fails HERE, attributably, instead
+    * of as scattered hash mismatches. */
+  private val twoDecimalCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"),
+    "part" -> Seq("p_retailprice"),
+    "orders" -> Seq("o_totalprice"),
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "events" -> Seq("value"))
+
+  twoDecimalCols.foreach { case (table, cols) =>
+    test(s"fixture money columns 2-decimal-exact: $table") {
+      import org.apache.spark.sql.functions.{col, count, round, when}
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      cols.foreach { c =>
+        val bad = df.agg(count(when(round(col(c), 2) =!= col(c), 1))
+          .as("bad")).head.getLong(0)
+        assert(bad === 0L,
+          s"$table.$c has $bad values with >2 decimal digits — the " +
+            "DECIMAL(18,2)-cast oracles are engine-dependent on such " +
+            "values; switch affected queries to floor(x*100+0.5) cents")
+      }
+    }
+  }
 }
