@@ -294,6 +294,16 @@ object Bench {
     // read 12.7 s for a 1.6 s query), and the min of two warm runs is the
     // engine's cost, which is what BASELINE.md's warm numbers measure.
     var deadlineHit = false
+    // Per-segment I/O context (round-10 verdict): sample the write probe
+    // every ~30 queries so an adjudicator can normalize ANY query's loop
+    // time to the storage window it ran in, without consulting a
+    // same-HEAD builder re-run. The probe is untimed (between queries)
+    // and ~segment-count cheap. Recorded as loop_probes in the artifact:
+    // [{"after_query":"<name>","done":N,"mbps":X}, ...] — queries are
+    // looped in sorted-name order, so "done" brackets every query.
+    val LoopProbeEvery = 30
+    var loopProbes = Seq.empty[(String, Int, Double)]
+    var loopDone = 0
     var loopResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val r = timed { fn(spark, sfDir).count(); () }
@@ -301,13 +311,20 @@ object Bench {
         r
       }
       val (a, okA) = once()
-      if (degraded || pastDeadline) {
+      val out = if (degraded || pastDeadline) {
         deadlineHit = deadlineHit || pastDeadline
         name -> (a, okA)
       } else {
         val (b, okB) = once()
         name -> (math.min(a, b), okA && okB)
       }
+      loopDone += 1
+      if (loopDone % LoopProbeEvery == 0 && !pastDeadline) {
+        val p = try probeWriteMbps(convertOutDir)
+                catch { case _: Throwable => -1.0 }
+        loopProbes :+= ((name, loopDone, p))
+      }
+      out
     }
 
     // Steady-query window defense (round-9 verdict): a query's two loop
@@ -322,6 +339,7 @@ object Bench {
     val RetimeCount = 10
     var retimes = Seq.empty[(String, Double, Double)] // (name, loopSec, retimeSec)
     var retimeProbes = (-1.0, -1.0)
+    var retimeSkippedUnhealthy = false
     if (!degraded && !pastDeadline) {
       val qmap = SparkEntry.queries
       val slow = loopResults.filter(_._2._2).sortBy(-_._2._1).take(RetimeCount)
@@ -337,16 +355,26 @@ object Bench {
           p = probe()
           waits += 1
         }
-        val better = slow.map { case (name, (t0, _)) =>
-          val r = timed { qmap(name)(spark, sfDir).count(); () }
-          graft.operators.OperatorCaches.release()
-          val (t1, ok1) = r
-          retimes :+= ((name, t0, if (ok1) t1 else -1.0))
-          name -> (if (ok1) math.min(t0, t1) else t0)
-        }.toMap
-        retimeProbes = (p, probe())
-        loopResults = loopResults.map { case (n, (t, ok)) =>
-          n -> (better.getOrElse(n, t), ok) }
+        if (p < K2HealthyMbps) {
+          // window never recovered: a retime now is 10 query re-runs in
+          // a known-bad window — every r10 retime came back 2-3x slower
+          // than its loop time behind 15-17 MB/s probes. min() keeps the
+          // headline safe either way, so skip; the recorded probe pair
+          // says why (retime_io_mbps=[p,-1] with an empty retimed map).
+          retimeSkippedUnhealthy = true
+          retimeProbes = (p, -1.0)
+        } else {
+          val better = slow.map { case (name, (t0, _)) =>
+            val r = timed { qmap(name)(spark, sfDir).count(); () }
+            graft.operators.OperatorCaches.release()
+            val (t1, ok1) = r
+            retimes :+= ((name, t0, if (ok1) t1 else -1.0))
+            name -> (if (ok1) math.min(t0, t1) else t0)
+          }.toMap
+          retimeProbes = (p, probe())
+          loopResults = loopResults.map { case (n, (t, ok)) =>
+            n -> (better.getOrElse(n, t), ok) }
+        }
       }
     }
     val results = loopResults :+ convert :+ matched
@@ -372,11 +400,14 @@ object Bench {
     val retimesJson = retimes.map { case (n, t0, t1) =>
       s""""$n":{"loop":${fmt(t0)},"retime":${fmt(t1)}}"""
     }.mkString("{", ",", "}")
-    val env = f""""io_mbps":${fmt(ioMbps)},"k2_io_mbps":${fmt(k2IoMbps)},"k2_runs":$k2RunsJson,"degraded_io":$degraded,"deadline_hit":$deadlineHit"""
+    val loopProbesJson = loopProbes.map { case (n, done, p) =>
+      s"""{"after_query":"$n","done":$done,"mbps":${fmt(p)}}"""
+    }.mkString("[", ",", "]")
+    val env = f""""io_mbps":${fmt(ioMbps)},"k2_io_mbps":${fmt(k2IoMbps)},"k2_runs":$k2RunsJson,"degraded_io":$degraded,"deadline_hit":$deadlineHit,"loop_probes":$loopProbesJson"""
 
     // Complete per-query map — the stdout line only carries the headline.
     Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"retime_skipped_unhealthy":$retimeSkippedUnhealthy,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,$env,"sf":"$sfDir"}""")

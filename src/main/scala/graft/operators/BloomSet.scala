@@ -60,8 +60,12 @@ object BloomSet {
     * join, k rows per probe term. */
   def membership(bits: DataFrame, probes: DataFrame,
                  termCol: String): DataFrame =
-    probes.select(col(termCol).as("term"),
-        explode(bitsOf(col(termCol))).as("bit"))
+    // distinct first: a duplicated probe term would explode to 2k
+    // (term,bit) rows, count(__set) could reach 2k but never == K, and
+    // a genuine member would read in_bloom=false — breaking the
+    // no-false-negatives guarantee for any caller-supplied probe frame
+    probes.select(col(termCol).as("term")).distinct()
+      .select(col("term"), explode(bitsOf(col("term"))).as("bit"))
       .join(bits.withColumn("__set", lit(1L)), Seq("bit"), "left")
       .groupBy(col("term"))
       .agg((count(col("__set")) === lit(K.toLong)).as("in_bloom"))

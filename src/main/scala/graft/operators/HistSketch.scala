@@ -39,8 +39,31 @@ object HistSketch {
     * truncates toward zero — floor only on the non-negative axis). */
   def sketch(values: DataFrame, microCol: String): DataFrame =
     values.filter(col(microCol).isNotNull)
+      // fail LOUDLY on negative input (the CorpusStats assert_true
+      // idiom): DIV truncates toward zero, so a negative value would
+      // silently collapse (−W, W) into the bin-0 region and skew every
+      // quantile instead of erroring
+      .filter(isnull(assert_true(col(microCol) >= 0,
+        lit(s"HistSketch.sketch: negative $microCol — bins require " +
+          "non-negative micro-units"))))
       .select(expr(s"$microCol DIV $W").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+
+  /** DELETE maintenance by sketch LINEARITY — the bin counters are
+    * plain per-bin sums, so subtracting the deleted values' own sketch
+    * leaves EXACTLY the bin frame a fresh build over the remainder
+    * would produce (drained bins dropped — a fresh build never
+    * materializes untouched bins), the same property [[CountMin.delete]]
+    * rides and Bloom/KMV provably lack. A |deleted|-sized adjustment:
+    * the join touches ≤ range/W rows on both sides. q236 oracle-gates
+    * quantiles served from the pruned sketch against a DuckDB fresh
+    * build over the remainder — the rebuild equivalence IS the gate. */
+  def delete(bins: DataFrame, deletedBins: DataFrame): DataFrame =
+    bins.join(deletedBins.withColumnsRenamed(Map("c" -> "cd")),
+        Seq("bin"), "left")
+      .select(col("bin"),
+        (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
+      .filter(col("c") > 0L)
 
   /** Quantile estimates from a bin frame alone: for each requested
     * percentile p (integer percent), target rank r = ⌈p·N/100⌉, the

@@ -127,7 +127,11 @@ object Postings {
     * against a full recompute on the remaining documents). Terms whose
     * df reaches 0 leave the dictionary, matching a fresh build. */
   def delete(ix: Index, ids: DataFrame, idCol: String): Index = {
-    val del = ids.select(col(idCol).as("doc"))
+    // distinct: a duplicated id would double-count deadTf/deadDl (over-
+    // decrementing df/n_docs/t_total, possibly below zero) while the
+    // anti-joins stay idempotent — the delete ≡ rebuild-over-remainder
+    // contract must hold for ANY caller-supplied id frame
+    val del = ids.select(col(idCol).as("doc")).distinct()
     val deadTf = ix.tf.join(del, Seq("doc"))
     val deadDl = ix.dl.join(del, Seq("doc"))
     val dfDelta = deadTf.groupBy(col("term")).agg(count(lit(1)).as("ddf"))

@@ -1618,6 +1618,72 @@ object MiscQueries {
              |FROM est JOIN ranked r ON r.rn = est.target_rank
              |ORDER BY est.p_pct""".stripMargin)),
 
+    // Histogram-sketch DELETE — the last cell of the sketch-family
+    // lifecycle table (CMS deletes by linearity in q228; Bloom/KMV
+    // provably cannot). The bin counters are plain per-bin sums, so
+    // pruned = full − deleted-values'-own-sketch equals a fresh build
+    // over the remainder bin for bin, drained bins vanishing
+    // (HistSketchSpec pins the frames, including a fully-drained bin).
+    // The gate exploits exactly that: Spark serves quantiles from the
+    // SUBTRACTED sketch while the oracle builds DuckDB bins over the
+    // remainder from scratch — hash equality IS the delete ≡ rebuild
+    // proof, with the exact remainder order statistic beside each
+    // estimate (same error-audit shape as q224). The adjustment is
+    // |deleted|-sized: both join sides are ≤ range/W bin rows.
+    QuerySpec("q236_hist_sketch_delete",
+      (s, d) => {
+        val all = events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"),
+            (col("value").cast("decimal(18,6)") * lit(1000000))
+              .cast("long").as("y"))
+        val full = graft.operators.HistSketch.sketch(
+          all.select(col("y")), "y")
+        val delSk = graft.operators.HistSketch.sketch(
+          all.filter(col("event_id") % 10 === 7).select(col("y")), "y")
+        val pruned = graft.operators.HistSketch.delete(full, delSk)
+        val est = graft.operators.HistSketch.quantiles(pruned, HistPcts)
+        val rem = all.filter(col("event_id") % 10 =!= 7).select(col("y"))
+        val (ranked, _) = graft.operators.PrefixSum.rankedRunningSum(
+          rem, Seq(col("y")), lit(1L), rnCol = "__rn", cumCol = "__cum")
+        broadcast(est).join(ranked.select(col("__rn").as("target_rank"),
+            col("y").as("exact_fp")), Seq("target_rank"))
+          .select(col("p_pct"), col("target_rank"), col("est_fp"),
+            col("exact_fp"), (col("est_fp") - col("exact_fp")).as("err_fp"))
+          .orderBy("p_pct")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             |    AS y
+             |  FROM events WHERE value IS NOT NULL AND event_id % 10 <> 7
+             |), nn AS (SELECT count(*) AS n FROM e),
+             |b AS (SELECT y // 1000000 AS bin, count(*) AS c FROM e GROUP BY 1),
+             |cumb AS (
+             |  SELECT bin, c, sum(c) OVER (ORDER BY bin
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b
+             |), q(p_pct) AS (VALUES (1),(5),(25),(50),(75),(90),(99)),
+             |t AS (
+             |  SELECT CAST(p_pct AS BIGINT) AS p_pct,
+             |    CAST((p_pct * n + 99) // 100 AS BIGINT) AS target_rank
+             |  FROM q, nn
+             |), hit AS (
+             |  SELECT t.p_pct, t.target_rank, min(cb.bin) AS bin
+             |  FROM t JOIN cumb cb ON cb.cum >= t.target_rank
+             |  GROUP BY 1, 2
+             |), est AS (
+             |  SELECT h.p_pct, h.target_rank,
+             |    CAST(h.bin * 1000000
+             |      + (1000000 * (h.target_rank - (cb.cum - cb.c))) // cb.c
+             |      AS BIGINT) AS est_fp
+             |  FROM hit h JOIN cumb cb USING (bin)
+             |), ranked AS (
+             |  SELECT y, CAST(row_number() OVER (ORDER BY y) AS BIGINT) AS rn
+             |  FROM e)
+             |SELECT est.p_pct, est.target_rank, est.est_fp,
+             |  r.y AS exact_fp, CAST(est.est_fp - r.y AS BIGINT) AS err_fp
+             |FROM est JOIN ranked r ON r.rn = est.target_rank
+             |ORDER BY est.p_pct""".stripMargin)),
+
     // Apriori frequent-triple mining — the candidate-generation step
     // that makes market-basket analysis survive scale (Agrawal et al.):
     // NEVER enumerate all Σ basket³ triples; instead (1) mine L2 =

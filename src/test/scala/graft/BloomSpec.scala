@@ -59,6 +59,18 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("duplicated probe terms cannot produce false negatives") {
+    val members = (1 to 100).map(i => s"dup$i")
+    val bits = BloomSet.sketch(members.toDF("term"), "term")
+    // each member probed 3 times: without the internal distinct the
+    // per-term match count reads 3k ≠ k and every member would flag
+    // in_bloom=false — breaking the no-false-negatives guarantee
+    val probes = (members ++ members ++ members).toDF("term")
+    val got = BloomSet.membership(bits, probes, "term").collect()
+    assert(got.length === members.length) // one verdict per distinct term
+    got.foreach(r => assert(r.getBoolean(1), s"false negative: ${r.getString(0)}"))
+  }
+
   test("partial sketches merge by union-distinct to the one-pass sketch") {
     val all = (1 to 400).map(i => s"w$i")
     val (a, b) = all.partition(t => refHp(t) % 2 == 0) // arbitrary split

@@ -74,6 +74,16 @@ class PostingsSpec extends SparkSpec {
       Seq(99L).toDF("doc_id"), "doc_id")
     assert(noop.nd.head().getLong(0) === 4L)
     assert(noop.tt.head().getLong(0) === 9L)
+    // a DUPLICATED id must not double-decrement the stats (the anti-
+    // joins are idempotent, so without the internal distinct df/n_docs/
+    // t_total would silently diverge from the postings)
+    val dup = Postings.delete(
+      Postings.forCorpus(docs, "doc_id", "text"),
+      Seq(2L, 2L, 4L, 4L, 4L).toDF("doc_id"), "doc_id")
+    assert(dup.df.as[(String, Long)].collect().toSet
+      === Set(("a", 2L), ("b", 1L)))
+    assert(dup.nd.head().getLong(0) === 2L)
+    assert(dup.tt.head().getLong(0) === 4L)
     Postings.release()
   }
 
