@@ -246,4 +246,44 @@ object Graphs {
         (col("within_frac") - col("expected_frac")).as("modularity_delta"))
       .orderBy("source")
   }
+
+  /** Default cap on per-center wedge fan-out for [[cappedWedgePairs]] —
+    * the adjacency-side twin of [[Dedup.DefaultMaxBucketSize]]. */
+  val DefaultMaxNeighbors: Int = 64
+
+  /** Common-neighbor wedge pairs (x < y, count of shared centers) from
+    * a weighted undirected adjacency `adj(u, v, support)` — the
+    * candidate generator behind link prediction (q223). The wedge
+    * self-join's work is Σ_u deg(u)², which is UNBOUNDED under hub
+    * skew (one degree-10⁵ center in a skewed co-purchase graph is
+    * 10¹⁰ wedges), so each center's fan-out is CAPPED at the
+    * `maxNeighbors` strongest neighbors — ORDER BY support DESC, v ASC,
+    * the deterministic tiebreak — before the join, bounding every
+    * center's contribution at C(C−1)/2 wedges. This is
+    * [[Dedup.lshPairs]]'s bounded-bucket discipline on the adjacency
+    * axis; unlike the LSH bucket DROP, capping keeps the strongest
+    * evidence, so hub-adjacent predictions degrade gracefully instead
+    * of vanishing. The cap is NOT silent: it is part of the declared
+    * (and oracle-mirrored) semantics, GraphsSpec pins the bound on a
+    * planted hub, and on every fixture scale the observed max degree
+    * (51 at sf0.001, 6 at sf0.1) is under the default cap, so capped
+    * ≡ uncapped there. The rank window partitions by center — per-key
+    * state, never a global window. */
+  def cappedWedgePairs(adj: DataFrame,
+                       maxNeighbors: Int = DefaultMaxNeighbors): DataFrame = {
+    require(maxNeighbors >= 2,
+      s"maxNeighbors must allow at least one wedge (got $maxNeighbors)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(desc("support"), asc("v"))
+    val capped = OperatorCaches.persistTracked(
+      adj.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxNeighbors)
+        .select(col("u"), col("v")))
+    capped.as("e1")
+      .join(capped.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+  }
 }

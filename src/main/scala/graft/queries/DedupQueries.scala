@@ -1519,11 +1519,17 @@ object DedupQueries {
     // Graph: nodes = parts, edges = pairs co-occurring in ≥2 distinct
     // orders (the support threshold sparsifies the projection), built
     // by q194's basket-keyed self-join so pair work is Σ basket²,
-    // never n². Wedges: one self-join of the undirected adjacency on
-    // the center part, each unordered neighbor pair kept once by id
-    // order (work Σ deg², on the support-thresholded graph); existing
-    // edges drop by one anti-join against the canonical pair frame,
-    // and only the top 20 (common DESC, part ids) survive.
+    // never n². Wedges come from Graphs.cappedWedgePairs: one
+    // self-join of the undirected adjacency on the center part, each
+    // unordered neighbor pair kept once by id order — with the
+    // per-center fan-out CAPPED at the 64 strongest neighbors
+    // (support DESC, id ASC), so a super-hub part cannot turn Σ deg²
+    // quadratic (the lshPairs bounded-bucket discipline; on this
+    // fixture max degree is 51 at sf0.001 and falls with scale, so
+    // the cap binds nowhere and capped ≡ uncapped — the oracle
+    // mirrors the capped semantics regardless). Existing edges drop
+    // by one anti-join against the canonical pair frame, and only
+    // the top 20 (common DESC, part ids) survive.
     QuerySpec("q223_link_prediction",
       (s, d) => {
         val b = t(s, d, "lineitem")
@@ -1535,17 +1541,12 @@ object DedupQueries {
           .groupBy(col("a.pk").as("x"), col("bb.pk").as("y"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2L)
-        val und = graft.operators.OperatorCaches.persistTracked(
-          strong.select(explode(array(
-              struct(col("x").as("u"), col("y").as("v")),
-              struct(col("y").as("u"), col("x").as("v")))).as("e"))
-            .select(col("e.u").as("u"), col("e.v").as("v")))
-        val cn = und.as("e1")
-          .join(und.as("e2"),
-            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-          .select(col("e1.v").as("x"), col("e2.v").as("y"))
-          .groupBy(col("x"), col("y"))
-          .agg(count(lit(1)).as("common_neighbors"))
+        val und = strong.select(explode(array(
+            struct(col("x").as("u"), col("y").as("v"), col("support")),
+            struct(col("y").as("u"), col("x").as("v"), col("support"))))
+            .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.support"))
+        val cn = graft.operators.Graphs.cappedWedgePairs(und)
         cn.join(strong.select(col("x"), col("y")), Seq("x", "y"),
             "left_anti")
           .select(col("x").as("part_a"), col("y").as("part_b"),
@@ -1559,9 +1560,15 @@ object DedupQueries {
         |  SELECT a.pk AS x, bb.pk AS y, count(*) AS support
         |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e0 AS (
+        |  SELECT x AS u, y AS v, support FROM strong
+        |  UNION ALL SELECT y, x, support FROM strong
         |), e AS (
-        |  SELECT x AS u, y AS v FROM strong
-        |  UNION ALL SELECT y, x FROM strong
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (
+        |      PARTITION BY u ORDER BY support DESC, v) AS r
+        |    FROM e0)
+        |  WHERE r <= 64
         |), w AS (
         |  SELECT a.v AS x, bb.v AS y
         |  FROM e a JOIN e bb ON a.u = bb.u AND a.v < bb.v

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+/** Planted-hub checks for the capped wedge generator behind q223: the
+  * per-center fan-out bound actually binds (a degree-200 hub yields
+  * C(64,2) wedge pairs, not C(200,2)), the strongest-support /
+  * lowest-id selection is deterministic, and on a graph whose degrees
+  * are all under the cap the capped result is identical to the
+  * uncapped formulation. */
+class GraphsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("a planted hub's wedge fan-out is bounded at C(maxNeighbors, 2)") {
+    // hub 0 — neighbors 1..200, support = neighbor id (all distinct),
+    // so the kept 64 are exactly ids 137..200 (support DESC)
+    val adj = (1L to 200L).map(v => (0L, v, v)).toDF("u", "v", "support")
+    val pairs = Graphs.cappedWedgePairs(adj, maxNeighbors = 64).collect()
+    assert(pairs.length === 64 * 63 / 2)
+    val nodes = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(nodes === (137L to 200L).toSet)
+    // every pair shares exactly the one center
+    assert(pairs.forall(_.getLong(2) === 1L))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("equal supports break ties toward the lowest neighbor id") {
+    val adj = Seq((0L, 3L, 5L), (0L, 1L, 5L), (0L, 2L, 5L))
+      .toDF("u", "v", "support")
+    val kept = Graphs.cappedWedgePairs(adj, maxNeighbors = 2)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set(1L, 2L))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("capped equals uncapped when every degree is under the cap") {
+    // 40 centers x up to 10 neighbors — well under the default 64
+    val adj = (for {
+      u <- 0L until 40L
+      v <- (u + 1) to math.min(u + 10, 49L)
+    } yield Seq((u, v, v - u), (v, u, v - u))).flatten
+      .toDF("u", "v", "support")
+    val got = Graphs.cappedWedgePairs(adj)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // uncapped reference: count shared centers per unordered pair
+    val byU = adj.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ref = byU.values.flatMap(vs =>
+        for (i <- vs.indices; j <- (i + 1) until vs.length)
+          yield (vs(i), vs(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === ref)
+    graft.operators.OperatorCaches.release()
+  }
+}
