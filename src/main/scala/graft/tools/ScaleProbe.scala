@@ -50,6 +50,22 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props")))
       .reduce(_ unionAll _)
       .write.parquet(s"$big/events.parquet")
+    // lineitem replicates on shifted (orderkey, partkey, suppkey): N
+    // disjoint basket universes — corpus growth at CONSTANT basket
+    // density and N× the group/node count, the axis a growing business
+    // actually has (more orders AND a larger catalog). Keeping the keys
+    // co-shifted preserves every within-order/within-supplier structure
+    // the basket (q223/q226) and grouped-rank (q208) queries measure.
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until replicas).map(r =>
+        li.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(r * 100000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(r * 100000000L)).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/lineitem.parquet")
 
     val names = Seq("q30_dedup_exact", "q32_minhash_lsh_pairs",
       "q101_vocab_coverage", "q117_unigram_lm", "q138_bm25",
@@ -101,17 +117,19 @@ object ScaleProbe {
       // round-10 statistics/sketch additions: bloom is a constant-size
       // bit frame + vocabulary-keyed probe join; AUC runs on the
       // distinct-score axis; chi2 is vocabulary-shaped; OLS is one
-      // 5-accumulator keyed aggregate. q223 is lineitem-family (not in
-      // this fixture)
+      // 5-accumulator keyed aggregate
       "q219_bloom_membership", "q220_auc_dup_detection",
       "q221_chi2_tokens", "q222_ols_value_trend",
+      // lineitem-family heavies (round-11: lineitem now replicates):
+      // grouped MAD's rank machinery sees N× the supplier groups at
+      // constant group size; link prediction and Apriori see N disjoint
+      // basket universes — pair/wedge mass grows linearly in replicas
+      "q208_grouped_mad", "q223_link_prediction", "q226_frequent_triples",
       // hist sketch: bin frame bounded by range/W; KS: every frame
       // after the first aggregation is |axis|·|sources|-sized
       "q224_hist_quantile_sketch", "q225_ks_drift",
       // attribution is a user-keyed pairing (views·purchases within a
-      // user) + a 24-row rollup; q226 is lineitem-family (not in this
-      // fixture) — its Σ basket² / Σ_x freq_pairs(x)² cost model is the
-      // measured q194/q223 shape with Apriori pruning in front
+      // user) + a 24-row rollup
       "q227_multitouch_attribution",
       // backtest: one user-keyed lead pass + |types|²-model join;
       // q233 is embeddings-family (not in this fixture) — every frame
