@@ -313,12 +313,37 @@ object EventStreams {
     * at-least-once replay can never dedup a batch against its own
     * crashed attempt. Operator caches are released per batch — a
     * long-running sink would otherwise accumulate pooled frames for
-    * every batch it ever saw. */
+    * every batch it ever saw.
+    *
+    * TAKEDOWNS while ingesting (`opCol` != null): each batch row
+    * carries an operation — `"delete"` rows are TOMBSTONES (id only),
+    * everything else is an arriving document. Deletes apply to the
+    * corpus as merge-on-read (tombstones accumulate append-only under
+    * `corpusDir + "_tombstones"/batch=N` and every corpus read
+    * anti-joins them — the Hudi/Iceberg position-delete economics;
+    * fold them physically with a periodic compaction, exactly like
+    * [[upsertSink]]'s `compact`), and apply BEFORE the batch's own
+    * adds dedup, so a document whose only twin was taken down in the
+    * same batch is kept. Labels need more than the epoch state: a
+    * takedown can SPLIT a component (the deleted doc may be its only
+    * bridge — [[graft.operators.DupGraph.delete]]'s argument), so
+    * ops-mode batches also persist their discovered pairs append-only
+    * (`corpusDir + "_pairs"/batch=N`); a batch containing tombstones
+    * re-derives labels as CC over (accumulated pairs ∪ this batch's
+    * pairs) anti-joined on both ends against ALL tombstones — a
+    * pairs-sized job, never a corpus re-shingle — while add-only
+    * batches keep the cheap incremental contract-and-merge fold.
+    * StreamingSpec proves interleaved append+delete labels equal the
+    * batch rebuild over the surviving arrivals, including a planted
+    * bridge split mid-stream. Deleted ids must not be re-used by later
+    * arrivals (a tombstone is forever — the merge-on-read anti-join
+    * would silently drop the newcomer). */
   def nearDupIngestSink(stream: DataFrame, idCol: String, textCol: String,
                         corpusDir: String, checkpointDir: String,
                         numBands: Int = 4, minJaccard: Double = 0.1,
                         k: Int = 3, rowsPerBand: Int = 2,
-                        labelsDir: String = null)
+                        labelsDir: String = null,
+                        opCol: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // LIVE cluster labels over every arrival ever streamed, maintained
     // INCREMENTALLY (Dedup.incrementalClusters — existing clusters
@@ -332,6 +357,22 @@ object EventStreams {
     // already-folded batch is an identity (see incrementalClusters).
     val ldir = Option(labelsDir).getOrElse(
       corpusDir.stripSuffix("/") + "_labels")
+    val tdir = corpusDir.stripSuffix("/") + "_tombstones"
+    val pdir = corpusDir.stripSuffix("/") + "_pairs"
+    // prior state under `dir`, the current batch id excluded (a crashed
+    // attempt may have left its own partial write) — the same replay
+    // discipline as the corpus read
+    def priorBatches(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, batchId: Long): Option[DataFrame] = {
+      val prev = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => scala.util.Try(
+          f.getName.stripPrefix("batch=").toLong).toOption)
+        .filter(_ != batchId)
+      if (prev.isEmpty) None
+      else Some(prev.map(b => spark.read.parquet(s"$dir/batch=$b"))
+        .reduce(_ unionByName _))
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -339,15 +380,33 @@ object EventStreams {
         val spark = batch.sparkSession
         import graft.operators.Dedup
         try {
-          val pairs = Dedup.lshPairs(batch, idCol, textCol,
+          val hasOps = opCol != null
+          val adds = if (hasOps)
+            batch.filter(col(opCol) =!= lit("delete"))
+              .select(col(idCol), col(textCol))
+          else batch.select(col(idCol), col(textCol))
+          val dels = if (hasOps)
+            batch.filter(col(opCol) === lit("delete")).select(col(idCol))
+          else null
+          val hasDels = hasOps && !dels.isEmpty
+          if (hasOps) dels.write.mode("overwrite")
+            .parquet(s"$tdir/batch=$batchId")
+          // every tombstone ever, this batch's included — deletes apply
+          // BEFORE the adds dedup
+          val allTombs = if (!hasOps) None
+            else Some(priorBatches(spark, tdir, batchId)
+              .fold(dels)(_ unionByName dels).distinct())
+          val pairs = Dedup.lshPairs(adds, idCol, textCol,
             numBands, minJaccard, k, rowsPerBand)
-          val batchKept = Dedup.applyClusters(batch, idCol,
+          val batchKept = Dedup.applyClusters(adds, idCol,
             Dedup.dupClusters(pairs))
           val (survivors, crossPairs) =
             if (new java.io.File(corpusDir).isDirectory) {
-              val corpus = spark.read.parquet(corpusDir)
+              val corpus0 = spark.read.parquet(corpusDir)
                 .filter(col("batch") =!= batchId)
                 .select(col(idCol), col(textCol))
+              val corpus = allTombs.fold(corpus0)(t =>
+                corpus0.join(t, Seq(idCol), "left_anti"))
               val cross = Dedup.lshPairsAgainst(batchKept, corpus,
                 idCol, textCol, numBands, minJaccard, k, rowsPerBand)
               val dupped = cross.select(col("new_id").as(idCol)).distinct()
@@ -373,8 +432,27 @@ object EventStreams {
             else Some(spark.read.parquet(s"$ldir/epoch=${prevEpochs.max}"))
           val newPairs = crossPairs.foldLeft(
             pairs.select(col("a_id"), col("b_id")))(_ unionByName _)
-          Dedup.incrementalClusters(prev, newPairs)
-            .write.mode("overwrite").parquet(s"$ldir/epoch=$batchId")
+          // ops mode persists each batch's pair stream append-only: a
+          // future takedown re-derives labels from the residual pairs
+          // (a pairs-sized state, bounded by the bucket caps — never
+          // corpus²)
+          if (hasOps) newPairs.write.mode("overwrite")
+            .parquet(s"$pdir/batch=$batchId")
+          val labeled =
+            if (hasDels) {
+              // a takedown can split a component (the deleted doc may
+              // be its only bridge), which no label filter can express:
+              // re-run CC over every surviving pair ever discovered
+              val residual = priorBatches(spark, pdir, batchId)
+                .fold(newPairs)(_ unionByName newPairs)
+                .join(allTombs.get.select(col(idCol).as("a_id")),
+                  Seq("a_id"), "left_anti")
+                .join(allTombs.get.select(col(idCol).as("b_id")),
+                  Seq("b_id"), "left_anti")
+                .select(col("a_id"), col("b_id"))
+              Dedup.dupClustersStar(residual)
+            } else Dedup.incrementalClusters(prev, newPairs)
+          labeled.write.mode("overwrite").parquet(s"$ldir/epoch=$batchId")
           prevEpochs.filter(e => prevEpochs.nonEmpty && e < prevEpochs.max)
             .foreach(e => graft.operators.Convert.deleteRecursively(
               java.nio.file.Paths.get(s"$ldir/epoch=$e")))

@@ -289,6 +289,91 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streamed takedowns: interleaved append+delete labels equal the rebuild over survivors") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    val A = rep("alpha beta gamma delta", 6)
+    val C = rep("epsilon zeta eta theta", 6)
+    val R = rep("rho sigma tau upsilon", 6)
+    // 2 is the only BRIDGE between 1 and 3 (half its shingles from each)
+    val bridge = rep("alpha beta gamma delta", 3) + " " +
+      rep("epsilon zeta eta theta", 3)
+    val wave1 = Seq(
+      (1L, A, "add"), (2L, bridge, "add"), (3L, C, "add"),
+      (4L, A + " tail", "add"), (7L, R, "add"), (8L, R + " tail", "add"))
+      .toDF("doc_id", "text", "op")
+    // interleaved: takedown of 8 arrives WITH new documents
+    val wave2 = Seq(
+      (13L, A + " more", "add"), (14L, rep("nu xi omicron pi", 6), "add"),
+      (8L, "", "delete")).toDF("doc_id", "text", "op")
+    // the bridge takedown, plus a takedown of corpus keeper 7 in the
+    // same batch as the arrival of 7's twin — deletes apply first, so
+    // 15 must be KEPT
+    val wave3 = Seq(
+      (2L, "", "delete"), (7L, "", "delete"), (15L, R + " coda", "add"))
+      .toDF("doc_id", "text", "op")
+
+    // the planted structure must actually surface through the LSH
+    // pipeline, or the bridge assertions are vacuous
+    import graft.operators.Dedup
+    val planted = Dedup.lshPairs(wave1.select("doc_id", "text"),
+        "doc_id", "text", rowsPerBand = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(planted.contains((1L, 2L)) && planted.contains((2L, 3L)),
+      s"bridge edges not surfaced by LSH — fixture vacuous: $planted")
+    assert(!planted.contains((1L, 3L)), "1 and 3 must only meet via 2")
+
+    def run(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(s"$tmp/in")
+      EventStreams.nearDupIngestSink(
+        EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+        "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+        rowsPerBand = 1, opCol = "op")
+        .awaitTermination()
+    }
+    def epochLabels(): Set[(Long, Long)] = {
+      val ldir = new java.io.File(s"$tmp/corpus_labels")
+      val epochs = ldir.listFiles.map(_.getName.stripPrefix("epoch=").toLong)
+      spark.read.parquet(s"$tmp/corpus_labels/epoch=${epochs.max}")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    run(wave1)
+    // component {1,2,3,4} via the bridge; {7,8}
+    assert(epochLabels() === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (7L, 7L), (8L, 7L)))
+    run(wave2)
+    // 8's takedown drains {7,8} (7 is a singleton now — absent); the
+    // bridge component is intact and 13 joined it
+    assert(epochLabels() === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (13L, 1L)))
+    run(wave3)
+    // the bridge takedown SPLITS {1,2,3,4,13}: 3 falls out as a
+    // singleton — a label filter would have kept it merged under 1
+    val finalLabels = epochLabels()
+    assert(finalLabels === Set((1L, 1L), (4L, 1L), (13L, 1L)))
+    // ... and equals the batch rebuild over the surviving arrivals
+    val survivingArrivals = Seq((1L, A), (3L, C), (4L, A + " tail"),
+      (13L, A + " more"), (14L, rep("nu xi omicron pi", 6)),
+      (15L, R + " coda")).toDF("doc_id", "text")
+    val refLabels = Dedup.dupClusters(
+        Dedup.lshPairs(survivingArrivals, "doc_id", "text",
+          rowsPerBand = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels === refLabels)
+    // corpus merge-on-read: 7 is tombstoned out, 15 was kept because
+    // its only twin was deleted in the same batch it arrived
+    val tombs = spark.read.parquet(s"$tmp/corpus_tombstones")
+      .select("doc_id").distinct()
+    val live = spark.read.parquet(s"$tmp/corpus")
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(live === Set(1L, 14L, 15L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("streamed containment ingest drops subset docs within and across batches") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // long base docs built from distinct vocab per doc; "chunks" are
