@@ -1684,6 +1684,82 @@ object MiscQueries {
              |FROM est JOIN ranked r ON r.rn = est.target_rank
              |ORDER BY est.p_pct""".stripMargin)),
 
+    // Priority sampling + Horvitz–Thompson estimation (Duffield–Lund–
+    // Thorup) — the audit-economics primitive: ONE fixed k-row weighted
+    // sample of the corpus answers arbitrary "total by X" questions
+    // with unbiased estimates and ~1/√k error, instead of a corpus
+    // scan per question. The report serves per-returnflag HT revenue
+    // estimates from a k=1000 sample BESIDE the exact totals with the
+    // signed difference and quantized relative error — both engines
+    // draw the SAME sample (md5-bridge uniforms, IEEE priorities,
+    // deterministic (priority DESC, key) tiebreak), so the whole
+    // report hash-matches. Plan: map-side priorities, ONE top-(k+1)
+    // (per-partition top-k + merge, never a global sort), then
+    // everything is k-row-sized except the one exact-totals pass the
+    // audit itself requires. The sample state is merge-closed (the KMV
+    // argument on the priority axis) — the streaming monitor rides it.
+    QuerySpec("q237_priority_sample_ht",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string")).as("k"),
+          floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+            .cast("long").as("w_c"))
+        val pri = graft.operators.PrioritySample.withPriority(
+          li, col("k"), col("w_c"))
+        val (samp, tau) = graft.operators.PrioritySample
+          .sampleWithTau(pri, 1000)
+        val est = graft.operators.PrioritySample
+          .htGroupTotals(samp, tau, "l_returnflag")
+        val exact = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("w_c").cast("decimal(38,0)")).as("exact_c0"))
+        exact.join(est, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"), col("n_total"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            col("exact_c0").cast("long").as("exact_c"),
+            coalesce(col("ht_c"), lit(0L).cast("decimal(38,0)"))
+              .cast("long").as("ht_c"))
+          .withColumn("diff_c", col("ht_c") - col("exact_c"))
+          .withColumn("abs_err_bp",
+            expr("abs(ht_c - exact_c) * 10000 DIV exact_c"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_returnflag,
+             |    CAST(l_orderkey AS VARCHAR) || '_' ||
+             |      CAST(l_linenumber AS VARCHAR) AS k,
+             |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS w_c
+             |  FROM lineitem
+             |), p AS (
+             |  SELECT l_returnflag, k, w_c,
+             |    CAST(w_c AS DOUBLE) /
+             |      ((('0x' || substr(md5(k),1,15))::BIGINT + 1)
+             |        / 1152921504606846976.0) AS prio
+             |  FROM w
+             |), r AS (
+             |  SELECT *, row_number() OVER (ORDER BY prio DESC, k) AS rn
+             |  FROM p
+             |), tau AS (SELECT prio AS t FROM r WHERE rn = 1001),
+             |est AS (
+             |  SELECT l_returnflag, count(*) AS n_sampled,
+             |    CAST(sum(greatest(w_c, CAST(floor(t) AS BIGINT)))
+             |      AS BIGINT) AS ht_c
+             |  FROM r, tau WHERE rn <= 1000 GROUP BY 1
+             |), ex AS (
+             |  SELECT l_returnflag, count(*) AS n_total,
+             |    CAST(sum(w_c) AS BIGINT) AS exact_c
+             |  FROM w GROUP BY 1
+             |)
+             |SELECT ex.l_returnflag, n_total,
+             |  COALESCE(n_sampled, 0) AS n_sampled, exact_c,
+             |  COALESCE(ht_c, 0) AS ht_c,
+             |  COALESCE(ht_c, 0) - exact_c AS diff_c,
+             |  abs(COALESCE(ht_c, 0) - exact_c) * 10000 // exact_c
+             |    AS abs_err_bp
+             |FROM ex LEFT JOIN est USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Apriori frequent-triple mining — the candidate-generation step
     // that makes market-basket analysis survive scale (Agrawal et al.):
     // NEVER enumerate all Σ basket³ triples; instead (1) mine L2 =

@@ -684,6 +684,43 @@ object EventStreams {
     graft.operators.CorpusStats.mergeKmvSketches(
       spark.read.parquet(stateDir).select(col("source"), col("h")), sketchK)
 
+  /** Streaming priority-sample maintenance — q237's production form:
+    * each micro-batch publishes its OWN top-(k+1) priority rows
+    * (bounded state, k+1 rows per batch), and the serve-time merge is
+    * one top-(k+1) over the partials. Exact because the selection is
+    * MERGE-CLOSED over any partition of the stream — every member of
+    * the global top-(k+1) is necessarily in its own batch's top-(k+1)
+    * (the KMV k-minima argument, on the priority axis). The streamed
+    * sample, threshold, and HT estimates are therefore spec-proven
+    * EQUAL to the batch [[graft.operators.PrioritySample.sampleWithTau]]
+    * over the union of all arrivals: a live corpus keeps ONE k-row
+    * always-current weighted sample, and every ad-hoc subset-total
+    * question is answered from it without scanning history. */
+  def prioritySampleSink(stream: DataFrame, keyCol: String,
+                         wCentsCol: String, stateDir: String,
+                         checkpointDir: String, k: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try graft.operators.PrioritySample
+          .withPriority(batch, col(keyCol), col(wCentsCol))
+          .orderBy(desc("__prio"), asc("__key")).limit(k + 1)
+          .select(col("__key"), col("__w_c"), col("__prio"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** The queryable (sample, τ) pair over everything
+    * [[prioritySampleSink]] has published. */
+  def servingPrioritySample(spark: SparkSession, stateDir: String,
+                            k: Int = 256): (DataFrame, DataFrame) =
+    graft.operators.PrioritySample.sampleWithTau(
+      spark.read.parquet(stateDir), k)
+
   /** Streaming source-balance monitor — q192's production form: each
     * micro-batch publishes its per-source token-volume partial
     * (`stateDir/batch=N`, |sources| rows), and after every batch the

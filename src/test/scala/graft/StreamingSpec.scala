@@ -289,6 +289,36 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streamed priority sample equals the batch sample over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")).as("k"),
+        floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          .cast("long").as("w_c"),
+        col("l_returnflag"))
+    // two waves so the merge actually crosses batches
+    val (w1, w2) = (src.filter(col("k") < "3"), src.filter(col("k") >= "3"))
+    w1.write.parquet(s"$tmp/in")
+    graft.streaming.EventStreams.prioritySampleSink(
+      graft.streaming.EventStreams.fileStream(spark, src.schema, s"$tmp/in"),
+      "k", "w_c", s"$tmp/state", s"$tmp/ckpt", k = 64).awaitTermination()
+    w2.write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.EventStreams.prioritySampleSink(
+      graft.streaming.EventStreams.fileStream(spark, src.schema, s"$tmp/in"),
+      "k", "w_c", s"$tmp/state", s"$tmp/ckpt", k = 64).awaitTermination()
+
+    val (sSamp, sTau) = graft.streaming.EventStreams
+      .servingPrioritySample(spark, s"$tmp/state", k = 64)
+    val pri = graft.operators.PrioritySample.withPriority(
+      src, col("k"), col("w_c"))
+    val (bSamp, bTau) = graft.operators.PrioritySample.sampleWithTau(pri, 64)
+    assert(sSamp.select("__key").as[String].collect().toSet
+      === bSamp.select("__key").as[String].collect().toSet)
+    assert(sTau.head().getDouble(0) === bTau.head().getDouble(0))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streamed takedowns: interleaved append+delete labels equal the rebuild over survivors") {
     val tmp = Files.createTempDirectory("streamspec").toString
     def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
