@@ -247,6 +247,49 @@ object Graphs {
       .orderBy("source")
   }
 
+  /** Semi-supervised LABEL PROPAGATION over an undirected adjacency
+    * (Zhu & Ghahramani): a small trusted-labeled seed set spreads its
+    * scores to unlabeled neighbors by synchronous neighbor averaging,
+    * seeds CLAMPED every round — how a curation pipeline extends a
+    * few thousand human quality audits across the near-dup/similarity
+    * graph without labeling 100 TB. Fixed `iterations` rounds of
+    * integer fixed-point (scores in millionths; the neighbor average
+    * is an exact `sum DIV count`, bit-identical in DuckDB — q238
+    * hash-gates the whole report against 6 unrolled oracle rounds).
+    *
+    * Scale shape: the state is the GRAPH-NODE frame (≤ 2·|pairs|
+    * rows, bounded by the LSH bucket caps), never the corpus — docs
+    * outside any pair can never change, so the caller joins the
+    * static prior back at report time. Each round is 2 shuffles
+    * (score join + dst aggregation), the [[pageRank]] economics.
+    *
+    * `adj` is the both-directions edge frame (u, v); `seeds` carries
+    * (id, is_seed, sv) for every node id in `adj`. Returns (u, sc). */
+  def labelPropagation(adj: DataFrame, seeds: DataFrame,
+                       prior: Long, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50] (got $iterations)")
+    val nodes = OperatorCaches.persistTracked(
+      adj.select(col("u")).distinct()
+        .join(seeds.select(col("id").as("u"), col("is_seed"), col("sv")),
+          Seq("u")))
+    val a = OperatorCaches.persistTracked(adj.select(col("u"), col("v")))
+    var sc = nodes.select(col("u"),
+      when(col("is_seed"), col("sv")).otherwise(lit(prior)).as("sc"))
+    (1 to iterations).foreach { _ =>
+      val nb = a.join(sc.select(col("u").as("v"), col("sc")), Seq("v"))
+        .groupBy(col("u"))
+        .agg(expr("sum(sc) DIV count(1)").as("nbavg"))
+      sc = OperatorCaches.persistTracked(
+        nodes.join(nb, Seq("u"))
+          .select(col("u"),
+            when(col("is_seed"), col("sv")).otherwise(col("nbavg"))
+              .as("sc")))
+      sc.count() // materialize: keeps task lineage one-round deep
+    }
+    sc
+  }
+
   /** Default cap on per-center wedge fan-out for [[cappedWedgePairs]] —
     * the adjacency-side twin of [[Dedup.DefaultMaxBucketSize]]. */
   val DefaultMaxNeighbors: Int = 64

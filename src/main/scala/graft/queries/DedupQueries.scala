@@ -1530,6 +1530,96 @@ object DedupQueries {
     // mirrors the capped semantics regardless). Existing edges drop
     // by one anti-join against the canonical pair frame, and only
     // the top 20 (common DESC, part ids) survive.
+    // Semi-supervised label propagation over the near-dup graph (Zhu &
+    // Ghahramani): a 20% trusted-audit seed set (doc_id % 5 == 0, score
+    // = 10⁶·[n_chars ≥ 200] — stand-in for a human quality verdict)
+    // spreads through the LSH pair graph by 6 rounds of clamped-seed
+    // neighbor averaging (Graphs.labelPropagation) — the way a few
+    // thousand human audits extend across a 100 TB corpus's duplicate
+    // structure without labeling it. Propagation state is the
+    // graph-node frame (≤ 2·|pairs| rows, bucket-cap bounded), never
+    // the corpus; out-of-graph docs keep seed/prior statically. All
+    // integer fixed-point (neighbor avg = sum DIV count), so the
+    // per-source rollup — doc/seed/in-graph/moved counts and the mean
+    // propagated score — hash-matches 6 unrolled DuckDB rounds.
+    QuerySpec("q238_label_propagation",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val und = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+            numBands = NumBands, minJaccard = 0.1, k = 3,
+            rowsPerBand = RowsPerBand)
+          .select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+        val seeds = docs.select(col("doc_id").as("id"),
+          (col("doc_id") % 5 === 0).as("is_seed"),
+          when(col("n_chars") >= 200, lit(1000000L)).otherwise(lit(0L))
+            .as("sv"))
+        val sc = graft.operators.Graphs.labelPropagation(
+          und, seeds, prior = 500000L, iterations = 6)
+        docs.select(col("doc_id"), col("source"),
+            (col("doc_id") % 5 === 0).as("is_seed"),
+            when(col("n_chars") >= 200, lit(1000000L)).otherwise(lit(0L))
+              .as("sv"))
+          .join(sc.select(col("u").as("doc_id"), col("sc")),
+            Seq("doc_id"), "left")
+          .select(col("source"), col("is_seed"),
+            col("sc").isNotNull.as("in_graph"),
+            coalesce(col("sc"),
+              when(col("is_seed"), col("sv")).otherwise(lit(500000L)))
+              .as("score"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"),
+            sum(when(col("in_graph"), 1L).otherwise(0L)).as("n_graph"),
+            sum(when(!col("is_seed") && col("score") =!= 500000L, 1L)
+              .otherwise(0L)).as("n_moved"),
+            expr("sum(score) DIV count(1)").as("mean_score_fp"))
+          .orderBy("source")
+      },
+      Some(lshCte + """
+        |, und AS (
+        |  SELECT a_id AS u, b_id AS v FROM lsh_pairs WHERE jac >= 0.1
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM lsh_pairs WHERE jac >= 0.1
+        |), sd AS (
+        |  SELECT doc_id AS id, doc_id % 5 = 0 AS is_seed,
+        |    CASE WHEN n_chars >= 200 THEN 1000000 ELSE 0 END AS sv
+        |  FROM documents
+        |), nodes AS (
+        |  SELECT DISTINCT u, is_seed, sv FROM und JOIN sd ON id = u
+        |), it0 AS (
+        |  SELECT u, CASE WHEN is_seed THEN sv ELSE 500000 END AS sc
+        |  FROM nodes
+        |)""".stripMargin +
+        (1 to 6).map(i => s"""
+        |, it$i AS (
+        |  SELECT n.u,
+        |    CASE WHEN n.is_seed THEN n.sv ELSE nb.a END AS sc
+        |  FROM nodes n JOIN (
+        |    SELECT e.u, CAST(sum(p.sc) AS BIGINT) // count(*) AS a
+        |    FROM und e JOIN it${i - 1} p ON p.u = e.v GROUP BY e.u
+        |  ) nb ON nb.u = n.u
+        |)""".stripMargin).mkString +
+        """
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_seeds,
+        |  CAST(sum(CASE WHEN it6.sc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_graph,
+        |  CAST(sum(CASE WHEN d.doc_id % 5 <> 0 AND COALESCE(it6.sc,
+        |      CASE WHEN d.doc_id % 5 = 0 THEN
+        |        CASE WHEN d.n_chars >= 200 THEN 1000000 ELSE 0 END
+        |      ELSE 500000 END) <> 500000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(sum(COALESCE(it6.sc,
+        |      CASE WHEN d.doc_id % 5 = 0 THEN
+        |        CASE WHEN d.n_chars >= 200 THEN 1000000 ELSE 0 END
+        |      ELSE 500000 END)) AS BIGINT) // count(*) AS mean_score_fp
+        |FROM documents d LEFT JOIN it6 ON it6.u = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     QuerySpec("q223_link_prediction",
       (s, d) => {
         val b = t(s, d, "lineitem")

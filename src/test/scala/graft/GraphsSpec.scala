@@ -36,6 +36,29 @@ class GraphsSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("label propagation: clamped seeds, hand-computed path averaging") {
+    // path 1-2-3-4, seed 1 at 1000000, seed 4 at 0; priors 500000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val adj = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("u", "v")
+    val seeds = Seq(
+      (1L, true, 1000000L), (2L, false, 0L),
+      (3L, false, 0L), (4L, true, 0L)).toDF("id", "is_seed", "sv")
+    val got = Graphs.labelPropagation(adj, seeds, 500000L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled synchronous rounds with DIV truncation
+    var s = Map(1L -> 1000000L, 2L -> 500000L, 3L -> 500000L, 4L -> 0L)
+    (1 to 3).foreach { _ =>
+      val nb = Map(
+        2L -> (s(1L) + s(3L)) / 2, 3L -> (s(2L) + s(4L)) / 2)
+      s = Map(1L -> 1000000L, 2L -> nb(2L), 3L -> nb(3L), 4L -> 0L)
+    }
+    assert(got === s)
+    // seeds never move
+    assert(got(1L) === 1000000L && got(4L) === 0L)
+    graft.operators.OperatorCaches.release()
+  }
+
   test("capped equals uncapped when every degree is under the cap") {
     // 40 centers x up to 10 neighbors — well under the default 64
     val adj = (for {
