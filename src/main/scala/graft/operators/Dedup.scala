@@ -205,6 +205,72 @@ object Dedup {
         coalesce(col("lsh_hit"), lit(false)).as("lsh_hit"))
   }
 
+  /** EXACT-threshold Jaccard similarity self-join via PREFIX FILTERING
+    * (the AllPairs/PPJoin family, Bayardo et al. / Chaudhuri et al.) —
+    * the LOSSLESS counterpart to [[lshPairs]]: every pair with
+    * J ≥ num/den is returned, none missed, no banding probability. The
+    * pruning argument: order each doc's shingles by ascending global
+    * document frequency (rarest first, hash tiebreak); if J(x,y) ≥ t
+    * then |x∩y| ≥ t·|x∪y| ≥ t·|x|, while the tokens of x OUTSIDE its
+    * first |x| − ⌈t·|x|⌉ + 1 (the PREFIX) number only ⌈t·|x|⌉ − 1
+    * < t·|x| — so at least one SHARED token sits inside x's prefix,
+    * and probing prefix-tokens against the full posting list finds
+    * every qualifying pair from the probe side alone. Work is
+    * Σ_token prefix(t)·posting(t) instead of Σ posting(t)²; the
+    * rarity order is what makes it collapse — hot boilerplate
+    * shingles almost never make a prefix. A length filter
+    * (den·min ≥ num·max, since J ≤ min/max) prunes candidates before
+    * the exact verify.
+    *
+    * The threshold is a RATIONAL num/den so prefix lengths, the
+    * length filter, and the final test (den·|∩| ≥ num·|∪|) are all
+    * exact integers — no floating point anywhere, which is what lets
+    * q239's oracle compute the ground truth BRUTE-FORCE in DuckDB and
+    * hash-compare: result-set equality IS the losslessness proof.
+    * Returns (a_id, b_id, inter, uni), a_id < b_id. */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        jacNum: Int, jacDen: Int, k: Int = 3): DataFrame = {
+    require(jacNum >= 1 && jacNum <= jacDen,
+      s"threshold must be a rational in (0, 1] (got $jacNum/$jacDen)")
+    val sets = pooledShingleSets(docs, idCol, textCol, k)
+    val sizes = sets.select(col(idCol), size(col("hset")).cast("long").as("n"))
+    val posting = OperatorCaches.persistTracked(
+      sets.select(col(idCol), explode(col("hset")).as("h")))
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc rarity rank — the window partitions by doc, bounded by
+    // the doc's own shingle count
+    val ranked = posting.join(dfreq, Seq("h"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(asc("df"), asc("h"))))
+    val prefix = ranked
+      .join(sizes, Seq(idCol))
+      // L = n − ⌈t·n⌉ + 1 in exact integers (DIV, not /: Spark's / on
+      // longs is double division)
+      .filter(col("rnk") <=
+        col("n") - expr(s"(n * $jacNum + ${jacDen - 1}) DIV $jacDen")
+          + lit(1L))
+      .select(col(idCol), col("h"))
+    val cand = prefix.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"))
+      .distinct()
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .filter(least(col("na"), col("nb")) * jacDen >=
+        greatest(col("na"), col("nb")) * jacNum)
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("hset").as("a_set")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("hset").as("b_set")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long")
+          .as("inter"),
+        size(array_union(col("a_set"), col("b_set"))).cast("long")
+          .as("uni"))
+      .filter(col("inter") * jacDen >= col("uni") * jacNum)
+  }
+
   /** Asymmetric containment pairs: C(A→B) = |S(A)∩S(B)| / |S(A)| over the
     * k-gram shingle sets — the subset/quotation detector Jaccard cannot
     * give. A short document pasted into a long one has low Jaccard (the

@@ -1620,6 +1620,49 @@ object DedupQueries {
         |FROM documents d LEFT JOIN it6 ON it6.u = d.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
+    // EXACT-threshold Jaccard self-join via prefix filtering (AllPairs/
+    // PPJoin) — the lossless counterpart to the LSH family: every pair
+    // with J ≥ 1/2 returned, none missed, no banding probability. The
+    // Spark side probes only each doc's |x|−⌈x/2⌉+1 RAREST shingles
+    // against the full posting list (work Σ prefix(t)·posting(t), and
+    // hot boilerplate shingles almost never make a prefix), length-
+    // filters (2·min ≥ max), then verifies exactly. The oracle computes
+    // the ground truth BRUTE-FORCE (full posting self-join) — hash
+    // equality of the result sets IS the losslessness proof, re-run at
+    // every gate scale. Threshold is the rational 1/2, so every test is
+    // exact integer arithmetic (den·|∩| ≥ num·|∪|); jac published in
+    // millionths by integer division.
+    QuerySpec("q239_prefix_filter_join",
+      (s, d) => graft.operators.Dedup.prefixFilterPairs(
+          t(s, d, "documents"), "doc_id", "text", jacNum = 1, jacDen = 2)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+          expr("inter * 1000000 DIV uni").as("jac_fp"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents))
+        |), sets AS (
+        |  SELECT doc_id, list(h60) AS shset FROM sh GROUP BY 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT a_id, b_id,
+        |    CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT)
+        |      AS inter,
+        |    CAST(len(list_distinct(list_concat(sa.shset, sb.shset)))
+        |      AS BIGINT) AS uni
+        |  FROM cand
+        |  JOIN sets sa ON sa.doc_id = a_id
+        |  JOIN sets sb ON sb.doc_id = b_id
+        |)
+        |SELECT a_id, b_id, inter, uni, inter * 1000000 // uni AS jac_fp
+        |FROM j WHERE inter * 2 >= uni
+        |ORDER BY a_id, b_id""".stripMargin)),
+
     QuerySpec("q223_link_prediction",
       (s, d) => {
         val b = t(s, d, "lineitem")

@@ -307,6 +307,69 @@ class DedupSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("prefixFilterPairs is lossless vs brute force, boundary pair included") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, size}
+    // docs 1/2 share exactly J = 2/4 = 1/2 — the >= boundary;
+    // 3 is a near-twin of 1 (J > 1/2); 4 is unrelated; 5 is a distant
+    // relative of 1 (J < 1/2, must be excluded)
+    val docs = Seq(
+      (1L, "a b c d e"),              // shingles {abc,bcd,cde}
+      (2L, "b c d e f"),              // {bcd,cde,def}: inter 2, uni 4
+      (3L, "a b c d e f"),            // {abc,bcd,cde,def}: vs 1 → 3/4
+      (4L, "x y z w v"),
+      (5L, "a b c q r s t u")         // {abc,...}: vs 1 → 1/8
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // brute force over the same shingle sets
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+    val posting = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    val ref = posting.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("a_id"),
+        size(col("hset")).cast("long").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"),
+        size(col("hset")).cast("long").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === ref)
+    assert(got((1L, 2L)) === ((2L, 4L)), "the exactly-at-threshold pair")
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 5L)))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
+  test("prefixFilterPairs equals brute force on fixture docs at t=2/3") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, size}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+    val posting = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    val ref = posting.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("a_id"),
+        size(col("hset")).cast("long").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"),
+        size(col("hset")).cast("long").as("nb")), "b_id")
+      .filter(col("inter") * 3 >=
+        (col("na") + col("nb") - col("inter")) * 2)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === ref)
+    assert(got.nonEmpty, "no qualifying fixture pairs — vacuous")
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("incrementalClusters folds pair batches to one-shot CC labels") {
     // random multi-component graph arriving in 3 batches: folding batch
     // by batch (contract + CC on new pairs only) must reproduce the
