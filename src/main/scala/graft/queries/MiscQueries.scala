@@ -1760,6 +1760,96 @@ object MiscQueries {
              |FROM ex LEFT JOIN est USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Rendezvous (highest-random-weight) sharding vs mod-hash — the
+    // shard-count-change audit run BEFORE a 100 TB corpus is re-laid
+    // out: growing 16 → 17 shards moves ~1/17 of keys (~588 bp) under
+    // rendezvous assignment (each key independently follows its argmax
+    // score, which changes only when the NEW shard wins) but ~16/17
+    // (~9412 bp) under mod-hash — a full-corpus rewrite. Both
+    // assignments are md5-bridge exact, the argmax deterministic with
+    // a declared (score, shard) tiebreak, so the report hash-matches.
+    // Cost: one |docs|×17 broadcast cross for the scores (linear,
+    // map-side), per-key argmax, two ≤17-row balance rollups.
+    QuerySpec("q240_rendezvous_sharding",
+      (s, d) => {
+        val ks = t(s, d, "documents")
+          .select(col("doc_id").cast("string").as("k"))
+        val shards = s.range(17).select(col("id").as("shard"))
+        val sc = ks.crossJoin(broadcast(shards))
+          .select(col("k"), col("shard"),
+            graft.functions.TextFunctions.md5Long(
+              concat(col("k"), lit("#"), col("shard").cast("string")))
+              .as("score"))
+        def rvAssign(n: Int) = sc.filter(col("shard") < n)
+          .groupBy(col("k"))
+          .agg(max(struct(col("score"), col("shard"))).as("m"))
+          .select(col("k"), col("m.shard").as(s"s$n"))
+        val rv = rvAssign(16).join(rvAssign(17), Seq("k"))
+        val md = ks.select(col("k"),
+          (graft.functions.TextFunctions.md5Long(col("k")) % 16)
+            .as("s16"),
+          (graft.functions.TextFunctions.md5Long(col("k")) % 17)
+            .as("s17"))
+        def report(name: String, a: org.apache.spark.sql.DataFrame) = {
+          val moved = a.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L))
+              .as("n_moved"))
+          val load = a.groupBy(col("s17")).agg(count(lit(1)).as("c"))
+            .agg(max(col("c")).as("max_load17"))
+          moved.crossJoin(load)
+            .select(lit(name).as("method"), col("n_docs"),
+              col("n_moved"),
+              expr("n_moved * 10000 DIV n_docs").as("moved_bp"),
+              col("max_load17"))
+        }
+        report("mod", md).unionByName(report("rendezvous", rv))
+          .orderBy("method")
+      },
+      Some("""WITH k AS (
+             |  SELECT CAST(doc_id AS VARCHAR) AS k FROM documents
+             |), sh AS (SELECT unnest(range(0, 17)) AS shard),
+             |sc AS (
+             |  SELECT k, shard,
+             |    ('0x' || substr(md5(k || '#' || CAST(shard AS VARCHAR)),
+             |      1, 15))::BIGINT AS score
+             |  FROM k, sh
+             |), r16 AS (
+             |  SELECT k, shard AS s16 FROM (
+             |    SELECT k, shard, row_number() OVER (
+             |      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
+             |    FROM sc WHERE shard < 16) WHERE rn = 1
+             |), r17 AS (
+             |  SELECT k, shard AS s17 FROM (
+             |    SELECT k, shard, row_number() OVER (
+             |      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
+             |    FROM sc) WHERE rn = 1
+             |), rv AS (SELECT k.k, s16, s17 FROM k
+             |          JOIN r16 USING (k) JOIN r17 USING (k)),
+             |md AS (
+             |  SELECT k,
+             |    ('0x' || substr(md5(k),1,15))::BIGINT % 16 AS s16,
+             |    ('0x' || substr(md5(k),1,15))::BIGINT % 17 AS s17
+             |  FROM k
+             |), rep AS (
+             |  SELECT 'mod' AS method,
+             |    count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_moved,
+             |    (SELECT CAST(max(c) AS BIGINT) FROM (
+             |      SELECT count(*) c FROM md GROUP BY s17)) AS max_load17
+             |  FROM md
+             |  UNION ALL
+             |  SELECT 'rendezvous', count(*),
+             |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    (SELECT CAST(max(c) AS BIGINT) FROM (
+             |      SELECT count(*) c FROM rv GROUP BY s17))
+             |  FROM rv
+             |)
+             |SELECT method, n_docs, n_moved,
+             |  n_moved * 10000 // n_docs AS moved_bp, max_load17
+             |FROM rep ORDER BY method""".stripMargin)),
+
     // Apriori frequent-triple mining — the candidate-generation step
     // that makes market-basket analysis survive scale (Agrawal et al.):
     // NEVER enumerate all Σ basket³ triples; instead (1) mine L2 =
