@@ -898,5 +898,93 @@ object CurationQueries {
              |  (mm.term IN (SELECT term FROM mem)) AS present,
              |  mm.in_bloom AND NOT (mm.term IN (SELECT term FROM mem))
              |    AS false_positive
-             |FROM mm ORDER BY mm.term""".stripMargin)))
+             |FROM mm ORDER BY mm.term""".stripMargin)),
+
+    // Greedy source selection by MARGINAL NOVELTY — submodular
+    // coverage maximization (Nemhauser's (1−1/e) greedy), the
+    // data-mixing question asked forward: "which 5 sources, added in
+    // order, cover the most distinct 3-gram shingles?" Each round
+    // scores every remaining source by the shingles it adds BEYOND the
+    // already-covered set (one anti-join + keyed count into a
+    // |sources|-row frame; only the 1-row argmax crosses the driver —
+    // the Bpe convention), picks the max (count DESC, source ASC
+    // tiebreak), and folds its shingles into the covered frame. The
+    // report is 5 rows: pick order, marginal gain, cumulative
+    // coverage — the curve whose flattening tells a 100 TB mixer when
+    // additional sources stop buying vocabulary. Oracle: the same 5
+    // rounds unrolled in DuckDB. Coverage state is vocabulary-sized,
+    // never corpus-sized.
+    QuerySpec("q241_greedy_source_cover",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val srcSh = graft.operators.OperatorCaches.persistTracked(
+          graft.operators.Dedup.shingleSets(docs, "doc_id", "text")
+            .join(docs.select(col("doc_id"), col("source")), "doc_id")
+            .select(col("source"), explode(col("hset")).as("h"))
+            .distinct())
+        val allSources = srcSh.select("source").distinct()
+          .as[String].collect().sorted.toSeq
+        var covered = srcSh.select(col("h")).limit(0)
+        var chosen = Seq.empty[(Long, String, Long, Long)]
+        (1 to 5).foreach { r =>
+          val remaining = allSources.filterNot(
+            chosen.map(_._2).toSet)
+          val gains = remaining.toDF("source")
+            .join(srcSh.join(covered, Seq("h"), "left_anti")
+                .groupBy(col("source")).agg(count(lit(1)).as("gain")),
+              Seq("source"), "left")
+            .select(col("source"), coalesce(col("gain"), lit(0L))
+              .as("gain"))
+          val pick = gains.orderBy(desc("gain"), asc("source"))
+            .limit(1).collect().head
+          val (src, gain) = (pick.getString(0), pick.getLong(1))
+          covered = graft.operators.OperatorCaches.persistTracked(
+            covered.unionByName(srcSh.filter(col("source") === src)
+              .select(col("h"))).distinct())
+          chosen :+= ((r.toLong, src, gain, covered.count()))
+        }
+        chosen.toDF("round", "source", "gain", "cum_coverage")
+          .orderBy("round")
+      },
+      Some {
+        val shCte = """WITH sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+          |              FROM documents))
+          |), ss AS (
+          |  SELECT DISTINCT source, h FROM sh
+          |  JOIN documents USING (doc_id)
+          |), srcs AS (SELECT DISTINCT source FROM ss)""".stripMargin
+        val rounds = (1 to 5).map { r =>
+          val notChosen = (1 until r)
+            .map(i => s"s.source NOT IN (SELECT source FROM p$i)")
+          val whereSrc = if (notChosen.isEmpty) ""
+            else notChosen.mkString(" WHERE ", " AND ", "")
+          val notCovered = if (r == 1) ""
+            else s" AND ss.h NOT IN (SELECT h FROM c${r - 1})"
+          val prevCov = if (r == 1) ""
+            else s"SELECT h FROM c${r - 1} UNION "
+          s"""
+          |, g$r AS (
+          |  SELECT s.source,
+          |    (SELECT count(*) FROM ss
+          |     WHERE ss.source = s.source$notCovered) AS gain
+          |  FROM srcs s$whereSrc
+          |), p$r AS (
+          |  SELECT source, CAST(gain AS BIGINT) AS gain FROM g$r
+          |  ORDER BY gain DESC, source LIMIT 1
+          |), c$r AS (
+          |  ${prevCov}SELECT DISTINCT h FROM ss JOIN p$r USING (source)
+          |)""".stripMargin
+        }.mkString
+        val sel = (1 to 5).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, source, gain,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM c$r)
+             |    AS cum_coverage FROM p$r""".stripMargin)
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+        shCte + rounds + sel
+      }))
 }
