@@ -138,7 +138,16 @@ object ScaleProbe {
       // three map-side-combined bucket aggregations into ≤32-row frames
       "q234_shard_balance",
       // calibration deciles ride the distributed rank axis (q176 shape)
-      "q235_calibration_deciles")
+      "q235_calibration_deciles",
+      // round-11 additions: priority sample is one top-(k+1) + k-row
+      // downstream; label prop iterates on the pair-node frame; the
+      // prefix join's work is Σ prefix·posting (twin replicas inflate
+      // posting mass like every pair consumer); rendezvous is a
+      // |docs|×17 broadcast cross; greedy cover is 5 anti-join rounds
+      // against a vocabulary-sized covered set
+      "q237_priority_sample_ht", "q238_label_propagation",
+      "q239_prefix_filter_join", "q240_rendezvous_sharding",
+      "q241_greedy_source_cover")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
