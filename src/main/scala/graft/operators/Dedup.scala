@@ -227,7 +227,14 @@ object Dedup {
     * exact integers — no floating point anywhere, which is what lets
     * q239's oracle compute the ground truth BRUTE-FORCE in DuckDB and
     * hash-compare: result-set equality IS the losslessness proof.
-    * Returns (a_id, b_id, inter, uni), a_id < b_id. */
+    * Returns (a_id, b_id, inter, uni), a_id < b_id.
+    *
+    * Operational rule at scale: the EXACT join's output is quadratic
+    * in duplicate-GROUP size by semantics (a group of g identical docs
+    * is g(g−1)/2 qualifying pairs — no algorithm can return less and
+    * stay exact; the 10×-twin probe measured ~1000× output growth at
+    * 10.4× wall). On a heavily duplicated corpus run exact dedup
+    * ([[exact]]/q30) first, then the threshold join on survivors. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         jacNum: Int, jacDen: Int, k: Int = 3): DataFrame = {
     require(jacNum >= 1 && jacNum <= jacDen,

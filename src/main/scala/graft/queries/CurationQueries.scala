@@ -942,7 +942,10 @@ object CurationQueries {
           covered = graft.operators.OperatorCaches.persistTracked(
             covered.unionByName(srcSh.filter(col("source") === src)
               .select(col("h"))).distinct())
-          chosen :+= ((r.toLong, src, gain, covered.count()))
+          // cumulative coverage IS the running sum of marginal gains —
+          // no count() action on the covered frame needed
+          chosen :+= ((r.toLong, src, gain,
+            chosen.lastOption.map(_._4).getOrElse(0L) + gain))
         }
         chosen.toDF("round", "source", "gain", "cum_coverage")
           .orderBy("round")

@@ -721,6 +721,56 @@ object EventStreams {
     graft.operators.PrioritySample.sampleWithTau(
       spark.read.parquet(stateDir), k)
 
+  /** Physically fold [[nearDupIngestSink]]'s merge-on-read tombstones —
+    * the compaction the Scaladoc there promises: rewrite the survivor
+    * corpus to live rows only (one fresh `batch=0` dir), prune
+    * tombstone-touching pairs from the pair state, and DROP the
+    * tombstone dirs, so subsequent corpus reads pay no anti-join and
+    * state stops growing with takedown history. Same crash discipline
+    * as [[graft.operators.Layout.compact]]: staged `.new` write, swap
+    * through `.old`, refuse to run if a previous swap crashed midway.
+    * Run only while the ingest stream is STOPPED (the swap is not
+    * concurrent-safe); the stream resumes cleanly afterwards — batch
+    * ids keep counting from the checkpoint, and the corpus/pairs reads
+    * treat the compacted `batch=0` like any prior batch
+    * (StreamingSpec proves post-compaction continuation). Labels need
+    * no rewrite: every tombstone arrived in a delete batch, which
+    * already re-derived its epoch from the residual pairs. */
+  def compactTakedowns(spark: SparkSession, corpusDir: String,
+                       idCol: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val tdir = corpusDir.stripSuffix("/") + "_tombstones"
+    val pdir = corpusDir.stripSuffix("/") + "_pairs"
+    def swapIn(dir: String, write: String => Unit): Unit = {
+      val (nw, old) = (dir + ".new", dir + ".old")
+      if (Files.exists(Paths.get(old)))
+        throw new IllegalStateException(
+          s"compactTakedowns: $old exists — a previous swap crashed. " +
+            s"Inspect/restore it to $dir or delete it, then retry.")
+      write(nw)
+      Files.move(Paths.get(dir), Paths.get(old))
+      try Files.move(Paths.get(nw), Paths.get(dir))
+      catch { case e: Throwable =>
+        Files.move(Paths.get(old), Paths.get(dir)); throw e }
+      graft.operators.Convert.deleteRecursively(Paths.get(old))
+    }
+    val tombs = spark.read.parquet(tdir).select(col(idCol)).distinct()
+      .localCheckpoint() // sever from tdir: it is deleted below
+    val live = spark.read.parquet(corpusDir)
+      .join(tombs, Seq(idCol), "left_anti")
+      .drop("batch").localCheckpoint()
+    swapIn(corpusDir, nw => live.write.parquet(s"$nw/batch=0"))
+    if (Files.isDirectory(Paths.get(pdir))) {
+      val residual = spark.read.parquet(pdir)
+        .join(tombs.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+        .join(tombs.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
+        .drop("batch").localCheckpoint()
+      swapIn(pdir, nw => residual.write.parquet(s"$nw/batch=0"))
+    }
+    graft.operators.Convert.deleteRecursively(Paths.get(tdir))
+    live.count()
+  }
+
   /** Streaming source-balance monitor — q192's production form: each
     * micro-batch publishes its per-source token-volume partial
     * (`stateDir/batch=N`, |sources| rows), and after every batch the

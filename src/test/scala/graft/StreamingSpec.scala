@@ -404,6 +404,55 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("compactTakedowns folds tombstones physically; the stream resumes cleanly") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    val A = rep("alpha beta gamma delta", 6)
+    val R = rep("rho sigma tau upsilon", 6)
+    val wave1 = Seq(
+      (1L, A, "add"), (4L, A + " tail", "add"),
+      (7L, R, "add"), (8L, R + " tail", "add"),
+      (14L, rep("nu xi omicron pi", 6), "add"))
+      .toDF("doc_id", "text", "op")
+    val wave2 = Seq((7L, "", "delete"), (8L, "", "delete"))
+      .toDF("doc_id", "text", "op")
+    def run(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(s"$tmp/in")
+      EventStreams.nearDupIngestSink(
+        EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+        "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+        rowsPerBand = 1, opCol = "op").awaitTermination()
+    }
+    run(wave1); run(wave2)
+
+    val n = EventStreams.compactTakedowns(spark, s"$tmp/corpus", "doc_id")
+    // live rows only, read WITHOUT any tombstone anti-join
+    val live = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(live === Set(1L, 14L) && n === 2L)
+    // the pair state lost every tombstone-touching pair (7~8), kept 1~4
+    val pairKeys = spark.read.parquet(s"$tmp/corpus_pairs")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(pairKeys === Set((1L, 4L)))
+    assert(!new java.io.File(s"$tmp/corpus_tombstones").exists())
+
+    // the stream continues over the compacted layout: 16 is a twin of
+    // still-live 14 (dropped, pair recorded); labels fold incrementally
+    run(Seq((16L, rep("nu xi omicron pi", 6) + " coda", "add"))
+      .toDF("doc_id", "text", "op"))
+    val live2 = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(live2 === Set(1L, 14L))
+    val ldir = new java.io.File(s"$tmp/corpus_labels")
+    val epochs = ldir.listFiles.map(_.getName.stripPrefix("epoch=").toLong)
+    val labels = spark.read.parquet(s"$tmp/corpus_labels/epoch=${epochs.max}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels === Set((1L, 1L), (4L, 1L), (14L, 14L), (16L, 14L)))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("streamed containment ingest drops subset docs within and across batches") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // long base docs built from distinct vocab per doc; "chunks" are
