@@ -900,6 +900,78 @@ object CurationQueries {
              |    AS false_positive
              |FROM mm ORDER BY mm.term""".stripMargin)),
 
+    // Water-filling token-budget allocation — the mixture-balancing
+    // primitive: given per-source token volumes and a global budget
+    // (90% of the corpus here), find the uniform level c such that
+    // Σ min(tokens_s, c) spends the budget — small sources keep
+    // everything, large sources are capped at c. One corpus pass for
+    // the volumes; everything after runs on the |sources|-row frame
+    // (the single-partition window is over 20 rows — bounded and
+    // declared). Exact integers throughout: for each rank r over the
+    // ascending volumes, the candidate level funds the r−1 smallest
+    // fully and splits the remainder (budget − prefix_{r−1}) DIV
+    // (n−r+1); the level is the candidate at the LARGEST feasible
+    // rank (lvl ≥ tokens_{r−1}); DIV truncation leaves < n tokens
+    // unspent (documented, and both engines truncate identically).
+    QuerySpec("q242_token_waterfill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = graft.operators.OperatorCaches.persistTracked(
+          t(s, d, "documents").groupBy(col("source"))
+            .agg(sum(size(split(col("text"), " ")).cast("long"))
+              .as("tokens")))
+        val tot = tok.agg(sum(col("tokens")).as("total"),
+          count(lit(1)).as("n"))
+        val w = Window.orderBy(asc("tokens"), asc("source"))
+        val lvl = tok
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("prefix", sum(col("tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_t",
+            coalesce(lag(col("tokens"), 1).over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget", expr("total * 9 DIV 10"))
+          .withColumn("lvl",
+            expr("(budget - (prefix - tokens)) DIV (n - r + 1)"))
+          .filter(col("lvl") >= col("prev_t"))
+          .orderBy(desc("r")).limit(1)
+          .select(col("lvl"))
+        tok.crossJoin(broadcast(lvl))
+          .select(col("source"), col("tokens"),
+            least(col("tokens"), col("lvl")).as("allocated"),
+            expr("least(tokens, lvl) * 10000 DIV tokens").as("kept_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS tokens
+             |  FROM documents GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             |    count(*) AS n FROM tok
+             |), ranked AS (
+             |  SELECT source, tokens,
+             |    CAST(row_number() OVER (ORDER BY tokens, source)
+             |      AS BIGINT) AS r,
+             |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+             |    CAST(COALESCE(lag(tokens) OVER (ORDER BY tokens, source),
+             |      0) AS BIGINT) AS prev_t
+             |  FROM tok
+             |), lv AS (
+             |  SELECT ((total * 9 // 10) - (prefix - tokens))
+             |    // (n - r + 1) AS lvl
+             |  FROM ranked, tot
+             |  WHERE ((total * 9 // 10) - (prefix - tokens))
+             |    // (n - r + 1) >= prev_t
+             |  ORDER BY r DESC LIMIT 1
+             |)
+             |SELECT source, tokens,
+             |  CAST(least(tokens, lvl) AS BIGINT) AS allocated,
+             |  least(tokens, lvl) * 10000 // tokens AS kept_bp
+             |FROM tok, lv ORDER BY source""".stripMargin)),
+
     // Greedy source selection by MARGINAL NOVELTY — submodular
     // coverage maximization (Nemhauser's (1−1/e) greedy), the
     // data-mixing question asked forward: "which 5 sources, added in
