@@ -735,7 +735,9 @@ object EventStreams {
     * treat the compacted `batch=0` like any prior batch
     * (StreamingSpec proves post-compaction continuation). Labels need
     * no rewrite: every tombstone arrived in a delete batch, which
-    * already re-derived its epoch from the residual pairs. */
+    * already re-derived its epoch from the residual pairs. Returns the
+    * live-row count, or −1 when there was nothing to fold (no
+    * tombstone dir — a takedown-free corpus is left untouched). */
   def compactTakedowns(spark: SparkSession, corpusDir: String,
                        idCol: String): Long = {
     import java.nio.file.{Files, Paths}
@@ -754,6 +756,8 @@ object EventStreams {
         Files.move(Paths.get(old), Paths.get(dir)); throw e }
       graft.operators.Convert.deleteRecursively(Paths.get(old))
     }
+    if (!Files.isDirectory(Paths.get(tdir)))
+      return -1L // nothing to fold: a takedown-free corpus is a no-op
     val tombs = spark.read.parquet(tdir).select(col(idCol)).distinct()
       .localCheckpoint() // sever from tdir: it is deleted below
     val live = spark.read.parquet(corpusDir)

@@ -449,6 +449,13 @@ class StreamingSpec extends SparkSpec {
     val labels = spark.read.parquet(s"$tmp/corpus_labels/epoch=${epochs.max}")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(labels === Set((1L, 1L), (4L, 1L), (14L, 14L), (16L, 14L)))
+    // re-compaction with no new tombstone ids is idempotent (ops-mode
+    // batches always write a — possibly empty — tombstone frame, so
+    // the fold re-runs; the corpus must come through unchanged)
+    assert(EventStreams.compactTakedowns(spark, s"$tmp/corpus", "doc_id")
+      === 2L)
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 14L))
     graft.operators.OperatorCaches.release()
     graft.operators.FramePool.release()
   }
