@@ -319,7 +319,9 @@ object Bench {
         name -> (math.min(a, b), okA && okB)
       }
       loopDone += 1
-      if (loopDone % LoopProbeEvery == 0 && !pastDeadline) {
+      // !degraded: each probe force-writes 128 MB — don't add ~1 GB of
+      // probe I/O to storage the run already declared too slow
+      if (loopDone % LoopProbeEvery == 0 && !degraded && !pastDeadline) {
         val p = try probeWriteMbps(convertOutDir)
                 catch { case _: Throwable => -1.0 }
         loopProbes :+= ((name, loopDone, p))

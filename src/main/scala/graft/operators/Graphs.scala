@@ -269,10 +269,16 @@ object Graphs {
                        prior: Long, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50] (got $iterations)")
+    // left join + in-plan assert: a seeds frame missing a graph node
+    // would otherwise silently drop the node and corrupt every nearby
+    // neighbor average (the HistSketch loud-precondition idiom)
     val nodes = OperatorCaches.persistTracked(
       adj.select(col("u")).distinct()
         .join(seeds.select(col("id").as("u"), col("is_seed"), col("sv")),
-          Seq("u")))
+          Seq("u"), "left")
+        .filter(isnull(assert_true(col("is_seed").isNotNull,
+          lit("labelPropagation: seeds must carry every node id that " +
+            "appears in adj — found an adjacency node with no seed row")))))
     val a = OperatorCaches.persistTracked(adj.select(col("u"), col("v")))
     var sc = nodes.select(col("u"),
       when(col("is_seed"), col("sv")).otherwise(lit(prior)).as("sc"))

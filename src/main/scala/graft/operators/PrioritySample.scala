@@ -54,14 +54,21 @@ object PrioritySample {
 
   /** The k-row sample and the 1-row threshold frame (`__tau`): the
     * sample is the k highest (priority, key)-ordered rows, τ the
-    * (k+1)-th priority. The top-(k+1) is persisted — it feeds both. */
+    * (k+1)-th priority — or 0 when the population has ≤ k items (then
+    * EVERY item is sampled, max(w, 0) = w, and the HT estimator
+    * degenerates to the exact sum, the classical n ≤ k contract;
+    * PrioritySampleSpec pins it). The top-(k+1) is persisted — it
+    * feeds both. */
   def sampleWithTau(prioritized: DataFrame, k: Int)
       : (DataFrame, DataFrame) = {
     require(k >= 1, s"sample size must be positive (got $k)")
     val topk1 = OperatorCaches.persistTracked(
       prioritized.orderBy(desc("__prio"), asc("__key")).limit(k + 1))
     val sample = topk1.orderBy(desc("__prio"), asc("__key")).limit(k)
-    val tau = topk1.agg(min(col("__prio")).as("__tau"))
+    val tau = topk1
+      .agg(min(col("__prio")).as("__m"), count(lit(1)).as("__n"))
+      .select(when(col("__n") <= k, lit(0.0d)).otherwise(col("__m"))
+        .as("__tau"))
     (sample, tau)
   }
 

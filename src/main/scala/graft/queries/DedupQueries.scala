@@ -1701,7 +1701,8 @@ object DedupQueries {
         |    SELECT u, v, row_number() OVER (
         |      PARTITION BY u ORDER BY support DESC, v) AS r
         |    FROM e0)
-        |  WHERE r <= 64
+        |  WHERE r <= """.stripMargin +
+        graft.operators.Graphs.DefaultMaxNeighbors + """
         |), w AS (
         |  SELECT a.v AS x, bb.v AS y
         |  FROM e a JOIN e bb ON a.u = bb.u AND a.v < bb.v

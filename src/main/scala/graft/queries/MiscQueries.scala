@@ -1740,8 +1740,13 @@ object MiscQueries {
              |), r AS (
              |  SELECT *, row_number() OVER (ORDER BY prio DESC, k) AS rn
              |  FROM p
-             |), tau AS (SELECT prio AS t FROM r WHERE rn = 1001),
-             |est AS (
+             |), tau AS (
+             |  -- 0 when the population has <= 1000 items (every item
+             |  -- sampled, HT degenerates to the exact sum) -- the
+             |  -- Spark side's n <= k fallback, mirrored
+             |  SELECT COALESCE((SELECT prio FROM r WHERE rn = 1001), 0.0)
+             |    AS t
+             |), est AS (
              |  SELECT l_returnflag, count(*) AS n_sampled,
              |    CAST(sum(greatest(w_c, CAST(floor(t) AS BIGINT)))
              |      AS BIGINT) AS ht_c
@@ -1775,11 +1780,14 @@ object MiscQueries {
         val ks = t(s, d, "documents")
           .select(col("doc_id").cast("string").as("k"))
         val shards = s.range(17).select(col("id").as("shard"))
-        val sc = ks.crossJoin(broadcast(shards))
-          .select(col("k"), col("shard"),
-            graft.functions.TextFunctions.md5Long(
-              concat(col("k"), lit("#"), col("shard").cast("string")))
-              .as("score"))
+        // persisted: both rvAssign calls read it — without this the
+        // |docs|×17 md5 cross runs twice
+        val sc = graft.operators.OperatorCaches.persistTracked(
+          ks.crossJoin(broadcast(shards))
+            .select(col("k"), col("shard"),
+              graft.functions.TextFunctions.md5Long(
+                concat(col("k"), lit("#"), col("shard").cast("string")))
+                .as("score")))
         def rvAssign(n: Int) = sc.filter(col("shard") < n)
           .groupBy(col("k"))
           .agg(max(struct(col("score"), col("shard"))).as("m"))

@@ -337,7 +337,16 @@ object EventStreams {
     * batch rebuild over the surviving arrivals, including a planted
     * bridge split mid-stream. Deleted ids must not be re-used by later
     * arrivals (a tombstone is forever — the merge-on-read anti-join
-    * would silently drop the newcomer). */
+    * would silently drop the newcomer). Scope: a takedown removes the
+    * STORED survivor; near-duplicates it suppressed in earlier batches
+    * were never stored (the ingest filter drops their text on arrival)
+    * and cannot be resurrected — the post-takedown corpus therefore
+    * equals a rebuild over surviving STORED docs, not over all
+    * surviving arrivals. A deployment that must resurrect suppressed
+    * twins after a keeper's takedown has to archive dropped arrivals
+    * (id → text) alongside the corpus; the LABEL stream needs no such
+    * archive — labels cover every arrival and are rebuild-equal, which
+    * is what StreamingSpec proves. */
   def nearDupIngestSink(stream: DataFrame, idCol: String, textCol: String,
                         corpusDir: String, checkpointDir: String,
                         numBands: Int = 4, minJaccard: Double = 0.1,
@@ -381,8 +390,12 @@ object EventStreams {
         import graft.operators.Dedup
         try {
           val hasOps = opCol != null
+          // NULL-safe: "everything that is not a tombstone is an
+          // arriving document" must include rows whose op is NULL — a
+          // plain =!= would evaluate to NULL and silently drop them
+          // from BOTH branches
           val adds = if (hasOps)
-            batch.filter(col(opCol) =!= lit("delete"))
+            batch.filter(coalesce(col(opCol), lit("")) =!= lit("delete"))
               .select(col(idCol), col(textCol))
           else batch.select(col(idCol), col(textCol))
           val dels = if (hasOps)
@@ -749,6 +762,12 @@ object EventStreams {
         throw new IllegalStateException(
           s"compactTakedowns: $old exists — a previous swap crashed. " +
             s"Inspect/restore it to $dir or delete it, then retry.")
+      // a leftover .new is always an INCOMPLETE artifact (it only
+      // becomes authoritative by being renamed away), so a retry may
+      // clobber it — without this, a crash mid-write wedges every
+      // retry on parquet's path-already-exists
+      if (Files.exists(Paths.get(nw)))
+        graft.operators.Convert.deleteRecursively(Paths.get(nw))
       write(nw)
       Files.move(Paths.get(dir), Paths.get(old))
       try Files.move(Paths.get(nw), Paths.get(dir))

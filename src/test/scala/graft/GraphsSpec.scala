@@ -59,6 +59,20 @@ class GraphsSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("label propagation fails loudly when seeds miss a graph node") {
+    val adj = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val seeds = Seq((1L, true, 1000000L)).toDF("id", "is_seed", "sv")
+    val e = intercept[Exception] {
+      Graphs.labelPropagation(adj, seeds, 500000L, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("every node id")),
+      s"expected the missing-seed precondition message, got: $e")
+    graft.operators.OperatorCaches.release()
+  }
+
   test("capped equals uncapped when every degree is under the cap") {
     // 40 centers x up to 10 neighbors — well under the default 64
     val adj = (for {

@@ -66,6 +66,20 @@ class PrioritySampleSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("n <= k degenerates to the exact sum: tau is 0, every item sampled") {
+    val items = (1 to 30).map(i => (s"t$i", (i * 11).toLong))
+    val pri = PrioritySample.withPriority(
+      items.toDF("k", "w"), col("k"), col("w"))
+    val (samp, tau) = PrioritySample.sampleWithTau(pri, 50)
+    assert(tau.head().getDouble(0) === 0.0d)
+    assert(samp.count() === 30L)
+    val est = PrioritySample.htGroupTotals(
+      samp.withColumn("g", lit("all")), tau, "g")
+      .head().getDecimal(2).longValueExact()
+    assert(est === items.map(_._2).sum) // exact, not inflated
+    OperatorCaches.release()
+  }
+
   test("HT estimate lands near the exact total on fixture weights") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(concat(col("l_orderkey").cast("string"), lit("_"),

@@ -332,9 +332,13 @@ class StreamingSpec extends SparkSpec {
       (1L, A, "add"), (2L, bridge, "add"), (3L, C, "add"),
       (4L, A + " tail", "add"), (7L, R, "add"), (8L, R + " tail", "add"))
       .toDF("doc_id", "text", "op")
-    // interleaved: takedown of 8 arrives WITH new documents
+    // interleaved: takedown of 8 arrives WITH new documents — 14's op
+    // is NULL on purpose (anything that is not a tombstone is an
+    // arriving document, NULL included; the final corpus assertion
+    // proves it was not silently dropped)
     val wave2 = Seq(
-      (13L, A + " more", "add"), (14L, rep("nu xi omicron pi", 6), "add"),
+      (13L, A + " more", "add"),
+      (14L, rep("nu xi omicron pi", 6), null.asInstanceOf[String]),
       (8L, "", "delete")).toDF("doc_id", "text", "op")
     // the bridge takedown, plus a takedown of corpus keeper 7 in the
     // same batch as the arrival of 7's twin — deletes apply first, so
