@@ -61,6 +61,13 @@ object HistSketch {
   def delete(bins: DataFrame, deletedBins: DataFrame): DataFrame =
     bins.join(deletedBins.withColumnsRenamed(Map("c" -> "cd")),
         Seq("bin"), "left")
+      // fail LOUDLY on over-deletion (deleting values never inserted,
+      // or deleting twice): a silent clamp would drop the bin as if
+      // cleanly drained and diverge from the delete-equals-rebuild
+      // contract above without any signal
+      .filter(isnull(assert_true(coalesce(col("cd"), lit(0L)) <= col("c"),
+        lit("HistSketch.delete: deleted count exceeds bin count — " +
+          "deleting values never inserted breaks rebuild equivalence"))))
       .select(col("bin"),
         (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
       .filter(col("c") > 0L)

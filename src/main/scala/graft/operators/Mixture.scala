@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mixture design for training-data curation — the two halves of "which
+  * sources, and how much of each": greedy submodular source selection by
+  * marginal shingle novelty (Nemhauser-greedy coverage maximization,
+  * q241) and exact integer water-filling of a token budget over source
+  * volumes (q242). A curator consumes them together — select sources by
+  * marginal novelty, then allocate budget by water-filling over the
+  * selection — which is q244's composite.
+  *
+  * Reference scope note: the reference pipeline (utils.py) has no mixing
+  * stage; these are the 100 TB-curation extensions mandated by
+  * BASELINE.json, built Spark-first.
+  */
+object Mixture {
+
+  /** Greedy source selection by MARGINAL NOVELTY — submodular coverage
+    * maximization (Nemhauser's (1−1/e) greedy): round r scores every
+    * remaining source by the distinct k-gram shingles it adds BEYOND the
+    * already-covered set (one anti-join + keyed count into a
+    * |sources|-row frame; only the 1-row argmax crosses the driver — the
+    * Bpe convention), picks the max (gain DESC, source ASC tiebreak),
+    * and folds its shingles into the covered frame. Returns
+    * (round, source, gain, cum_coverage) for min(rounds, #sources)
+    * rounds — bounding by the source count keeps the argmax total on a
+    * narrow corpus (and matches the SQL oracle's empty-CTE behavior).
+    * Coverage state is vocabulary-sized, never corpus-sized; the
+    * cumulative coverage is the running sum of marginal gains, so no
+    * count() action ever touches the covered frame. */
+  def greedySourceCover(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val srcSh = OperatorCaches.persistTracked(
+      Dedup.shingleSets(docs, idCol, textCol)
+        .join(docs.select(col(idCol), col(srcCol)), idCol)
+        .select(col(srcCol).as("source"), explode(col("hset")).as("h"))
+        .distinct())
+    val allSources = srcSh.select("source").distinct()
+      .as[String].collect().sorted.toSeq
+    var covered = srcSh.select(col("h")).limit(0)
+    var chosen = Seq.empty[(Long, String, Long, Long)]
+    (1 to math.min(rounds, allSources.size)).foreach { r =>
+      val remaining = allSources.filterNot(chosen.map(_._2).toSet)
+      val gains = remaining.toDF("source")
+        .join(srcSh.join(covered, Seq("h"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("gain")),
+          Seq("source"), "left")
+        .select(col("source"), coalesce(col("gain"), lit(0L)).as("gain"))
+      val pick = gains.orderBy(desc("gain"), asc("source"))
+        .limit(1).collect().head
+      val (src, gain) = (pick.getString(0), pick.getLong(1))
+      covered = OperatorCaches.persistTracked(
+        covered.unionByName(srcSh.filter(col("source") === src)
+          .select(col("h"))).distinct())
+      chosen :+= ((r.toLong, src, gain,
+        chosen.lastOption.map(_._4).getOrElse(0L) + gain))
+    }
+    chosen.toDF("round", "source", "gain", "cum_coverage")
+  }
+
+  /** Exact integer WATER-FILLING of a token budget over source volumes:
+    * keep budget = total·num DIV den tokens, capping the biggest sources
+    * at a common level so every source below the level is kept whole
+    * (max-min fairness — the allocation that maximizes the minimum kept
+    * fraction subject to the budget). The level is found closed-form on
+    * the sorted spine: for ranks ascending by volume, the candidate
+    * level at rank r is (budget − prefix_{r−1}) DIV (n−r+1); the highest
+    * rank whose candidate clears its predecessor's volume is feasible
+    * and its candidate IS the level — one window over the |sources|-row
+    * frame (cardinality = sources, the hour-spine argument), one
+    * broadcast scalar join back. All arithmetic is exact integer DIV —
+    * bit-identical in any engine. Input: (source, tokens); output:
+    * (source, tokens, allocated, kept_bp). */
+  def waterfill(tok: DataFrame, num: Long = 9L, den: Long = 10L)
+      : DataFrame = {
+    val tot = tok.agg(sum(col("tokens")).as("total"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy(asc("tokens"), asc("source"))
+    val lvl = tok
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_t",
+        coalesce(lag(col("tokens"), 1).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"total * $num DIV $den"))
+      .withColumn("lvl",
+        expr("(budget - (prefix - tokens)) DIV (n - r + 1)"))
+      .filter(col("lvl") >= col("prev_t"))
+      .orderBy(desc("r")).limit(1)
+      .select(col("lvl"))
+    tok.crossJoin(broadcast(lvl))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), col("lvl")).as("allocated"),
+        expr("least(tokens, lvl) * 10000 DIV tokens").as("kept_bp"))
+  }
+}

@@ -915,32 +915,11 @@ object CurationQueries {
     // unspent (documented, and both engines truncate identically).
     QuerySpec("q242_token_waterfill",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val tok = graft.operators.OperatorCaches.persistTracked(
           t(s, d, "documents").groupBy(col("source"))
             .agg(sum(size(split(col("text"), " ")).cast("long"))
               .as("tokens")))
-        val tot = tok.agg(sum(col("tokens")).as("total"),
-          count(lit(1)).as("n"))
-        val w = Window.orderBy(asc("tokens"), asc("source"))
-        val lvl = tok
-          .withColumn("r", row_number().over(w).cast("long"))
-          .withColumn("prefix", sum(col("tokens")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("prev_t",
-            coalesce(lag(col("tokens"), 1).over(w), lit(0L)))
-          .crossJoin(broadcast(tot))
-          .withColumn("budget", expr("total * 9 DIV 10"))
-          .withColumn("lvl",
-            expr("(budget - (prefix - tokens)) DIV (n - r + 1)"))
-          .filter(col("lvl") >= col("prev_t"))
-          .orderBy(desc("r")).limit(1)
-          .select(col("lvl"))
-        tok.crossJoin(broadcast(lvl))
-          .select(col("source"), col("tokens"),
-            least(col("tokens"), col("lvl")).as("allocated"),
-            expr("least(tokens, lvl) * 10000 DIV tokens").as("kept_bp"))
-          .orderBy("source")
+        graft.operators.Mixture.waterfill(tok).orderBy("source")
       },
       Some("""WITH tok AS (
              |  SELECT source,
@@ -987,41 +966,9 @@ object CurationQueries {
     // rounds unrolled in DuckDB. Coverage state is vocabulary-sized,
     // never corpus-sized.
     QuerySpec("q241_greedy_source_cover",
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val srcSh = graft.operators.OperatorCaches.persistTracked(
-          graft.operators.Dedup.shingleSets(docs, "doc_id", "text")
-            .join(docs.select(col("doc_id"), col("source")), "doc_id")
-            .select(col("source"), explode(col("hset")).as("h"))
-            .distinct())
-        val allSources = srcSh.select("source").distinct()
-          .as[String].collect().sorted.toSeq
-        var covered = srcSh.select(col("h")).limit(0)
-        var chosen = Seq.empty[(Long, String, Long, Long)]
-        (1 to 5).foreach { r =>
-          val remaining = allSources.filterNot(
-            chosen.map(_._2).toSet)
-          val gains = remaining.toDF("source")
-            .join(srcSh.join(covered, Seq("h"), "left_anti")
-                .groupBy(col("source")).agg(count(lit(1)).as("gain")),
-              Seq("source"), "left")
-            .select(col("source"), coalesce(col("gain"), lit(0L))
-              .as("gain"))
-          val pick = gains.orderBy(desc("gain"), asc("source"))
-            .limit(1).collect().head
-          val (src, gain) = (pick.getString(0), pick.getLong(1))
-          covered = graft.operators.OperatorCaches.persistTracked(
-            covered.unionByName(srcSh.filter(col("source") === src)
-              .select(col("h"))).distinct())
-          // cumulative coverage IS the running sum of marginal gains —
-          // no count() action on the covered frame needed
-          chosen :+= ((r.toLong, src, gain,
-            chosen.lastOption.map(_._4).getOrElse(0L) + gain))
-        }
-        chosen.toDF("round", "source", "gain", "cum_coverage")
-          .orderBy("round")
-      },
+      (s, d) => graft.operators.Mixture.greedySourceCover(
+        t(s, d, "documents"), "doc_id", "text", "source", rounds = 5)
+        .orderBy("round"),
       Some {
         val shCte = """WITH sh AS (
           |  SELECT DISTINCT doc_id,
@@ -1061,5 +1008,100 @@ object CurationQueries {
              |    AS cum_coverage FROM p$r""".stripMargin)
           .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
         shCte + rounds + sel
+      }),
+
+    // MIXTURE DESIGN — the q241+q242 composite a curator actually runs:
+    // select 5 sources by greedy marginal novelty, then water-fill the
+    // 90% token budget over ONLY the selection (max-min fair allocation
+    // of the kept tokens across the chosen sources). One row per pick:
+    // its selection round and marginal gain joined to its volume,
+    // allocation, and kept fraction. Both halves are the oracle-gated
+    // operators (Mixture.greedySourceCover = q241,
+    // Mixture.waterfill = q242); the oracle unrolls the same 5 rounds
+    // and water-fills over the picked subset. The join is
+    // 5-row × |sources|-row — driver-free, broadcast by size.
+    QuerySpec("q244_mixture_design",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val picks = graft.operators.Mixture.greedySourceCover(
+          docs, "doc_id", "text", "source", rounds = 5)
+        val tok = docs.join(picks.select("source"), Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"))
+        graft.operators.Mixture.waterfill(tok)
+          .join(picks, Seq("source"))
+          .select(col("round"), col("source"), col("gain"),
+            col("tokens"), col("allocated"), col("kept_bp"))
+          .orderBy("round")
+      },
+      Some {
+        val shCte = """WITH sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+          |              FROM documents))
+          |), ss AS (
+          |  SELECT DISTINCT source, h FROM sh
+          |  JOIN documents USING (doc_id)
+          |), srcs AS (SELECT DISTINCT source FROM ss)""".stripMargin
+        val rounds = (1 to 5).map { r =>
+          val notChosen = (1 until r)
+            .map(i => s"s.source NOT IN (SELECT source FROM p$i)")
+          val whereSrc = if (notChosen.isEmpty) ""
+            else notChosen.mkString(" WHERE ", " AND ", "")
+          val notCovered = if (r == 1) ""
+            else s" AND ss.h NOT IN (SELECT h FROM c${r - 1})"
+          val prevCov = if (r == 1) ""
+            else s"SELECT h FROM c${r - 1} UNION "
+          s"""
+          |, g$r AS (
+          |  SELECT s.source,
+          |    (SELECT count(*) FROM ss
+          |     WHERE ss.source = s.source$notCovered) AS gain
+          |  FROM srcs s$whereSrc
+          |), p$r AS (
+          |  SELECT source, CAST(gain AS BIGINT) AS gain FROM g$r
+          |  ORDER BY gain DESC, source LIMIT 1
+          |), c$r AS (
+          |  ${prevCov}SELECT DISTINCT h FROM ss JOIN p$r USING (source)
+          |)""".stripMargin
+        }.mkString
+        val waterfill = (1 to 5).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, source, gain FROM p$r")
+          .mkString("\n, picks AS (\n", "\nUNION ALL\n", ")") +
+          """
+          |, tok AS (
+          |  SELECT source,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+          |      AS tokens
+          |  FROM documents JOIN picks USING (source) GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+          |    count(*) AS n FROM tok
+          |), ranked AS (
+          |  SELECT source, tokens,
+          |    CAST(row_number() OVER (ORDER BY tokens, source)
+          |      AS BIGINT) AS r,
+          |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+          |    CAST(COALESCE(lag(tokens) OVER (ORDER BY tokens, source),
+          |      0) AS BIGINT) AS prev_t
+          |  FROM tok
+          |), lv AS (
+          |  SELECT ((total * 9 // 10) - (prefix - tokens))
+          |    // (n - r + 1) AS lvl
+          |  FROM ranked, tot
+          |  WHERE ((total * 9 // 10) - (prefix - tokens))
+          |    // (n - r + 1) >= prev_t
+          |  ORDER BY r DESC LIMIT 1
+          |)
+          |SELECT round, source, gain, tokens,
+          |  CAST(least(tokens, lvl) AS BIGINT) AS allocated,
+          |  least(tokens, lvl) * 10000 // tokens AS kept_bp
+          |FROM tok JOIN picks USING (source) CROSS JOIN lv
+          |ORDER BY round""".stripMargin
+        shCte + rounds + waterfill
       }))
 }

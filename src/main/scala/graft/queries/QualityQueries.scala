@@ -1235,6 +1235,114 @@ object QualityQueries {
              |  CAST(sum(pos) AS BIGINT) AS n_dup,
              |  CAST(sum(pos) AS DOUBLE) / count(*) AS dup_rate,
              |  round(min(z), 4) AS z_lo4, round(max(z), 4) AS z_hi4
-             |FROM b GROUP BY 1 ORDER BY decile""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // The REFINERY COMPOSITE — pipelines/Refinery.run's query-expressible
+    // acceptance gate as ONE oracle row set: gate → normalized dedup →
+    // benchmark decontamination (CorpusClean.clean, the q96 chain) →
+    // the containment pass with the acyclic size rule (q155's operator,
+    // Refinery's filter) → the per-source dataset card (q167) over the
+    // CURATED survivors. A 100 TB deployment accepts the pipeline on
+    // this composite, not on the stages — each stage is oracle-gated
+    // alone; this row set proves they compose in BOTH engines. Same
+    // parameters as Refinery.run's defaults (gate 10–1000 tokens,
+    // decontam k=8, containment k=3 at 0.8, card k=8); benchmark =
+    // doc_id % 10 = 0 (the q79/q96 split).
+    QuerySpec("q243_refinery_composite",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val cleaned = graft.operators.CorpusClean.clean(
+          train, bench, "doc_id", "text")
+        val contained = graft.operators.Dedup.containmentPairs(
+            cleaned, "doc_id", "text", k = 3, minContainment = 0.8)
+          .filter(col("na") < col("nb") ||
+            (col("na") === col("nb") && col("a_id") > col("b_id")))
+          .select(col("a_id").as("doc_id")).distinct()
+        val curated = cleaned.join(contained, Seq("doc_id"), "left_anti")
+        graft.operators.CorpusStats.datasetCard(
+          curated, "source", "text", k = 8).orderBy("source")
+      },
+      Some("WITH gated AS (\n" +
+        """  SELECT doc_id, text, source FROM documents
+          |  WHERE doc_id % 10 <> 0
+          |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM (
+          |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+          |    FROM gated) GROUP BY nk
+          |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+          |sh8 AS (
+          |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
+        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+        s"""), 1, 15))::BIGINT AS h
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+          |        WHERE len(s) >= 8)
+          |), bm AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 10 = 0),
+          |cont AS (
+          |  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bm USING (h)
+          |  JOIN dd ON dd.doc_id = sh8.doc_id
+          |), cl AS (
+          |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
+          |  WHERE cont.doc_id IS NULL
+          |), sh3 AS (
+          |  SELECT DISTINCT doc_id,
+          |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
+          |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM cl))
+          |), szs AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+          |pc AS (SELECT h60 FROM sh3 GROUP BY h60
+          |       HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxBucketSize}),
+          |cp AS (SELECT sh3.doc_id, sh3.h60 FROM sh3 JOIN pc USING (h60)),
+          |pr AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |  FROM cp a JOIN cp b ON a.h60 = b.h60 AND a.doc_id <> b.doc_id
+          |  GROUP BY 1, 2
+          |), dropped AS (
+          |  SELECT DISTINCT a_id AS doc_id
+          |  FROM pr JOIN szs sa ON sa.doc_id = a_id
+          |  JOIN szs sb ON sb.doc_id = b_id
+          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+          |    AND (sa.n < sb.n OR (sa.n = sb.n AND a_id > b_id))
+          |), cur AS (
+          |  SELECT cl.* FROM cl LEFT JOIN dropped ON dropped.doc_id = cl.doc_id
+          |  WHERE dropped.doc_id IS NULL
+          |), keyed AS (
+          |  SELECT source, md5(text) AS k,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          |  FROM cur
+          |), m AS (
+          |  SELECT k, count(*) AS m FROM keyed GROUP BY k
+          |), core AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+          |  FROM keyed JOIN m USING (k) GROUP BY source
+          |), sp0 AS (
+          |  SELECT source,
+          |    unnest([('0x' || substr(md5(array_to_string(t[i:i+7],' ')),1,15))::BIGINT
+          |            FOR i IN range(1, len(t)-6)]) AS fp
+          |  FROM (SELECT source, string_split(text,' ') AS t FROM cur)
+          |  WHERE len(t) >= 8
+          |), sp AS (
+          |  SELECT DISTINCT source, fp FROM sp0
+          |), ns AS (
+          |  SELECT fp, count(*) AS ns FROM sp GROUP BY fp
+          |), nov AS (
+          |  SELECT source,
+          |    CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |      / CAST(count(*) AS DOUBLE) AS novelty
+          |  FROM sp JOIN ns USING (fp) GROUP BY source
+          |)
+          |SELECT c.source, n_docs, n_dup,
+          |  CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+          |  n_tokens,
+          |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+          |  novelty
+          |FROM core c LEFT JOIN nov USING (source)
+          |ORDER BY c.source""".stripMargin))
   )
 }

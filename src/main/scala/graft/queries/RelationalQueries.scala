@@ -619,7 +619,12 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_orders"),
             sum(when(abs(col("diff_u")) > 10000L, 1L).otherwise(0L))
               .as("n_mismatch"),
-            sum(abs(col("diff_u"))).cast("decimal(38,0)")
+            // Output surface is BIGINT: the internal sum rides
+            // DECIMAL(38,0), but the driver's compare layer
+            // canonicalizes wide decimals differently across DuckDB
+            // versions (r10/r11 lesson) — and every value here fits
+            // long with 100× headroom (max observed 7.87e15 < 2^63).
+            sum(abs(col("diff_u"))).cast("long")
               .as("total_abs_diff_u"),
             max(abs(col("diff_u"))).cast("long").as("max_abs_diff_u"))
           .orderBy("o_orderstatus")
@@ -645,7 +650,7 @@ object RelationalQueries {
              |SELECT o_orderstatus, count(*) AS n_orders,
              |  CAST(sum(CASE WHEN abs(stated_u - recomputed_u) > 10000
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
-             |  CAST(sum(abs(stated_u - recomputed_u)) AS DECIMAL(38,0))
+             |  CAST(sum(abs(stated_u - recomputed_u)) AS BIGINT)
              |    AS total_abs_diff_u,
              |  CAST(max(abs(stated_u - recomputed_u)) AS BIGINT)
              |    AS max_abs_diff_u

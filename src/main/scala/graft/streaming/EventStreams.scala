@@ -347,6 +347,48 @@ object EventStreams {
     * (id → text) alongside the corpus; the LABEL stream needs no such
     * archive — labels cover every arrival and are rebuild-equal, which
     * is what StreamingSpec proves. */
+  /** Prior state under `dir`, the current batch id excluded (a crashed
+    * attempt may have left its own partial write) — the same replay
+    * discipline as the ingest sinks' corpus reads. Shared by every
+    * ops-mode sink's tombstone/pair reads. */
+  private def priorBatches(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, batchId: Long): Option[DataFrame] = {
+    val prev = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("batch=").toLong).toOption)
+      .filter(_ != batchId)
+    if (prev.isEmpty) None
+    else Some(prev.map(b => spark.read.parquet(s"$dir/batch=$b"))
+      .reduce(_ unionByName _))
+  }
+
+  /** Split an ops-mode micro-batch into (adds, tombstone ids), persist
+    * this batch's tombstones under `tdir/batch=N` (replay-safe
+    * overwrite), and return every tombstone id ever seen — this batch's
+    * included, so deletes apply BEFORE the batch's own adds dedup.
+    * NULL-safe: "everything that is not a tombstone is an arriving
+    * document" includes rows whose op is NULL — a plain =!= would
+    * evaluate to NULL and silently drop them from BOTH branches.
+    * Returns (adds, this batch's tombstones, all tombstones ever) —
+    * the latter two None outside ops mode. */
+  private def splitOps(batch: DataFrame, batchId: Long, opCol: String,
+                       tdir: String, idCol: String, payloadCols: Seq[String])
+      : (DataFrame, Option[DataFrame], Option[DataFrame]) = {
+    if (opCol == null)
+      (batch.select((idCol +: payloadCols).map(col): _*), None, None)
+    else {
+      val adds = batch
+        .filter(coalesce(col(opCol), lit("")) =!= lit("delete"))
+        .select((idCol +: payloadCols).map(col): _*)
+      val dels = batch.filter(col(opCol) === lit("delete")).select(col(idCol))
+      dels.write.mode("overwrite").parquet(s"$tdir/batch=$batchId")
+      val allTombs = priorBatches(batch.sparkSession, tdir, batchId)
+        .fold(dels)(_ unionByName dels).distinct()
+      (adds, Some(dels), Some(allTombs))
+    }
+  }
+
   def nearDupIngestSink(stream: DataFrame, idCol: String, textCol: String,
                         corpusDir: String, checkpointDir: String,
                         numBands: Int = 4, minJaccard: Double = 0.1,
@@ -368,20 +410,6 @@ object EventStreams {
       corpusDir.stripSuffix("/") + "_labels")
     val tdir = corpusDir.stripSuffix("/") + "_tombstones"
     val pdir = corpusDir.stripSuffix("/") + "_pairs"
-    // prior state under `dir`, the current batch id excluded (a crashed
-    // attempt may have left its own partial write) — the same replay
-    // discipline as the corpus read
-    def priorBatches(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, batchId: Long): Option[DataFrame] = {
-      val prev = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => scala.util.Try(
-          f.getName.stripPrefix("batch=").toLong).toOption)
-        .filter(_ != batchId)
-      if (prev.isEmpty) None
-      else Some(prev.map(b => spark.read.parquet(s"$dir/batch=$b"))
-        .reduce(_ unionByName _))
-    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -390,25 +418,12 @@ object EventStreams {
         import graft.operators.Dedup
         try {
           val hasOps = opCol != null
-          // NULL-safe: "everything that is not a tombstone is an
-          // arriving document" must include rows whose op is NULL — a
-          // plain =!= would evaluate to NULL and silently drop them
-          // from BOTH branches
-          val adds = if (hasOps)
-            batch.filter(coalesce(col(opCol), lit("")) =!= lit("delete"))
-              .select(col(idCol), col(textCol))
-          else batch.select(col(idCol), col(textCol))
-          val dels = if (hasOps)
-            batch.filter(col(opCol) === lit("delete")).select(col(idCol))
-          else null
-          val hasDels = hasOps && !dels.isEmpty
-          if (hasOps) dels.write.mode("overwrite")
-            .parquet(s"$tdir/batch=$batchId")
-          // every tombstone ever, this batch's included — deletes apply
-          // BEFORE the adds dedup
-          val allTombs = if (!hasOps) None
-            else Some(priorBatches(spark, tdir, batchId)
-              .fold(dels)(_ unionByName dels).distinct())
+          // [[splitOps]]: NULL-safe add/tombstone split, this batch's
+          // tombstones persisted, allTombs includes this batch's — so
+          // deletes apply BEFORE the adds dedup
+          val (adds, dels, allTombs) =
+            splitOps(batch, batchId, opCol, tdir, idCol, Seq(textCol))
+          val hasDels = dels.exists(!_.isEmpty)
           val pairs = Dedup.lshPairs(adds, idCol, textCol,
             numBands, minJaccard, k, rowsPerBand)
           val batchKept = Dedup.applyClusters(adds, idCol,
@@ -456,7 +471,23 @@ object EventStreams {
               // a takedown can split a component (the deleted doc may
               // be its only bridge), which no label filter can express:
               // re-run CC over every surviving pair ever discovered
-              val residual = priorBatches(spark, pdir, batchId)
+              val priorPairs = priorBatches(spark, pdir, batchId)
+              // loud guard: label epochs from earlier batches exist but
+              // no pair history does — those batches ran with
+              // opCol=null, so a re-derivation here would silently
+              // recompute labels from a truncated pair history and drop
+              // every component discovered pre-ops. opCol must be set
+              // from the stream's FIRST batch (ops-mode batches always
+              // write a — possibly empty — pairs frame, so a healthy
+              // ops history always has prior batch dirs here)
+              if (prevEpochs.nonEmpty && priorPairs.isEmpty)
+                throw new IllegalStateException(
+                  s"nearDupIngestSink: label epochs exist under $ldir " +
+                    s"but no prior pair batches under $pdir — earlier " +
+                    "batches ran without opCol; takedown label " +
+                    "re-derivation would drop pre-ops components. " +
+                    "Set opCol from the stream's first batch.")
+              val residual = priorPairs
                 .fold(newPairs)(_ unionByName newPairs)
                 .join(allTombs.get.select(col(idCol).as("a_id")),
                   Seq("a_id"), "left_anti")
@@ -497,10 +528,23 @@ object EventStreams {
     * sink (overwrite own batch dir, corpus read excludes the current
     * batch id). Per-batch cost is the bipartite posting join of
     * [[graft.operators.Dedup.containmentAgainst]] — batch×corpus shared
-    * shingles, never corpus×corpus. */
+    * shingles, never corpus×corpus.
+    *
+    * TAKEDOWNS (`opCol` != null): identical merge-on-read discipline to
+    * [[nearDupIngestSink]] — `"delete"` rows are id-only tombstones,
+    * accumulated append-only under `corpusDir + "_tombstones"/batch=N`;
+    * every corpus read (this sink's and any external reader's)
+    * anti-joins them, and they apply BEFORE the batch's own containment
+    * filter, so an arrival whose only container was taken down in the
+    * same batch is kept. No label/pair state exists here, so a takedown
+    * needs no re-derivation — the post-takedown corpus equals a rebuild
+    * over surviving STORED docs (StreamingSpec proves it). Fold
+    * physically with [[compactTakedowns]]. Deleted ids must not be
+    * re-used by later arrivals (a tombstone is forever). */
   def containmentIngestSink(stream: DataFrame, idCol: String, textCol: String,
                             corpusDir: String, checkpointDir: String,
-                            k: Int = 3, minContainment: Double = 0.8)
+                            k: Int = 3, minContainment: Double = 0.8,
+                            opCol: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -509,17 +553,22 @@ object EventStreams {
         val spark = batch.sparkSession
         import graft.operators.Dedup
         try {
-          val within = Dedup.containmentPairs(batch, idCol, textCol,
+          val tdir = corpusDir.stripSuffix("/") + "_tombstones"
+          val (adds, _, allTombs) =
+            splitOps(batch, batchId, opCol, tdir, idCol, Seq(textCol))
+          val within = Dedup.containmentPairs(adds, idCol, textCol,
             k, minContainment)
             .filter(col("na") < col("nb") ||
               (col("na") === col("nb") && col("a_id") > col("b_id")))
             .select(col("a_id").as(idCol)).distinct()
-          val batchKept = batch.join(within, Seq(idCol), "left_anti")
+          val batchKept = adds.join(within, Seq(idCol), "left_anti")
           val survivors =
             if (new java.io.File(corpusDir).isDirectory) {
-              val corpus = spark.read.parquet(corpusDir)
+              val corpus0 = spark.read.parquet(corpusDir)
                 .filter(col("batch") =!= batchId)
                 .select(col(idCol), col(textCol))
+              val corpus = allTombs.fold(corpus0)(t =>
+                corpus0.join(t, Seq(idCol), "left_anti"))
               val contained = Dedup.containmentAgainst(batchKept, corpus,
                 idCol, textCol, k, minContainment)
                 // incumbent-aware size rule: drop the arrival only when
@@ -550,11 +599,19 @@ object EventStreams {
     * `corpusDir/batch=N`. Same replay-safety contract (overwrite own
     * subdir, exclude own batch id from the corpus read) and per-batch
     * cache release. `planes` must be the same literals across batches —
-    * they ARE the index; changing them re-buckets the world. */
+    * they ARE the index; changing them re-buckets the world.
+    *
+    * TAKEDOWNS (`opCol` != null): identical merge-on-read discipline to
+    * [[nearDupIngestSink]] — `"delete"` rows are id-only tombstones
+    * under `corpusDir + "_tombstones"/batch=N`, anti-joined by every
+    * corpus read and applied BEFORE the batch's cross-dedup (an arrival
+    * whose only semantic twin was taken down in the same batch is
+    * kept). No label state here, so no re-derivation; fold physically
+    * with [[compactTakedowns]]. Deleted ids are never re-usable. */
   def embeddingIngestSink(stream: DataFrame, idCol: String, vecCol: String,
                           corpusDir: String, checkpointDir: String,
                           planes: Seq[Array[Double]], planesPerBand: Int,
-                          minCos: Double)
+                          minCos: Double, opCol: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -563,15 +620,20 @@ object EventStreams {
         val spark = batch.sparkSession
         import graft.operators.{Dedup, Similarity}
         try {
-          val pairs = Similarity.embeddingNearDupPairs(batch, idCol, vecCol,
+          val tdir = corpusDir.stripSuffix("/") + "_tombstones"
+          val (adds, _, allTombs) =
+            splitOps(batch, batchId, opCol, tdir, idCol, Seq(vecCol))
+          val pairs = Similarity.embeddingNearDupPairs(adds, idCol, vecCol,
             blockCols = Nil, planes, planesPerBand, minCos)
-          val batchKept = Dedup.applyClusters(batch, idCol,
+          val batchKept = Dedup.applyClusters(adds, idCol,
             Dedup.dupClusters(pairs))
           val survivors =
             if (new java.io.File(corpusDir).isDirectory) {
-              val corpus = spark.read.parquet(corpusDir)
+              val corpus0 = spark.read.parquet(corpusDir)
                 .filter(col("batch") =!= batchId)
                 .select(col(idCol), col(vecCol))
+              val corpus = allTombs.fold(corpus0)(t =>
+                corpus0.join(t, Seq(idCol), "left_anti"))
               val dupped = Similarity.embeddingNearDupAgainst(batchKept,
                 corpus, idCol, vecCol, Nil, planes, planesPerBand, minCos)
                 .select(col("new_id").as(idCol)).distinct()
@@ -734,10 +796,14 @@ object EventStreams {
     graft.operators.PrioritySample.sampleWithTau(
       spark.read.parquet(stateDir), k)
 
-  /** Physically fold [[nearDupIngestSink]]'s merge-on-read tombstones —
-    * the compaction the Scaladoc there promises: rewrite the survivor
-    * corpus to live rows only (one fresh `batch=0` dir), prune
-    * tombstone-touching pairs from the pair state, and DROP the
+  /** Physically fold an ingest sink's merge-on-read tombstones — the
+    * compaction [[nearDupIngestSink]]'s (and [[containmentIngestSink]]/
+    * [[embeddingIngestSink]]'s) Scaladoc promises: rewrite the survivor
+    * corpus to live rows only (one fresh `batch=-1` dir — an id no
+    * stream batch can take, so a restart with a lost checkpoint whose
+    * first micro-batch runs as batchId=0 can neither hide nor
+    * overwrite the compacted data), prune tombstone-touching pairs
+    * from the pair state (when the sink keeps one), and DROP the
     * tombstone dirs, so subsequent corpus reads pay no anti-join and
     * state stops growing with takedown history. Same crash discipline
     * as [[graft.operators.Layout.compact]]: staged `.new` write, swap
@@ -745,7 +811,7 @@ object EventStreams {
     * Run only while the ingest stream is STOPPED (the swap is not
     * concurrent-safe); the stream resumes cleanly afterwards — batch
     * ids keep counting from the checkpoint, and the corpus/pairs reads
-    * treat the compacted `batch=0` like any prior batch
+    * treat the compacted `batch=-1` like any prior batch
     * (StreamingSpec proves post-compaction continuation). Labels need
     * no rewrite: every tombstone arrived in a delete batch, which
     * already re-derived its epoch from the residual pairs. Returns the
@@ -782,13 +848,20 @@ object EventStreams {
     val live = spark.read.parquet(corpusDir)
       .join(tombs, Seq(idCol), "left_anti")
       .drop("batch").localCheckpoint()
-    swapIn(corpusDir, nw => live.write.parquet(s"$nw/batch=0"))
+    // compacted data lives under batch=-1, an id no stream batch can
+    // ever take (stream batch ids are ≥ 0): if the ingest stream is
+    // later restarted with a fresh/lost checkpoint its first
+    // micro-batch runs as batchId=0, and a compacted batch=0 would be
+    // (a) hidden from dedup by the crash-replay filter
+    // (batch =!= batchId) and (b) destroyed by the survivors'
+    // mode(overwrite) write to corpus/batch=0
+    swapIn(corpusDir, nw => live.write.parquet(s"$nw/batch=-1"))
     if (Files.isDirectory(Paths.get(pdir))) {
       val residual = spark.read.parquet(pdir)
         .join(tombs.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
         .join(tombs.select(col(idCol).as("b_id")), Seq("b_id"), "left_anti")
         .drop("batch").localCheckpoint()
-      swapIn(pdir, nw => residual.write.parquet(s"$nw/batch=0"))
+      swapIn(pdir, nw => residual.write.parquet(s"$nw/batch=-1"))
     }
     graft.operators.Convert.deleteRecursively(Paths.get(tdir))
     live.count()

@@ -48,6 +48,23 @@ class HistSketchSpec extends SparkSpec {
       === Map(0L -> 1L, 1L -> 2L))
   }
 
+  test("over-deleting a bin fails loudly instead of clamping") {
+    val w = HistSketch.W
+    val full = HistSketch.sketch(Seq(0L, w).toDF("y"), "y")
+    // bin 0 holds 1 value; deleting it twice would drive the counter
+    // negative — the silent clamp would drop the bin as if cleanly
+    // drained, diverging from the delete-equals-rebuild contract
+    val twice = HistSketch.sketch(Seq(1L, 2L).toDF("y"), "y")
+    val e = intercept[Exception] {
+      HistSketch.delete(full, twice).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds bin count")),
+      s"expected the over-delete precondition message, got: $e")
+  }
+
   test("negative input fails loudly instead of mis-binning") {
     val bad = Seq(5L, -HistSketch.W / 2).toDF("y")
     val e = intercept[Exception] {

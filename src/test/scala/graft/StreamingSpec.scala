@@ -523,6 +523,158 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("streamed containment takedowns: tombstoned container frees its chunk; compaction folds") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def longDoc(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("r", "s", "t", "u", "v", "w", "x", "y", "z")
+        .map(_ + seed)
+      Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val full1 = longDoc(1); val full2 = longDoc(2)
+    def run(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(s"$tmp/in")
+      EventStreams.containmentIngestSink(
+        EventStreams.fileStream(spark, wave.schema, s"$tmp/in"),
+        "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+        opCol = "op").awaitTermination()
+    }
+    run(Seq((1L, full1, "add"), (2L, full2, "add"))
+      .toDF("doc_id", "text", "op"))
+    // wave 2: full2's takedown arrives IN THE SAME BATCH as a chunk of
+    // it — the chunk's only container is gone, so it must be KEPT
+    // (deletes apply before the containment filter); a chunk of
+    // still-live full1 must still be dropped
+    run(Seq(
+      (2L, "", "delete"),
+      (21L, full2.split(" ").slice(5, 20).mkString(" "), "add"),
+      (22L, full1.split(" ").slice(10, 25).mkString(" "), "add"))
+      .toDF("doc_id", "text", "op"))
+    // merge-on-read: a reader anti-joins the tombstones
+    val tombs = spark.read.parquet(s"$tmp/corpus_tombstones")
+      .select("doc_id").distinct()
+    val live = spark.read.parquet(s"$tmp/corpus")
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(live === Set(1L, 21L))
+    // physical compaction: live rows only under batch=-1, no tombstone
+    // dir, stream resumes over the compacted layout
+    assert(EventStreams.compactTakedowns(spark, s"$tmp/corpus", "doc_id")
+      === 2L)
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 21L))
+    assert(!new java.io.File(s"$tmp/corpus_tombstones").exists())
+    run(Seq(
+      (31L, full1.split(" ").slice(20, 35).mkString(" "), "add"),
+      (32L, longDoc(9), "add")).toDF("doc_id", "text", "op"))
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 21L, 32L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
+  test("streamed embedding takedowns: tombstoned twin frees its dup; compaction folds") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val planes = graft.functions.VectorFunctions.gaussianPlanes(8, 8)
+    def jitter(v: Seq[Double], eps: Double) = v.map(_ + eps)
+    val base1 = Seq(1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25)
+    val base2 = Seq(-3.0, 1.0, 2.0, -0.5, 1.0, 2.5, -1.0, 0.75)
+    def run(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(s"$tmp/in")
+      EventStreams.embeddingIngestSink(
+        EventStreams.fileStream(spark, wave.schema, s"$tmp/in"),
+        "vec_id", "v", s"$tmp/corpus", s"$tmp/ckpt",
+        planes, planesPerBand = 4, minCos = 0.999,
+        opCol = "op").awaitTermination()
+    }
+    run(Seq((1L, base1, "add"), (3L, base2, "add"))
+      .toDF("vec_id", "v", "op"))
+    // wave 2: 3's takedown arrives with its own near-twin 13 — 13 must
+    // be KEPT (its only semantic twin is gone); 14, a twin of still-live
+    // 1, must be dropped
+    run(Seq(
+      (3L, Seq.fill(8)(0.0), "delete"),
+      (13L, jitter(base2, 1e-4), "add"),
+      (14L, jitter(base1, 1e-4), "add")).toDF("vec_id", "v", "op"))
+    val tombs = spark.read.parquet(s"$tmp/corpus_tombstones")
+      .select("vec_id").distinct()
+    val live = spark.read.parquet(s"$tmp/corpus")
+      .join(tombs, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(live === Set(1L, 13L))
+    assert(EventStreams.compactTakedowns(spark, s"$tmp/corpus", "vec_id")
+      === 2L)
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 13L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
+  test("post-compaction restart with a lost checkpoint neither hides nor destroys the corpus") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    val A = rep("alpha beta gamma delta", 6)
+    val R = rep("rho sigma tau upsilon", 6)
+    def run(wave: org.apache.spark.sql.DataFrame, in: String,
+            ckpt: String): Unit = {
+      wave.write.mode("append").parquet(in)
+      EventStreams.nearDupIngestSink(
+        EventStreams.fileStream(spark, wave.schema, in),
+        "doc_id", "text", s"$tmp/corpus", ckpt,
+        rowsPerBand = 1, opCol = "op").awaitTermination()
+    }
+    run(Seq((1L, A, "add"), (7L, R, "add")).toDF("doc_id", "text", "op"),
+      s"$tmp/in", s"$tmp/ckpt")
+    run(Seq((7L, "", "delete")).toDF("doc_id", "text", "op"),
+      s"$tmp/in", s"$tmp/ckpt")
+    assert(EventStreams.compactTakedowns(spark, s"$tmp/corpus", "doc_id")
+      === 1L)
+    // the disaster drill: the checkpoint is lost (fresh dir) and the old
+    // inputs are archived (fresh input dir) — the restarted stream's
+    // first micro-batch runs as batchId=0. The compacted corpus lives
+    // under batch=-1, so it is (a) still visible to dedup (16, a twin
+    // of compacted survivor 1, must be dropped) and (b) not clobbered
+    // by the batch's own mode(overwrite) write to corpus/batch=0
+    run(Seq((16L, A + " coda", "add")).toDF("doc_id", "text", "op"),
+      s"$tmp/in2", s"$tmp/ckpt2")
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
+  test("ops mode enabled mid-stream fails loudly on the first takedown") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    val wave1 = Seq((1L, rep("alpha beta gamma delta", 6)),
+      (7L, rep("rho sigma tau upsilon", 6))).toDF("doc_id", "text")
+    wave1.write.parquet(s"$tmp/in")
+    // batch 0 runs WITHOUT opCol: labels fold, but no pair history is
+    // persisted
+    EventStreams.nearDupIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+      rowsPerBand = 1).awaitTermination()
+    // batch 1 (same checkpoint — the stream keeps counting) enables ops
+    // and carries a takedown: label re-derivation would run over a
+    // truncated pair history — must fail loudly, not silently drop
+    // pre-ops components
+    val wave2 = Seq((7L, "", "delete")).toDF("doc_id", "text", "op")
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    val ex = intercept[Exception] {
+      EventStreams.nearDupIngestSink(
+        EventStreams.fileStream(spark, wave2.schema, s"$tmp/in"),
+        "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+        rowsPerBand = 1, opCol = "op").awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pre-ops components")))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("streaming KMV sketch maintenance equals the batch sketch over all arrivals") {
     import graft.operators.CorpusStats
     val tmp = Files.createTempDirectory("streamspec").toString
