@@ -47,10 +47,44 @@ object Convert {
     * sentinel, only genuinely absent fields parse as null. */
   val ReaderNullSentinel = "\\N"
 
-  private def csvWriter(df: DataFrame, maxRecordsPerFile: Long) =
-    df.write
+  /** CSV serialization fast path: pre-render timestamp columns to
+    * strings through the codegen'd [[graft.plans.CsvTimestampExpr]]
+    * (integer-math `yyyy-MM-dd HH:mm:ss.SSSSSS` at the session zone —
+    * byte-identical to what the univocity writer's DateTimeFormatter
+    * would emit, proven by CsvTimestampSpec) so the writer emits them
+    * verbatim. Measured at ~43% of the matched-scale conversion (k2)
+    * before this; the `timestampFormat` option stays pinned for any
+    * timestamp that bypasses the rewrite. `exclude` keeps
+    * hive-partition columns in their native type — partition directory
+    * naming has its own formatting rules and must not see pre-rendered
+    * strings. */
+  private def fastCsvTimestamps(df: DataFrame,
+                                exclude: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, col}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ts = df.schema.fields
+      .filter(f => (f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType) && !exclude(f.name))
+    if (ts.isEmpty) df
+    else {
+      graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+      val tsNames = ts.map(_.name).toSet
+      df.select(df.schema.fieldNames.map { n =>
+        if (tsNames(n)) call_function("graft_csv_ts", col(s"`$n`")).as(n)
+        else col(s"`$n`")
+      }.toSeq: _*)
+    }
+  }
+
+  private def csvWriter(df: DataFrame, maxRecordsPerFile: Long,
+                        partitionCols: Set[String] = Set.empty) =
+    fastCsvTimestamps(df, partitionCols).write
       .option("header", "true")
       .option("timestampFormat", TimestampFormat)
+      // NTZ must round-trip at the same pinned micro precision — the
+      // writer's NTZ default (ISO-'T', millis) would silently truncate
+      // microseconds (round-12 finding; CsvTimestampSpec pins this)
+      .option("timestampNTZFormat", TimestampFormat)
       .option("nullValue", NullValue)
       .option("emptyValue", EmptyValue)
       // the WRITER defaults these to true and silently trims string cells;
@@ -99,7 +133,8 @@ object Convert {
     * slice of a 100 TB output. */
   def toCsvPartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
                        maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit =
-    csvWriter(df, maxRecordsPerFile).partitionBy(partitionCols: _*).csv(outDir)
+    csvWriter(df, maxRecordsPerFile, partitionCols.toSet)
+      .partitionBy(partitionCols: _*).csv(outDir)
 
   /** K5 — parquet write. `codec` picks the compression (snappy is the
     * balanced default; zstd trades ~30% smaller files for CPU — the
@@ -118,7 +153,8 @@ object Convert {
   /** CSV → parquet (the reverse conversion, closing the format loop). */
   def csvToParquet(spark: SparkSession, in: String, outDir: String): Unit =
     toParquet(spark.read.option("header", "true").option("inferSchema", "true")
-      .option("timestampFormat", TimestampFormat).csv(in), outDir)
+      .option("timestampFormat", TimestampFormat)
+      .option("timestampNTZFormat", TimestampFormat).csv(in), outDir)
 
   /** JSON-lines sink: one JSON object per row, files capped like the CSV
     * sink — the interchange format most ingestion pipelines speak. Same
@@ -128,6 +164,7 @@ object Convert {
     df.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("timestampFormat", TimestampFormat)
+      .option("timestampNTZFormat", TimestampFormat)
       .mode(SaveMode.Overwrite).json(outDir)
 
   /** ORC sink (the other columnar format Spark ships natively). */

@@ -154,6 +154,14 @@ object GraftFunctions {
     // the sketch once per task): exposed as a function so library code can
     // broadcast a driver-built BloomFilter as a binary literal and probe it
     // without a Scala UDF. Args: (serialized filter BINARY, value BIGINT).
+    (FunctionIdentifier("graft_csv_ts"),
+      new ExpressionInfo(classOf[CsvTimestampExpr].getName, "graft_csv_ts"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_csv_ts expects 1 argument (timestamp), got ${exprs.length}")
+        CsvTimestampExpr(exprs.head)
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -71,6 +71,7 @@ object Scan {
                       timestampFormat: String = graft.operators.Convert.TimestampFormat): DataFrame =
     spark.read.schema(schema)
       .option("timestampFormat", timestampFormat)
+      .option("timestampNTZFormat", timestampFormat)
       .json(path)
 
   /** ORC scan — columnar like parquet: pruned columns and pushed
@@ -88,6 +89,7 @@ object Scan {
     spark.read.schema(schema)
       .option("header", "true")
       .option("timestampFormat", timestampFormat)
+      .option("timestampNTZFormat", timestampFormat)
       .option("nullValue", graft.operators.Convert.ReaderNullSentinel)
       // multiLine parses quoted embedded newlines correctly but reads
       // each FILE as one unsplittable unit — at scale leave it off unless

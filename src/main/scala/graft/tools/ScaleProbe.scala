@@ -147,7 +147,8 @@ object ScaleProbe {
       // against a vocabulary-sized covered set
       "q237_priority_sample_ht", "q238_label_propagation",
       "q239_prefix_filter_join", "q240_rendezvous_sharding",
-      "q241_greedy_source_cover")
+      "q241_greedy_source_cover", "q242_token_waterfill",
+      "q243_refinery_composite", "q244_mixture_design")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -288,8 +288,7 @@ class MetricsSpec extends SparkSpec {
 
     val got = SparkEntry.queries("q230_order_total_audit")(spark, tmp)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact(),
-          r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // status O: order 1 diff 0; order 2 diff exactly 0.01 = 10^4 units
     assert(got("O") === ((2L, 0L, 10000L, 10000L)))
     // status F: order 3 diff 1.00 = 10^6; order 4 diff 7.25 = 7.25·10^6
