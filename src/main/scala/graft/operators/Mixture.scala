@@ -63,6 +63,95 @@ object Mixture {
     chosen.toDF("round", "source", "gain", "cum_coverage")
   }
 
+  /** Greedy k-CENTER diverse subset selection over an embedding column —
+    * farthest-first traversal (Gonzalez's 2-approximation to the k-center
+    * objective), the "pick k maximally spread exemplars" primitive behind
+    * diverse eval sets and annotation batches. EXACT fixed-point: each
+    * component quantizes to round(v·10⁶) BIGINT (the q179 discipline),
+    * distances are integer squared Euclidean (dim·(2·10⁶)² ≈ 8.6·10¹³ —
+    * comfortably in long for unit-scale embeddings), so the trajectory is
+    * bit-reproducible in any engine. Seed = the minimum id (deterministic);
+    * each round picks the point with the LARGEST min-distance to the
+    * chosen set (ties to id ASC) and folds its distances in with a
+    * least(). Returns (round, id, d2_min) — d2_min is the selection-time
+    * min squared distance (0 for the seed), the k-center radius curve.
+    *
+    * Scale shape: the min-distance frame is corpus-sized but NARROW
+    * (id, d2); each round costs one broadcast 1×dim join + keyed sum —
+    * k·corpus work, never corpus²; only the 1-row argmax crosses the
+    * driver per round (the Bpe convention). */
+  def kCenters(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = OperatorCaches.persistTracked(
+      vectors.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "vv")))
+        .select(col(idCol).as("vid"), col("pos"),
+          round(col("vv").cast("double") * 1000000d).cast("long").as("q")))
+    def d2To(c: Long): DataFrame =
+      q.join(broadcast(q.filter(col("vid") === c)
+          .select(col("pos"), col("q").as("qc"))), "pos")
+        .groupBy(col("vid"))
+        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("nd"))
+    val first = vectors.agg(min(col(idCol))).head.getLong(0)
+    var chosen = Seq((1L, first, 0L))
+    var mind = OperatorCaches.persistTracked(
+      d2To(first).withColumnRenamed("nd", "d2"))
+    (2 to k).foreach { r =>
+      val pick = mind.filter(!col("vid").isin(chosen.map(_._2): _*))
+        .orderBy(desc("d2"), asc("vid")).limit(1).collect().head
+      val (cid, cd) = (pick.getLong(0), pick.getLong(1))
+      chosen :+= ((r.toLong, cid, cd))
+      if (r < k)
+        mind = OperatorCaches.persistTracked(
+          mind.join(d2To(cid), "vid")
+            .select(col("vid"), least(col("d2"), col("nd")).as("d2")))
+    }
+    chosen.toDF("round", idCol, "d2_min")
+  }
+
+  /** Stratified sampling with EXACT largest-remainder allocation
+    * (Hamilton's method): split a target of `n` documents across
+    * sources proportionally to an integer weight (token volume), with
+    * the fractional remainders resolved deterministically — floor each
+    * quota n·w_s/W, then give the missing n − Σfloor seats to the
+    * largest integer remainders (n·w_s − floor·W), ties to source ASC.
+    * Within each source the quota is filled by md5-hash rank over the
+    * id (a deterministic "random" order both engines reproduce — the
+    * q66 split discipline), ties to id. Returns the selected
+    * (source, id, quota_s) rows.
+    *
+    * Scale shape: the allocation lives on the |sources|-row frame (one
+    * global window — the hour-spine argument); the selection is one
+    * source-partitioned window rank over the corpus, no skew beyond the
+    * largest stratum. The curation op behind balanced eval sets and
+    * per-source training caps. */
+  def stratifiedSample(docs: DataFrame, idCol: String, srcCol: String,
+                       weights: DataFrame, n: Long): DataFrame = {
+    // weights: (source, w) integer volumes, one row per source
+    val tot = weights.agg(sum(col("w")).as("tw"), count(lit(1)).as("ns"))
+    val quotas0 = weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("w"), col("tw"),
+        expr(s"CAST($n AS BIGINT) * w DIV tw").as("fl"),
+        expr(s"CAST($n AS BIGINT) * w - (CAST($n AS BIGINT) * w DIV tw) * tw")
+          .as("rem"))
+    val deficit = quotas0.agg((lit(n) - sum(col("fl"))).as("deficit"))
+    val quotas = quotas0.crossJoin(broadcast(deficit))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(desc("rem"), asc("source"))).cast("long"))
+      .select(col("source"),
+        (col("fl") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+          .as("quota_s"))
+    val ranked = docs
+      .select(col(srcCol).as("source"), col(idCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))).cast("long"))
+    ranked.join(quotas, Seq("source"))
+      .filter(col("rk") <= col("quota_s"))
+      .select(col("source"), col(idCol), col("quota_s"))
+  }
+
   /** Exact integer WATER-FILLING of a token budget over source volumes:
     * keep budget = total·num DIV den tokens, capping the biggest sources
     * at a common level so every source below the level is kept whole

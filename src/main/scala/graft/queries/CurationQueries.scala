@@ -1103,5 +1103,51 @@ object CurationQueries {
           |FROM tok JOIN picks USING (source) CROSS JOIN lv
           |ORDER BY round""".stripMargin
         shCte + rounds + waterfill
-      }))
+      }),
+
+    // Stratified sampling with EXACT largest-remainder (Hamilton)
+    // allocation: 100 eval documents split across sources proportionally
+    // to token volume — floor quotas, the missing seats to the largest
+    // integer remainders (ties source ASC) — then each stratum filled by
+    // md5-hash rank over the id (the deterministic "random" both engines
+    // reproduce, the q66 split discipline). The balanced-eval-set /
+    // per-source-cap primitive; allocation is |sources|-row exact
+    // integer arithmetic, selection one source-partitioned window. See
+    // operators/Mixture.stratifiedSample.
+    QuerySpec("q246_stratified_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = docs.groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
+        graft.operators.Mixture.stratifiedSample(
+          docs, "doc_id", "source", w, n = 100L)
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+             |  FROM documents GROUP BY 1
+             |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+             |q0 AS (
+             |  SELECT source, w, 100 * w // tw AS fl,
+             |    100 * w - (100 * w // tw) * tw AS rem
+             |  FROM w, tot
+             |), def AS (
+             |  SELECT 100 - CAST(sum(fl) AS BIGINT) AS deficit FROM q0
+             |), q AS (
+             |  SELECT source,
+             |    CAST(fl + CASE WHEN row_number()
+             |        OVER (ORDER BY rem DESC, source) <= deficit
+             |      THEN 1 ELSE 0 END AS BIGINT) AS quota_s
+             |  FROM q0, def
+             |), r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents
+             |)
+             |SELECT r.source, r.doc_id, quota_s
+             |FROM r JOIN q ON q.source = r.source
+             |WHERE r.rk <= quota_s
+             |ORDER BY r.source, r.doc_id""".stripMargin)))
 }

@@ -691,6 +691,63 @@ object SimilarityQueries {
              |  round(nearest.separation, 4) AS separation4,
              |  round(coh.cohesion - nearest.separation, 4) AS margin4
              |FROM coh JOIN nearest USING (label)
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // Greedy k-CENTER diverse subset over the embedding corpus —
+    // farthest-first traversal (Gonzalez), the "k maximally spread
+    // exemplars" pick behind diverse eval sets and annotation batches.
+    // Exact fixed-point trajectory (round(v·10⁶) quantization, integer
+    // squared Euclidean, deterministic min-id seed and DESC/id-ASC
+    // argmax ties) so the whole greedy path — not just the final set —
+    // hash-matches the oracle's unrolled rounds. d2_min is the k-center
+    // radius curve: its decay tells a curator when additional exemplars
+    // stop buying coverage. See operators/Mixture.kCenters for the
+    // k·corpus (never corpus²) cost shape.
+    QuerySpec("q245_kcenter_diverse",
+      (s, d) => graft.operators.Mixture.kCenters(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("round"),
+      Some {
+        val head = """WITH qv AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+          |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+          |  FROM embeddings
+          |), c1 AS (
+          |  SELECT CAST(min(vec_id) AS BIGINT) AS vec_id FROM embeddings
+          |), m1 AS (
+          |  SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+          |  FROM qv a JOIN qv b ON a.pos = b.pos
+          |    AND b.vec_id = (SELECT vec_id FROM c1)
+          |  GROUP BY a.vec_id
+          |)""".stripMargin
+        val rounds = (2 to 5).map { r =>
+          val prevPicks = (Seq("SELECT vec_id FROM c1") ++
+            (2 until r).map(i => s"SELECT vec_id FROM p$i"))
+            .mkString(" UNION ")
+          val pick = s"""
+            |, p$r AS (
+            |  SELECT vec_id, d2 FROM m${r - 1}
+            |  WHERE vec_id NOT IN ($prevPicks)
+            |  ORDER BY d2 DESC, vec_id LIMIT 1
+            |)""".stripMargin
+          val fold = if (r >= 5) "" else s"""
+            |, m$r AS (
+            |  SELECT m.vec_id, least(m.d2, n.d2) AS d2
+            |  FROM m${r - 1} m JOIN (
+            |    SELECT a.vec_id,
+            |      CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+            |    FROM qv a JOIN qv b ON a.pos = b.pos
+            |      AND b.vec_id = (SELECT vec_id FROM p$r)
+            |    GROUP BY a.vec_id) n ON n.vec_id = m.vec_id
+            |)""".stripMargin
+          pick + fold
+        }.mkString
+        val sel = (Seq("SELECT CAST(1 AS BIGINT) AS round, vec_id, " +
+          "CAST(0 AS BIGINT) AS d2_min FROM c1") ++
+          (2 to 5).map(r =>
+            s"SELECT CAST($r AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p$r"))
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+        head + rounds + sel
+      })
   )
 }

@@ -898,6 +898,23 @@ object EventStreams {
       }
       .start()
 
+  /** Serve the water-filled token budget from [[sourceBalanceMonitorSink]]
+    * state — q242's production form: the per-source token volumes under
+    * `stateDir/batch=K` are exact integer partials, so their sum at read
+    * equals the batch recompute over every arrived document, and the
+    * water-filling level computed from the merged volumes IS the batch
+    * q242 allocation (StreamingSpec proves streamed ≡ batch). This is
+    * how a live ingestion pipeline re-derives "how much of each source
+    * do we keep" after every batch without re-tokenizing history — the
+    * companion dial to the Gini concentration report the sink already
+    * publishes. */
+  def servingTokenBudget(spark: SparkSession, stateDir: String,
+                         num: Long = 9L, den: Long = 10L): DataFrame =
+    graft.operators.Mixture.waterfill(
+      spark.read.parquet(stateDir)
+        .groupBy("source").agg(sum(col("x")).as("tokens")),
+      num, den)
+
   /** Streaming source-modularity monitor — q206's production form: each
     * arriving batch contributes its near-dup edges (batch-internal LSH
     * pairs, plus the bipartite batch×earlier-arrivals pairs — each

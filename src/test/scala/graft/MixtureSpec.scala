@@ -32,6 +32,43 @@ class MixtureSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("k-center picks the planted farthest-first trajectory with exact ties") {
+    // quantized geometry: seed = min id (1); ids 3 and 4 are both at
+    // squared distance 1e12 from it — the tie breaks to id ASC (3); the
+    // near-twin 2 (d²=1e10) is never picked
+    val vs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val got = Mixture.kCenters(vs, "vec_id", "v", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 1L, 0L),
+      (2L, 3L, 1000000000000L),
+      (3L, 4L, 1000000000000L)))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("stratified sample allocates by largest remainder and fills by hash rank") {
+    // weights 55/28/17 at n=10: floors 5/2/1 leave 2 seats; remainders
+    // 50/80/70 give them to b then c — quotas 5/3/2
+    val docs = (1 to 60).map { i =>
+      val src = if (i <= 30) "a" else if (i <= 50) "b" else "c"
+      (i.toLong, src)
+    }.toDF("doc_id", "source")
+    val w = Seq(("a", 55L), ("b", 28L), ("c", 17L)).toDF("source", "w")
+    val got = Mixture.stratifiedSample(docs, "doc_id", "source", w, n = 10L)
+    val counts = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // quota column rides every selected row; selection is deterministic
+    assert(got.select("quota_s").distinct().as[Long].collect().toSet
+      === Set(5L, 3L, 2L))
+    val again = Mixture.stratifiedSample(docs, "doc_id", "source", w, n = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("water-filling finds the exact integer level and caps only above it") {
     // volumes 10/20/70, budget 90% of 100 = 90: the level is 60 — the
     // two small sources are kept whole, the big one is capped, and the
