@@ -58,19 +58,40 @@ object HistSketch {
     * the join touches ≤ range/W rows on both sides. q236 oracle-gates
     * quantiles served from the pruned sketch against a DuckDB fresh
     * build over the remainder — the rebuild equivalence IS the gate. */
-  def delete(bins: DataFrame, deletedBins: DataFrame): DataFrame =
-    bins.join(deletedBins.withColumnsRenamed(Map("c" -> "cd")),
-        Seq("bin"), "left")
-      // fail LOUDLY on over-deletion (deleting values never inserted,
-      // or deleting twice): a silent clamp would drop the bin as if
-      // cleanly drained and diverge from the delete-equals-rebuild
-      // contract above without any signal
+  def delete(bins: DataFrame, deletedBins: DataFrame): DataFrame = {
+    val dd = deletedBins.withColumnsRenamed(Map("c" -> "cd"))
+    val msg = "HistSketch.delete: deleted count exceeds bin count — " +
+      "deleting values never inserted breaks rebuild equivalence"
+    val pruned = bins.join(dd, Seq("bin"), "left")
+      // fail LOUDLY on over-deletion (deleting twice): a silent clamp
+      // would drop the bin as if cleanly drained and diverge from the
+      // delete-equals-rebuild contract above without any signal
       .filter(isnull(assert_true(coalesce(col("cd"), lit(0L)) <= col("c"),
-        lit("HistSketch.delete: deleted count exceeds bin count — " +
-          "deleting values never inserted breaks rebuild equivalence"))))
+        lit(msg))))
       .select(col("bin"),
         (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
       .filter(col("c") > 0L)
+    // the OTHER over-deletion form — a bin the sketch never held — is
+    // invisible to the left join above, so it rides a dedicated
+    // anti-join branch unioned into the result: any orphan row trips
+    // the per-row assert when the frame is consumed. Two optimizer
+    // traps shaped this formulation (both observed, not hypothetical):
+    // a full-join variant gets converted back to a left join by the
+    // trailing c > 0 filter (dropping the null-c rows before their
+    // assert runs), and a filter-based assert on the anti-join output
+    // gets PUSHED BELOW the join (it references only dd's columns) and
+    // fires on every deletedBins row. So the assert lives in the output
+    // PROJECTION, wrapped around the key column — a projection defines
+    // the branch's output and cannot sink below the join, and the key
+    // is always consumed. The condition references the row (cd is never
+    // null here) so constant folding cannot evaluate it at plan time.
+    val orphans = dd.join(bins.select(col("bin")), Seq("bin"), "left_anti")
+      .select(
+        when(isnull(assert_true(col("cd").isNull, lit(msg))), col("bin"))
+          .as("bin"),
+        col("cd").as("c"))
+    pruned.unionByName(orphans)
+  }
 
   /** Quantile estimates from a bin frame alone: for each requested
     * percentile p (integer percent), target rank r = ⌈p·N/100⌉, the

@@ -93,11 +93,17 @@ object Mixture {
           .select(col("pos"), col("q").as("qc"))), "pos")
         .groupBy(col("vid"))
         .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("nd"))
+    // bound rounds by the corpus size (the greedySourceCover rule): with
+    // fewer than k vectors the argmax .head would throw, while the SQL
+    // oracle's empty CTEs return fewer rows — match that. Empty corpora
+    // fail the loud-precondition way.
+    val nVecs = vectors.count()
+    require(nVecs > 0, "kCenters: empty vector corpus")
     val first = vectors.agg(min(col(idCol))).head.getLong(0)
     var chosen = Seq((1L, first, 0L))
     var mind = OperatorCaches.persistTracked(
       d2To(first).withColumnRenamed("nd", "d2"))
-    (2 to k).foreach { r =>
+    (2 to math.min(k.toLong, nVecs).toInt).foreach { r =>
       val pick = mind.filter(!col("vid").isin(chosen.map(_._2): _*))
         .orderBy(desc("d2"), asc("vid")).limit(1).collect().head
       val (cid, cd) = (pick.getLong(0), pick.getLong(1))
@@ -129,9 +135,9 @@ object Mixture {
   def stratifiedSample(docs: DataFrame, idCol: String, srcCol: String,
                        weights: DataFrame, n: Long): DataFrame = {
     // weights: (source, w) integer volumes, one row per source
-    val tot = weights.agg(sum(col("w")).as("tw"), count(lit(1)).as("ns"))
+    val tot = weights.agg(sum(col("w")).as("tw"))
     val quotas0 = weights.crossJoin(broadcast(tot))
-      .select(col("source"), col("w"), col("tw"),
+      .select(col("source"),
         expr(s"CAST($n AS BIGINT) * w DIV tw").as("fl"),
         expr(s"CAST($n AS BIGINT) * w - (CAST($n AS BIGINT) * w DIV tw) * tw")
           .as("rem"))

@@ -40,7 +40,7 @@ object FastTimestampFormat {
 
   /** TIMESTAMP_NTZ variant: the micros already encode the wall-clock
     * local datetime, so no zone adjustment applies. */
-  def formatNtz(micros: Long): UTF8String = formatLocal(micros,
+  def formatNtz(micros: Long): UTF8String = formatLocal(
     Math.floorDiv(micros, MicrosPerSecond),
     Math.floorMod(micros, MicrosPerSecond).toInt, 0, ZoneOffset.UTC)
 
@@ -52,10 +52,10 @@ object FastTimestampFormat {
       case _ => zone.getRules.getOffset(Instant.ofEpochSecond(secs))
         .getTotalSeconds
     }
-    formatLocal(micros, secs, frac, offsetSecs, zone)
+    formatLocal(secs, frac, offsetSecs, zone)
   }
 
-  private def formatLocal(micros: Long, secs: Long, frac: Int,
+  private def formatLocal(secs: Long, frac: Int,
                           offsetSecs: Int, zone: ZoneId): UTF8String = {
     val local = secs + offsetSecs
     val days = Math.floorDiv(local, 86400L)

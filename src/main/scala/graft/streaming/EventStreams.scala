@@ -460,6 +460,27 @@ object EventStreams {
             else Some(spark.read.parquet(s"$ldir/epoch=${prevEpochs.max}"))
           val newPairs = crossPairs.foldLeft(
             pairs.select(col("a_id"), col("b_id")))(_ unionByName _)
+          // loud guard, checked on EVERY ops batch (not just delete
+          // batches — detection must fire at the first ops batch, or an
+          // ops add-only batch would create pair history and mask the
+          // gap from a later takedown): label epochs from earlier
+          // batches exist but no pair history does — those batches ran
+          // with opCol=null, so a future takedown's re-derivation would
+          // silently recompute labels from a truncated pair history and
+          // drop every component discovered pre-ops. opCol must be set
+          // from the stream's FIRST batch (ops-mode batches always
+          // write a — possibly empty — pairs frame, so a healthy ops
+          // history always has prior batch dirs here). Checked BEFORE
+          // this batch's own pairs write, which would otherwise mask
+          // the gap from a replay of this very batch.
+          if (hasOps && prevEpochs.nonEmpty &&
+              priorBatches(spark, pdir, batchId).isEmpty)
+            throw new IllegalStateException(
+              s"nearDupIngestSink: label epochs exist under $ldir " +
+                s"but no prior pair batches under $pdir — earlier " +
+                "batches ran without opCol; takedown label " +
+                "re-derivation would drop pre-ops components. " +
+                "Set opCol from the stream's first batch.")
           // ops mode persists each batch's pair stream append-only: a
           // future takedown re-derives labels from the residual pairs
           // (a pairs-sized state, bounded by the bucket caps — never
@@ -471,23 +492,7 @@ object EventStreams {
               // a takedown can split a component (the deleted doc may
               // be its only bridge), which no label filter can express:
               // re-run CC over every surviving pair ever discovered
-              val priorPairs = priorBatches(spark, pdir, batchId)
-              // loud guard: label epochs from earlier batches exist but
-              // no pair history does — those batches ran with
-              // opCol=null, so a re-derivation here would silently
-              // recompute labels from a truncated pair history and drop
-              // every component discovered pre-ops. opCol must be set
-              // from the stream's FIRST batch (ops-mode batches always
-              // write a — possibly empty — pairs frame, so a healthy
-              // ops history always has prior batch dirs here)
-              if (prevEpochs.nonEmpty && priorPairs.isEmpty)
-                throw new IllegalStateException(
-                  s"nearDupIngestSink: label epochs exist under $ldir " +
-                    s"but no prior pair batches under $pdir — earlier " +
-                    "batches ran without opCol; takedown label " +
-                    "re-derivation would drop pre-ops components. " +
-                    "Set opCol from the stream's first batch.")
-              val residual = priorPairs
+              val residual = priorBatches(spark, pdir, batchId)
                 .fold(newPairs)(_ unionByName newPairs)
                 .join(allTombs.get.select(col(idCol).as("a_id")),
                   Seq("a_id"), "left_anti")

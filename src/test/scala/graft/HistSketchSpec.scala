@@ -38,14 +38,21 @@ class HistSketchSpec extends SparkSpec {
       === HistSketch.quantiles(rebuilt, ps).collect().map(_.toSeq).toSeq)
   }
 
-  test("deleting values absent from the sketch leaves untouched bins intact") {
+  test("deleting a bin the sketch never held fails loudly") {
     val w = HistSketch.W
     val full = HistSketch.sketch(Seq(0L, w, w + 1).toDF("y"), "y")
-    // bin 9 was never in the full sketch: the left join ignores it
-    val pruned = HistSketch.delete(
-      full, HistSketch.sketch(Seq(9 * w).toDF("y"), "y"))
-    assert(pruned.as[(Long, Long)].collect().toMap
-      === Map(0L -> 1L, 1L -> 2L))
+    // bin 9 was never in the full sketch: deleting values never
+    // inserted breaks rebuild equivalence and must error, not be
+    // silently ignored (the same loud contract as over-deletion)
+    val e = intercept[Exception] {
+      HistSketch.delete(
+        full, HistSketch.sketch(Seq(9 * w).toDF("y"), "y")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds bin count")),
+      s"expected the over-delete precondition message, got: $e")
   }
 
   test("over-deleting a bin fails loudly instead of clamping") {

@@ -46,6 +46,9 @@ class MixtureSpec extends SparkSpec {
       (1L, 1L, 0L),
       (2L, 3L, 1000000000000L),
       (3L, 4L, 1000000000000L)))
+    // k beyond the corpus size stops at the corpus size (the oracle's
+    // empty CTEs return the same fewer rows) instead of throwing
+    assert(Mixture.kCenters(vs, "vec_id", "v", k = 9).count() === 4L)
     graft.operators.OperatorCaches.release()
   }
 

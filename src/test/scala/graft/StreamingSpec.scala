@@ -656,10 +656,12 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
       rowsPerBand = 1).awaitTermination()
     // batch 1 (same checkpoint — the stream keeps counting) enables ops
-    // and carries a takedown: label re-derivation would run over a
-    // truncated pair history — must fail loudly, not silently drop
-    // pre-ops components
-    val wave2 = Seq((7L, "", "delete")).toDF("doc_id", "text", "op")
+    // WITHOUT any takedown: the guard must fire on the FIRST ops batch,
+    // not the first delete — an ops add-only batch would otherwise
+    // create pair history that masks the pre-ops gap from a later
+    // takedown's label re-derivation
+    val wave2 = Seq((16L, rep("mu nu xi omicron", 6), "add"))
+      .toDF("doc_id", "text", "op")
     wave2.write.mode("append").parquet(s"$tmp/in")
     val ex = intercept[Exception] {
       EventStreams.nearDupIngestSink(
