@@ -35,28 +35,40 @@ object Mixture {
                         srcCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val srcSh = OperatorCaches.persistTracked(
+    // one aggregation up front: shingle → the set of sources carrying it
+    // (vocabulary-sized, sources-bounded arrays). Every greedy round is
+    // then a single scan of this frame — "not yet covered" is an
+    // arrays_overlap against the chosen-sources literal, no per-round
+    // anti-join and no growing covered-set union (the earlier
+    // formulation paid join+distinct+persist per round; this one's
+    // round cost is scan + map-side-combined |sources|-row aggregate)
+    val srcSets = OperatorCaches.persistTracked(
       Dedup.shingleSets(docs, idCol, textCol)
         .join(docs.select(col(idCol), col(srcCol)), idCol)
         .select(col(srcCol).as("source"), explode(col("hset")).as("h"))
-        .distinct())
-    val allSources = srcSh.select("source").distinct()
+        .distinct()
+        .groupBy(col("h")).agg(collect_set(col("source")).as("srcs")))
+    val allSources = docs.select(col(srcCol).as("source")).distinct()
       .as[String].collect().sorted.toSeq
-    var covered = srcSh.select(col("h")).limit(0)
     var chosen = Seq.empty[(Long, String, Long, Long)]
     (1 to math.min(rounds, allSources.size)).foreach { r =>
+      val uncovered =
+        if (chosen.isEmpty) srcSets
+        else srcSets.filter(!arrays_overlap(col("srcs"),
+          array(chosen.map(c => lit(c._2)): _*)))
+      val counted = uncovered
+        .select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+      // zero-gain sources never appear in `counted` — fold them back in
+      // so the DESC/source-ASC argmax sees every remaining source (the
+      // oracle scores each remaining source, gain 0 included)
       val remaining = allSources.filterNot(chosen.map(_._2).toSet)
-      val gains = remaining.toDF("source")
-        .join(srcSh.join(covered, Seq("h"), "left_anti")
-            .groupBy(col("source")).agg(count(lit(1)).as("gain")),
-          Seq("source"), "left")
+      val pick = remaining.toDF("source")
+        .join(counted, Seq("source"), "left")
         .select(col("source"), coalesce(col("gain"), lit(0L)).as("gain"))
-      val pick = gains.orderBy(desc("gain"), asc("source"))
+        .orderBy(desc("gain"), asc("source"))
         .limit(1).collect().head
       val (src, gain) = (pick.getString(0), pick.getLong(1))
-      covered = OperatorCaches.persistTracked(
-        covered.unionByName(srcSh.filter(col("source") === src)
-          .select(col("h"))).distinct())
       chosen :+= ((r.toLong, src, gain,
         chosen.lastOption.map(_._4).getOrElse(0L) + gain))
     }

@@ -1260,6 +1260,13 @@ object QualityQueries {
           .filter(col("na") < col("nb") ||
             (col("na") === col("nb") && col("a_id") > col("b_id")))
           .select(col("a_id").as("doc_id")).distinct()
+        // curated is deliberately NOT persisted despite the card's two
+        // consumptions: an A/B at sf0.1 was a storage-noise wash
+        // (3.8-4.8 s both ways), so the call follows the measured
+        // CorpusClean doctrine — caching full text rows costs about as
+        // much in cold columnar serialization as the recompute saves;
+        // the id-sized containment frame is the intermediate worth
+        // persisting and Dedup pools the shingle sets underneath
         val curated = cleaned.join(contained, Seq("doc_id"), "left_anti")
         graft.operators.CorpusStats.datasetCard(
           curated, "source", "text", k = 8).orderBy("source")
