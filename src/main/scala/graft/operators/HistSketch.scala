@@ -62,35 +62,31 @@ object HistSketch {
     val dd = deletedBins.withColumnsRenamed(Map("c" -> "cd"))
     val msg = "HistSketch.delete: deleted count exceeds bin count — " +
       "deleting values never inserted breaks rebuild equivalence"
-    val pruned = bins.join(dd, Seq("bin"), "left")
-      // fail LOUDLY on over-deletion (deleting twice): a silent clamp
-      // would drop the bin as if cleanly drained and diverge from the
-      // delete-equals-rebuild contract above without any signal
+    // over-deletion form 1 — a bin the sketch never held — is checked
+    // EAGERLY with a sketch-sized action (both frames are ≤ range/W
+    // rows, the scaladoc's own bound). An in-plan formulation was
+    // defeated by optimizer rewrites TWICE (observed, not
+    // hypothetical): a full-join variant is converted back to a left
+    // join by the trailing c > 0 filter, dropping the null-c rows
+    // before their assert runs; and a union'd anti-join branch has its
+    // assert projection collapsed into the upstream aggregate, where
+    // the `cd IS NULL` condition is substituted with the provably
+    // non-null count(1) and folds into an unconditional raise on rows
+    // that were never orphans. A loud bounded precondition beats a
+    // clever plan.
+    if (!dd.join(bins.select(col("bin")), Seq("bin"), "left_anti").isEmpty)
+      throw new IllegalArgumentException(msg +
+        " (a deleted bin is absent from the sketch)")
+    bins.join(dd, Seq("bin"), "left")
+      // over-deletion form 2 — deleting MORE than an existing bin holds
+      // (deleting twice) — stays in-plan: a silent clamp would drop the
+      // bin as if cleanly drained and diverge from the delete-equals-
+      // rebuild contract above without any signal
       .filter(isnull(assert_true(coalesce(col("cd"), lit(0L)) <= col("c"),
         lit(msg))))
       .select(col("bin"),
         (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
       .filter(col("c") > 0L)
-    // the OTHER over-deletion form — a bin the sketch never held — is
-    // invisible to the left join above, so it rides a dedicated
-    // anti-join branch unioned into the result: any orphan row trips
-    // the per-row assert when the frame is consumed. Two optimizer
-    // traps shaped this formulation (both observed, not hypothetical):
-    // a full-join variant gets converted back to a left join by the
-    // trailing c > 0 filter (dropping the null-c rows before their
-    // assert runs), and a filter-based assert on the anti-join output
-    // gets PUSHED BELOW the join (it references only dd's columns) and
-    // fires on every deletedBins row. So the assert lives in the output
-    // PROJECTION, wrapped around the key column — a projection defines
-    // the branch's output and cannot sink below the join, and the key
-    // is always consumed. The condition references the row (cd is never
-    // null here) so constant folding cannot evaluate it at plan time.
-    val orphans = dd.join(bins.select(col("bin")), Seq("bin"), "left_anti")
-      .select(
-        when(isnull(assert_true(col("cd").isNull, lit(msg))), col("bin"))
-          .as("bin"),
-        col("cd").as("c"))
-    pruned.unionByName(orphans)
   }
 
   /** Quantile estimates from a bin frame alone: for each requested
