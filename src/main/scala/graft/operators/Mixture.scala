@@ -128,6 +128,37 @@ object Mixture {
     chosen.toDF("round", idCol, "d2_min")
   }
 
+  /** Assign every vector to its NEAREST center — the companion to
+    * [[kCenters]] that turns the exemplar set into a partitioning of
+    * the corpus (annotation batches, per-exemplar quotas, coverage
+    * reports). Same exact fixed-point arithmetic as kCenters
+    * (round(v·10⁶) quantization, integer squared Euclidean), ties to
+    * the smaller center id via a lexicographic struct-min, so the
+    * assignment is bit-reproducible. `centerIds`: one `c_id` column.
+    *
+    * Scale shape: the centers' quantized components (k·dim rows)
+    * broadcast; cost is one k·corpus·dim pass + two keyed aggregations
+    * — the brute-force assign, right for exemplar-sized k. For large k
+    * use the IVF machinery ([[VectorIndex]]) instead. */
+  def assignToCenters(vectors: DataFrame, idCol: String, vecCol: String,
+                      centerIds: DataFrame): DataFrame = {
+    val qv = vectors
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "vv")))
+      .select(col(idCol).as("vid"), col("pos"),
+        round(col("vv").cast("double") * 1000000d).cast("long").as("q"))
+    val cq = qv.join(broadcast(centerIds.select(col("c_id"))),
+        col("vid") === col("c_id"))
+      .select(col("c_id"), col("pos"), col("q").as("qc"))
+    qv.join(broadcast(cq), Seq("pos"))
+      .select(col("vid"), col("c_id"),
+        ((col("q") - col("qc")) * (col("q") - col("qc"))).as("sq"))
+      .groupBy(col("vid"), col("c_id")).agg(sum(col("sq")).as("d2"))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vid").as(idCol), col("m.c_id").as("c_id"),
+        col("m.d2").as("d2"))
+  }
+
   /** Stratified sampling with EXACT largest-remainder allocation
     * (Hamilton's method): split a target of `n` documents across
     * sources proportionally to an integer weight (token volume), with

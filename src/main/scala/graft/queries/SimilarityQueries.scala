@@ -708,46 +708,105 @@ object SimilarityQueries {
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("round"),
       Some {
-        val head = """WITH qv AS (
-          |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-          |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
-          |  FROM embeddings
-          |), c1 AS (
-          |  SELECT CAST(min(vec_id) AS BIGINT) AS vec_id FROM embeddings
-          |), m1 AS (
-          |  SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
-          |  FROM qv a JOIN qv b ON a.pos = b.pos
-          |    AND b.vec_id = (SELECT vec_id FROM c1)
-          |  GROUP BY a.vec_id
-          |)""".stripMargin
-        val rounds = (2 to 5).map { r =>
-          val prevPicks = (Seq("SELECT vec_id FROM c1") ++
-            (2 until r).map(i => s"SELECT vec_id FROM p$i"))
-            .mkString(" UNION ")
-          val pick = s"""
-            |, p$r AS (
-            |  SELECT vec_id, d2 FROM m${r - 1}
-            |  WHERE vec_id NOT IN ($prevPicks)
-            |  ORDER BY d2 DESC, vec_id LIMIT 1
-            |)""".stripMargin
-          val fold = if (r >= 5) "" else s"""
-            |, m$r AS (
-            |  SELECT m.vec_id, least(m.d2, n.d2) AS d2
-            |  FROM m${r - 1} m JOIN (
-            |    SELECT a.vec_id,
-            |      CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
-            |    FROM qv a JOIN qv b ON a.pos = b.pos
-            |      AND b.vec_id = (SELECT vec_id FROM p$r)
-            |    GROUP BY a.vec_id) n ON n.vec_id = m.vec_id
-            |)""".stripMargin
-          pick + fold
-        }.mkString
         val sel = (Seq("SELECT CAST(1 AS BIGINT) AS round, vec_id, " +
           "CAST(0 AS BIGINT) AS d2_min FROM c1") ++
           (2 to 5).map(r =>
             s"SELECT CAST($r AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p$r"))
           .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
-        head + rounds + sel
+        kcenterCtes + sel
+      }),
+
+    // Nearest-exemplar ASSIGNMENT — the q245 companion that turns the
+    // k-center exemplar set into a partitioning of the whole corpus
+    // (annotation batches, per-exemplar coverage): every vector joins
+    // the 5 exemplars' broadcast quantized components, exact integer
+    // squared distances, argmin with d2-then-id lexicographic ties
+    // (struct-min in Spark ≡ the oracle's window rank). Report is the
+    // 5-row per-exemplar load: member count, total and max squared
+    // distance — max_d2 IS the k-center covering-radius certificate.
+    // Scale: k·corpus·dim flops with k·dim broadcast, never corpus².
+    QuerySpec("q247_exemplar_assign",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val centers = graft.operators.Mixture.kCenters(
+          vecs, "vec_id", "embedding", k = 5)
+          .select(col("vec_id").as("c_id"))
+        graft.operators.Mixture.assignToCenters(
+            vecs, "vec_id", "embedding", centers)
+          .groupBy(col("c_id"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(col("d2")).as("sum_d2"),
+            max(col("d2")).as("max_d2"))
+          .orderBy("c_id")
+      },
+      Some {
+        kcenterCtes + """
+          |, centers AS (
+          |  SELECT vec_id AS c_id FROM c1
+          |  UNION ALL SELECT vec_id FROM p2
+          |  UNION ALL SELECT vec_id FROM p3
+          |  UNION ALL SELECT vec_id FROM p4
+          |  UNION ALL SELECT vec_id FROM p5
+          |), cd AS (
+          |  SELECT a.vec_id, c.c_id,
+          |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+          |  FROM qv a CROSS JOIN centers c
+          |  JOIN qv b ON b.vec_id = c.c_id AND b.pos = a.pos
+          |  GROUP BY 1, 2
+          |), best AS (
+          |  SELECT vec_id, c_id, d2,
+          |    row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY d2, c_id) AS rk
+          |  FROM cd
+          |)
+          |SELECT c_id, count(*) AS n_assigned,
+          |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+          |  CAST(max(d2) AS BIGINT) AS max_d2
+          |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY c_id""".stripMargin
       })
   )
+
+  /** DuckDB twin of Mixture.kCenters' greedy trajectory (k=5 on the
+    * embeddings fixture), as a CTE suite ending in pick CTEs
+    * `c1, p2..p5` (each with the pick's `vec_id`; p_r also carries its
+    * selection-time `d2`) over the quantized component frame `qv`.
+    * Shared by q245 (the trajectory itself) and q247 (nearest-exemplar
+    * assignment over the same centers). */
+  private def kcenterCtes: String = {
+    val head = """WITH qv AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), c1 AS (
+      |  SELECT CAST(min(vec_id) AS BIGINT) AS vec_id FROM embeddings
+      |), m1 AS (
+      |  SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+      |  FROM qv a JOIN qv b ON a.pos = b.pos
+      |    AND b.vec_id = (SELECT vec_id FROM c1)
+      |  GROUP BY a.vec_id
+      |)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val prevPicks = (Seq("SELECT vec_id FROM c1") ++
+        (2 until r).map(i => s"SELECT vec_id FROM p$i"))
+        .mkString(" UNION ")
+      val pick = s"""
+        |, p$r AS (
+        |  SELECT vec_id, d2 FROM m${r - 1}
+        |  WHERE vec_id NOT IN ($prevPicks)
+        |  ORDER BY d2 DESC, vec_id LIMIT 1
+        |)""".stripMargin
+      val fold = if (r >= 5) "" else s"""
+        |, m$r AS (
+        |  SELECT m.vec_id, least(m.d2, n.d2) AS d2
+        |  FROM m${r - 1} m JOIN (
+        |    SELECT a.vec_id,
+        |      CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+        |    FROM qv a JOIN qv b ON a.pos = b.pos
+        |      AND b.vec_id = (SELECT vec_id FROM p$r)
+        |    GROUP BY a.vec_id) n ON n.vec_id = m.vec_id
+        |)""".stripMargin
+      pick + fold
+    }.mkString
+    head + rounds
+  }
 }

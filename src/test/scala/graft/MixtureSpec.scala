@@ -52,6 +52,22 @@ class MixtureSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("nearest-center assignment breaks exact ties to the smaller center id") {
+    val vs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.4, 0.0)),                       // strictly nearer 1
+      (4L, Seq(0.5, 0.0)))                       // exactly equidistant
+      .toDF("vec_id", "v")
+    val centers = Seq(1L, 2L).toDF("c_id")
+    val got = Mixture.assignToCenters(vs, "vec_id", "v", centers)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 1L, 0L),
+      (2L, 2L, 0L),
+      (3L, 1L, 160000000000L),
+      (4L, 1L, 250000000000L)))
+  }
+
   test("stratified sample allocates by largest remainder and fills by hash rank") {
     // weights 55/28/17 at n=10: floors 5/2/1 leave 2 seats; remainders
     // 50/80/70 give them to b then c — quotas 5/3/2
