@@ -1715,7 +1715,67 @@ object DedupQueries {
         |SELECT x AS part_a, y AS part_b,
         |  CAST(common_neighbors AS BIGINT) AS common_neighbors
         |FROM pred
-        |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 20""".stripMargin))
+        |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
+    // SPLIT-LEAKAGE audit: near-dup pairs crossing the naive per-doc
+    // 90/5/5 hash split (Quality.hashSplit, q78) — an eval doc with a
+    // train-side MinHash twin scores memorization, not generalization,
+    // which is exactly why Quality.leakageSafeSplit assigns splits per
+    // CLUSTER. This is the measurement that justifies it: one row per
+    // leaked eval doc (val+test side) with its twin count and its
+    // worst (max-Jaccard, ties to larger id — the struct-max order)
+    // train twin. Composes the pooled q32 pairing with the q78 split
+    // hash; cost is the LSH pairing plus two id-keyed split joins.
+    QuerySpec("q248_split_leakage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val split = graft.operators.Quality.hashSplit(docs, "doc_id")
+          .select(col("doc_id"), (col("split") =!= "train").as("ev"))
+        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+          numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        pairs
+          .join(split.select(col("doc_id").as("a_id"), col("ev").as("ae")),
+            "a_id")
+          .join(split.select(col("doc_id").as("b_id"), col("ev").as("be")),
+            "b_id")
+          .filter(col("ae") =!= col("be"))
+          .select(when(col("ae"), col("a_id")).otherwise(col("b_id"))
+              .as("eval_id"),
+            when(col("ae"), col("b_id")).otherwise(col("a_id"))
+              .as("train_id"),
+            col("jac"))
+          .groupBy(col("eval_id"))
+          .agg(count(lit(1)).as("n_train_twins"),
+            max(struct(col("jac"), col("train_id"))).as("m"))
+          .select(col("eval_id"), col("n_train_twins"),
+            col("m.train_id").as("worst_train_id"),
+            round(col("m.jac"), 4).as("max_jac4"))
+          .orderBy("eval_id")
+      },
+      Some(lshCte + """
+        |, sp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 100
+        |      >= 90 AS ev
+        |  FROM documents
+        |), ors AS (
+        |  SELECT CASE WHEN sa.ev THEN a_id ELSE b_id END AS eval_id,
+        |    CASE WHEN sa.ev THEN b_id ELSE a_id END AS train_id, jac
+        |  FROM lsh_pairs p
+        |  JOIN sp sa ON sa.doc_id = p.a_id
+        |  JOIN sp sb ON sb.doc_id = p.b_id
+        |  WHERE p.jac >= 0.1 AND sa.ev <> sb.ev
+        |), rk AS (
+        |  SELECT eval_id, train_id, jac,
+        |    count(*) OVER (PARTITION BY eval_id) AS n_train_twins,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY jac DESC, train_id DESC) AS r
+        |  FROM ors
+        |)
+        |SELECT eval_id, CAST(n_train_twins AS BIGINT) AS n_train_twins,
+        |  train_id AS worst_train_id, round(jac, 4) AS max_jac4
+        |FROM rk WHERE r = 1 ORDER BY eval_id""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —
