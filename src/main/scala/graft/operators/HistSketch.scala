@@ -59,7 +59,14 @@ object HistSketch {
     * quantiles served from the pruned sketch against a DuckDB fresh
     * build over the remainder — the rebuild equivalence IS the gate. */
   def delete(bins: DataFrame, deletedBins: DataFrame): DataFrame = {
-    val dd = deletedBins.withColumnsRenamed(Map("c" -> "cd"))
+    // both inputs persist for the call's lifetime: they are sketch-sized
+    // (≤ range/W rows) but their LINEAGE is corpus-sized, and the eager
+    // precondition below plus the result's downstream consumptions would
+    // otherwise re-run the corpus aggregation each time (measured: q236
+    // regressed 1.13 → 1.63 s when the eager check landed unpersisted)
+    val binsP = OperatorCaches.persistTracked(bins)
+    val dd = OperatorCaches.persistTracked(
+      deletedBins.withColumnsRenamed(Map("c" -> "cd")))
     val msg = "HistSketch.delete: deleted count exceeds bin count — " +
       "deleting values never inserted breaks rebuild equivalence"
     // over-deletion form 1 — a bin the sketch never held — is checked
@@ -74,10 +81,10 @@ object HistSketch {
     // non-null count(1) and folds into an unconditional raise on rows
     // that were never orphans. A loud bounded precondition beats a
     // clever plan.
-    if (!dd.join(bins.select(col("bin")), Seq("bin"), "left_anti").isEmpty)
+    if (!dd.join(binsP.select(col("bin")), Seq("bin"), "left_anti").isEmpty)
       throw new IllegalArgumentException(msg +
         " (a deleted bin is absent from the sketch)")
-    bins.join(dd, Seq("bin"), "left")
+    binsP.join(dd, Seq("bin"), "left")
       // over-deletion form 2 — deleting MORE than an existing bin holds
       // (deleting twice) — stays in-plan: a silent clamp would drop the
       // bin as if cleanly drained and diverge from the delete-equals-

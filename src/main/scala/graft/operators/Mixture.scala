@@ -46,9 +46,16 @@ object Mixture {
       Dedup.shingleSets(docs, idCol, textCol)
         .join(docs.select(col(idCol), col(srcCol)), idCol)
         .select(col(srcCol).as("source"), explode(col("hset")).as("h"))
-        .distinct()
+        // no distinct() here: collect_set deduplicates sources per
+        // shingle on its own
         .groupBy(col("h")).agg(collect_set(col("source")).as("srcs")))
-    val allSources = docs.select(col(srcCol).as("source")).distinct()
+    // the candidate universe is SHINGLE-BEARING sources (the oracle's
+    // `srcs AS (SELECT DISTINCT source FROM ss)`) — a source whose docs
+    // carry no k-gram (all texts under k tokens) contributes no
+    // coverage and must not be scored or picked, and must not extend
+    // the round bound
+    val allSources = srcSets
+      .select(explode(col("srcs")).as("source")).distinct()
       .as[String].collect().sorted.toSeq
     var chosen = Seq.empty[(Long, String, Long, Long)]
     (1 to math.min(rounds, allSources.size)).foreach { r =>
@@ -142,13 +149,29 @@ object Mixture {
     * use the IVF machinery ([[VectorIndex]]) instead. */
   def assignToCenters(vectors: DataFrame, idCol: String, vecCol: String,
                       centerIds: DataFrame): DataFrame = {
+    // loud preconditions on the exemplar-sized center frame (the
+    // HistSketch.delete doctrine): a DUPLICATE c_id would double every
+    // (pos, qc) row in the join below and silently double d2 — a
+    // vector truly nearest that center gets mis-assigned with no
+    // signal; a c_id ABSENT from vectors would silently vanish from
+    // the output. Both are caller bugs that must error.
+    val ids = centerIds.select(col("c_id")).collect().map(_.getLong(0))
+    require(ids.nonEmpty, "assignToCenters: empty center set")
+    require(ids.distinct.length == ids.length,
+      s"assignToCenters: duplicate center ids " +
+        ids.groupBy(identity).filter(_._2.length > 1).keys.mkString(","))
     val qv = vectors
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "vv")))
       .select(col(idCol).as("vid"), col("pos"),
         round(col("vv").cast("double") * 1000000d).cast("long").as("q"))
-    val cq = qv.join(broadcast(centerIds.select(col("c_id"))),
-        col("vid") === col("c_id"))
-      .select(col("c_id"), col("pos"), col("q").as("qc"))
+    val cq = OperatorCaches.persistTracked(
+      qv.join(broadcast(centerIds.select(col("c_id"))),
+          col("vid") === col("c_id"))
+        .select(col("c_id"), col("pos"), col("q").as("qc")))
+    val found = cq.select(col("c_id")).distinct().count()
+    require(found == ids.length,
+      s"assignToCenters: ${ids.length - found} center id(s) absent " +
+        "from the vector corpus")
     qv.join(broadcast(cq), Seq("pos"))
       .select(col("vid"), col("c_id"),
         ((col("q") - col("qc")) * (col("q") - col("qc"))).as("sq"))
