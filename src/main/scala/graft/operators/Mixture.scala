@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Loud id-column contract shared by [[kCenters]] and
+    * [[assignToCenters]]: ids are read as BIGINT (the driver-side argmax
+    * and center frames call getLong), so the column must be an integral
+    * type — a string or decimal id would otherwise surface as an opaque
+    * ClassCastException mid-round. Returns the column cast to long. */
+  private def longId(df: DataFrame, idCol: String, op: String)
+      : org.apache.spark.sql.Column = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"$op: id column '$idCol' must be an integral type (BIGINT ids), " +
+        s"got ${dt.simpleString}")
+    col(idCol).cast("long").as(idCol)
+  }
+
   /** Greedy source selection by MARGINAL NOVELTY — submodular coverage
     * maximization (Nemhauser's (1−1/e) greedy): round r scores every
     * remaining source by the distinct k-gram shingles it adds BEYOND the
@@ -103,10 +120,20 @@ object Mixture {
                k: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val vid = longId(vectors, idCol, "kCenters")
     val q = OperatorCaches.persistTracked(
-      vectors.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "vv")))
+      vectors.select(vid, posexplode(col(vecCol)).as(Seq("pos", "vv")))
         .select(col(idCol).as("vid"), col("pos"),
           round(col("vv").cast("double") * 1000000d).cast("long").as("q")))
+    // the exact-integer contract holds only for unit-scale embeddings
+    // (dim·(2·10⁶)² fits long with headroom): make the assumption loud
+    // instead of prose-only — one cheap agg over the persisted frame
+    val maxAbsRow = q.agg(max(abs(col("q")))).head
+    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+    require(maxAbs <= 2000000L,
+      s"kCenters: quantized component |q| = $maxAbs exceeds the " +
+        "2·10⁶ unit-scale bound — squared-distance sums could overflow " +
+        "long; normalize the vectors first")
     def d2To(c: Long): DataFrame =
       q.join(broadcast(q.filter(col("vid") === c)
           .select(col("pos"), col("q").as("qc"))), "pos")
@@ -118,16 +145,20 @@ object Mixture {
     // fail the loud-precondition way.
     val nVecs = vectors.count()
     require(nVecs > 0, "kCenters: empty vector corpus")
-    val first = vectors.agg(min(col(idCol))).head.getLong(0)
+    val first = vectors.select(vid).agg(min(col(idCol))).head.getLong(0)
     var chosen = Seq((1L, first, 0L))
     var mind = OperatorCaches.persistTracked(
       d2To(first).withColumnRenamed("nd", "d2"))
-    (2 to math.min(k.toLong, nVecs).toInt).foreach { r =>
+    // bound the fold by the loop's ACTUAL last round, not k: with
+    // k > nVecs an `r < k` fold would persist and compute one extra
+    // corpus-sized min-distance frame that is never read
+    val last = math.min(k.toLong, nVecs).toInt
+    (2 to last).foreach { r =>
       val pick = mind.filter(!col("vid").isin(chosen.map(_._2): _*))
         .orderBy(desc("d2"), asc("vid")).limit(1).collect().head
       val (cid, cd) = (pick.getLong(0), pick.getLong(1))
       chosen :+= ((r.toLong, cid, cd))
-      if (r < k)
+      if (r < last)
         mind = OperatorCaches.persistTracked(
           mind.join(d2To(cid), "vid")
             .select(col("vid"), least(col("d2"), col("nd")).as("d2")))
@@ -155,23 +186,31 @@ object Mixture {
     // vector truly nearest that center gets mis-assigned with no
     // signal; a c_id ABSENT from vectors would silently vanish from
     // the output. Both are caller bugs that must error.
-    val ids = centerIds.select(col("c_id")).collect().map(_.getLong(0))
+    val ids = centerIds.select(longId(centerIds, "c_id", "assignToCenters"))
+      .collect().map(_.getLong(0))
     require(ids.nonEmpty, "assignToCenters: empty center set")
     require(ids.distinct.length == ids.length,
       s"assignToCenters: duplicate center ids " +
         ids.groupBy(identity).filter(_._2.length > 1).keys.mkString(","))
     val qv = vectors
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "vv")))
+      .select(longId(vectors, idCol, "assignToCenters"),
+        posexplode(col(vecCol)).as(Seq("pos", "vv")))
       .select(col(idCol).as("vid"), col("pos"),
         round(col("vv").cast("double") * 1000000d).cast("long").as("q"))
     val cq = OperatorCaches.persistTracked(
-      qv.join(broadcast(centerIds.select(col("c_id"))),
+      qv.join(broadcast(centerIds.select(col("c_id").cast("long").as("c_id"))),
           col("vid") === col("c_id"))
         .select(col("c_id"), col("pos"), col("q").as("qc")))
     val found = cq.select(col("c_id")).distinct().count()
     require(found == ids.length,
       s"assignToCenters: ${ids.length - found} center id(s) absent " +
         "from the vector corpus")
+    // same unit-scale loudness as kCenters, on the cheap k·dim frame
+    val cMaxRow = cq.agg(max(abs(col("qc")))).head
+    val cMax = if (cMaxRow.isNullAt(0)) 0L else cMaxRow.getLong(0)
+    require(cMax <= 2000000L,
+      s"assignToCenters: quantized center component |q| = $cMax exceeds " +
+        "the 2·10⁶ unit-scale bound; normalize the vectors first")
     qv.join(broadcast(cq), Seq("pos"))
       .select(col("vid"), col("c_id"),
         ((col("q") - col("qc")) * (col("q") - col("qc"))).as("sq"))
@@ -200,7 +239,13 @@ object Mixture {
     * per-source training caps. */
   def stratifiedSample(docs: DataFrame, idCol: String, srcCol: String,
                        weights: DataFrame, n: Long): DataFrame = {
-    // weights: (source, w) integer volumes, one row per source
+    // weights: (source, w) integer volumes, one row per source. Loud
+    // guard on the |sources|-row frame: a w ≤ 0 row would ride through
+    // silently (floor quota 0, remainder 0 — mathematically seatless,
+    // but almost certainly a caller bug: an empty or mis-joined source)
+    require(weights.filter(col("w") <= 0).isEmpty,
+      "stratifiedSample: non-positive weight rows — every source weight " +
+        "must be > 0 (drop empty sources before allocating)")
     val tot = weights.agg(sum(col("w")).as("tw"))
     val quotas0 = weights.crossJoin(broadcast(tot))
       .select(col("source"),
@@ -239,6 +284,11 @@ object Mixture {
     * (source, tokens, allocated, kept_bp). */
   def waterfill(tok: DataFrame, num: Long = 9L, den: Long = 10L)
       : DataFrame = {
+    // loud guard on the |sources|-row frame: negative volumes corrupt
+    // the prefix spine silently; zero volumes are legal (handled total
+    // in kept_bp below) but negatives are always a caller bug
+    require(tok.filter(col("tokens") < 0).isEmpty,
+      "waterfill: negative token volumes")
     val tot = tok.agg(sum(col("tokens")).as("total"),
       count(lit(1)).as("n"))
     val w = Window.orderBy(asc("tokens"), asc("source"))
@@ -258,6 +308,10 @@ object Mixture {
     tok.crossJoin(broadcast(lvl))
       .select(col("source"), col("tokens"),
         least(col("tokens"), col("lvl")).as("allocated"),
-        expr("least(tokens, lvl) * 10000 DIV tokens").as("kept_bp"))
+        // total on zero-token sources: a source with nothing to keep is
+        // vacuously kept whole (10000 bp), never NULL / divide-by-zero
+        when(col("tokens") === 0L, lit(10000L))
+          .otherwise(expr("least(tokens, lvl) * 10000 DIV tokens"))
+          .as("kept_bp"))
   }
 }

@@ -150,10 +150,8 @@ object GraftFunctions {
             s"graft_deflate_len expects 1 argument (text), got ${exprs.length}")
         DeflateLength(exprs.head)
       }),
-    // Spark's own runtime-filter probe expression (codegen'd, deserializes
-    // the sketch once per task): exposed as a function so library code can
-    // broadcast a driver-built BloomFilter as a binary literal and probe it
-    // without a Scala UDF. Args: (serialized filter BINARY, value BIGINT).
+    // Pinned-format CSV timestamp rendering (codegen'd integer calendar
+    // math — the k2 fast path; see plans/CsvTimestampExpr).
     (FunctionIdentifier("graft_csv_ts"),
       new ExpressionInfo(classOf[CsvTimestampExpr].getName, "graft_csv_ts"),
       (exprs: Seq[Expression]) => {
@@ -162,6 +160,10 @@ object GraftFunctions {
             s"graft_csv_ts expects 1 argument (timestamp), got ${exprs.length}")
         CsvTimestampExpr(exprs.head)
       }),
+    // Spark's own runtime-filter probe expression (codegen'd, deserializes
+    // the sketch once per task): exposed as a function so library code can
+    // broadcast a driver-built BloomFilter as a binary literal and probe it
+    // without a Scala UDF. Args: (serialized filter BINARY, value BIGINT).
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

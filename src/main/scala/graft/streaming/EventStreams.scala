@@ -375,9 +375,23 @@ object EventStreams {
   private def splitOps(batch: DataFrame, batchId: Long, opCol: String,
                        tdir: String, idCol: String, payloadCols: Seq[String])
       : (DataFrame, Option[DataFrame], Option[DataFrame]) = {
-    if (opCol == null)
+    if (opCol == null) {
+      // loud guard — the INVERSE misconfiguration of the nearDup pre-ops
+      // check: tombstones exist from an earlier ops-mode run but this
+      // restart has opCol unset, so allTombs would be None and every
+      // corpus read would silently treat taken-down docs as dedup
+      // incumbents (dropping new arrivals that duplicate deleted
+      // content). Fail instead: restart with opCol set, or fold the
+      // tombstones physically with compactTakedowns (which drops the
+      // dir) before turning ops mode off.
+      if (new java.io.File(tdir).isDirectory)
+        throw new IllegalStateException(
+          s"ingest sink: tombstones exist under $tdir but opCol is " +
+            "null — earlier batches ran in ops mode and their " +
+            "takedowns would be silently ignored. Restart with opCol " +
+            "set, or run compactTakedowns first.")
       (batch.select((idCol +: payloadCols).map(col): _*), None, None)
-    else {
+    } else {
       val adds = batch
         .filter(coalesce(col(opCol), lit("")) =!= lit("delete"))
         .select((idCol +: payloadCols).map(col): _*)

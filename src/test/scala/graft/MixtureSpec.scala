@@ -88,6 +88,63 @@ class MixtureSpec extends SparkSpec {
     assert(again === got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("id-type contract is loud: string ids fail at entry, int ids work") {
+    // a string id would previously surface as an opaque
+    // ClassCastException mid-round; the longId guard names the column
+    val sv = Seq(("a", Seq(0.0, 0.0)), ("b", Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Mixture.kCenters(sv, "vec_id", "v", k = 2)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val iv = Seq((1, Seq(0.0, 0.0)), (2, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v") // IntegerType ids read generically now
+    assert(Mixture.kCenters(iv, "vec_id", "v", k = 2).count() === 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      Mixture.assignToCenters(iv, "vec_id", "v",
+        Seq("x").toDF("c_id"))
+    }
+    assert(e2.getMessage.contains("integral"))
+    assert(Mixture.assignToCenters(iv, "vec_id", "v", Seq(1).toDF("c_id"))
+      .count() === 2L)
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("unit-scale quantization bound is loud, not prose") {
+    // |component| 3.0 quantizes to 3e6 > the 2e6 bound — squared sums
+    // could overflow long, so kCenters must refuse
+    val big = Seq((1L, Seq(3.0, 0.0)), (2L, Seq(0.0, 0.5)))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Mixture.kCenters(big, "vec_id", "v", k = 2)
+    }
+    assert(e.getMessage.contains("unit-scale"))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("stratified sample refuses non-positive weights loudly") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    val w = Seq(("a", 5L), ("b", 0L)).toDF("source", "w")
+    val e = intercept[IllegalArgumentException] {
+      Mixture.stratifiedSample(docs, "doc_id", "source", w, n = 1L)
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
+
+  test("water-filling: zero-token sources get a TOTAL kept_bp, negatives refuse") {
+    // a zero-volume source previously rode through with NULL kept_bp
+    val tok = Seq(("a", 0L), ("b", 20L), ("c", 70L)).toDF("source", "tokens")
+    val got = Mixture.waterfill(tok)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // budget = 90·9 DIV 10 = 81; level 61: b kept whole, c capped at 61
+    assert(got.head === (("a", 0L, 0L, 10000L))) // vacuously kept whole
+    assert(got.map(_._3).sum === 81L)
+    val e = intercept[IllegalArgumentException] {
+      Mixture.waterfill(Seq(("a", -1L)).toDF("source", "tokens")).collect()
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
   test("water-filling finds the exact integer level and caps only above it") {
     // volumes 10/20/70, budget 90% of 100 = 90: the level is 60 — the
     // two small sources are kept whole, the big one is capped, and the

@@ -643,6 +643,49 @@ class StreamingSpec extends SparkSpec {
     graft.operators.FramePool.release()
   }
 
+  test("restart with opCol unset over existing tombstones fails loudly") {
+    // the INVERSE misconfiguration of the mid-stream guard: batch 0 runs
+    // in ops mode and takes a doc down; a restart with opCol=null would
+    // silently ignore the tombstone dir — the deleted doc would act as a
+    // dedup incumbent and drop new arrivals duplicating deleted content
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
+    val wave1 = Seq(
+      (1L, rep("alpha beta gamma delta", 6), "add"),
+      (7L, rep("rho sigma tau upsilon", 6), "add"),
+      (7L, "", "delete")).toDF("doc_id", "text", "op")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.containmentIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt",
+      opCol = "op").awaitTermination()
+    assert(new java.io.File(s"$tmp/corpus_tombstones").isDirectory)
+    val wave2 = Seq((2L, rep("mu nu xi omicron", 6), "add"))
+      .toDF("doc_id", "text", "op")
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    val ex = intercept[Exception] {
+      EventStreams.containmentIngestSink(
+        EventStreams.fileStream(spark, wave2.schema, s"$tmp/in"),
+        "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt")
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("ops mode")))
+    // compaction folds the tombstones physically and DROPS the dir —
+    // after it, dropping ops mode is legitimate and the guard stands down
+    EventStreams.compactTakedowns(spark, s"$tmp/corpus", "doc_id")
+    EventStreams.containmentIngestSink(
+      EventStreams.fileStream(spark, wave2.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/corpus", s"$tmp/ckpt")
+      .awaitTermination()
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("ops mode enabled mid-stream fails loudly on the first takedown") {
     val tmp = Files.createTempDirectory("streamspec").toString
     def rep(s: String, n: Int) = Array.fill(n)(s).mkString(" ")
