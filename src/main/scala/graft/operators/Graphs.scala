@@ -201,6 +201,57 @@ object Graphs {
     pr
   }
 
+  /** Fixed-iteration integer HITS (Kleinberg's hubs & authorities) over
+    * a directed edge list (`src` = hub side, `dst` = authority side;
+    * duplicates must be deduped upstream — each (src,dst) row
+    * contributes once). The classic mutual-reinforcement centrality for
+    * BIPARTITE curation graphs (consumers×assets, sources×spans):
+    * authority(d) = Σ hub(s) over in-edges, hub(s) = Σ authority(d)
+    * over out-edges, each half L1-NORMALIZED back onto the `scale`
+    * fixed-point grid — a(d) = raw(d)·scale DIV Σraw — instead of the
+    * textbook L2 norm, because the L1 form stays in exact integer
+    * arithmetic (no sqrt) and induces the same ranking: normalization
+    * only rescales. Trajectory is bit-reproducible in any engine: raw
+    * sums ride DECIMAL(38,0)/HUGEINT (a long sum would wrap silently
+    * past ~9.2e9 edges·scale), the DIV is trunc-toward-zero in both
+    * engines, and scores re-enter each round bounded by `scale` so
+    * nothing compounds. Returns (side ∈ auth|hub, node, score) after
+    * `iterations` full auth→hub rounds.
+    *
+    * Scale shape: per iteration exactly two edge-keyed joins + two
+    * keyed aggregations (the pageRank iterate shape) + two one-row
+    * total broadcasts; state is one score row per node. */
+  def hits(edges: DataFrame, iterations: Int,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = OperatorCaches.persistTracked(edges)
+    val hubs = OperatorCaches.persistTracked(
+      e.select(col("src")).distinct())
+    var h = hubs.withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (i <- 1 to iterations) {
+      val araw = e.join(h, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(h AS DECIMAL(38,0))")).as("raw"))
+      val atot = araw.agg(sum(col("raw")).as("tot"))
+      a = araw.crossJoin(broadcast(atot))
+        .select(col("dst"),
+          expr(s"CAST(raw * $scale DIV tot AS BIGINT)").as("a"))
+      val hraw = e.join(a, "dst")
+        .groupBy(col("src"))
+        .agg(sum(expr("CAST(a AS DECIMAL(38,0))")).as("raw"))
+      val htot = hraw.agg(sum(col("raw")).as("tot"))
+      h = hraw.crossJoin(broadcast(htot))
+        .select(col("src"),
+          expr(s"CAST(raw * $scale DIV tot AS BIGINT)").as("h"))
+      if (i < iterations) h = h.localCheckpoint()
+    }
+    a.select(lit("auth").as("side"), col("dst").as("node"),
+        col("a").as("score"))
+      .unionByName(h.select(lit("hub").as("side"), col("src").as("node"),
+        col("h").as("score")))
+  }
+
   /** Per-source within/cross edge incidences from a source-labeled edge
     * list (s_a, s_b): (source, within_edges, cross_edges), exact longs.
     * A within edge counts once for its source; a cross edge counts once

@@ -1149,5 +1149,122 @@ object CurationQueries {
              |SELECT r.source, r.doc_id, quota_s
              |FROM r JOIN q ON q.source = r.source
              |WHERE r.rk <= quota_s
-             |ORDER BY r.source, r.doc_id""".stripMargin)))
+             |ORDER BY r.source, r.doc_id""".stripMargin)),
+
+    // HITS hubs & authorities on the customer→part purchase bipartite
+    // graph — the mutual-reinforcement centrality (an asset matters
+    // because important consumers touch it; a consumer matters because
+    // it touches important assets) that one-sided degree counting and
+    // PageRank's single score cannot express on a bipartite curation
+    // graph. Two full auth→hub rounds of integer L1-normalized HITS
+    // (see operators/Graphs.hits: L1 instead of the textbook L2 keeps
+    // the whole trajectory in exact DECIMAL/HUGEINT arithmetic — same
+    // ranking, no sqrt), top-20 per side published. The oracle unrolls
+    // the same two rounds.
+    QuerySpec("q249_hits",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+          .distinct()
+        graft.operators.Graphs.hits(edges, iterations = 2)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("side"))
+              .orderBy(desc("score"), asc("node"))).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("side"), col("rk"), col("node"), col("score"))
+          .orderBy("side", "rk")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |), h0 AS (
+             |  SELECT DISTINCT src, 1000000000::HUGEINT AS h FROM e
+             |), a1r AS (
+             |  SELECT dst, sum(h) AS raw FROM e JOIN h0 USING (src)
+             |  GROUP BY dst
+             |), a1 AS (
+             |  SELECT dst, raw * 1000000000 // (SELECT sum(raw) FROM a1r)
+             |    AS a FROM a1r
+             |), h1r AS (
+             |  SELECT src, sum(a) AS raw FROM e JOIN a1 USING (dst)
+             |  GROUP BY src
+             |), h1 AS (
+             |  SELECT src, raw * 1000000000 // (SELECT sum(raw) FROM h1r)
+             |    AS h FROM h1r
+             |), a2r AS (
+             |  SELECT dst, sum(h) AS raw FROM e JOIN h1 USING (src)
+             |  GROUP BY dst
+             |), a2 AS (
+             |  SELECT dst, raw * 1000000000 // (SELECT sum(raw) FROM a2r)
+             |    AS a FROM a2r
+             |), h2r AS (
+             |  SELECT src, sum(a) AS raw FROM e JOIN a2 USING (dst)
+             |  GROUP BY src
+             |), h2 AS (
+             |  SELECT src, raw * 1000000000 // (SELECT sum(raw) FROM h2r)
+             |    AS h FROM h2r
+             |), scores AS (
+             |  SELECT 'auth' AS side, dst AS node, CAST(a AS BIGINT)
+             |    AS score FROM a2
+             |  UNION ALL
+             |  SELECT 'hub', src, CAST(h AS BIGINT) FROM h2
+             |), r AS (
+             |  SELECT side, node, score,
+             |    CAST(row_number() OVER (PARTITION BY side
+             |      ORDER BY score DESC, node) AS BIGINT) AS rk
+             |  FROM scores
+             |)
+             |SELECT side, rk, node, score FROM r
+             |WHERE rk <= 20 ORDER BY side, rk""".stripMargin)),
+
+    // Sequence-packing efficiency audit — the padding-waste report a
+    // training pipeline reads before choosing its packing strategy:
+    // per source, the sequence count and wasted-pad tokens under
+    // ONE-DOC-PER-SEQUENCE packing (each doc padded to the 512-token
+    // boundary — ⌈nt/512⌉ sequences, the overflow chunking rule) vs
+    // CONTIGUOUS packing (q77's concatenated form — ⌈Σnt/512⌉
+    // sequences, only the source's final sequence padded), with the
+    // utilization of each in exact basis points. Pure arithmetic on the
+    // per-doc token counts: one map + one keyed aggregation, no joins,
+    // no windows — a single map-side-combined pass at any corpus size.
+    QuerySpec("q252_packing_audit",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(expr("(nt + 511) DIV 512")).as("seqs_padded"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("seqs_padded"),
+          (col("seqs_padded") * 512 - col("n_tokens")).as("pad_padded"),
+          expr("(n_tokens + 511) DIV 512").as("seqs_packed"),
+          (expr("(n_tokens + 511) DIV 512") * 512 - col("n_tokens"))
+            .as("pad_packed"),
+          expr("n_tokens * 10000 DIV (seqs_padded * 512)")
+            .as("util_padded_bp"),
+          expr("n_tokens * 10000 DIV (((n_tokens + 511) DIV 512) * 512)")
+            .as("util_packed_bp"))
+        .orderBy("source"),
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents
+             |), a AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |    CAST(sum((nt + 511) // 512) AS BIGINT) AS seqs_padded
+             |  FROM d GROUP BY 1
+             |)
+             |SELECT source, n_docs, n_tokens, seqs_padded,
+             |  seqs_padded * 512 - n_tokens AS pad_padded,
+             |  (n_tokens + 511) // 512 AS seqs_packed,
+             |  ((n_tokens + 511) // 512) * 512 - n_tokens AS pad_packed,
+             |  n_tokens * 10000 // (seqs_padded * 512) AS util_padded_bp,
+             |  n_tokens * 10000 // (((n_tokens + 511) // 512) * 512)
+             |    AS util_packed_bp
+             |FROM a ORDER BY source""".stripMargin)))
 }

@@ -1775,7 +1775,72 @@ object DedupQueries {
         |)
         |SELECT eval_id, CAST(n_train_twins AS BIGINT) AS n_train_twins,
         |  train_id AS worst_train_id, round(jac, 4) AS max_jac4
-        |FROM rk WHERE r = 1 ORDER BY eval_id""".stripMargin))
+        |FROM rk WHERE r = 1 ORDER BY eval_id""".stripMargin)),
+
+    // Shingle-novelty SATURATION curve over ingestion order — the
+    // "diminishing returns of more data" report behind acquisition
+    // decisions: docs in id (arrival) order split into 10 equal ranks
+    // via the distributed PrefixSum rank (never a data-sized global
+    // window), each distinct 3-gram shingle credited to the decile of
+    // its FIRST-carrying doc (one min per shingle key), and the decile
+    // spine reports new-distinct-span mass, its running total, and the
+    // per-doc novelty rate in exact basis points. A flattening curve =
+    // the corpus is saturating; the only global window runs over the
+    // 10-row decile spine (the hour-spine argument). Shingle hashing is
+    // the q241 md5 convention, shared with Dedup.shingleSets.
+    QuerySpec("q254_novelty_saturation",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (ranked, n) = graft.operators.PrefixSum.rankedRunningSum(
+          docs.select(col("doc_id")), Seq(col("doc_id")), lit(1L),
+          "__rn", "__cum")
+        val buckets = graft.operators.OperatorCaches.persistTracked(
+          ranked.select(col("doc_id"),
+            expr(s"(__rn - 1) * 10 DIV $n").as("bucket")))
+        val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text")
+          .select(col("doc_id"), explode(col("hset")).as("h"))
+        val firstB = sh.join(buckets, "doc_id")
+          .groupBy(col("h")).agg(min(col("bucket")).as("b"))
+        val newPer = firstB.groupBy(col("b"))
+          .agg(count(lit(1)).as("new_spans"))
+        buckets.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+          .join(newPer, col("bucket") === col("b"), "left")
+          .select(col("bucket"), col("n_docs"),
+            coalesce(col("new_spans"), lit(0L)).as("new_spans"))
+          .withColumn("cum_spans",
+            sum(col("new_spans")).over(
+              org.apache.spark.sql.expressions.Window.orderBy("bucket")
+                .rowsBetween(org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding, 0)))
+          .withColumn("per_doc_bp",
+            expr("new_spans * 10000 DIV n_docs"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, CAST((rn - 1) * 10 // n AS BIGINT) AS bucket
+             |  FROM r
+             |), sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h
+             |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS s
+             |              FROM documents))
+             |), fb AS (
+             |  SELECT h, min(bucket) AS b FROM sh JOIN b USING (doc_id)
+             |  GROUP BY h
+             |), np AS (SELECT b, count(*) AS new_spans FROM fb GROUP BY b),
+             |dp AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
+             |SELECT bucket, n_docs,
+             |  COALESCE(new_spans, 0) AS new_spans,
+             |  CAST(sum(COALESCE(new_spans, 0)) OVER (ORDER BY bucket
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spans,
+             |  COALESCE(new_spans, 0) * 10000 // n_docs AS per_doc_bp
+             |FROM dp LEFT JOIN np ON np.b = dp.bucket
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —

@@ -1350,6 +1350,89 @@ object QualityQueries {
           |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
           |  novelty
           |FROM core c LEFT JOIN nov USING (source)
-          |ORDER BY c.source""".stripMargin))
+          |ORDER BY c.source""".stripMargin)),
+
+    // Tie-corrected SPEARMAN rank correlation between the quality logit
+    // and raw document length — the length-confound audit run before
+    // trusting a quality signal ("is the classifier just measuring
+    // length?"). Fractional average ranks ride a ×2 integer grid so
+    // everything stays exact: on each axis's DISTINCT-VALUE frame,
+    // 2·avgRank(v) = 2·cumCount(<v) + count(=v) + 1 via the distributed
+    // PrefixSum running sum (the q220 discipline — the windowed frame is
+    // |distinct values|, never |docs|), joined back per doc, then
+    // Pearson over the integer rank pairs with every moment an exact
+    // DECIMAL(38,0)/HUGEINT sum. Published ENTIRELY in integers (the
+    // q230 output-surface rule): sign(ρ) and ⌊ρ²·10⁶⌋ =
+    // num²·10⁶ DIV (denx·deny) — num² ≤ denx·deny by Cauchy–Schwarz, so
+    // the quotient is a true ≤10⁶ basis score, and the square dodges
+    // the irrational √(denx·deny) a direct ρ would need.
+    QuerySpec("q253_spearman_length_confound",
+      (s, d) => {
+        val scored = dupLogitScores(t(s, d, "documents"))
+          .select(col("doc_id"), col("n_chars"), col("z"))
+        def ranks2(valCol: String, outCol: String) = {
+          val byV = scored.groupBy(col(valCol)).agg(count(lit(1)).as("c"))
+          val (cum, _) = graft.operators.PrefixSum.rankedRunningSum(
+            byV, Seq(col(valCol)), col("c"), "__rn", "__cum")
+          cum.select(col(valCol),
+            (lit(2L) * (col("__cum") - col("c")) + col("c") + 1L)
+              .as(outCol))
+        }
+        scored
+          .join(ranks2("n_chars", "rx"), Seq("n_chars"))
+          .join(ranks2("z", "ry"), Seq("z"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(rx AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(ry AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
+            sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+            sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+          .select(col("n").as("n_docs"),
+            expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").as("sign_rho"),
+            expr("""CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                 DIV ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 AS BIGINT)""").as("rho2_fp6"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, n_chars,
+             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
+             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
+             |          / CAST(n_tok AS DOUBLE)) AS z
+             |  FROM f
+             |), xv AS (
+             |  SELECT n_chars AS v, count(*) AS c FROM g GROUP BY 1
+             |), xr AS (
+             |  SELECT v,
+             |    2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
+             |      + c + 1 AS rx
+             |  FROM xv
+             |), yv AS (
+             |  SELECT z AS v, count(*) AS c FROM g GROUP BY 1
+             |), yr AS (
+             |  SELECT v,
+             |    2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
+             |      + c + 1 AS ry
+             |  FROM yv
+             |), j AS (
+             |  SELECT CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+             |  FROM g JOIN xr ON g.n_chars = xr.v JOIN yr ON g.z = yr.v
+             |), m AS (
+             |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+             |    sum(ry * ry) AS syy
+             |  FROM j)
+             |SELECT CAST(n AS BIGINT) AS n_docs,
+             |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign_rho,
+             |  CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+             |    // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             |    AS BIGINT) AS rho2_fp6
+             |FROM m""".stripMargin))
   )
 }
