@@ -763,6 +763,229 @@ object SimilarityQueries {
           |  CAST(sum(d2) AS BIGINT) AS sum_d2,
           |  CAST(max(d2) AS BIGINT) AS max_d2
           |FROM best WHERE rk = 1 GROUP BY 1 ORDER BY c_id""".stripMargin
+      }),
+
+    // Embedding-space ANISOTROPY diagnostic — the dominant principal
+    // direction and its share of total variance, the check behind the
+    // "all-but-the-top" post-processing rule (Mu & Viswanath 2018:
+    // embedding spaces concentrate mass in a few rogue directions;
+    // removing the mean + top PCs restores isotropy). Entirely EXACT
+    // integer arithmetic so the whole trajectory hash-matches:
+    // components quantize to round(v·10⁶), mean-centering rides an
+    // n-scaled grid (c = n·q − Σq — no division, no fractions), the
+    // d×d scatter matrix G = Σ c·cᵀ accumulates DECIMAL(38,0)/HUGEINT
+    // products, and THREE unrolled power-iteration rounds renormalize
+    // onto a 10⁴ max-abs grid by trunc-identical integer DIV. Published
+    // integral (the q230 rule): per-dimension raw component sums, the
+    // iterated direction on the 10⁴ grid, and the Rayleigh share
+    // ⌊λ·10⁴/trace⌋ — the anisotropy score (10⁴/d = perfectly
+    // isotropic; near 10⁴ = one rogue direction owns the space).
+    // Magnitude audit at the fixture scale (n=2e3, d=64, |q|≤5.3e5):
+    // |c|≤2n·qmax≈2.1e9, G≤n·c²≈9e21, λ-numerator·10⁴≈4e37 < 10³⁸ —
+    // headroom documented; at larger n drop the iteration grid.
+    // Scale shape: one corpus pass for the component frame, one
+    // vec_id-keyed self-join collapsing map-side into the d²-row G;
+    // everything after is d²-sized — the iteration never re-touches
+    // the corpus (G is persisted).
+    QuerySpec("q250_embedding_anisotropy",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val n = vecs.count()
+        val comp = graft.operators.OperatorCaches.persistTracked(
+          vecs.select(col("vec_id"),
+              posexplode(col("embedding")).as(Seq("pos", "vv")))
+            .select(col("vec_id"), col("pos"),
+              round(col("vv").cast("double") * 1000000d).cast("long")
+                .as("q")))
+        val sums = comp.groupBy(col("pos")).agg(sum(col("q")).as("sv"))
+        val c = comp.join(broadcast(sums), "pos")
+          .select(col("vec_id"), col("pos"),
+            (lit(n) * col("q") - col("sv")).as("cv"))
+        val g = graft.operators.OperatorCaches.persistTracked(
+          c.as("a").join(c.as("b"), "vec_id")
+            .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
+            .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv")))
+        def gTimes(v: org.apache.spark.sql.DataFrame) =
+          g.join(broadcast(v), col("p2") === v("pos"))
+            .groupBy(col("p1")).agg(sum(expr("gv * w")).as("gw"))
+        var v = sums.select(col("pos"), lit(10000L).as("w"))
+        for (_ <- 1 to 3) {
+          val gw = gTimes(v)
+          val m = gw.agg(max(abs(col("gw"))).as("m"))
+          v = gw.crossJoin(broadcast(m))
+            .select(col("p1").as("pos"),
+              expr("CAST(gw * 10000 DIV m AS BIGINT)").as("w"))
+        }
+        val trace = g.filter(col("p1") === col("p2"))
+          .agg(sum(col("gv")).as("trace"))
+        val lam = v.join(gTimes(v), col("pos") === col("p1"))
+          .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * gw")).as("num"),
+            sum(expr("w * w")).as("den"))
+        sums.join(v, "pos")
+          .crossJoin(broadcast(trace)).crossJoin(broadcast(lam))
+          .select(col("pos").cast("long").as("pos"),
+            col("sv").as("sum_q"), col("w").as("pc1_fp4"),
+            expr("CAST(num * 10000 DIV (den * trace) AS BIGINT)")
+              .as("aniso_bp"))
+          .orderBy("pos")
+      },
+      Some {
+        val head = """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+          |comp AS (
+          |  SELECT vec_id,
+          |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+          |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+          |      AS q
+          |  FROM embeddings
+          |), s AS (
+          |  SELECT pos, CAST(sum(q) AS BIGINT) AS sv FROM comp GROUP BY pos
+          |), c AS (
+          |  SELECT vec_id, comp.pos, n * q - sv AS cv
+          |  FROM comp JOIN s USING (pos) CROSS JOIN nn
+          |), g AS (
+          |  SELECT a.pos AS p1, b.pos AS p2,
+          |    sum(CAST(a.cv AS HUGEINT) * b.cv) AS gv
+          |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+          |), v0 AS (SELECT pos, 10000::HUGEINT AS w FROM s)""".stripMargin
+        val iters = (1 to 3).map { i =>
+          s"""
+          |, w$i AS (
+          |  SELECT p1 AS pos, sum(gv * w) AS gw
+          |  FROM g JOIN v${i - 1} ON v${i - 1}.pos = g.p2 GROUP BY 1
+          |), v$i AS (
+          |  SELECT pos, gw * 10000 // (SELECT max(abs(gw)) FROM w$i) AS w
+          |  FROM w$i
+          |)""".stripMargin
+        }.mkString
+        head + iters + """
+          |, tr AS (SELECT sum(gv) AS trace FROM g WHERE p1 = p2),
+          |gw4 AS (
+          |  SELECT p1 AS pos, sum(gv * w) AS gw
+          |  FROM g JOIN v3 ON v3.pos = g.p2 GROUP BY 1
+          |), lam AS (
+          |  SELECT sum(v3.w * gw4.gw) AS num, sum(v3.w * v3.w) AS den
+          |  FROM v3 JOIN gw4 USING (pos)
+          |)
+          |SELECT s.pos, sv AS sum_q, CAST(v3.w AS BIGINT) AS pc1_fp4,
+          |  CAST(num * 10000 // (den * trace) AS BIGINT) AS aniso_bp
+          |FROM s JOIN v3 USING (pos) CROSS JOIN tr CROSS JOIN lam
+          |ORDER BY pos""".stripMargin
+      }),
+
+    // MMR (maximal marginal relevance) diverse re-ranking — the
+    // redundancy-aware top-k a retrieval surface serves when near-dup
+    // candidates would otherwise fill every slot: greedy over the
+    // cosine top-20 for query vector 0, each round picking
+    // argmax 7·rel − 3·maxSimToSelected (λ=0.7 on a ×10 integer grid;
+    // round 1 is pure relevance), ties to vec_id ASC. All similarities
+    // are exact integer dots of round(v/|v|·10⁶) quantized unit vectors
+    // (the q233 discipline), so the greedy trajectory is
+    // bit-reproducible against the oracle's 8 unrolled rounds. The
+    // candidate generation (corpus-wide top-20) and the 20×20 pairwise
+    // sims run in-engine; the 8-round argmax walks the collected
+    // 20-row/380-row frames driver-side (bounded by construction — the
+    // Bpe argmax convention, k·candidates work, never corpus²).
+    QuerySpec("q251_mmr_rerank",
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.dot(
+              graft.functions.VectorFunctions.asDouble(col("embedding")),
+              graft.functions.VectorFunctions.asDouble(col("embedding")))
+              .as("nrm2"),
+            col("embedding"))
+          .filter(col("nrm2") > 0d)
+        val un = graft.operators.OperatorCaches.persistTracked(
+          e.select(col("vec_id"), col("nrm2"),
+              posexplode(col("embedding")).as(Seq("pos", "vv")))
+            .select(col("vec_id"), col("pos"),
+              round(col("vv").cast("double") / sqrt(col("nrm2"))
+                * 1000000d).cast("long").as("u")))
+        val qn = un.filter(col("vec_id") === 0L)
+          .select(col("pos"), col("u").as("uq"))
+        val rel = un.filter(col("vec_id") =!= 0L)
+          .join(broadcast(qn), "pos")
+          .groupBy(col("vec_id"))
+          .agg(sum(col("u") * col("uq")).as("rel"))
+          .orderBy(desc("rel"), asc("vec_id")).limit(20)
+        val cands = rel.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val cu = un.join(broadcast(rel.select("vec_id")), "vec_id")
+        val sims = cu.as("a").join(cu.as("b"),
+            col("a.pos") === col("b.pos") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .agg(sum(expr("a.u * b.u")).as("sim"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        var picks = Vector.empty[(Long, Long, Long, Long, Long)]
+        var remaining = cands.toVector
+        for (r <- 1 to 8) {
+          val best = remaining.map { case (id, rel0) =>
+            val ms = if (picks.isEmpty) 0L
+              else picks.map(p => sims((id, p._2))).max
+            (id, rel0, ms, 7L * rel0 - 3L * ms)
+          }.minBy(x => (-x._4, x._1))
+          picks :+= ((r.toLong, best._1, best._2, best._3, best._4))
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        picks.toDF("rk", "vec_id", "rel", "maxsim", "score").orderBy("rk")
+      },
+      Some {
+        // MATERIALIZED CTEs + an accumulated pick set pk$r: the naive
+        // form (each round's NOT IN / IN re-unioning p1..p{r-1}) inlines
+        // the whole upstream pipeline exponentially in DuckDB and never
+        // finishes; materializing pins each stage to one evaluation
+        val head = """WITH un AS MATERIALIZED (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+          |    CAST(round(unnest(embedding)::DOUBLE
+          |      / sqrt(list_dot_product(embedding::DOUBLE[],
+          |                              embedding::DOUBLE[]))
+          |      * 1000000) AS BIGINT) AS u
+          |  FROM embeddings
+          |  WHERE list_dot_product(embedding::DOUBLE[],
+          |                         embedding::DOUBLE[]) > 0
+          |), qn AS (SELECT pos, u AS uq FROM un WHERE vec_id = 0),
+          |rel AS (
+          |  SELECT un.vec_id, CAST(sum(u * uq) AS BIGINT) AS rel
+          |  FROM un JOIN qn USING (pos) WHERE un.vec_id <> 0 GROUP BY 1
+          |), cand AS MATERIALIZED (
+          |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20
+          |), cu AS (
+          |  SELECT un.vec_id, pos, u FROM un JOIN cand USING (vec_id)
+          |), sim AS MATERIALIZED (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |    CAST(sum(a.u * b.u) AS BIGINT) AS sim
+          |  FROM cu a JOIN cu b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+          |  GROUP BY 1, 2
+          |), p1 AS MATERIALIZED (
+          |  SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms,
+          |    CAST(7 * rel AS BIGINT) AS score
+          |  FROM cand ORDER BY 7 * rel DESC, vec_id LIMIT 1
+          |), pk1 AS MATERIALIZED (SELECT vec_id FROM p1)""".stripMargin
+        val rounds = (2 to 8).map { r =>
+          s"""
+          |, p$r AS MATERIALIZED (
+          |  SELECT vec_id, rel, ms,
+          |    CAST(7 * rel - 3 * ms AS BIGINT) AS score
+          |  FROM (
+          |    SELECT c.vec_id, c.rel,
+          |      (SELECT max(sim) FROM sim
+          |       WHERE sim.a_id = c.vec_id
+          |         AND sim.b_id IN (SELECT vec_id FROM pk${r - 1})) AS ms
+          |    FROM cand c
+          |    WHERE c.vec_id NOT IN (SELECT vec_id FROM pk${r - 1}))
+          |  ORDER BY score DESC, vec_id LIMIT 1
+          |), pk$r AS MATERIALIZED (
+          |  SELECT vec_id FROM pk${r - 1}
+          |  UNION ALL SELECT vec_id FROM p$r
+          |)""".stripMargin
+        }.mkString
+        val sel = (1 to 8).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rk, vec_id, rel, ms AS maxsim, " +
+            s"score FROM p$r")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
+        head + rounds + sel
       })
   )
 
