@@ -29,6 +29,98 @@ object Similarity {
       GraftFunctions.dotNative(b, b)
 
   /** Exact cosine top-k neighbors for each query vector. */
+  /** Dominant principal direction + Rayleigh variance share of an
+    * embedding column — the anisotropy diagnostic behind q250 (the
+    * "all-but-the-top" check: Mu & Viswanath 2018). EXACT integer
+    * trajectory: components quantize to round(v·10⁶); mean-centering
+    * rides an n-scaled grid (c = n·q − Σq, no division); the d×d
+    * scatter matrix G = Σ c·cᵀ accumulates DECIMAL(38,0) products; and
+    * `iterations` power-iteration rounds renormalize onto a 10⁴
+    * max-abs grid by trunc-identical integer DIV. Returns one row per
+    * dimension: (pos, sum_q raw component sum, pc1_fp4 iterated
+    * direction, aniso_bp = ⌊λ·10⁴/trace⌋ — 10⁴/d is perfectly
+    * isotropic, →10⁴ one rogue direction owns the space).
+    *
+    * Magnitude contract (loud at entry like kCenters): with |q| ≤
+    * 2·10⁶, n vectors and d dims, the λ-numerator peaks ≈
+    * d²·n²·qmax²·10⁸·10⁴ — under DECIMAL(38,0) headroom for n ≤ ~3·10⁴
+    * at d=64; shrink the grids beyond that. Scale shape: ONE corpus
+    * pass builds the component frame, one id-keyed self-join collapses
+    * map-side into the persisted d²-row G; every later frame is
+    * d²-sized — the iteration never re-touches the corpus. */
+  def dominantDirection(vectors: DataFrame, idCol: String, vecCol: String,
+                        iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val n = vectors.count()
+    require(n > 0, "dominantDirection: empty vector corpus")
+    val comp = OperatorCaches.persistTracked(
+      vectors.select(col(idCol).as("vid"),
+          posexplode(col(vecCol)).as(Seq("pos", "vv")))
+        .select(col("vid"), col("pos"),
+          round(col("vv").cast("double") * 1000000d).cast("long").as("q")))
+    val maxAbsRow = comp.agg(max(abs(col("q")))).head
+    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+    require(maxAbs <= 2000000L,
+      s"dominantDirection: quantized component |q| = $maxAbs exceeds " +
+        "the 2·10⁶ unit-scale bound; normalize the vectors first")
+    val sums = comp.groupBy(col("pos")).agg(sum(col("q")).as("sv"))
+    val c = comp.join(broadcast(sums), "pos")
+      .select(col("vid"), col("pos"),
+        (lit(n) * col("q") - col("sv")).as("cv"))
+    val g = OperatorCaches.persistTracked(
+      c.as("a").join(c.as("b"), "vid")
+        .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
+        .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv")))
+    def gTimes(v: DataFrame) =
+      g.join(broadcast(v), col("p2") === v("pos"))
+        .groupBy(col("p1")).agg(sum(expr("gv * w")).as("gw"))
+    var v = sums.select(col("pos"), lit(10000L).as("w"))
+    for (_ <- 1 to iterations) {
+      val gw = gTimes(v)
+      val m = gw.agg(max(abs(col("gw"))).as("m"))
+      v = gw.crossJoin(broadcast(m))
+        .select(col("p1").as("pos"),
+          expr("CAST(gw * 10000 DIV m AS BIGINT)").as("w"))
+    }
+    val trace = g.filter(col("p1") === col("p2"))
+      .agg(sum(col("gv")).as("trace"))
+    val lam = v.join(gTimes(v), col("pos") === col("p1"))
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * gw")).as("num"),
+        sum(expr("w * w")).as("den"))
+    sums.join(v, "pos")
+      .crossJoin(broadcast(trace)).crossJoin(broadcast(lam))
+      .select(col("pos").cast("long").as("pos"),
+        col("sv").as("sum_q"), col("w").as("pc1_fp4"),
+        expr("CAST(num * 10000 DIV (den * trace) AS BIGINT)")
+          .as("aniso_bp"))
+  }
+
+  /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED
+    * candidate frame — the pure argmax walk behind q251, factored out
+    * so the greedy semantics are unit-testable: round 1 picks max
+    * relevance; round r picks argmax lamNum10·rel − (10−lamNum10)·
+    * maxSimToSelected (λ on a ×10 integer grid), ties to id ASC.
+    * `sims` must hold every ordered candidate pair. Returns
+    * (rank, id, rel, maxsim, score) — all exact integers. */
+  def mmrGreedy(cands: Seq[(Long, Long)], sims: Map[(Long, Long), Long],
+                k: Int, lamNum10: Long = 7L)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    require(lamNum10 >= 0 && lamNum10 <= 10,
+      s"lamNum10 in [0,10], got $lamNum10")
+    var picks = Vector.empty[(Long, Long, Long, Long, Long)]
+    var remaining = cands.toVector
+    for (r <- 1 to math.min(k, cands.size)) {
+      val best = remaining.map { case (id, rel0) =>
+        val ms = if (picks.isEmpty) 0L
+          else picks.map(p => sims((id, p._2))).max
+        (id, rel0, ms, lamNum10 * rel0 - (10L - lamNum10) * ms)
+      }.minBy(x => (-x._4, x._1))
+      picks :+= ((r.toLong, best._1, best._2, best._3, best._4))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    picks
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("neighbor_id"))

@@ -788,47 +788,9 @@ object SimilarityQueries {
     // everything after is d²-sized — the iteration never re-touches
     // the corpus (G is persisted).
     QuerySpec("q250_embedding_anisotropy",
-      (s, d) => {
-        val vecs = t(s, d, "embeddings")
-        val n = vecs.count()
-        val comp = graft.operators.OperatorCaches.persistTracked(
-          vecs.select(col("vec_id"),
-              posexplode(col("embedding")).as(Seq("pos", "vv")))
-            .select(col("vec_id"), col("pos"),
-              round(col("vv").cast("double") * 1000000d).cast("long")
-                .as("q")))
-        val sums = comp.groupBy(col("pos")).agg(sum(col("q")).as("sv"))
-        val c = comp.join(broadcast(sums), "pos")
-          .select(col("vec_id"), col("pos"),
-            (lit(n) * col("q") - col("sv")).as("cv"))
-        val g = graft.operators.OperatorCaches.persistTracked(
-          c.as("a").join(c.as("b"), "vec_id")
-            .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
-            .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv")))
-        def gTimes(v: org.apache.spark.sql.DataFrame) =
-          g.join(broadcast(v), col("p2") === v("pos"))
-            .groupBy(col("p1")).agg(sum(expr("gv * w")).as("gw"))
-        var v = sums.select(col("pos"), lit(10000L).as("w"))
-        for (_ <- 1 to 3) {
-          val gw = gTimes(v)
-          val m = gw.agg(max(abs(col("gw"))).as("m"))
-          v = gw.crossJoin(broadcast(m))
-            .select(col("p1").as("pos"),
-              expr("CAST(gw * 10000 DIV m AS BIGINT)").as("w"))
-        }
-        val trace = g.filter(col("p1") === col("p2"))
-          .agg(sum(col("gv")).as("trace"))
-        val lam = v.join(gTimes(v), col("pos") === col("p1"))
-          .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * gw")).as("num"),
-            sum(expr("w * w")).as("den"))
-        sums.join(v, "pos")
-          .crossJoin(broadcast(trace)).crossJoin(broadcast(lam))
-          .select(col("pos").cast("long").as("pos"),
-            col("sv").as("sum_q"), col("w").as("pc1_fp4"),
-            expr("CAST(num * 10000 DIV (den * trace) AS BIGINT)")
-              .as("aniso_bp"))
-          .orderBy("pos")
-      },
+      (s, d) => graft.operators.Similarity.dominantDirection(
+        t(s, d, "embeddings"), "vec_id", "embedding", iterations = 3)
+        .orderBy("pos"),
       Some {
         val head = """WITH nn AS (SELECT count(*) AS n FROM embeddings),
           |comp AS (
@@ -918,18 +880,8 @@ object SimilarityQueries {
           .agg(sum(expr("a.u * b.u")).as("sim"))
           .collect()
           .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-        var picks = Vector.empty[(Long, Long, Long, Long, Long)]
-        var remaining = cands.toVector
-        for (r <- 1 to 8) {
-          val best = remaining.map { case (id, rel0) =>
-            val ms = if (picks.isEmpty) 0L
-              else picks.map(p => sims((id, p._2))).max
-            (id, rel0, ms, 7L * rel0 - 3L * ms)
-          }.minBy(x => (-x._4, x._1))
-          picks :+= ((r.toLong, best._1, best._2, best._3, best._4))
-          remaining = remaining.filterNot(_._1 == best._1)
-        }
-        picks.toDF("rk", "vec_id", "rel", "maxsim", "score").orderBy("rk")
+        graft.operators.Similarity.mmrGreedy(cands.toSeq, sims, k = 8)
+          .toDF("rk", "vec_id", "rel", "maxsim", "score").orderBy("rk")
       },
       Some {
         // MATERIALIZED CTEs + an accumulated pick set pk$r: the naive

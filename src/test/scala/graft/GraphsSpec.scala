@@ -92,4 +92,21 @@ class GraphsSpec extends SparkSpec {
     assert(got === ref)
     graft.operators.OperatorCaches.release()
   }
+
+  test("hits follows the hand-computed L1-normalized trajectory") {
+    // bipartite: hub A → {x, y}, hub B → {x}. Hand-rolled 2 rounds on
+    // the 1e9 grid with trunc DIV:
+    //   a1: x = 2e18 DIV 3e9 = 666666666, y = 333333333
+    //   h1: tot = 1666666665 → A = 600000000 (exact), B = 400000000
+    //   a2: raw x = 1e9, y = 6e8; tot 1.6e9 → x = 625000000, y = 375000000
+    //   h2: raw A = 1e9, B = 625e6; tot 1.625e9 → A = 615384615 (trunc),
+    //       B = 384615384 (trunc)
+    val edges = Seq(("A", "x"), ("A", "y"), ("B", "x")).toDF("src", "dst")
+    val got = Graphs.hits(edges, iterations = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("auth", "x", 625000000L), ("auth", "y", 375000000L),
+      ("hub", "A", 615384615L), ("hub", "B", 384615384L)))
+    graft.operators.OperatorCaches.release()
+  }
 }

@@ -217,4 +217,59 @@ class SimilaritySpec extends SparkSpec {
     }
     graft.operators.OperatorCaches.release()
   }
+
+  test("dominantDirection recovers a planted 1-D subspace exactly") {
+    // all vectors on the line t·(0.1, 0.2): every bit of variance lies
+    // along (1, 2), so the iterated direction converges to the max-abs
+    // normalized (5000, 10000) and the Rayleigh share is a full 10⁴.
+    // (Hand-rolled: G ∝ [[1,2],[2,4]]; v0=(1e4,1e4) → Gv ∝ (3,6) →
+    // v1=(5000,10000), a fixed point; λ = 5s = trace.)
+    val vs = Seq(
+      (1L, Seq(0.1, 0.2)), (2L, Seq(0.2, 0.4)),
+      (3L, Seq(0.3, 0.6)), (4L, Seq(-0.1, -0.2)))
+      .toDF("vec_id", "v")
+    val got = Similarity.dominantDirection(vs, "vec_id", "v")
+      .orderBy("pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3) === Seq(5000L, 10000L)) // direction (1,2)
+    assert(got.map(_._4).distinct === Seq(10000L)) // all variance on PC1
+    // sum_q: Σ round(t·1e6) per component
+    assert(got.map(_._2) === Seq(500000L, 1000000L))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("dominantDirection splits variance across an isotropic pair") {
+    // two orthogonal equal-mass directions: the share must be 5000 bp
+    // (half the trace), whatever direction the iteration lands on
+    val vs = Seq(
+      (1L, Seq(0.3, 0.0)), (2L, Seq(-0.3, 0.0)),
+      (3L, Seq(0.0, 0.3)), (4L, Seq(0.0, -0.3)))
+      .toDF("vec_id", "v")
+    val got = Similarity.dominantDirection(vs, "vec_id", "v")
+      .select("aniso_bp").distinct()
+      .as[Long].collect().toSeq
+    assert(got === Seq(5000L))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("mmrGreedy picks relevance first, then skips the redundant twin") {
+    // candidates: a (rel 100), b (rel 99, near-twin of a: sim 95),
+    // c (rel 50, dissimilar: sim 5 to both). Round 1 → a. Round 2:
+    // b scores 7·99 − 3·95 = 408 < c's 7·50 − 3·5 = 335? No — 408 > 335,
+    // so λ=0.7 keeps b; with λ=0.3 (lamNum10=3) b scores 3·99−7·95 =
+    // −368 < c's 3·50−7·5 = 115 → diversity wins. Both pinned.
+    val cands = Seq((1L, 100L), (2L, 99L), (3L, 50L))
+    val sims = Map(
+      (1L, 2L) -> 95L, (2L, 1L) -> 95L,
+      (1L, 3L) -> 5L, (3L, 1L) -> 5L,
+      (2L, 3L) -> 5L, (3L, 2L) -> 5L)
+    val rel7 = Similarity.mmrGreedy(cands, sims, k = 3)
+    assert(rel7.map(_._2) === Seq(1L, 2L, 3L))
+    assert(rel7.head === ((1L, 1L, 100L, 0L, 700L)))
+    assert(rel7(1) === ((2L, 2L, 99L, 95L, 408L)))
+    val div3 = Similarity.mmrGreedy(cands, sims, k = 3, lamNum10 = 3L)
+    assert(div3.map(_._2) === Seq(1L, 3L, 2L))
+    // k beyond the candidate count stops at the candidate count
+    assert(Similarity.mmrGreedy(cands, sims, k = 9).size === 3)
+  }
 }
