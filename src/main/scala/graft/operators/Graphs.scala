@@ -225,26 +225,36 @@ object Graphs {
            scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = OperatorCaches.persistTracked(edges)
-    val hubs = OperatorCaches.persistTracked(
-      e.select(col("src")).distinct())
-    var h = hubs.withColumn("h", lit(scale))
+    var h = e.select(col("src")).distinct().withColumn("h", lit(scale))
     var a: DataFrame = null
-    for (i <- 1 to iterations) {
-      val araw = e.join(h, "src")
-        .groupBy(col("dst"))
-        .agg(sum(expr("CAST(h AS DECIMAL(38,0))")).as("raw"))
-      val atot = araw.agg(sum(col("raw")).as("tot"))
-      a = araw.crossJoin(broadcast(atot))
-        .select(col("dst"),
-          expr(s"CAST(raw * $scale DIV tot AS BIGINT)").as("a"))
-      val hraw = e.join(a, "dst")
-        .groupBy(col("src"))
-        .agg(sum(expr("CAST(a AS DECIMAL(38,0))")).as("raw"))
-      val htot = hraw.agg(sum(col("raw")).as("tot"))
-      h = hraw.crossJoin(broadcast(htot))
-        .select(col("src"),
-          expr(s"CAST(raw * $scale DIV tot AS BIGINT)").as("h"))
-      if (i < iterations) h = h.localCheckpoint()
+    // normalization totals cross the DRIVER as one-row aggregates (the
+    // Bpe argmax convention) and re-enter as literals: the crossJoin-
+    // broadcast formulation nests a BroadcastExchange per half-round
+    // inside every downstream plan, and each one re-plans and re-fires
+    // eagerly — measured 6× this form's wall clock on the same graph.
+    // The agg action that fetches a total is also what materializes the
+    // persisted raw frame the next join reads. L1 guarantee: every raw
+    // sum is positive (scores enter ≥ trunc-positive grids, every hub
+    // has ≥ 1 out-edge), so tot > 0.
+    for (_ <- 1 to iterations) {
+      val araw = OperatorCaches.persistTracked(
+        e.join(h, "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("CAST(h AS DECIMAL(38,0))")).as("raw")))
+      val atot = araw.agg(sum(col("raw"))).head.getDecimal(0)
+      a = OperatorCaches.persistTracked(
+        araw.select(col("dst"),
+          expr(s"CAST(raw * $scale DIV CAST('$atot' AS DECIMAL(38,0)) " +
+            "AS BIGINT)").as("a")))
+      val hraw = OperatorCaches.persistTracked(
+        e.join(a, "dst")
+          .groupBy(col("src"))
+          .agg(sum(expr("CAST(a AS DECIMAL(38,0))")).as("raw")))
+      val htot = hraw.agg(sum(col("raw"))).head.getDecimal(0)
+      h = OperatorCaches.persistTracked(
+        hraw.select(col("src"),
+          expr(s"CAST(raw * $scale DIV CAST('$htot' AS DECIMAL(38,0)) " +
+            "AS BIGINT)").as("h")))
     }
     a.select(lit("auth").as("side"), col("dst").as("node"),
         col("a").as("score"))

@@ -67,32 +67,43 @@ object Similarity {
     val c = comp.join(broadcast(sums), "pos")
       .select(col("vid"), col("pos"),
         (lit(n) * col("q") - col("sv")).as("cv"))
-    val g = OperatorCaches.persistTracked(
-      c.as("a").join(c.as("b"), "vid")
-        .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
-        .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv")))
-    def gTimes(v: DataFrame) =
-      g.join(broadcast(v), col("p2") === v("pos"))
-        .groupBy(col("p1")).agg(sum(expr("gv * w")).as("gw"))
-    var v = sums.select(col("pos"), lit(10000L).as("w"))
+    // the scatter matrix is DIMENSION²-bounded (d² rows regardless of
+    // corpus size), so the power iteration walks it DRIVER-SIDE in
+    // exact BigInt (same trunc-toward-zero /): an in-plan formulation
+    // nests one eager BroadcastExchange per renormalization inside
+    // every downstream plan and re-fires the whole chain per
+    // materialization — measured ~10× this form's wall clock. The
+    // corpus is still touched exactly once, by the distributed G
+    // aggregation below; only d² + d rows ever cross the wire.
+    val gRows = c.as("a").join(c.as("b"), "vid")
+      .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
+      .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      .toMap
+    val dims = gRows.keys.map(_._1).toSeq.distinct.sorted
+    var v: Map[Int, BigInt] = dims.map(_ -> BigInt(10000)).toMap
     for (_ <- 1 to iterations) {
-      val gw = gTimes(v)
-      val m = gw.agg(max(abs(col("gw"))).as("m"))
-      v = gw.crossJoin(broadcast(m))
-        .select(col("p1").as("pos"),
-          expr("CAST(gw * 10000 DIV m AS BIGINT)").as("w"))
+      val gw = dims.map(p1 => p1 ->
+        dims.map(p2 => gRows((p1, p2)) * v(p2)).sum).toMap
+      val m = gw.values.map(_.abs).max
+      v = dims.map(p => p -> gw(p) * 10000 / m).toMap
     }
-    val trace = g.filter(col("p1") === col("p2"))
-      .agg(sum(col("gv")).as("trace"))
-    val lam = v.join(gTimes(v), col("pos") === col("p1"))
-      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * gw")).as("num"),
-        sum(expr("w * w")).as("den"))
-    sums.join(v, "pos")
-      .crossJoin(broadcast(trace)).crossJoin(broadcast(lam))
-      .select(col("pos").cast("long").as("pos"),
-        col("sv").as("sum_q"), col("w").as("pc1_fp4"),
-        expr("CAST(num * 10000 DIV (den * trace) AS BIGINT)")
-          .as("aniso_bp"))
+    val traceG = dims.map(p => gRows((p, p))).sum
+    val gwF = dims.map(p1 => p1 ->
+      dims.map(p2 => gRows((p1, p2)) * v(p2)).sum).toMap
+    val lamNum = dims.map(p => v(p) * gwF(p)).sum
+    val lamDen = dims.map(p => v(p) * v(p)).sum
+    val anisoBp = (lamNum * 10000 / (lamDen * traceG)).toLong
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vFrame = dims.map(p => (p.toLong, v(p).toLong))
+      .toDF("pos", "pc1_fp4")
+    sums.select(col("pos").cast("long").as("pos"), col("sv").as("sum_q"))
+      .join(broadcast(vFrame), "pos")
+      .select(col("pos"), col("sum_q"), col("pc1_fp4"),
+        lit(anisoBp).as("aniso_bp"))
   }
 
   /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED

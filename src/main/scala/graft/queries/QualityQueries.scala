@@ -1361,11 +1361,14 @@ object QualityQueries {
     // PrefixSum running sum (the q220 discipline — the windowed frame is
     // |distinct values|, never |docs|), joined back per doc, then
     // Pearson over the integer rank pairs with every moment an exact
-    // DECIMAL(38,0)/HUGEINT sum. Published ENTIRELY in integers (the
-    // q230 output-surface rule): sign(ρ) and ⌊ρ²·10⁶⌋ =
-    // num²·10⁶ DIV (denx·deny) — num² ≤ denx·deny by Cauchy–Schwarz, so
-    // the quotient is a true ≤10⁶ basis score, and the square dodges
-    // the irrational √(denx·deny) a direct ρ would need.
+    // DECIMAL(38,0)/HUGEINT sum, composed into ρ by the q130 discipline
+    // — exact decimal intermediates, ONE final deterministic double
+    // assembly (decimal→double is correctly rounded in both engines via
+    // the VARCHAR bridge; sqrt is IEEE) — rather than a ⌊ρ²·10⁶⌋
+    // integer square: squaring the n⁴-scale covariance doubles its
+    // digits and busts DECIMAL(38,0) at ~50k docs (the 10× scale probe
+    // caught exactly that), while the moments themselves hold to ~10⁹
+    // docs.
     QuerySpec("q253_spearman_length_confound",
       (s, d) => {
         val scored = dupLogitScores(t(s, d, "documents"))
@@ -1388,10 +1391,12 @@ object QualityQueries {
             sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
             sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
           .select(col("n").as("n_docs"),
-            expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").as("sign_rho"),
-            expr("""CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-                 DIV ((n * sxx - sx * sx) * (n * syy - sy * sy))
-                 AS BIGINT)""").as("rho2_fp6"))
+            expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("num"),
+            expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("dx"),
+            expr("CAST(n * syy - sy * sy AS DOUBLE)").as("dy"))
+          .select(col("n_docs"),
+            (col("num") / (sqrt(col("dx")) * sqrt(col("dy"))))
+              .as("rho_spearman"))
       },
       Some("""WITH f AS (
              |  SELECT doc_id, n_chars,
@@ -1429,10 +1434,10 @@ object QualityQueries {
              |    sum(ry * ry) AS syy
              |  FROM j)
              |SELECT CAST(n AS BIGINT) AS n_docs,
-             |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign_rho,
-             |  CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-             |    // ((n * sxx - sx * sx) * (n * syy - sy * sy))
-             |    AS BIGINT) AS rho2_fp6
+             |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             |    / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+             |     * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+             |    AS rho_spearman
              |FROM m""".stripMargin))
   )
 }

@@ -66,6 +66,27 @@ object ScaleProbe {
           col("l_linestatus"), col("l_shipdate")))
       .reduce(_ unionAll _)
       .write.parquet(s"$big/lineitem.parquet")
+    // orders co-shift with lineitem's orderkey universes (and custkey
+    // with its own), so order⋈lineitem joins keep per-order structure —
+    // the q249 HITS bipartite graph grows to N disjoint purchase
+    // universes, the more-customers-AND-more-catalog axis
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until replicas).map(r =>
+        ord.select((col("o_orderkey") + lit(r * 1000000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 100000000L)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/orders.parquet")
+    // embeddings replicate on shifted vec_id: vec_id 0 (q251's query
+    // vector) keeps exactly one row — replica vectors are identical
+    // twins, so candidate ties break purely by id, deterministic
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until replicas).map(r =>
+        emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/embeddings.parquet")
 
     val names = Seq("q30_dedup_exact", "q32_minhash_lsh_pairs",
       "q101_vocab_coverage", "q117_unigram_lm", "q138_bm25",
@@ -148,7 +169,17 @@ object ScaleProbe {
       "q237_priority_sample_ht", "q238_label_propagation",
       "q239_prefix_filter_join", "q240_rendezvous_sharding",
       "q241_greedy_source_cover", "q242_token_waterfill",
-      "q243_refinery_composite", "q244_mixture_design")
+      "q243_refinery_composite", "q244_mixture_design",
+      // round-13 additions: HITS is 2 joins + 2 aggs per iteration on
+      // the (orders⋈lineitem)-distinct edge frame; packing/spearman are
+      // one-pass document aggregates (+ distinct-axis ranks); novelty
+      // rides the shingle postings (twin replicas collapse novelty mass
+      // but the shuffle shape is the same); anisotropy's one corpus
+      // pass feeds a d²-row scatter frame, iteration corpus-free; MMR's
+      // candidate generation is one broadcast join over the corpus
+      "q249_hits", "q252_packing_audit",
+      "q253_spearman_length_confound", "q254_novelty_saturation",
+      "q250_embedding_anisotropy", "q251_mmr_rerank")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
