@@ -50,9 +50,21 @@ object Similarity {
     * d²-sized — the iteration never re-touches the corpus. */
   def dominantDirection(vectors: DataFrame, idCol: String, vecCol: String,
                         iterations: Int = 3): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val (momF, sumF) = scatterMoments(vectors, idCol, vecCol)
+    solveScatterFrames(vectors.sparkSession, momF, sumF, iterations)
+  }
+
+  /** ADDITIVE sufficient statistics for [[dominantDirection]] — the
+    * property that makes the anisotropy diagnostic streamable: raw
+    * second moments M(p1,p2) = Σ q_p1·q_p2 (d² rows, DECIMAL(38,0))
+    * and per-dimension first moments (pos, sv = Σq, n) merge across
+    * any partition of the corpus by plain addition, and the CENTERED
+    * scatter reassembles exactly as G = n²·M − n·S₁·S₂ (the c = n·q − S
+    * grid's algebra, expanded). One corpus pass + one id-keyed
+    * self-join collapsing map-side into the d²-row frame. */
+  def scatterMoments(vectors: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val n = vectors.count()
-    require(n > 0, "dominantDirection: empty vector corpus")
     val comp = OperatorCaches.persistTracked(
       vectors.select(col(idCol).as("vid"),
           posexplode(col(vecCol)).as(Seq("pos", "vv")))
@@ -63,47 +75,58 @@ object Similarity {
     require(maxAbs <= 2000000L,
       s"dominantDirection: quantized component |q| = $maxAbs exceeds " +
         "the 2·10⁶ unit-scale bound; normalize the vectors first")
-    val sums = comp.groupBy(col("pos")).agg(sum(col("q")).as("sv"))
-    val c = comp.join(broadcast(sums), "pos")
-      .select(col("vid"), col("pos"),
-        (lit(n) * col("q") - col("sv")).as("cv"))
-    // the scatter matrix is DIMENSION²-bounded (d² rows regardless of
-    // corpus size), so the power iteration walks it DRIVER-SIDE in
-    // exact BigInt (same trunc-toward-zero /): an in-plan formulation
-    // nests one eager BroadcastExchange per renormalization inside
-    // every downstream plan and re-fires the whole chain per
-    // materialization — measured ~10× this form's wall clock. The
-    // corpus is still touched exactly once, by the distributed G
-    // aggregation below; only d² + d rows ever cross the wire.
-    val gRows = c.as("a").join(c.as("b"), "vid")
+    val sums = comp.groupBy(col("pos"))
+      .agg(sum(col("q")).as("sv")).withColumn("n", lit(n))
+    val mom = comp.as("a").join(comp.as("b"), "vid")
       .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
-      .agg(sum(expr("CAST(a.cv AS DECIMAL(38,0)) * b.cv")).as("gv"))
-      .collect()
+      .agg(sum(expr("CAST(a.q AS DECIMAL(38,0)) * b.q")).as("m"))
+    (mom, sums)
+  }
+
+  /** Assemble the centered scatter from (possibly merged) moment
+    * frames and walk the power iteration DRIVER-SIDE in exact BigInt
+    * (same trunc-toward-zero division as the engines' DIV): the
+    * scatter matrix is DIMENSION²-bounded regardless of corpus size,
+    * and an in-plan iteration nests one eager BroadcastExchange per
+    * renormalization inside every downstream plan, re-firing the whole
+    * chain per materialization — measured ~10× this form's wall clock.
+    * Only d² + d rows ever cross the wire. Shared verbatim by the
+    * batch query (q250) and the streaming monitor's serving path. */
+  def solveScatterFrames(spark: org.apache.spark.sql.SparkSession,
+                         momF: DataFrame, sumF: DataFrame,
+                         iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import spark.implicits._
+    val mom = momF.collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
         BigInt(r.getDecimal(2).toBigInteger)))
       .toMap
-    val dims = gRows.keys.map(_._1).toSeq.distinct.sorted
+    val sums = sumF.collect()
+      .map(r => r.getInt(0) -> (BigInt(r.getLong(1)), r.getLong(2)))
+      .toMap
+    require(sums.nonEmpty, "dominantDirection: empty vector corpus")
+    val n = sums.head._2._2
+    val nB = BigInt(n)
+    val dims = sums.keys.toSeq.sorted
+    def g(p1: Int, p2: Int): BigInt =
+      nB * nB * mom((p1, p2)) - nB * sums(p1)._1 * sums(p2)._1
     var v: Map[Int, BigInt] = dims.map(_ -> BigInt(10000)).toMap
     for (_ <- 1 to iterations) {
       val gw = dims.map(p1 => p1 ->
-        dims.map(p2 => gRows((p1, p2)) * v(p2)).sum).toMap
+        dims.map(p2 => g(p1, p2) * v(p2)).sum).toMap
       val m = gw.values.map(_.abs).max
+      require(m > 0, "dominantDirection: zero-variance corpus (all " +
+        "vectors identical) — no principal direction exists")
       v = dims.map(p => p -> gw(p) * 10000 / m).toMap
     }
-    val traceG = dims.map(p => gRows((p, p))).sum
+    val traceG = dims.map(p => g(p, p)).sum
     val gwF = dims.map(p1 => p1 ->
-      dims.map(p2 => gRows((p1, p2)) * v(p2)).sum).toMap
+      dims.map(p2 => g(p1, p2) * v(p2)).sum).toMap
     val lamNum = dims.map(p => v(p) * gwF(p)).sum
     val lamDen = dims.map(p => v(p) * v(p)).sum
     val anisoBp = (lamNum * 10000 / (lamDen * traceG)).toLong
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val vFrame = dims.map(p => (p.toLong, v(p).toLong))
-      .toDF("pos", "pc1_fp4")
-    sums.select(col("pos").cast("long").as("pos"), col("sv").as("sum_q"))
-      .join(broadcast(vFrame), "pos")
-      .select(col("pos"), col("sum_q"), col("pc1_fp4"),
-        lit(anisoBp).as("aniso_bp"))
+    dims.map(p => (p.toLong, sums(p)._1.toLong, v(p).toLong, anisoBp))
+      .toDF("pos", "sum_q", "pc1_fp4", "aniso_bp")
   }
 
   /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED

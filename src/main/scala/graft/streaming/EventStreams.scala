@@ -1151,6 +1151,55 @@ object EventStreams {
     * DECIMAL(38,0), no floating point anywhere — so the streamed
     * report equals batch q222 over all arrivals, spec-proven; the live
     * state is |event types| × 5 numbers regardless of stream length. */
+  /** Streaming embedding-ANISOTROPY monitor — q250's production form
+    * ("is the embedding space collapsing onto a few rogue directions
+    * as ingestion proceeds"): each micro-batch publishes its ADDITIVE
+    * scatter moments ([[graft.operators.Similarity.scatterMoments]] —
+    * the d²-row raw second moments + the d-row first moments, exact
+    * DECIMAL/long), and the dominant-direction report is re-solved per
+    * batch over the per-key SUM of all partials through the SAME
+    * driver-side BigInt power iteration the batch query uses
+    * ([[graft.operators.Similarity.solveScatterFrames]]). The centered
+    * scatter reassembles exactly as G = n²M − n·S₁S₂, so the streamed
+    * report equals batch q250 over all arrivals — spec-proven; history
+    * is never re-read and live state is d²-sized per batch. */
+  def anisotropyMonitorSink(stream: DataFrame, idCol: String,
+                            vecCol: String, stateDir: String,
+                            reportDir: String, checkpointDir: String,
+                            iterations: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val (mom, sums) = graft.operators.Similarity.scatterMoments(
+            batch, idCol, vecCol)
+          mom.write.mode("overwrite")
+            .parquet(s"$stateDir/moments/batch=$batchId")
+          sums.write.mode("overwrite")
+            .parquet(s"$stateDir/sums/batch=$batchId")
+          servingAnisotropy(spark, stateDir, iterations)
+            .write.mode("overwrite").parquet(reportDir)
+        } finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** The queryable anisotropy report over everything
+    * [[anisotropyMonitorSink]] has published — merged moment partials
+    * solved through the shared batch expression path. */
+  def servingAnisotropy(spark: SparkSession, stateDir: String,
+                        iterations: Int = 3): DataFrame =
+    graft.operators.Similarity.solveScatterFrames(spark,
+      spark.read.parquet(s"$stateDir/moments")
+        .groupBy(col("p1"), col("p2")).agg(sum(col("m")).as("m")),
+      spark.read.parquet(s"$stateDir/sums")
+        .groupBy(col("pos"))
+        .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n")),
+      iterations)
+
   def olsMonitorSink(stream: DataFrame, stateDir: String,
                      reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -1043,6 +1043,42 @@ class StreamingSpec extends SparkSpec {
     assert(byType("flat") === (("flat", 1L, None, None)))
   }
 
+  test("streaming anisotropy maintenance equals batch q250 over all arrivals") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // a planted dominant direction split across waves: the centered
+    // scatter G = n²M − n·S₁S₂ is only right if BOTH moment frames
+    // truly merge (wave 2 shifts the mean, so a per-wave centering
+    // would get a different G than the global one)
+    val wave1 = Seq(
+      (1L, Seq(0.1, 0.2, 0.0)), (2L, Seq(0.2, 0.4, 0.01)),
+      (3L, Seq(-0.1, -0.2, 0.0)))
+      .toDF("vec_id", "v")
+    val wave2 = Seq(
+      (4L, Seq(0.3, 0.6, -0.01)), (5L, Seq(0.5, 1.0, 0.02)))
+      .toDF("vec_id", "v")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.anisotropyMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.anisotropyMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    val batch = rows(graft.operators.Similarity.dominantDirection(
+      wave1.unionByName(wave2), "vec_id", "v"))
+    assert(streamed === batch)
+    // the report sees the planted near-1D geometry
+    assert(streamed.head._4 > 9900L) // aniso_bp ≈ 10⁴
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming KS drift maintenance equals batch q225 over all arrivals") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // every source straddles both waves with overlapping lengths, so
