@@ -64,6 +64,15 @@ object Similarity {
     * self-join collapsing map-side into the d²-row frame. */
   def scatterMoments(vectors: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, DataFrame) = {
+    val (comp, n) = componentFrame(vectors, idCol, vecCol)
+    scatterMomentsFromComp(comp, n)
+  }
+
+  /** Quantized component frame (vid, pos, q = round(v·10⁶)) shared by the
+    * scatter/ABTT family, persisted, with the 2·10⁶ unit-scale magnitude
+    * contract enforced loudly at entry. Returns (frame, corpus count). */
+  def componentFrame(vectors: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, Long) = {
     val n = vectors.count()
     val comp = OperatorCaches.persistTracked(
       vectors.select(col(idCol).as("vid"),
@@ -75,12 +84,63 @@ object Similarity {
     require(maxAbs <= 2000000L,
       s"dominantDirection: quantized component |q| = $maxAbs exceeds " +
         "the 2·10⁶ unit-scale bound; normalize the vectors first")
+    (comp, n)
+  }
+
+  private def scatterMomentsFromComp(comp: DataFrame, n: Long)
+      : (DataFrame, DataFrame) = {
     val sums = comp.groupBy(col("pos"))
       .agg(sum(col("q")).as("sv")).withColumn("n", lit(n))
     val mom = comp.as("a").join(comp.as("b"), "vid")
       .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
       .agg(sum(expr("CAST(a.q AS DECIMAL(38,0)) * b.q")).as("m"))
     (mom, sums)
+  }
+
+  /** "All-but-the-top" removal statistics (Mu & Viswanath 2018,
+    * completing the q250 diagnostic with the paper's actual fix): how
+    * much of each document's CENTERED mass lies along the corpus's
+    * dominant principal direction — i.e. what the ABTT post-processing
+    * step would strip from that embedding. Exact integer trajectory
+    * shared with [[dominantDirection]]: components on the 10⁶ grid,
+    * centering on the n-scaled grid (c = n·q − Σq), pc1 from the same
+    * driver-side BigInt power iteration on the d²-row scatter, then one
+    * more corpus pass computes per document coef_q = Σ c·pc1 (the
+    * projection coefficient on the 10⁶·n·10⁴ grid) and removed_bp =
+    * ⌊coef²·10⁴ / (‖pc1‖²·Σc²)⌋ — the Rayleigh share of THIS document
+    * along pc1, in basis points (Cauchy–Schwarz caps it at 10⁴; a
+    * document equal to the corpus mean reports 0 by convention).
+    *
+    * Magnitude audit at the fixture ceiling (n ≤ 3·10⁴, d = 64,
+    * |q| ≤ 2·10⁶): |c| ≤ 2n·qmax = 1.2e11, coef ≤ d·|c|·10⁴ = 7.7e16
+    * (< BIGINT ceiling 9.2e18 ✓), coef²·10⁴ ≤ 6e37 < 10³⁸ ✓,
+    * ‖pc1‖²·Σc² ≤ 6.4e9 · d·c² ≤ 5.9e33 ✓. Scale shape: the scatter
+    * solve never re-touches the corpus, pc1 + per-dimension sums
+    * broadcast as d-row literals, and the projection is ONE map-side-
+    * combined pass over the persisted component frame. */
+  def abttRemoval(vectors: DataFrame, idCol: String, vecCol: String,
+                  iterations: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    val (comp, n) = componentFrame(vectors, idCol, vecCol)
+    val (momF, sumF) = scatterMomentsFromComp(comp, n)
+    val pc = solveScatterFrames(spark, momF, sumF, iterations).collect()
+    import spark.implicits._
+    val pcF = broadcast(pc.map(r => (r.getLong(0).toInt, r.getLong(1),
+        r.getLong(2))).toSeq.toDF("pos", "sv", "w"))
+    val den = pc.map(r => BigInt(r.getLong(2)) * r.getLong(2)).sum
+    require(den > 0 && den <= BigInt("9000000000000000000"),
+      s"abttRemoval: pc1 norm² $den outside (0, 9e18]")
+    comp.join(pcF, "pos")
+      .select(col("vid"),
+        (lit(n) * col("q") - col("sv")).as("cv"), col("w"))
+      .groupBy(col("vid"))
+      .agg(sum(col("cv") * col("w")).as("coef_q"),
+        sum(expr("CAST(cv AS DECIMAL(38,0)) * cv")).as("sc2"))
+      .select(col("vid").as(idCol), col("coef_q"),
+        when(col("sc2") === 0, lit(0L)).otherwise(
+          expr(s"CAST(CAST(coef_q AS DECIMAL(38,0)) * coef_q * 10000" +
+            s" DIV (CAST('$den' AS DECIMAL(38,0)) * sc2) AS BIGINT)"))
+          .as("removed_bp"))
   }
 
   /** Assemble the centered scatter from (possibly merged) moment

@@ -792,34 +792,7 @@ object SimilarityQueries {
         t(s, d, "embeddings"), "vec_id", "embedding", iterations = 3)
         .orderBy("pos"),
       Some {
-        val head = """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-          |comp AS (
-          |  SELECT vec_id,
-          |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-          |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
-          |      AS q
-          |  FROM embeddings
-          |), s AS (
-          |  SELECT pos, CAST(sum(q) AS BIGINT) AS sv FROM comp GROUP BY pos
-          |), c AS (
-          |  SELECT vec_id, comp.pos, n * q - sv AS cv
-          |  FROM comp JOIN s USING (pos) CROSS JOIN nn
-          |), g AS (
-          |  SELECT a.pos AS p1, b.pos AS p2,
-          |    sum(CAST(a.cv AS HUGEINT) * b.cv) AS gv
-          |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
-          |), v0 AS (SELECT pos, 10000::HUGEINT AS w FROM s)""".stripMargin
-        val iters = (1 to 3).map { i =>
-          s"""
-          |, w$i AS (
-          |  SELECT p1 AS pos, sum(gv * w) AS gw
-          |  FROM g JOIN v${i - 1} ON v${i - 1}.pos = g.p2 GROUP BY 1
-          |), v$i AS (
-          |  SELECT pos, gw * 10000 // (SELECT max(abs(gw)) FROM w$i) AS w
-          |  FROM w$i
-          |)""".stripMargin
-        }.mkString
-        head + iters + """
+        scatterPowerCtes + """
           |, tr AS (SELECT sum(gv) AS trace FROM g WHERE p1 = p2),
           |gw4 AS (
           |  SELECT p1 AS pos, sum(gv * w) AS gw
@@ -938,8 +911,79 @@ object SimilarityQueries {
             s"score FROM p$r")
           .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
         head + rounds + sel
+      }),
+
+    // "All-but-the-top" removal statistics — the post-processing fix the
+    // q250 diagnostic motivates (Mu & Viswanath 2018): per document, the
+    // projection coefficient of the CENTERED embedding onto the corpus's
+    // dominant principal direction and the basis-point share of the
+    // document's centered mass that removal would strip (removed_bp =
+    // ⌊coef²·10⁴/(‖pc1‖²·Σc²)⌋, Cauchy–Schwarz-capped at 10⁴; a document
+    // sitting exactly on the corpus mean reports 0 by convention). Same
+    // exact-integer trajectory as q250 — the oracle reuses the identical
+    // unrolled power-iteration CTE suite and appends one projection CTE.
+    // Magnitude audit at the fixture scale (n=2e3, d=64, |q|≤5.8e5):
+    // |c|≤2.4e9, coef≤64·2.4e9·10⁴≈1.5e15 (BIGINT ✓), coef²·10⁴≈2.4e34
+    // < 10³⁸ ✓, den·Σc² ≤ 6.4e9·3.7e20 ≈ 2.4e30 ✓ (documented ceilings
+    // in Similarity.abttRemoval's scaladoc). Scale shape: the d²-row
+    // scatter solve never re-touches the corpus; pc1 and the dimension
+    // sums broadcast as d-row literals and the projection is one
+    // map-side-combined pass over the persisted component frame.
+    QuerySpec("q255_abtt_removal",
+      (s, d) => graft.operators.Similarity.abttRemoval(
+        t(s, d, "embeddings"), "vec_id", "embedding", iterations = 3)
+        .orderBy("vec_id"),
+      Some {
+        scatterPowerCtes + """
+          |, dd AS (SELECT sum(w * w) AS den FROM v3),
+          |pr AS (
+          |  SELECT c.vec_id, sum(c.cv * v3.w) AS coef,
+          |    sum(CAST(c.cv AS HUGEINT) * c.cv) AS sc2
+          |  FROM c JOIN v3 USING (pos) GROUP BY 1
+          |)
+          |SELECT vec_id, CAST(coef AS BIGINT) AS coef_q,
+          |  CASE WHEN sc2 = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(coef * coef * 10000 // (den * sc2) AS BIGINT)
+          |  END AS removed_bp
+          |FROM pr CROSS JOIN dd ORDER BY vec_id""".stripMargin
       })
   )
+
+  /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames
+    * exact-integer trajectory (quantized components `comp`, centered
+    * frame `c`, d²-row scatter `g`, and THREE unrolled power-iteration
+    * rounds ending in the 10⁴-grid direction `v3`). Shared by q250 (the
+    * anisotropy diagnostic) and q255 (the ABTT removal statistics). */
+  private def scatterPowerCtes: String = {
+    val head = """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+      |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT pos, CAST(sum(q) AS BIGINT) AS sv FROM comp GROUP BY pos
+      |), c AS (
+      |  SELECT vec_id, comp.pos, n * q - sv AS cv
+      |  FROM comp JOIN s USING (pos) CROSS JOIN nn
+      |), g AS (
+      |  SELECT a.pos AS p1, b.pos AS p2,
+      |    sum(CAST(a.cv AS HUGEINT) * b.cv) AS gv
+      |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+      |), v0 AS (SELECT pos, 10000::HUGEINT AS w FROM s)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s"""
+      |, w$i AS (
+      |  SELECT p1 AS pos, sum(gv * w) AS gw
+      |  FROM g JOIN v${i - 1} ON v${i - 1}.pos = g.p2 GROUP BY 1
+      |), v$i AS (
+      |  SELECT pos, gw * 10000 // (SELECT max(abs(gw)) FROM w$i) AS w
+      |  FROM w$i
+      |)""".stripMargin
+    }.mkString
+    head + iters
+  }
 
   /** DuckDB twin of Mixture.kCenters' greedy trajectory (k=5 on the
     * embeddings fixture), as a CTE suite ending in pick CTEs

@@ -252,6 +252,41 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("abttRemoval: on-axis mass reports 10⁴ bp, orthogonal mass 0") {
+    // planted dominant direction (1,0): two heavy ±x vectors, two tiny
+    // ±y vectors. Hand-rolled trajectory: c = 4q (zero mean), Gxx =
+    // 2·(1.6e6)² dwarfs Gyy = 2·(4e4)², and the 10⁴-grid renorm
+    // truncates the y component to 0 by iteration 2 — pc1 = (10⁴, 0)
+    // EXACTLY, so x-docs project fully (10⁴ bp) and y-docs not at all.
+    val vs = Seq(
+      (1L, Seq(0.4, 0.0)), (2L, Seq(-0.4, 0.0)),
+      (3L, Seq(0.0, 0.01)), (4L, Seq(0.0, -0.01)))
+      .toDF("vec_id", "v")
+    val got = Similarity.abttRemoval(vs, "vec_id", "v")
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 16000000000L, 10000L), // c=(1.6e6,0), coef=c·(1e4,0)
+      (2L, -16000000000L, 10000L),
+      (3L, 0L, 0L), (4L, 0L, 0L)))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("abttRemoval: a document sitting on the corpus mean reports 0") {
+    // three collinear vectors; the middle one IS the mean, so its
+    // centered form is the zero vector — coef 0, removed_bp 0 by the
+    // Σc²=0 convention; its collinear neighbors strip a full 10⁴.
+    val vs = Seq(
+      (1L, Seq(0.1, 0.2)), (2L, Seq(0.2, 0.4)), (3L, Seq(0.3, 0.6)))
+      .toDF("vec_id", "v")
+    val got = Similarity.abttRemoval(vs, "vec_id", "v")
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3) === Seq(10000L, 0L, 10000L))
+    assert(got(1)._2 === 0L)
+    graft.operators.OperatorCaches.release()
+  }
+
   test("mmrGreedy picks relevance first, then skips the redundant twin") {
     // candidates: a (rel 100), b (rel 99, near-twin of a: sim 95),
     // c (rel 50, dissimilar: sim 5 to both). Round 1 → a. Round 2:
