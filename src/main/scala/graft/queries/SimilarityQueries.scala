@@ -946,7 +946,113 @@ object SimilarityQueries {
           |       ELSE CAST(coef * coef * 10000 // (den * sc2) AS BIGINT)
           |  END AS removed_bp
           |FROM pr CROSS JOIN dd ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // Johnson–Lindenstrauss sign projection (Achlioptas 2003): reduce the
+    // 64-dim embeddings onto k=16 Rademacher ±1 directions — the
+    // dimensionality cut a 100 TB pipeline applies BEFORE pairwise work
+    // (dedup sweeps, clustering) to divide every distance computation by
+    // d/k. The sign matrix derives from md5 parity of the cell label, not
+    // an RNG, so both engines rebuild the identical matrix and the
+    // projected values are exact integers on the component frame's 10⁶
+    // grid (|y| ≤ d·2·10⁶ ≈ 1.3e8 — BIGINT trivially). Scale shape: d·k
+    // sign rows broadcast; ONE map-side-combined pass over the persisted
+    // component frame; the output shuffle is keyed (vec_id, j).
+    QuerySpec("q256_jl_projection",
+      (s, d) => graft.operators.SignProjection.project(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 16)
+        .orderBy("vec_id", "j"),
+      Some("""WITH comp AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings
+        |), sm AS (
+        |  SELECT pos, j,
+        |    CASE WHEN ('0x' || substr(md5(pos::VARCHAR || '_'
+        |        || j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT pos FROM comp)
+        |    CROSS JOIN (SELECT unnest(range(16)) AS j)
+        |)
+        |SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
+        |FROM comp JOIN sm USING (pos)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin)),
+
+    // JL distance-preservation audit: for a deterministic md5 sample of
+    // vectors (≈5%, the q150 ground-truth discipline — the all-pairs here
+    // is over the SAMPLE, bounded by construction, never the corpus), the
+    // ratio of projected to original squared distance in basis points
+    // (E[dp2] = k·d2 for Rademacher signs, so ratio_bp concentrates
+    // around 10⁴; identical-vector pairs report 10⁴ by convention). This
+    // is the measurement that licenses running dedup/clustering on the
+    // k=16 projection: magnitudes d2 ≤ d·(4e6)² = 1e15, dp2 ≤ k·(2d·
+    // 2e6)² ≈ 1e18 (BIGINT ✓), dp2·10⁴ via DECIMAL/HUGEINT, trunc DIV.
+    QuerySpec("q257_jl_distortion",
+      (s, d) => {
+        val sampled = t(s, d, "embeddings").filter(
+          graft.functions.TextFunctions.md5Long(
+            col("vec_id").cast("string")) % 20 === 0)
+        val (comp, _) = graft.operators.Similarity.componentFrame(
+          sampled, "vec_id", "embedding")
+        val d2 = comp.as("a").join(comp.as("b"),
+            col("a.pos") === col("b.pos") && col("a.vid") < col("b.vid"))
+          .groupBy(col("a.vid").as("a_id"), col("b.vid").as("b_id"))
+          .agg(sum(expr("(a.q - b.q) * (a.q - b.q)")).as("d2"))
+        val proj = graft.operators.SignProjection.project(
+          sampled, "vec_id", "embedding", k = 16)
+        val dp = proj.as("a").join(proj.as("b"),
+            col("a.j") === col("b.j") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("a_id"),
+            col("b.vec_id").as("b_id"))
+          .agg(sum(expr("(a.y - b.y) * (a.y - b.y)")).as("dp2"))
+        d2.join(dp, Seq("a_id", "b_id"))
+          .select(col("a_id"), col("b_id"), col("d2"), col("dp2"),
+            when(col("d2") === 0, lit(10000L)).otherwise(
+              expr("CAST(CAST(dp2 AS DECIMAL(38,0)) * 10000 DIV " +
+                "(CAST(16 AS DECIMAL(38,0)) * d2) AS BIGINT)"))
+              .as("ratio_bp"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH sam AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+        |    % 20 = 0
+        |), comp AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM sam
+        |), d2 AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+        |  FROM comp a JOIN comp b
+        |    ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT pos, j,
+        |    CASE WHEN ('0x' || substr(md5(pos::VARCHAR || '_'
+        |        || j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT pos FROM comp)
+        |    CROSS JOIN (SELECT unnest(range(16)) AS j)
+        |), pj AS (
+        |  SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
+        |  FROM comp JOIN sm USING (pos) GROUP BY 1, 2
+        |), dp AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS dp2
+        |  FROM pj a JOIN pj b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, d2.d2, dp.dp2,
+        |  CASE WHEN d2.d2 = 0 THEN CAST(10000 AS BIGINT)
+        |       ELSE CAST(CAST(dp2 AS HUGEINT) * 10000
+        |         // (16 * d2.d2) AS BIGINT)
+        |  END AS ratio_bp
+        |FROM d2 JOIN dp USING (a_id, b_id)
+        |ORDER BY a_id, b_id""".stripMargin))
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames
