@@ -189,6 +189,60 @@ object Similarity {
       .toDF("pos", "sum_q", "pc1_fp4", "aniso_bp")
   }
 
+  /** Simplified silhouette (centroid form — Vendramin et al. 2010) of a
+    * labeled embedding corpus, on SQUARED distances so the whole score is
+    * exact integer arithmetic: per point, a² = squared distance to its own
+    * label's centroid, b² = min squared distance to any other label's
+    * centroid, score_bp = ⌊(b²−a²)·10⁴ / max(a²,b²)⌋ ∈ [−10⁴, 10⁴]
+    * (a point sitting on both centroids scores 0 by convention). The
+    * classic clustering-quality diagnostic for a curated corpus's label
+    * assignment — scores near 10⁴ mean tight, well-separated clusters;
+    * negative means the point is closer to a rival centroid.
+    *
+    * Exactness: components on the 10⁶ grid, centroids on the ×10³
+    * subgrid via trunc-identical integer DIV (μ = ⌊Σq·10³/n_g⌋ — the
+    * one division, deterministic in both engines), per-term squares
+    * accumulated in DECIMAL(38,0). Magnitude audit at the unit-scale
+    * ceiling (|q| ≤ 2·10⁶, d = 64): |q·10³ − μ| ≤ 4·10⁹, per-term
+    * square ≤ 1.6e19 (hence the decimal cast BEFORE squaring), per-point
+    * d² ≤ 1e21, (b²−a²)·10⁴ ≤ 1e25 — all inside DECIMAL(38,0).
+    * Scale shape: centroids are |labels|·d rows (broadcast); the
+    * point×centroid expansion is a map-side fan-out of |labels| per
+    * component row, aggregated map-side by (id, label) — one corpus
+    * pass, no self-join, no pairwise work. */
+  def simplifiedSilhouette(vectors: DataFrame, idCol: String,
+                           vecCol: String, labelCol: String): DataFrame = {
+    val labeled = vectors.filter(col(labelCol).isNotNull)
+    val nLabels = labeled.select(labelCol).distinct().count()
+    require(nLabels >= 2,
+      s"simplifiedSilhouette: need >= 2 labels, got $nLabels")
+    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    val labels = labeled.select(col(idCol).as("vid"),
+      col(labelCol).as("lbl"))
+    val mu = comp.join(labels, "vid")
+      .groupBy(col("lbl").as("clbl"), col("pos"))
+      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
+      .select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
+    val d2 = comp.join(broadcast(mu), "pos")
+      .select(col("vid"), col("clbl"),
+        (col("q") * 1000L - col("mu")).as("dq"))
+      .groupBy(col("vid"), col("clbl"))
+      .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
+    val pts = d2.join(labels, "vid")
+      .groupBy(col("vid"), col("lbl"))
+      .agg(max(when(col("clbl") === col("lbl"), col("d2"))).as("a2"),
+        min(when(col("clbl") =!= col("lbl"), col("d2"))).as("b2"))
+      .select(col("lbl"),
+        when(greatest(col("a2"), col("b2")) === 0, lit(0L))
+          .otherwise(expr(
+            "CAST((b2 - a2) * 10000 DIV greatest(a2, b2) AS BIGINT)"))
+          .as("score_bp"))
+    pts.groupBy(col("lbl").as(labelCol))
+      .agg(count(lit(1)).as("n_pts"), sum("score_bp").as("sum_score_bp"))
+      .select(col(labelCol), col("n_pts"), col("sum_score_bp"),
+        expr("sum_score_bp DIV n_pts").as("mean_score_bp"))
+  }
+
   /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED
     * candidate frame — the pure argmax walk behind q251, factored out
     * so the greedy semantics are unit-testable: round 1 picks max

@@ -1052,7 +1052,53 @@ object SimilarityQueries {
         |         // (16 * d2.d2) AS BIGINT)
         |  END AS ratio_bp
         |FROM d2 JOIN dp USING (a_id, b_id)
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Simplified silhouette (centroid form, Vendramin et al. 2010) of the
+    // fixture's label assignment — the clustering-quality score q233's
+    // cohesion diagnostic lacks: per point, own-centroid squared distance
+    // a² vs nearest-RIVAL-centroid squared distance b², scored
+    // ⌊(b²−a²)·10⁴/max(a²,b²)⌋ and aggregated per label (near 10⁴ =
+    // tight + separated; negative = assigned to the wrong cluster).
+    // Squared distances keep the trajectory exact-integer (no sqrt):
+    // centroids on the ×10³ subgrid by trunc-identical DIV, per-term
+    // squares in DECIMAL(38,0) (magnitude ceilings in the operator's
+    // scaladoc). Scale shape: |labels|·d centroid rows broadcast, one
+    // map-side fan-out pass over the component frame — no self-join.
+    QuerySpec("q258_silhouette",
+      (s, d) => graft.operators.Similarity.simplifiedSilhouette(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH comp AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings
+        |), lb AS (SELECT vec_id, label FROM embeddings),
+        |mu AS (
+        |  SELECT label AS clbl, pos,
+        |    CAST(sum(q * 1000) AS BIGINT) // count(*) AS mu
+        |  FROM comp JOIN lb USING (vec_id) GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT vec_id, clbl,
+        |    sum(CAST(q * 1000 - mu AS HUGEINT) * (q * 1000 - mu)) AS d2
+        |  FROM comp JOIN mu USING (pos) GROUP BY 1, 2
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN clbl = label THEN d2 END) AS a2,
+        |    min(CASE WHEN clbl <> label THEN d2 END) AS b2
+        |  FROM d2 JOIN lb USING (vec_id) GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT label,
+        |    CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST((b2 - a2) * 10000 // greatest(a2, b2)
+        |           AS BIGINT) END AS score_bp
+        |  FROM ab
+        |)
+        |SELECT label, count(*) AS n_pts,
+        |  CAST(sum(score_bp) AS BIGINT) AS sum_score_bp,
+        |  CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_score_bp
+        |FROM pts GROUP BY label ORDER BY label""".stripMargin))
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames

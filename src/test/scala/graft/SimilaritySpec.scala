@@ -287,6 +287,50 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("simplifiedSilhouette: tight separated clusters score 10⁴, " +
+      "a point on the rival centroid scores negative") {
+    // labels 0/1 each collapse onto one point → a² = 0, b² > 0 → every
+    // point scores the full 10⁴
+    val tight = Seq(
+      (1L, Seq(0.1, 0.0), 0), (2L, Seq(0.1, 0.0), 0),
+      (3L, Seq(-0.1, 0.0), 1), (4L, Seq(-0.1, 0.0), 1))
+      .toDF("vec_id", "v", "label")
+    val got = Similarity.simplifiedSilhouette(tight, "vec_id", "v", "label")
+      .orderBy("label").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0, 2L, 20000L, 10000L), (1, 2L, 20000L, 10000L)))
+    graft.operators.OperatorCaches.release()
+    // plant a label-1 point exactly on label 0's centroid: its a² (to
+    // the shifted label-1 centroid) exceeds its b² (0 to label 0) →
+    // negative contribution drags label 1's mean below label 0's 10⁴
+    val planted = Seq(
+      (1L, Seq(0.1, 0.0), 0), (2L, Seq(0.1, 0.0), 0),
+      (3L, Seq(-0.1, 0.0), 1), (4L, Seq(-0.1, 0.0), 1),
+      (5L, Seq(0.1, 0.0), 1))
+      .toDF("vec_id", "v", "label")
+    val p = Similarity.simplifiedSilhouette(planted, "vec_id", "v", "label")
+      .orderBy("label").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(p.head._4 === 10000L)
+    assert(p(1)._4 < p.head._4)
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("simplifiedSilhouette: degenerate identical corpus scores 0; " +
+      "fewer than two labels is loud") {
+    val same = Seq((1L, Seq(0.5), 0), (2L, Seq(0.5), 1))
+      .toDF("vec_id", "v", "label")
+    val got = Similarity.simplifiedSilhouette(same, "vec_id", "v", "label")
+      .orderBy("label").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4) === Seq(0L, 0L))
+    graft.operators.OperatorCaches.release()
+    val one = Seq((1L, Seq(0.5), 0), (2L, Seq(0.6), 0))
+      .toDF("vec_id", "v", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.simplifiedSilhouette(one, "vec_id", "v", "label")
+    }
+    assert(e.getMessage.contains("need >= 2 labels"))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("mmrGreedy picks relevance first, then skips the redundant twin") {
     // candidates: a (rel 100), b (rel 99, near-twin of a: sim 95),
     // c (rel 50, dissimilar: sim 5 to both). Round 1 → a. Round 2:
