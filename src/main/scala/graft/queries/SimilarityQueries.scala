@@ -1098,7 +1098,185 @@ object SimilarityQueries {
         |SELECT label, count(*) AS n_pts,
         |  CAST(sum(score_bp) AS BIGINT) AS sum_score_bp,
         |  CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_score_bp
-        |FROM pts GROUP BY label ORDER BY label""".stripMargin))
+        |FROM pts GROUP BY label ORDER BY label""".stripMargin)),
+
+    // The JL operating-point audit: over the q257 md5 sample, compare
+    // cosine-threshold pair detection in the full 64-dim space (ground
+    // truth) against the sign projection at k = 16/32/48 — tp/fn/fp and
+    // recall_bp per (k, threshold). Because the md5 sign matrix is
+    // indexed by (pos, j), the k=16 matrix IS the first 16 columns of
+    // the k=48 one: project ONCE at k=48 and take prefix sums, so the
+    // sweep costs one pass. All threshold tests are EXACT integer
+    // cross-multiplications (cos >= t/10 <=> dot > 0 and 100*dot^2 >=
+    // t^2*|a|^2*|b|^2 — no sqrt, no floats): full-dim dot <= 2.6e14;
+    // projected dot at k=48 <= 7.9e17, 100*dot^2 <= 6.2e37 — inside
+    // DECIMAL(38,0)/HUGEINT, documented. Thresholds 0.1/0.2/0.3 sit
+    // where the fixture's near-orthogonal synthetic embeddings have
+    // NON-EMPTY truth sets at every scale (max sampled pair cosine
+    // ~0.43). The audit is the DECISION INSTRUMENT: at k=16 recall is
+    // ~0.5 (too coarse for these tiny cosine gaps, as 1/eps^2 theory
+    // predicts), rising with k — run it before trusting any reduced-
+    // dimension dedup sweep. The all-pairs runs on the bounded
+    // deterministic sample (the q150 ground-truth discipline).
+    QuerySpec("q259_jl_neardup_recall",
+      (s, d) => {
+        val sampled = t(s, d, "embeddings").filter(
+          graft.functions.TextFunctions.md5Long(
+            col("vec_id").cast("string")) % 20 === 0)
+        val (comp, _) = graft.operators.Similarity.componentFrame(
+          sampled, "vec_id", "embedding")
+        val nrm = comp.groupBy(col("vid"))
+          .agg(sum(col("q") * col("q")).as("n2"))
+        val dots = comp.as("a").join(comp.as("b"),
+            col("a.pos") === col("b.pos") && col("a.vid") < col("b.vid"))
+          .groupBy(col("a.vid").as("a_id"), col("b.vid").as("b_id"))
+          .agg(sum(expr("a.q * b.q")).as("dab"))
+        val proj = graft.operators.SignProjection.project(
+          sampled, "vec_id", "embedding", k = 48)
+        val yy = col("y") * col("y")
+        val pnrm = proj.groupBy(col("vec_id"))
+          .agg(sum(when(col("j") < 16, yy).otherwise(0L)).as("m16"),
+            sum(when(col("j") < 32, yy).otherwise(0L)).as("m32"),
+            sum(yy).as("m48"))
+        val ab = expr("a.y * b.y")
+        val pdots = proj.as("a").join(proj.as("b"),
+            col("a.j") === col("b.j") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("a_id"),
+            col("b.vec_id").as("b_id"))
+          .agg(sum(when(col("a.j") < 16, ab).otherwise(0L)).as("p16"),
+            sum(when(col("a.j") < 32, ab).otherwise(0L)).as("p32"),
+            sum(ab).as("p48"))
+        dots.join(pdots, Seq("a_id", "b_id"))
+          .join(nrm.select(col("vid").as("a_id"), col("n2").as("na")),
+            "a_id")
+          .join(nrm.select(col("vid").as("b_id"), col("n2").as("nb")),
+            "b_id")
+          .join(pnrm.select(col("vec_id").as("a_id"),
+            col("m16").as("ma16"), col("m32").as("ma32"),
+            col("m48").as("ma48")), "a_id")
+          .join(pnrm.select(col("vec_id").as("b_id"),
+            col("m16").as("mb16"), col("m32").as("mb32"),
+            col("m48").as("mb48")), "b_id")
+          .withColumn("kk", explode(array(lit(16), lit(32), lit(48))))
+          .withColumn("pab",
+            expr("CASE kk WHEN 16 THEN p16 WHEN 32 THEN p32 " +
+              "ELSE p48 END"))
+          .withColumn("ma",
+            expr("CASE kk WHEN 16 THEN ma16 WHEN 32 THEN ma32 " +
+              "ELSE ma48 END"))
+          .withColumn("mb",
+            expr("CASE kk WHEN 16 THEN mb16 WHEN 32 THEN mb32 " +
+              "ELSE mb48 END"))
+          .withColumn("t10", explode(array(lit(1), lit(2), lit(3))))
+          .withColumn("truth", expr("dab > 0 AND " +
+            "CAST(100 AS DECIMAL(38,0)) * dab * dab >= " +
+            "CAST(t10 AS DECIMAL(38,0)) * t10 * na * nb"))
+          .withColumn("pred", expr("pab > 0 AND " +
+            "CAST(100 AS DECIMAL(38,0)) * pab * pab >= " +
+            "CAST(t10 AS DECIMAL(38,0)) * t10 * ma * mb"))
+          .groupBy(col("kk"), col("t10"))
+          .agg(
+            sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("truth") && col("pred"), 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("truth") && !col("pred"), 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(!col("truth") && col("pred"), 1L).otherwise(0L))
+              .as("fp"))
+          .select(col("kk"), col("t10"), col("n_true"), col("tp"),
+            col("fn"), col("fp"),
+            when(col("n_true") === 0, lit(10000L))
+              .otherwise(expr("tp * 10000 DIV n_true")).as("recall_bp"))
+          .orderBy("kk", "t10")
+      },
+      Some("""WITH sam AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+        |    % 20 = 0
+        |), comp AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM sam
+        |), nrm AS (
+        |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |  FROM comp GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS dab
+        |  FROM comp a JOIN comp b
+        |    ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT pos, j,
+        |    CASE WHEN ('0x' || substr(md5(pos::VARCHAR || '_'
+        |        || j::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT pos FROM comp)
+        |    CROSS JOIN (SELECT unnest(range(48)) AS j)
+        |), pj AS (
+        |  SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS y
+        |  FROM comp JOIN sm USING (pos) GROUP BY 1, 2
+        |), pnrm AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN j < 16 THEN y * y ELSE 0 END) AS BIGINT)
+        |      AS m16,
+        |    CAST(sum(CASE WHEN j < 32 THEN y * y ELSE 0 END) AS BIGINT)
+        |      AS m32,
+        |    CAST(sum(y * y) AS BIGINT) AS m48
+        |  FROM pj GROUP BY 1
+        |), pdots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(sum(CASE WHEN a.j < 16 THEN a.y * b.y ELSE 0 END)
+        |      AS BIGINT) AS p16,
+        |    CAST(sum(CASE WHEN a.j < 32 THEN a.y * b.y ELSE 0 END)
+        |      AS BIGINT) AS p32,
+        |    CAST(sum(a.y * b.y) AS BIGINT) AS p48
+        |  FROM pj a JOIN pj b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT kk, t10,
+        |    (dab > 0 AND CAST(100 AS HUGEINT) * dab * dab >=
+        |      CAST(t10 AS HUGEINT) * t10 * na.n2 * nb.n2) AS truth,
+        |    (pab > 0 AND CAST(100 AS HUGEINT) * pab * pab >=
+        |      CAST(t10 AS HUGEINT) * t10 * ma * mb) AS pred
+        |  FROM (
+        |    SELECT a_id, b_id, dab, kk,
+        |      CASE kk WHEN 16 THEN p16 WHEN 32 THEN p32 ELSE p48 END
+        |        AS pab,
+        |      CASE kk WHEN 16 THEN ma16 WHEN 32 THEN ma32 ELSE ma48 END
+        |        AS ma,
+        |      CASE kk WHEN 16 THEN mb16 WHEN 32 THEN mb32 ELSE mb48 END
+        |        AS mb
+        |    FROM (
+        |      SELECT dots.a_id, dots.b_id, dab, p16, p32, p48,
+        |        pa.m16 AS ma16, pa.m32 AS ma32, pa.m48 AS ma48,
+        |        pb.m16 AS mb16, pb.m32 AS mb32, pb.m48 AS mb48
+        |      FROM dots
+        |      JOIN pdots USING (a_id, b_id)
+        |      JOIN pnrm pa ON pa.vec_id = dots.a_id
+        |      JOIN pnrm pb ON pb.vec_id = dots.b_id)
+        |    CROSS JOIN (SELECT unnest([16, 32, 48]) AS kk))
+        |  JOIN nrm na ON na.vec_id = a_id
+        |  JOIN nrm nb ON nb.vec_id = b_id
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS t10)
+        |), agg AS (
+        |  SELECT kk, t10,
+        |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_true,
+        |    CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM flagged GROUP BY 1, 2
+        |)
+        |SELECT kk, t10, n_true, tp, fn, fp,
+        |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+        |       ELSE CAST(tp * 10000 // n_true AS BIGINT) END AS recall_bp
+        |FROM agg ORDER BY kk, t10""".stripMargin))
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames
