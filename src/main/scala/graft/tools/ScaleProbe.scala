@@ -179,7 +179,17 @@ object ScaleProbe {
       // candidate generation is one broadcast join over the corpus
       "q249_hits", "q252_packing_audit",
       "q253_spearman_length_confound", "q254_novelty_saturation",
-      "q250_embedding_anisotropy", "q251_mmr_rerank")
+      "q250_embedding_anisotropy", "q251_mmr_rerank",
+      // ABTT removal adds one map-side projection pass over the
+      // component frame to the anisotropy trajectory; JL projection is
+      // that same pass against a broadcast d·k sign matrix; silhouette
+      // fans each component row out |labels| ways map-side. The JL
+      // audits (q257/q259) run their all-pairs on the FIXED-RATE md5
+      // sample, so their pair counts grow ~replicas² BY DESIGN (twin
+      // replicas multiply sampled ids ~10×) — expected-superlinear in
+      // the probe, bounded by the sample rate in production
+      "q255_abtt_removal", "q256_jl_projection", "q258_silhouette",
+      "q257_jl_distortion", "q259_jl_neardup_recall")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
