@@ -212,22 +212,7 @@ object Similarity {
     * pass, no self-join, no pairwise work. */
   def simplifiedSilhouette(vectors: DataFrame, idCol: String,
                            vecCol: String, labelCol: String): DataFrame = {
-    val labeled = vectors.filter(col(labelCol).isNotNull)
-    val nLabels = labeled.select(labelCol).distinct().count()
-    require(nLabels >= 2,
-      s"simplifiedSilhouette: need >= 2 labels, got $nLabels")
-    val (comp, _) = componentFrame(labeled, idCol, vecCol)
-    val labels = labeled.select(col(idCol).as("vid"),
-      col(labelCol).as("lbl"))
-    val mu = comp.join(labels, "vid")
-      .groupBy(col("lbl").as("clbl"), col("pos"))
-      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
-      .select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
-    val d2 = comp.join(broadcast(mu), "pos")
-      .select(col("vid"), col("clbl"),
-        (col("q") * 1000L - col("mu")).as("dq"))
-      .groupBy(col("vid"), col("clbl"))
-      .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
+    val (labels, d2) = centroidDistances(vectors, idCol, vecCol, labelCol)
     val pts = d2.join(labels, "vid")
       .groupBy(col("vid"), col("lbl"))
       .agg(max(when(col("clbl") === col("lbl"), col("d2"))).as("a2"),
@@ -241,6 +226,76 @@ object Similarity {
       .agg(count(lit(1)).as("n_pts"), sum("score_bp").as("sum_score_bp"))
       .select(col(labelCol), col("n_pts"), col("sum_score_bp"),
         expr("sum_score_bp DIV n_pts").as("mean_score_bp"))
+  }
+
+  /** Shared by [[simplifiedSilhouette]] and [[labelAgreement]]: the
+    * exact point×centroid squared-distance frame. Centroids on the
+    * ×10³ subgrid via trunc-identical integer DIV; per-term squares
+    * accumulated in DECIMAL(38,0) (magnitude ceilings in the
+    * simplifiedSilhouette scaladoc). Returns (labels = (vid, lbl),
+    * d2 = (vid, clbl, d2)); loud on fewer than two labels. */
+  private def centroidDistances(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): (DataFrame, DataFrame) = {
+    val labeled = vectors.filter(col(labelCol).isNotNull)
+    val nLabels = labeled.select(labelCol).distinct().count()
+    require(nLabels >= 2,
+      s"centroidDistances: need >= 2 labels, got $nLabels")
+    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    val labels = labeled.select(col(idCol).as("vid"),
+      col(labelCol).as("lbl"))
+    val mu = comp.join(labels, "vid")
+      .groupBy(col("lbl").as("clbl"), col("pos"))
+      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
+      .select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
+    val d2 = comp.join(broadcast(mu), "pos")
+      .select(col("vid"), col("clbl"),
+        (col("q") * 1000L - col("mu")).as("dq"))
+      .groupBy(col("vid"), col("clbl"))
+      .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
+    (labels, d2)
+  }
+
+  /** Chance-corrected agreement (Cohen's κ) between the corpus's label
+    * column and the NEAREST-CENTROID assignment those labels induce —
+    * the label-quality audit for a curated corpus: κ near 10⁴ means the
+    * labels carve the embedding space into self-consistent cells; κ
+    * near 0 means the labels are no better than chance at predicting
+    * geometry. Assignment ties break to the smallest label via the
+    * explicit two-step (min distance, then min label among minima) so
+    * both engines walk the identical trajectory. One output row:
+    * (n_pts, n_agree, sum_rc = Σ_l row_l·col_l of the confusion
+    * matrix, accuracy_bp = ⌊n_agree·10⁴/n⌋, kappa_bp =
+    * ⌊(n·n_agree − Σrc)·10⁴ / (n² − Σrc)⌋; a degenerate corpus with
+    * all mass in one confusion cell reports κ = accuracy by
+    * convention). Exact integers end to end — products ride
+    * DECIMAL(38,0), safe to n ≈ 3·10⁹ points. Scale shape: inherits
+    * centroidDistances' one-pass fan-out; everything past the
+    * |labels|²-row confusion matrix is constant-size. */
+  def labelAgreement(vectors: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String): DataFrame = {
+    val (labels, d2) = centroidDistances(vectors, idCol, vecCol, labelCol)
+    val pmin = d2.groupBy(col("vid")).agg(min(col("d2")).as("md"))
+    val pred = d2.join(pmin, "vid").filter(col("d2") === col("md"))
+      .groupBy(col("vid")).agg(min(col("clbl")).as("plbl"))
+    val conf = pred.join(labels, "vid")
+      .groupBy(col("lbl"), col("plbl")).agg(count(lit(1)).as("c"))
+    val tot = conf.agg(sum(col("c")).as("n_pts"),
+      sum(when(col("lbl") === col("plbl"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val rows = conf.groupBy(col("lbl")).agg(sum(col("c")).as("r"))
+    val cols = conf.groupBy(col("plbl")).agg(sum(col("c")).as("cc"))
+    val rc = rows.join(cols, col("lbl") === col("plbl"))
+      .agg(coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * cc")),
+        lit(0).cast("decimal(38,0)")).as("rc"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("n_pts"), col("n_agree"),
+        col("rc").cast("long").as("sum_rc"),
+        expr("n_agree * 10000 DIV n_pts").as("accuracy_bp"),
+        expr("CASE WHEN CAST(n_pts AS DECIMAL(38,0)) * n_pts = rc" +
+          " THEN n_agree * 10000 DIV n_pts" +
+          " ELSE CAST((CAST(n_pts AS DECIMAL(38,0)) * n_agree - rc)" +
+          " * 10000 DIV (CAST(n_pts AS DECIMAL(38,0)) * n_pts - rc)" +
+          " AS BIGINT) END").as("kappa_bp"))
   }
 
   /** Greedy MMR (maximal marginal relevance) selection over a BOUNDED

@@ -1276,7 +1276,65 @@ object SimilarityQueries {
         |SELECT kk, t10, n_true, tp, fn, fp,
         |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
         |       ELSE CAST(tp * 10000 // n_true AS BIGINT) END AS recall_bp
-        |FROM agg ORDER BY kk, t10""".stripMargin))
+        |FROM agg ORDER BY kk, t10""".stripMargin)),
+
+    // Label-quality audit: Cohen's κ between the fixture's label column
+    // and the nearest-centroid assignment those labels induce (do the
+    // labels carve the embedding space into self-consistent cells, or
+    // are they geometric noise?). Chance correction is the point — raw
+    // accuracy rewards skewed label marginals; κ subtracts the
+    // Σ row·col / n² agreement a label-blind assigner gets for free.
+    // Exact integer trajectory: centroids and distances from the q258
+    // machinery, assignment ties broken by the explicit two-step (min
+    // d², then min label among minima — identical in both engines),
+    // κ in basis points by trunc DIV with DECIMAL(38,0) products.
+    // Scale shape: one map-side fan-out pass; everything past the
+    // |labels|²-row confusion matrix is constant-size.
+    QuerySpec("q260_label_kappa",
+      (s, d) => graft.operators.Similarity.labelAgreement(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label"),
+      Some("""WITH comp AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings
+        |), lb AS (SELECT vec_id, label FROM embeddings),
+        |mu AS (
+        |  SELECT label AS clbl, pos,
+        |    CAST(sum(q * 1000) AS BIGINT) // count(*) AS mu
+        |  FROM comp JOIN lb USING (vec_id) GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT vec_id, clbl,
+        |    sum(CAST(q * 1000 - mu AS HUGEINT) * (q * 1000 - mu)) AS d2
+        |  FROM comp JOIN mu USING (pos) GROUP BY 1, 2
+        |), pmin AS (
+        |  SELECT vec_id, min(d2) AS md FROM d2 GROUP BY 1
+        |), pred AS (
+        |  SELECT d2.vec_id, min(clbl) AS plbl
+        |  FROM d2 JOIN pmin ON d2.vec_id = pmin.vec_id AND d2.d2 = md
+        |  GROUP BY 1
+        |), conf AS (
+        |  SELECT label AS tl, plbl, count(*) AS c
+        |  FROM pred JOIN lb USING (vec_id) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_pts,
+        |    CAST(sum(CASE WHEN tl = plbl THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM conf
+        |), rc AS (
+        |  SELECT COALESCE(sum(CAST(r.r AS HUGEINT) * c.cc), 0) AS rc
+        |  FROM (SELECT tl, sum(c) AS r FROM conf GROUP BY 1) r
+        |  JOIN (SELECT plbl, sum(c) AS cc FROM conf GROUP BY 1) c
+        |    ON r.tl = c.plbl
+        |)
+        |SELECT n_pts, n_agree, CAST(rc AS BIGINT) AS sum_rc,
+        |  CAST(n_agree * 10000 // n_pts AS BIGINT) AS accuracy_bp,
+        |  CASE WHEN CAST(n_pts AS HUGEINT) * n_pts = rc
+        |    THEN CAST(n_agree * 10000 // n_pts AS BIGINT)
+        |    ELSE CAST((CAST(n_pts AS HUGEINT) * n_agree - rc) * 10000
+        |      // (CAST(n_pts AS HUGEINT) * n_pts - rc) AS BIGINT)
+        |  END AS kappa_bp
+        |FROM tot CROSS JOIN rc""".stripMargin))
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames

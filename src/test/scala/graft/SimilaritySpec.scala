@@ -331,6 +331,31 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("labelAgreement: geometric labels score κ=10⁴, label-blind " +
+      "geometry scores κ=0 despite 50% accuracy") {
+    // labels == clusters: perfect assignment, κ = accuracy = 10⁴
+    val aligned = Seq(
+      (1L, Seq(0.1, 0.0), 0), (2L, Seq(0.1, 0.0), 0),
+      (3L, Seq(-0.1, 0.0), 1), (4L, Seq(-0.1, 0.0), 1))
+      .toDF("vec_id", "v", "label")
+    val a = Similarity.labelAgreement(aligned, "vec_id", "v", "label")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(a === ((4L, 4L, 8L, 10000L, 10000L)))
+    graft.operators.OperatorCaches.release()
+    // labels orthogonal to geometry: both label centroids coincide at
+    // the origin, every point ties and predicts label 0 → accuracy is
+    // the 50% a label-blind assigner gets by chance, and κ strips it
+    // to exactly 0 — the correction this operator exists for
+    val blind = Seq(
+      (1L, Seq(0.1, 0.0), 0), (2L, Seq(0.1, 0.0), 1),
+      (3L, Seq(-0.1, 0.0), 0), (4L, Seq(-0.1, 0.0), 1))
+      .toDF("vec_id", "v", "label")
+    val b = Similarity.labelAgreement(blind, "vec_id", "v", "label")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(b === ((4L, 2L, 8L, 5000L, 0L)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("mmrGreedy picks relevance first, then skips the redundant twin") {
     // candidates: a (rel 100), b (rel 99, near-twin of a: sim 95),
     // c (rel 50, dissimilar: sim 5 to both). Round 1 → a. Round 2:
