@@ -393,5 +393,71 @@ object CorpusQueries {
              |SELECT sp.fp AS fp, total_occ, n_docs, source, count(*) AS src_occ
              |FROM sp JOIN top USING (fp)
              |GROUP BY sp.fp, total_occ, n_docs, source
-             |ORDER BY total_occ DESC, sp.fp, source""".stripMargin)))
+             |ORDER BY total_occ DESC, sp.fp, source""".stripMargin)),
+
+    // Heaps'-law vocabulary growth (V ≈ K·nᵝ): cumulative span mass vs
+    // cumulative DISTINCT type arrivals across ten doc-axis prefix
+    // deciles — the tokenizer/ngram-budget sizing curve complementing
+    // q101's frequency-rank coverage (q101 answers "how much mass do
+    // the top-k types cover"; this answers "how fast do NEW types keep
+    // arriving as the corpus grows" — the curve that decides whether a
+    // vocab budget saturates). Types are TRIGRAM span fingerprints (the
+    // q118 md5 derivation): the fixture's unigram vocabulary is 31
+    // words and saturates in decile 0, while its trigram space keeps
+    // growing — the regime where Heaps analysis means something. Exact
+    // integers end to end: a type's arrival decile is the decile of its
+    // min(doc_id) (one vocabulary-shaped groupBy — the shuffle axis
+    // every posting build pays), deciles by pure integer arithmetic on
+    // the doc-id extent, and the cumulative window runs over TEN rows
+    // (bounded by construction — never a corpus-sized single-partition
+    // exchange).
+    QuerySpec("q261_heaps_law",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
+        val docs = t(s, d, "documents")
+        val nd = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val sp = docs.select(col("doc_id"),
+          explode(shingleHashSeqFromTokens(tokens(col("text")), 3))
+            .as("fp"))
+        val occ = sp.groupBy(expr(s"doc_id * 10 DIV $nd").as("bucket"))
+          .agg(count(lit(1)).as("n_spans"))
+        val nw = sp.groupBy(col("fp")).agg(min(col("doc_id")).as("f"))
+          .groupBy(expr(s"f * 10 DIV $nd").as("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        occ.join(nw, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_spans"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("spans_cum", sum("n_spans").over(w))
+          .withColumn("vocab_cum", sum("new_types").over(w))
+          .orderBy("bucket")
+      },
+      Some("""WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+             |tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sp AS (
+             |  SELECT doc_id,
+             |    unnest([('0x' || substr(md5(array_to_string(t[i:i+2],
+             |      ' ')), 1, 15))::BIGINT FOR i IN range(1, len(t) - 1)])
+             |      AS fp
+             |  FROM tk WHERE len(t) >= 3
+             |), occ AS (
+             |  SELECT doc_id * 10 // nd AS bucket, count(*) AS n_spans
+             |  FROM sp CROSS JOIN nd GROUP BY 1
+             |), fo AS (
+             |  SELECT fp, min(doc_id) AS f FROM sp GROUP BY 1
+             |), nw AS (
+             |  SELECT f * 10 // nd AS bucket, count(*) AS new_types
+             |  FROM fo CROSS JOIN nd GROUP BY 1
+             |)
+             |SELECT occ.bucket, n_spans,
+             |  COALESCE(new_types, 0) AS new_types,
+             |  CAST(sum(n_spans) OVER (ORDER BY occ.bucket) AS BIGINT)
+             |    AS spans_cum,
+             |  CAST(sum(COALESCE(new_types, 0)) OVER
+             |    (ORDER BY occ.bucket) AS BIGINT) AS vocab_cum
+             |FROM occ LEFT JOIN nw USING (bucket)
+             |ORDER BY bucket""".stripMargin)))
 }
