@@ -314,4 +314,25 @@ object Mixture {
           .otherwise(expr("least(tokens, lvl) * 10000 DIV tokens"))
           .as("kept_bp"))
   }
+
+  /** Per-source retention cap — the RefinedWeb/FineWeb anti-domination
+    * rule: no source may contribute more than `cap` documents, and when
+    * one over-contributes, the documents KEPT are its best `cap` by the
+    * caller's quality metric (ties to id ASC, so the survivor set is
+    * engine-deterministic). Returns the ranked frame (srcCol, idCol,
+    * quality, rk) — survivors are `rk <= cap`, so the same frame serves
+    * both the filtered corpus and the audit report built on top of it.
+    * Scale shape: ONE source-keyed window (row_number over the
+    * per-source partition — keyed, never global); a pathologically hot
+    * source is one partition's sort, the same exposure every
+    * sorted-neighborhood pass already accepts. */
+  def sourceCap(docs: DataFrame, srcCol: String, idCol: String,
+                quality: org.apache.spark.sql.Column, cap: Int)
+      : DataFrame = {
+    require(cap >= 1, s"sourceCap: cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(desc("quality"), asc(idCol))
+    docs.select(col(srcCol), col(idCol), quality.as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
 }

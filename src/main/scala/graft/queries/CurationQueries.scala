@@ -1266,5 +1266,51 @@ object CurationQueries {
              |  n_tokens * 10000 // (seqs_padded * 512) AS util_padded_bp,
              |  n_tokens * 10000 // (((n_tokens + 511) // 512) * 512)
              |    AS util_packed_bp
-             |FROM a ORDER BY source""".stripMargin)))
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // Per-source retention cap (the RefinedWeb/FineWeb anti-domination
+    // rule): no source contributes more than 30 documents, survivors
+    // are the source's best 30 by token count (ties to doc_id), and the
+    // report is what a curator actually reads — kept/dropped doc and
+    // token volumes plus the quality cutoff each over-contributing
+    // source paid. One SOURCE-KEYED window (never a global sort) + one
+    // aggregate; the ranked frame comes from Mixture.sourceCap so the
+    // same mechanism also serves the filtered corpus itself.
+    QuerySpec("q262_source_cap",
+      (s, d) => {
+        val ranked = graft.operators.Mixture.sourceCap(
+          t(s, d, "documents"), "source", "doc_id",
+          size(split(col("text"), " ")).cast("long"), cap = 30)
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= 30, 1L).otherwise(0L)).as("kept"),
+            sum(when(col("rk") > 30, 1L).otherwise(0L)).as("dropped"),
+            sum(when(col("rk") <= 30, col("quality")).otherwise(0L))
+              .as("kept_tokens"),
+            sum(when(col("rk") > 30, col("quality")).otherwise(0L))
+              .as("dropped_tokens"),
+            min(when(col("rk") <= 30, col("quality")))
+              .as("cutoff_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS quality,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+             |      AS rk
+             |  FROM documents
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rk <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS kept,
+             |  CAST(sum(CASE WHEN rk > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dropped,
+             |  CAST(sum(CASE WHEN rk <= 30 THEN quality ELSE 0 END)
+             |    AS BIGINT) AS kept_tokens,
+             |  CAST(sum(CASE WHEN rk > 30 THEN quality ELSE 0 END)
+             |    AS BIGINT) AS dropped_tokens,
+             |  CAST(min(CASE WHEN rk <= 30 THEN quality END) AS BIGINT)
+             |    AS cutoff_tokens
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)))
 }

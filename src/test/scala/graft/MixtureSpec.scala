@@ -159,4 +159,26 @@ class MixtureSpec extends SparkSpec {
       ("c", 70L, 60L, 8571L)))
     assert(got.map(_._3).sum === 90L)
   }
+
+  test("sourceCap ranks best-first within each source, ties to id ASC") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), (4L, "a", 10L),
+      (5L, "b", 7L))
+      .toDF("doc_id", "source", "q")
+    val got = Mixture.sourceCap(docs, "source", "doc_id", col("q"), 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+    // source a: quality 90 (id 2), 90 (id 3 — tie broken by id), 50, 10
+    assert(got === Seq(
+      ("a", 2L, 90L, 1L), ("a", 3L, 90L, 2L),
+      ("a", 1L, 50L, 3L), ("a", 4L, 10L, 4L),
+      ("b", 5L, 7L, 1L)))
+    // survivors at cap=2: ids 2,3 from a; 5 from b
+    assert(got.filter(_._4 <= 2).map(_._2).sorted === Seq(2L, 3L, 5L))
+    val e = intercept[IllegalArgumentException] {
+      Mixture.sourceCap(docs, "source", "doc_id", col("q"), 0)
+    }
+    assert(e.getMessage.contains("cap must be >= 1"))
+  }
 }
