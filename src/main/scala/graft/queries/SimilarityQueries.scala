@@ -1334,7 +1334,122 @@ object SimilarityQueries {
         |    ELSE CAST((CAST(n_pts AS HUGEINT) * n_agree - rc) * 10000
         |      // (CAST(n_pts AS HUGEINT) * n_pts - rc) AS BIGINT)
         |  END AS kappa_bp
-        |FROM tot CROSS JOIN rc""".stripMargin))
+        |FROM tot CROSS JOIN rc""".stripMargin)),
+
+    // The embedding HEALTH CARD — the acceptance gate a 100 TB corpus's
+    // vector column ships with, one metric/value row each: corpus size
+    // and dimension, anisotropy (q250: is one rogue direction eating
+    // the space?), overall simplified-silhouette mean (q258: do the
+    // labels carve tight cells?), and nearest-centroid accuracy + κ
+    // (q260: chance-corrected label-geometry agreement). Every metric
+    // is individually oracle-proven; this row composes them the way
+    // q167 composes the dataset card — the deployment gate is the
+    // composite, not the stages. The oracle chains the SAME CTE suites
+    // (shared quantized component frame) and unions the six rows.
+    // Cost shape: three bounded corpus passes (scatter, silhouette
+    // fan-out, agreement) — each individually probed linear at 10×.
+    QuerySpec("q263_embedding_card",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val basics = emb
+          .agg(count(lit(1)).as("n"),
+            min(size(col("embedding"))).cast("long").as("dim"))
+          .selectExpr(
+            "stack(2, 'dim', dim, 'n_vectors', n) AS (metric, value)")
+        val an = graft.operators.Similarity.dominantDirection(
+            emb, "vec_id", "embedding", iterations = 3)
+          .agg(min(col("aniso_bp")).as("value"))
+          .select(lit("aniso_bp").as("metric"), col("value"))
+        val sil = graft.operators.Similarity.simplifiedSilhouette(
+            emb, "vec_id", "embedding", "label")
+          .agg(expr("sum(sum_score_bp) DIV sum(n_pts)").as("value"))
+          .select(lit("sil_mean_bp").as("metric"), col("value"))
+        val ka = graft.operators.Similarity.labelAgreement(
+            emb, "vec_id", "embedding", "label")
+          .selectExpr("stack(2, 'accuracy_bp', accuracy_bp, " +
+            "'kappa_bp', kappa_bp) AS (metric, value)")
+        basics.unionByName(an).unionByName(sil).unionByName(ka)
+          .orderBy("metric")
+      },
+      Some {
+        scatterPowerCtes + """
+          |, tr AS (SELECT sum(gv) AS trace FROM g WHERE p1 = p2),
+          |gw4 AS (
+          |  SELECT p1 AS pos, sum(gv * w) AS gw
+          |  FROM g JOIN v3 ON v3.pos = g.p2 GROUP BY 1
+          |), lam AS (
+          |  SELECT sum(v3.w * gw4.gw) AS num, sum(v3.w * v3.w) AS den
+          |  FROM v3 JOIN gw4 USING (pos)
+          |), nv AS (
+          |  SELECT count(*) AS n, min(len(embedding)) AS dim
+          |  FROM embeddings
+          |), lb AS (SELECT vec_id, label FROM embeddings),
+          |mu AS (
+          |  SELECT label AS clbl, pos,
+          |    CAST(sum(q * 1000) AS BIGINT) // count(*) AS mu
+          |  FROM comp JOIN lb USING (vec_id) GROUP BY 1, 2
+          |), d2s AS (
+          |  SELECT vec_id, clbl,
+          |    sum(CAST(q * 1000 - mu AS HUGEINT) * (q * 1000 - mu)) AS d2
+          |  FROM comp JOIN mu USING (pos) GROUP BY 1, 2
+          |), ab AS (
+          |  SELECT vec_id, label,
+          |    max(CASE WHEN clbl = label THEN d2 END) AS a2,
+          |    min(CASE WHEN clbl <> label THEN d2 END) AS b2
+          |  FROM d2s JOIN lb USING (vec_id) GROUP BY 1, 2
+          |), ptsil AS (
+          |  SELECT CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE CAST((b2 - a2) * 10000 // greatest(a2, b2)
+          |           AS BIGINT) END AS score_bp
+          |  FROM ab
+          |), pmin AS (
+          |  SELECT vec_id, min(d2) AS md FROM d2s GROUP BY 1
+          |), pred AS (
+          |  SELECT d2s.vec_id, min(clbl) AS plbl
+          |  FROM d2s JOIN pmin ON d2s.vec_id = pmin.vec_id
+          |    AND d2s.d2 = md
+          |  GROUP BY 1
+          |), conf AS (
+          |  SELECT label AS tl, plbl, count(*) AS c
+          |  FROM pred JOIN lb USING (vec_id) GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_pts,
+          |    CAST(sum(CASE WHEN tl = plbl THEN c ELSE 0 END) AS BIGINT)
+          |      AS n_agree
+          |  FROM conf
+          |), rc AS (
+          |  SELECT COALESCE(sum(CAST(r.r AS HUGEINT) * c.cc), 0) AS rc
+          |  FROM (SELECT tl, sum(c) AS r FROM conf GROUP BY 1) r
+          |  JOIN (SELECT plbl, sum(c) AS cc FROM conf GROUP BY 1) c
+          |    ON r.tl = c.plbl
+          |)
+          |SELECT metric, value FROM (
+          |  SELECT 'aniso_bp' AS metric,
+          |    CAST(num * 10000 // (den * trace) AS BIGINT) AS value
+          |  FROM lam CROSS JOIN tr
+          |  UNION ALL
+          |  SELECT 'dim', CAST(dim AS BIGINT) FROM nv
+          |  UNION ALL
+          |  SELECT 'n_vectors', CAST(n AS BIGINT) FROM nv
+          |  UNION ALL
+          |  SELECT 'sil_mean_bp',
+          |    CAST(sum(score_bp) // count(*) AS BIGINT)
+          |  FROM ptsil
+          |  UNION ALL
+          |  SELECT 'accuracy_bp',
+          |    CAST(n_agree * 10000 // n_pts AS BIGINT)
+          |  FROM tot
+          |  UNION ALL
+          |  SELECT 'kappa_bp',
+          |    CASE WHEN CAST(n_pts AS HUGEINT) * n_pts = rc
+          |      THEN CAST(n_agree * 10000 // n_pts AS BIGINT)
+          |      ELSE CAST((CAST(n_pts AS HUGEINT) * n_agree - rc)
+          |        * 10000 // (CAST(n_pts AS HUGEINT) * n_pts - rc)
+          |        AS BIGINT)
+          |    END
+          |  FROM tot CROSS JOIN rc
+          |) ORDER BY metric""".stripMargin
+      })
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames
