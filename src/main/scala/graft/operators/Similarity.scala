@@ -243,10 +243,7 @@ object Similarity {
     val (comp, _) = componentFrame(labeled, idCol, vecCol)
     val labels = labeled.select(col(idCol).as("vid"),
       col(labelCol).as("lbl"))
-    val mu = comp.join(labels, "vid")
-      .groupBy(col("lbl").as("clbl"), col("pos"))
-      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
-      .select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
+    val mu = centroidsFromMoments(labelMomentsFromComp(comp, labels))
     val d2 = comp.join(broadcast(mu), "pos")
       .select(col("vid"), col("clbl"),
         (col("q") * 1000L - col("mu")).as("dq"))
@@ -254,6 +251,33 @@ object Similarity {
       .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
     (labels, d2)
   }
+
+  /** ADDITIVE label-centroid sufficient statistics — the property that
+    * makes the q258/q260 centroid state streamable (the scatterMoments
+    * discipline): per-(label, dimension) quantized component sums on
+    * the ×10³ subgrid and member counts merge across any partition of
+    * the corpus by plain addition; the centroid table reassembles from
+    * the MERGED sums through the same trunc-identical DIV as the batch
+    * operators (merging per-batch centroids instead would average
+    * truncations — wrong). Rows: (clbl, pos, sq, ng). */
+  def labelMoments(vectors: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val labeled = vectors.filter(col(labelCol).isNotNull)
+    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    labelMomentsFromComp(comp,
+      labeled.select(col(idCol).as("vid"), col(labelCol).as("lbl")))
+  }
+
+  private def labelMomentsFromComp(comp: DataFrame,
+      labels: DataFrame): DataFrame =
+    comp.join(labels, "vid")
+      .groupBy(col("lbl").as("clbl"), col("pos"))
+      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
+
+  /** Centroids on the ×10³ subgrid from (possibly merged) label
+    * moments — the one division, trunc-identical in both engines. */
+  def centroidsFromMoments(m: DataFrame): DataFrame =
+    m.select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
 
   /** Chance-corrected agreement (Cohen's κ) between the corpus's label
     * column and the NEAREST-CENTROID assignment those labels induce —

@@ -1200,6 +1200,47 @@ object EventStreams {
         .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n")),
       iterations)
 
+  /** Streaming twin of the q258/q260 label-centroid state: each batch
+    * publishes its ADDITIVE per-(label, dimension) component sums and
+    * counts (Similarity.labelMoments), and the served centroid table is
+    * the MERGED sums put through the same trunc-DIV subgrid as the
+    * batch operators. Merging per-batch centroids instead would average
+    * truncations — the spec plants a split where that gives a different
+    * value. The report is the live label-geometry state a curation
+    * pipeline watches for centroid drift as a corpus streams in; the
+    * batch silhouette/κ queries can run against ANY corpus snapshot
+    * with these centroids because the derivation is identical. */
+  def centroidMonitorSink(stream: DataFrame, idCol: String,
+                          vecCol: String, labelCol: String,
+                          stateDir: String, reportDir: String,
+                          checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          graft.operators.Similarity.labelMoments(
+              batch, idCol, vecCol, labelCol)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/moments/batch=$batchId")
+          servingCentroids(spark, stateDir)
+            .write.mode("overwrite").parquet(reportDir)
+        } finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** The queryable centroid table over everything
+    * [[centroidMonitorSink]] has published — merged moment partials
+    * through the shared batch derivation. */
+  def servingCentroids(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.Similarity.centroidsFromMoments(
+      spark.read.parquet(s"$stateDir/moments")
+        .groupBy(col("clbl"), col("pos"))
+        .agg(sum(col("sq")).as("sq"), sum(col("ng")).as("ng")))
+
   def olsMonitorSink(stream: DataFrame, stateDir: String,
                      reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -1079,6 +1079,38 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming centroid maintenance merges SUMS, not truncations") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // label 0 splits 1+2 across the waves with a count-3 division that
+    // truncates: merged mu = (1+2+4)e8 // 3 = 233333333 — averaging the
+    // per-wave centroids (1e8, 3e8) would give 2e8 instead, so the
+    // assert only passes if the state truly merges moment partials
+    val wave1 = Seq((1L, Seq(0.1), 0), (2L, Seq(-0.5), 1))
+      .toDF("vec_id", "v", "label")
+    val wave2 = Seq((3L, Seq(0.2), 0), (4L, Seq(0.4), 0))
+      .toDF("vec_id", "v", "label")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.centroidMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", "label", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.centroidMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", "label", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("clbl", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    val batch = rows(graft.operators.Similarity.centroidsFromMoments(
+      graft.operators.Similarity.labelMoments(
+        wave1.unionByName(wave2), "vec_id", "v", "label")))
+    assert(streamed === batch)
+    assert(streamed === Seq((0, 0, 233333333L), (1, 0, -500000000L)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming KS drift maintenance equals batch q225 over all arrivals") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // every source straddles both waves with overlapping lengths, so
