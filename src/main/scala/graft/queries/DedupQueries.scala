@@ -1840,7 +1840,86 @@ object DedupQueries {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spans,
              |  COALESCE(new_spans, 0) * 10000 // n_docs AS per_doc_bp
              |FROM dp LEFT JOIN np ON np.b = dp.bucket
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // Medoid canonicalization of the q37 near-dup clusters — the
+    // SemDeDup-style "pick the representative by CONTENT, not by id"
+    // step: within each cluster, the survivor is the member sharing the
+    // most distinct shingles with the rest of its cluster (affinity =
+    // Σ_b |A∩B| over co-members — exact integer, no rational Jaccard
+    // sums), ties to doc_id ASC via the explicit two-step argmax. The
+    // id-minimum canonical (q37's cluster_id) is arbitrary under
+    // re-ingestion; the medoid is stable under id relabeling. Scale
+    // shape: the affinity self-join is keyed (cluster_id, shingle) —
+    // work is Σ per-key co-occurrence², the same exposure the LSH
+    // bucket join already accepts, bounded because LSH clusters are
+    // small (and capped upstream); never corpus².
+    QuerySpec("q264_cluster_medoid",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.lshPairs(docs,
+          "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
+          rowsPerBand = RowsPerBand)
+        val clu = graft.operators.Dedup.pooledDupClusters(pairs)
+        val mem = clu.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+        val sh = docs.select(col("doc_id"),
+          explode(shingleHashSeqFromTokens(tokens(col("text")), 3))
+            .as("h60")).distinct()
+        val msh = sh.join(clu, "doc_id").join(mem, "cluster_id")
+          .select(col("cluster_id"), col("doc_id"), col("h60"))
+        val aff = msh.as("a").join(msh.as("b"),
+            col("a.cluster_id") === col("b.cluster_id") &&
+              col("a.h60") === col("b.h60") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.cluster_id").as("cluster_id"),
+            col("a.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("affinity"))
+        val affall = clu.join(mem, "cluster_id")
+          .join(aff, Seq("cluster_id", "doc_id"), "left")
+          .select(col("cluster_id"), col("n_members"), col("doc_id"),
+            coalesce(col("affinity"), lit(0L)).as("affinity"))
+        val mx = affall.groupBy(col("cluster_id"))
+          .agg(max(col("affinity")).as("ma"))
+        affall.join(mx, "cluster_id")
+          .filter(col("affinity") === col("ma"))
+          .groupBy(col("cluster_id"), col("n_members"), col("ma"))
+          .agg(min(col("doc_id")).as("medoid"))
+          .select(col("cluster_id"), col("n_members"), col("medoid"),
+            col("ma").as("affinity"))
+          .orderBy("cluster_id")
+      },
+      Some(clustersCte + """
+        |, mem AS (
+        |  SELECT cluster_id, count(*) AS n_members
+        |  FROM clu GROUP BY 1 HAVING count(*) >= 2
+        |), msh AS (
+        |  SELECT clu.cluster_id, sh.doc_id, h60
+        |  FROM sh JOIN clu USING (doc_id) JOIN mem USING (cluster_id)
+        |), aff AS (
+        |  SELECT a.cluster_id, a.doc_id, count(*) AS affinity
+        |  FROM msh a JOIN msh b
+        |    ON a.cluster_id = b.cluster_id AND a.h60 = b.h60
+        |      AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), affall AS (
+        |  SELECT clu.cluster_id, n_members, clu.doc_id,
+        |    COALESCE(affinity, 0) AS affinity
+        |  FROM clu JOIN mem USING (cluster_id)
+        |  LEFT JOIN aff ON aff.cluster_id = clu.cluster_id
+        |    AND aff.doc_id = clu.doc_id
+        |), mx AS (
+        |  SELECT cluster_id, max(affinity) AS ma FROM affall GROUP BY 1
+        |)
+        |SELECT affall.cluster_id AS cluster_id, n_members,
+        |  CAST(min(doc_id) AS BIGINT) AS medoid,
+        |  CAST(ma AS BIGINT) AS affinity
+        |FROM affall JOIN mx ON affall.cluster_id = mx.cluster_id
+        |  AND affall.affinity = mx.ma
+        |GROUP BY affall.cluster_id, n_members, ma
+        |ORDER BY affall.cluster_id""".stripMargin))
   )
 
   /** One served dup-graph artifact per corpus dir per JVM for q203 —
