@@ -189,7 +189,14 @@ object ScaleProbe {
       // replicas multiply sampled ids ~10×) — expected-superlinear in
       // the probe, bounded by the sample rate in production
       "q255_abtt_removal", "q256_jl_projection", "q258_silhouette",
-      "q257_jl_distortion", "q259_jl_neardup_recall")
+      "q257_jl_distortion", "q259_jl_neardup_recall",
+      // κ and the card inherit the centroid fan-out (corpus-linear);
+      // Heaps is two span-keyed aggregates; the source cap is one
+      // source-keyed window; the medoid affinity join is keyed
+      // (cluster, shingle) — twin replicas inflate cluster volume like
+      // every dedup pair consumer, so expect pair-shaped growth there
+      "q260_label_kappa", "q261_heaps_law", "q262_source_cap",
+      "q263_embedding_card", "q264_cluster_medoid")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
