@@ -397,11 +397,13 @@ object CorpusQueries {
 
     // Heaps'-law vocabulary growth (V ≈ K·nᵝ): cumulative span mass vs
     // cumulative DISTINCT type arrivals across ten doc-axis prefix
-    // deciles — the tokenizer/ngram-budget sizing curve complementing
-    // q101's frequency-rank coverage (q101 answers "how much mass do
-    // the top-k types cover"; this answers "how fast do NEW types keep
-    // arriving as the corpus grows" — the curve that decides whether a
-    // vocab budget saturates). Types are TRIGRAM span fingerprints (the
+    // deciles — the V(n) PAIRING the Heaps fit needs, which neither
+    // q101 (frequency-rank coverage: "how much mass do the top-k types
+    // cover") nor q254 (per-decile novelty RATE of first arrivals,
+    // normalized per doc) publishes: the tokenizer/ngram budget is
+    // sized off cumulative-vocab-vs-cumulative-MASS, so this query
+    // carries both axes in one frame. Types are TRIGRAM span
+    // fingerprints (the
     // q118 md5 derivation): the fixture's unigram vocabulary is 31
     // words and saturates in decile 0, while its trigram space keeps
     // growing — the regime where Heaps analysis means something. Exact
