@@ -1241,6 +1241,63 @@ object EventStreams {
         .groupBy(col("clbl"), col("pos"))
         .agg(sum(col("sq")).as("sq"), sum(col("ng")).as("ng")))
 
+  /** Streaming enforcement of the q262 per-source retention cap: the
+    * accumulated corpus holds at most `cap` documents per source AT ALL
+    * TIMES — each batch merges its arrivals with the survivor state,
+    * re-ranks per source through the SAME Mixture.sourceCap window as
+    * the batch operator (quality DESC, id ASC), keeps rk ≤ cap, and
+    * appends the evicted/rejected full rows (+ batch_id) to an
+    * append-only audit log. The kept set is ORDER-INDEPENDENT — top-cap
+    * under a total order is merge-closed: top(cap, A ∪ B) =
+    * top(cap, top(cap, A) ∪ B) — so the streamed corpus equals the
+    * batch sourceCap survivors over all arrivals regardless of how the
+    * waves split (spec-proven with a planted late arrival that evicts
+    * an early incumbent, plus a cross-wave quality tie). State is
+    * BOUNDED at sources×cap rows, so the per-batch stage-swap rewrite
+    * is bounded-state, never corpus-sized; a checkpoint-replayed batch
+    * re-derives the identical survivor set (idempotent) but may append
+    * duplicate audit rows — dedupe the audit on (source, id, batch_id)
+    * at read, the same at-least-once contract as the other ingest
+    * sinks' logs. */
+  def sourceCapSink(stream: DataFrame, srcCol: String, idCol: String,
+                    qualityCol: String, cap: Int, baseDir: String,
+                    auditDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files => NioFiles, Paths}
+        val spark = batch.sparkSession
+        val basePath = Paths.get(baseDir)
+        val oldPath = Paths.get(baseDir + ".old")
+        if (!NioFiles.exists(basePath) && NioFiles.exists(oldPath))
+          NioFiles.move(oldPath, basePath)
+        else if (NioFiles.exists(oldPath))
+          graft.operators.Convert.deleteRecursively(oldPath)
+        val arrivals = batch.dropDuplicates(Seq(srcCol, idCol))
+        val all =
+          if (NioFiles.exists(basePath))
+            spark.read.parquet(baseDir).unionByName(arrivals)
+          else arrivals
+        val keepIds = graft.operators.Mixture.sourceCap(
+            all, srcCol, idCol, col(qualityCol), cap)
+          .filter(col("rk") <= cap)
+          .select(col(srcCol), col(idCol))
+        val kept = all.join(keepIds, Seq(srcCol, idCol))
+        all.join(keepIds, Seq(srcCol, idCol), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(auditDir)
+        val staging = Paths.get(baseDir + ".staging")
+        graft.operators.Convert.deleteRecursively(staging)
+        kept.write.mode("overwrite").parquet(staging.toString)
+        if (NioFiles.exists(basePath)) NioFiles.move(basePath, oldPath)
+        NioFiles.move(staging, basePath)
+        graft.operators.Convert.deleteRecursively(oldPath)
+        ()
+      }
+      .start()
+
   def olsMonitorSink(stream: DataFrame, stateDir: String,
                      reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

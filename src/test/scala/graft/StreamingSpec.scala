@@ -1111,6 +1111,50 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming source cap equals batch sourceCap over all arrivals, " +
+      "evictions audited") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // cap=2. Wave 1 fills source a with ids 1 (q=50) and 2 (q=90);
+    // wave 2's id 3 (q=70) EVICTS the weaker incumbent 1, its id 4
+    // ties id 3 at q=70 and loses on the id tiebreak (rejected on
+    // arrival), and source b's lone doc rides through untouched —
+    // order-independence means this must equal batch sourceCap(all)
+    val wave1 = Seq((1L, "a", 50L, "t1"), (2L, "a", 90L, "t2"),
+      (5L, "b", 7L, "t5"))
+      .toDF("doc_id", "source", "q", "text")
+    val wave2 = Seq((3L, "a", 70L, "t3"), (4L, "a", 70L, "t4"))
+      .toDF("doc_id", "source", "q", "text")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.sourceCapSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "doc_id", "q", 2, s"$tmp/base", s"$tmp/audit",
+      s"$tmp/ckpt").awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.sourceCapSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "doc_id", "q", 2, s"$tmp/base", s"$tmp/audit",
+      s"$tmp/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/base")
+      .select("doc_id", "source", "q", "text")
+      .as[(Long, String, Long, String)].collect().toSeq.sortBy(_._1)
+    val allDocs = wave1.unionByName(wave2)
+    val batchKeep = graft.operators.Mixture.sourceCap(
+        allDocs, "source", "doc_id",
+        org.apache.spark.sql.functions.col("q"), 2)
+      .filter(org.apache.spark.sql.functions.col("rk") <= 2)
+      .select("source", "doc_id")
+    val batch = allDocs.join(batchKeep, Seq("source", "doc_id"))
+      .select("doc_id", "source", "q", "text")
+      .as[(Long, String, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Seq(2L, 3L, 5L))
+    // the audit log carries the eviction (id 1) and the rejection (id 4)
+    val audited = spark.read.parquet(s"$tmp/audit")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(audited === Seq(1L, 4L))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming KS drift maintenance equals batch q225 over all arrivals") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // every source straddles both waves with overlapping lengths, so
