@@ -13,12 +13,16 @@ import graft.functions.BinaryFunctions._
   * Container HEADER handling is real: [[fakeContainers]] synthesizes
   * spec-conformant PNG and PCM-WAV files (MultimodalSpec cross-validates
   * the PNGs with the JDK's own ImageIO reader) and [[parseContainerMeta]]
-  * walks chunks/subchunks back out with CRC verification. Only the pixel/
-  * sample DECODE kernel is a clearly-marked STUB (no image/audio codecs in
-  * this environment — a real deployment swaps `stubDecodeFeatures`'s body
-  * for an actual decoder); the schema contract, binary slicing,
-  * partition-batched execution shape, and feature-vector output schema are
-  * all real and tested.
+  * walks chunks/subchunks back out with CRC verification. The PNG PIXEL
+  * path is ALSO real (round 13): [[encodePng]]/[[decodePngStats]] are a
+  * complete pure-JVM RGBA8 codec — per-scanline filtering across all five
+  * PNG filter types, a genuine zlib stream via java.util.zip, chunk CRC
+  * verification on decode — proven by a closed-form oracle (q265) and
+  * cross-validated against the JDK's own ImageIO decoder. Only the
+  * GENERIC decode kernel (arbitrary formats / audio codecs absent from
+  * this container) remains the clearly-marked `stubDecodeFeatures` stand-
+  * in; its schema contract, binary slicing, and partition-batched
+  * execution shape are real and tested.
   */
 object Multimodal {
 
@@ -216,4 +220,203 @@ object Multimodal {
         }
     out.toDF("asset_id", "features")
   }
+
+  // ---------------------------------------------------------------------
+  // REAL PNG pixel codec — pure JVM (java.util.zip), no external library:
+  // a full encode (filter + deflate + chunk/CRC assembly) and decode
+  // (chunk walk with CRC verification, inflate, all five PNG filter-type
+  // reconstructions). This closes the one decode gap stubDecodeFeatures
+  // documents: for PNG the pixel path is the real thing, proven by a
+  // closed-form oracle through the complete encode→compress→decode round
+  // trip (q265). Reference: PNG spec §9 (filtering), §5.3 (chunks).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pixel formula shared by the encoder, the scalatest
+    * round trip, and the DuckDB oracle — linear congruential per channel
+    * so the oracle can compute decoded statistics WITHOUT a decoder. */
+  private[graft] def pngPixel(id: Long, x: Int, y: Int): Array[Int] =
+    Array(
+      ((id + 3L * x + 5L * y) % 256).toInt,
+      ((2L * id + 7L * x + y) % 256).toInt,
+      ((5L * id + x + 11L * y) % 256).toInt,
+      ((id + x.toLong * y) % 256).toInt)
+
+  private[graft] def pngDims(id: Long): (Int, Int) =
+    ((16 + id % 8).toInt, (12 + id % 5).toInt)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngChunkBytes(tag: String, data: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Encode one RGBA8 PNG of the formula image — every scanline uses
+    * filter type y % 5, so a decoder must implement ALL FIVE
+    * reconstructions (None/Sub/Up/Average/Paeth) to get the pixel sums
+    * right; the deflate stream is a real zlib stream. */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val bpp = 4
+    val stride = w * bpp
+    val raw = Array.ofDim[Int](h, stride)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pngPixel(id, x, y)
+      var c = 0
+      while (c < 4) { raw(y)(x * bpp + c) = p(c); c += 1 }
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered.write(f)
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y)(i)
+        val a = if (i >= bpp) raw(y)(i - bpp) else 0
+        val b = if (y > 0) raw(y - 1)(i) else 0
+        val cc = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, cc)
+        }
+        filtered.write((cur - pred) & 0xff)
+        i += 1
+      }
+    }
+    val src = filtered.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(src); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)
+    PngSignature ++ pngChunkBytes("IHDR", ihdr) ++
+      pngChunkBytes("IDAT", out.toByteArray) ++
+      pngChunkBytes("IEND", Array.empty[Byte])
+  }
+
+  /** Synthesize fully DECODABLE formula PNGs (valid zlib IDAT, varied
+    * per-scanline filters) — one per input id, built per-partition. */
+  def buildDecodablePngs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodePng(id))))
+      .toDF("asset_id", "bytes")
+  }
+
+  private[graft] case class PngStats(asset_id: Long, width: Int,
+      height: Int, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      sum_a: Long)
+
+  /** REAL PNG pixel decode → exact per-image channel sums: chunk walk
+    * with CRC-32 verification, zlib inflate, and the five PNG filter
+    * reconstructions. Malformed input (bad signature, wrong
+    * depth/color-type, CRC mismatch, truncated or corrupt deflate
+    * stream) drops the row instead of killing the task — the same
+    * poison-pill posture as parseContainerMeta. Exact integer output so
+    * the q265 oracle can check the whole round trip in closed form. */
+  def decodePngStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[PngStats] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (id, b) =>
+          decodeOnePng(id, b)
+        })
+    out.toDF()
+  }
+
+  private[graft] def decodeOnePng(id: Long, b: Array[Byte])
+      : Option[PngStats] =
+    try {
+      if (b.length < 8 || !b.take(8).sameElements(PngSignature)) return None
+      val buf = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      var pos = 8
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      while (pos + 12 <= b.length) {
+        val len = buf.getInt(pos)
+        if (len < 0 || pos + 12 + len > b.length) return None
+        val tag = new String(b, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, pos + 4, 4 + len)
+        if (crc.getValue.toInt != buf.getInt(pos + 8 + len)) return None
+        tag match {
+          case "IHDR" =>
+            w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
+            // only 8-bit RGBA non-interlaced is in scope
+            if (b(pos + 16) != 8 || b(pos + 17) != 6 ||
+              b(pos + 20) != 0) return None
+          case "IDAT" => idat.write(b, pos + 8, len)
+          case _ => ()
+        }
+        pos += 12 + len
+      }
+      if (w <= 0 || h <= 0) return None
+      val bpp = 4
+      val stride = w * bpp
+      val expected = h * (1 + stride)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      val scan = new Array[Byte](expected)
+      var got = 0
+      while (got < expected && !infl.finished()) {
+        val n = infl.inflate(scan, got, expected - got)
+        if (n == 0 && infl.needsInput()) return None
+        got += n
+      }
+      infl.end()
+      if (got != expected) return None
+      val prior = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        val f = scan(base) & 0xff
+        if (f > 4) return None
+        var i = 0
+        while (i < stride) {
+          val x = scan(base + 1 + i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val up = prior(i)
+          val ul = if (i >= bpp) prior(i - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case _ => paeth(a, up, ul)
+          }
+          cur(i) = (x + pred) & 0xff
+          (i % bpp: @unchecked) match {
+            case 0 => sr += cur(i)
+            case 1 => sg += cur(i)
+            case 2 => sb += cur(i)
+            case 3 => sa += cur(i)
+          }
+          i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      Some(PngStats(id, w, h, w.toLong * h, sr, sg, sb, sa))
+    } catch { case _: Exception => None }
 }

@@ -155,6 +155,48 @@ object MultimodalQueries {
              |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INTEGER) END AS bits_per_sample,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS data_len,
              |  CASE WHEN doc_id % 2 = 0 THEN TRUE END AS crc_ok
-             |FROM documents ORDER BY asset_id""".stripMargin))
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // REAL PNG pixel decode, end to end: encode a formula image per doc
+    // (RGBA8, every scanline filtered with type y%5 so the decoder must
+    // implement all FIVE PNG reconstructions, genuine zlib IDAT), then
+    // decode it back — chunk walk + CRC verify + inflate + unfilter —
+    // and publish exact per-channel pixel sums. The oracle never touches
+    // a decoder: the pixel formula is closed-form arithmetic, so DuckDB
+    // recomputes the sums directly and any defect anywhere in the
+    // filter/deflate/inflate/unfilter round trip breaks the hash. The
+    // codec is additionally cross-validated against the JDK's own
+    // ImageIO decoder in MultimodalSpec. Scale shape: per-partition
+    // mapPartitions encode/decode (the per-task codec-init shape), one
+    // pass, no shuffle beyond the final sort.
+    QuerySpec("q265_png_decode",
+      (s, d) => graft.multimodal.Multimodal.decodePngStats(
+        graft.multimodal.Multimodal.buildDecodablePngs(
+          t(s, d, "documents"), "doc_id"))
+        .orderBy("asset_id"),
+      Some("""WITH xs AS (
+             |  SELECT doc_id, unnest(range(16 + doc_id % 8)) AS x
+             |  FROM documents
+             |), ys AS (
+             |  SELECT doc_id, unnest(range(12 + doc_id % 5)) AS y
+             |  FROM documents
+             |), px AS (
+             |  SELECT xs.doc_id, x, y
+             |  FROM xs JOIN ys ON xs.doc_id = ys.doc_id
+             |), st AS (
+             |  SELECT doc_id AS asset_id, count(*) AS n_px,
+             |    CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT)
+             |      AS sum_r,
+             |    CAST(sum((2 * doc_id + 7 * x + y) % 256) AS BIGINT)
+             |      AS sum_g,
+             |    CAST(sum((5 * doc_id + x + 11 * y) % 256) AS BIGINT)
+             |      AS sum_b,
+             |    CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_a
+             |  FROM px GROUP BY 1
+             |)
+             |SELECT asset_id, CAST(16 + asset_id % 8 AS INTEGER) AS width,
+             |  CAST(12 + asset_id % 5 AS INTEGER) AS height, n_px,
+             |  sum_r, sum_g, sum_b, sum_a
+             |FROM st ORDER BY asset_id""".stripMargin))
   )
 }

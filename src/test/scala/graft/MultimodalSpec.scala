@@ -109,4 +109,48 @@ class MultimodalSpec extends SparkSpec {
     assert(parsed(3).getAs[String]("format") === "wav")
     assert(!parsed(3).isNullAt(parsed(3).fieldIndex("sample_rate")))
   }
+
+  test("PNG pixel codec round-trips exactly and agrees with ImageIO") {
+    // our decoder vs the formula (the oracle's check) AND vs the JDK's
+    // own independent PNG implementation, pixel-sum for pixel-sum
+    for (id <- Seq(0L, 3L, 7L, 11L)) {
+      val bytes = Multimodal.encodePng(id)
+      val got = Multimodal.decodeOnePng(id, bytes).get
+      val (w, h) = Multimodal.pngDims(id)
+      var er = 0L; var eg = 0L; var eb = 0L; var ea = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.pngPixel(id, x, y)
+        er += p(0); eg += p(1); eb += p(2); ea += p(3)
+      }
+      assert((got.width, got.height, got.n_px) === ((w, h, w.toLong * h)))
+      assert((got.sum_r, got.sum_g, got.sum_b, got.sum_a) ===
+        ((er, eg, eb, ea)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+      var ir = 0L; var ig = 0L; var ib = 0L; var ia = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        ia += (argb >>> 24) & 0xff; ir += (argb >> 16) & 0xff
+        ig += (argb >> 8) & 0xff; ib += argb & 0xff
+      }
+      assert((ir, ig, ib, ia) === ((er, eg, eb, ea)),
+        s"ImageIO disagrees for id=$id")
+    }
+  }
+
+  test("PNG pixel decode drops poison pills instead of killing the task") {
+    val good = Multimodal.encodePng(5L)
+    // flip one byte inside the IDAT data region → chunk CRC mismatch
+    val flipped = good.clone()
+    flipped(45) = (flipped(45) ^ 0x1).toByte
+    assert(Multimodal.decodeOnePng(5L, flipped).isEmpty)
+    assert(Multimodal.decodeOnePng(5L, good.take(40)).isEmpty)
+    assert(Multimodal.decodeOnePng(5L,
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)).isEmpty)
+    // the DataFrame path keeps the healthy rows
+    val df = Seq((1L, good), (2L, flipped)).toDF("asset_id", "bytes")
+    val out = Multimodal.decodePngStats(df).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
