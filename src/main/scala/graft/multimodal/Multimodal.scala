@@ -419,4 +419,112 @@ object Multimodal {
       }
       Some(PngStats(id, w, h, w.toLong * h, sr, sg, sb, sa))
     } catch { case _: Exception => None }
+
+  // ---------------------------------------------------------------------
+  // REAL PCM-WAV sample codec — 16-bit little-endian PCM needs no codec
+  // library, so the audio decode path is the real thing too: encode a
+  // canonical 44-byte-header WAV of formula samples, decode it back with
+  // RIFF subchunk walking + ByteBuffer sample extraction, publish exact
+  // integer waveform statistics. Closed-form oracle: q266 recomputes the
+  // stats from the sample formula without touching a decoder.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic sample formula shared by encoder, spec, and oracle:
+    * s_i = ((7·id + 13·i) mod 65536) − 32768 — full int16 range, sign
+    * changes throughout (so the zero-crossing count is non-trivial). */
+  private[graft] def wavSample(id: Long, i: Int): Int =
+    (((7L * id + 13L * i) % 65536L) - 32768L).toInt
+
+  private[graft] def wavParams(id: Long): (Int, Int, Int) =
+    // sample count always EVEN so stereo files hold whole frames (an
+    // odd-sample stereo WAV is malformed; javax.sound floor-truncates)
+    ((800 + (id % 50) * 2).toInt, (1 + id % 2).toInt,
+      Array(8000, 16000, 22050, 44100)((id % 4).toInt))
+
+  /** Encode one canonical PCM WAV: RIFF/WAVE + fmt (PCM, 16-bit) + data
+    * holding `n` formula samples interleaved over `ch` channels. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val (n, ch, sr) = wavParams(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(ch.toShort).putInt(sr)
+      .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Synthesize fully decodable formula WAVs, one per id. */
+  def buildPcmWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+      .toDF("asset_id", "bytes")
+  }
+
+  private[graft] case class WavStats(asset_id: Long, channels: Int,
+      sample_rate: Int, n_samples: Long, sum_s: Long, min_s: Long,
+      max_s: Long, zero_cross: Long)
+
+  /** REAL PCM sample decode → exact waveform statistics (sum/min/max and
+    * the zero-crossing count — the classic cheap audio activity
+    * feature). RIFF subchunk walk, PCM-16 enforcement, poison-pill
+    * posture identical to the PNG path. */
+  def decodeWavStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[WavStats] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (id, b) =>
+          decodeOneWav(id, b)
+        })
+    out.toDF()
+  }
+
+  private[graft] def decodeOneWav(id: Long, b: Array[Byte])
+      : Option[WavStats] =
+    try {
+      if (b.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var ch = -1; var sr = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= b.length && (ch < 0 || dataOff < 0)) {
+        val t = tag(pos); val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > b.length) return None
+        t match {
+          case "fmt " =>
+            if (len < 16 || bb.getShort(pos + 8) != 1) return None
+            ch = bb.getShort(pos + 10); sr = bb.getInt(pos + 12)
+            bits = bb.getShort(pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => ()
+        }
+        pos += 8 + len
+      }
+      if (ch <= 0 || sr <= 0 || bits != 16 || dataOff < 0) return None
+      val n = dataLen / 2
+      var i = 0
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var zc = 0L; var prevNeg = false
+      while (i < n) {
+        val s = bb.getShort(dataOff + 2 * i).toLong
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      if (n == 0) return None
+      Some(WavStats(id, ch, sr, n, sum, mn, mx, zc))
+    } catch { case _: Exception => None }
 }

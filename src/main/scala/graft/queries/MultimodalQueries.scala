@@ -197,6 +197,46 @@ object MultimodalQueries {
              |SELECT asset_id, CAST(16 + asset_id % 8 AS INTEGER) AS width,
              |  CAST(12 + asset_id % 5 AS INTEGER) AS height, n_px,
              |  sum_r, sum_g, sum_b, sum_a
-             |FROM st ORDER BY asset_id""".stripMargin))
+             |FROM st ORDER BY asset_id""".stripMargin)),
+
+    // REAL PCM-WAV sample decode, end to end: encode formula int16
+    // samples into canonical 44-byte-header WAVs, decode them back
+    // (RIFF subchunk walk, PCM-16 enforcement, ByteBuffer extraction)
+    // and publish exact waveform statistics incl. the zero-crossing
+    // count — the classic cheap audio-activity feature. The oracle
+    // recomputes everything from the sample formula (lag window for the
+    // crossings) without touching a decoder; the decoder is also
+    // cross-validated against the JDK's own javax.sound WAV reader in
+    // MultimodalSpec. Same per-partition codec shape and poison-pill
+    // posture as the PNG path.
+    QuerySpec("q266_wav_decode",
+      (s, d) => graft.multimodal.Multimodal.decodeWavStats(
+        graft.multimodal.Multimodal.buildPcmWavs(
+          t(s, d, "documents"), "doc_id"))
+        .orderBy("asset_id"),
+      Some("""WITH ss AS (
+             |  SELECT doc_id, unnest(range(800 + (doc_id % 50) * 2)) AS i
+             |  FROM documents
+             |), sv AS (
+             |  SELECT doc_id, i,
+             |    (7 * doc_id + 13 * i) % 65536 - 32768 AS s
+             |  FROM ss
+             |), zz AS (
+             |  SELECT doc_id, s,
+             |    CASE WHEN lag(s) OVER w IS NOT NULL
+             |      AND ((s < 0) <> (lag(s) OVER w < 0))
+             |      THEN 1 ELSE 0 END AS z
+             |  FROM sv WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+             |)
+             |SELECT doc_id AS asset_id,
+             |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |  CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1
+             |    AS INTEGER)] AS INTEGER) AS sample_rate,
+             |  CAST(800 + (doc_id % 50) * 2 AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_s,
+             |  CAST(min(s) AS BIGINT) AS min_s,
+             |  CAST(max(s) AS BIGINT) AS max_s,
+             |  CAST(sum(z) AS BIGINT) AS zero_cross
+             |FROM zz GROUP BY doc_id ORDER BY asset_id""".stripMargin))
   )
 }

@@ -139,6 +139,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV sample codec round-trips exactly and agrees with javax.sound") {
+    for (id <- Seq(0L, 1L, 5L, 13L)) {
+      val bytes = Multimodal.encodeWav(id)
+      val got = Multimodal.decodeOneWav(id, bytes).get
+      val (n, ch, sr) = Multimodal.wavParams(id)
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var zc = 0L
+      for (i <- 0 until n) {
+        val s = Multimodal.wavSample(id, i).toLong
+        sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+        if (i > 0 &&
+          (s < 0) != (Multimodal.wavSample(id, i - 1) < 0)) zc += 1
+      }
+      assert((got.channels, got.sample_rate, got.n_samples) ===
+        ((ch, sr, n.toLong)))
+      assert((got.sum_s, got.min_s, got.max_s, got.zero_cross) ===
+        ((sum, mn, mx, zc)))
+      // independent JDK parse: javax.sound must agree on the format and
+      // the raw sample bytes
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert((fmt.getChannels, fmt.getSampleRate.toInt,
+        fmt.getSampleSizeInBits) === ((ch, sr, 16)))
+      val raw = ais.readAllBytes()
+      assert(raw.length === n * 2)
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var jsum = 0L
+      for (i <- 0 until n) jsum += bb.getShort(2 * i)
+      assert(jsum === sum, s"javax.sound disagrees for id=$id")
+    }
+  }
+
+  test("WAV sample decode drops poison pills instead of killing the task") {
+    val good = Multimodal.encodeWav(9L)
+    // 8-bit PCM claim → rejected (PCM-16 enforcement)
+    val wrongBits = good.clone(); wrongBits(34) = 8
+    assert(Multimodal.decodeOneWav(9L, wrongBits).isEmpty)
+    assert(Multimodal.decodeOneWav(9L, good.take(30)).isEmpty)
+    val df = Seq((1L, good), (2L, good.take(30))).toDF("asset_id", "bytes")
+    assert(Multimodal.decodeWavStats(df).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("PNG pixel decode drops poison pills instead of killing the task") {
     val good = Multimodal.encodePng(5L)
     // flip one byte inside the IDAT data region → chunk CRC mismatch
