@@ -342,8 +342,11 @@ object Multimodal {
     out.toDF()
   }
 
-  private[graft] def decodeOnePng(id: Long, b: Array[Byte])
-      : Option[PngStats] =
+  /** Full pixel reconstruction: chunk walk + CRC verify + inflate +
+    * unfilter. Returns (width, height, interleaved RGBA ints); None on
+    * any malformation. The core every real-pixel operator shares. */
+  private[graft] def decodePngPixels(b: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
     try {
       if (b.length < 8 || !b.take(8).sameElements(PngSignature)) return None
       val buf = java.nio.ByteBuffer.wrap(b)
@@ -384,9 +387,9 @@ object Multimodal {
       }
       infl.end()
       if (got != expected) return None
+      val px = new Array[Int](h * stride)
       val prior = new Array[Int](stride)
       val cur = new Array[Int](stride)
-      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
       var y = 0
       while (y < h) {
         val base = y * (1 + stride)
@@ -406,19 +409,93 @@ object Multimodal {
             case _ => paeth(a, up, ul)
           }
           cur(i) = (x + pred) & 0xff
-          (i % bpp: @unchecked) match {
-            case 0 => sr += cur(i)
-            case 1 => sg += cur(i)
-            case 2 => sb += cur(i)
-            case 3 => sa += cur(i)
-          }
+          px(y * stride + i) = cur(i)
           i += 1
         }
         System.arraycopy(cur, 0, prior, 0, stride)
         y += 1
       }
-      Some(PngStats(id, w, h, w.toLong * h, sr, sg, sb, sa))
+      Some((w, h, px))
     } catch { case _: Exception => None }
+
+  private[graft] def decodeOnePng(id: Long, b: Array[Byte])
+      : Option[PngStats] =
+    decodePngPixels(b).map { case (w, h, px) =>
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      var i = 0
+      while (i < px.length) {
+        (i % 4: @unchecked) match {
+          case 0 => sr += px(i)
+          case 1 => sg += px(i)
+          case 2 => sb += px(i)
+          case 3 => sa += px(i)
+        }
+        i += 1
+      }
+      PngStats(id, w, h, w.toLong * h, sr, sg, sb, sa)
+    }
+
+  private[graft] case class PngCell(asset_id: Long, cx: Int, cy: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long)
+
+  /** REAL image feature extraction over DECODED pixels: a gx×gy grid of
+    * exact per-cell channel sums (the mean-pooled patch embedding shape
+    * — grid cell (cx, cy) = pixels with ⌊x·gx/w⌋ = cx, ⌊y·gy/h⌋ = cy).
+    * Long-form output so the closed-form oracle checks every cell. */
+  def pngGridFeatures(assets: DataFrame, gx: Int = 2, gy: Int = 2)
+      : DataFrame = {
+    require(gx >= 1 && gy >= 1, s"pngGridFeatures: grid $gx x $gy")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[PngCell] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (id, b) =>
+          decodePngPixels(b).toSeq.flatMap { case (w, h, px) =>
+            val acc = scala.collection.mutable.Map
+              .empty[(Int, Int), Array[Long]]
+            for (y <- 0 until h; x <- 0 until w) {
+              val key = (x * gx / w, y * gy / h)
+              val cell = acc.getOrElseUpdate(key, new Array[Long](5))
+              cell(0) += 1
+              var c = 0
+              while (c < 4) {
+                cell(1 + c) += px((y * w + x) * 4 + c); c += 1
+              }
+            }
+            acc.toSeq.sortBy(_._1).map { case ((cx, cy), v) =>
+              PngCell(id, cx, cy, v(0), v(1), v(2), v(3), v(4))
+            }
+          }
+        })
+    out.toDF()
+  }
+
+  /** REAL nearest-neighbor resize over DECODED pixels: out(x', y') =
+    * in(⌊x'·w/ow⌋, ⌊y'·h/oh⌋), published as exact channel sums of the
+    * resized image so the oracle can state the result by sampling the
+    * pixel formula at the mapped coordinates — the pixel half of the
+    * q53 resize plan, real now. */
+  def pngResizeStats(assets: DataFrame, ow: Int = 8, oh: Int = 6)
+      : DataFrame = {
+    require(ow >= 1 && oh >= 1, s"pngResizeStats: target $ow x $oh")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[PngStats] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (id, b) =>
+          decodePngPixels(b).map { case (w, h, px) =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+            for (yo <- 0 until oh; xo <- 0 until ow) {
+              val sx = xo * w / ow; val sy = yo * h / oh
+              val base = (sy * w + sx) * 4
+              sr += px(base); sg += px(base + 1)
+              sb += px(base + 2); sa += px(base + 3)
+            }
+            PngStats(id, ow, oh, ow.toLong * oh, sr, sg, sb, sa)
+          }
+        })
+    out.toDF()
+  }
 
   // ---------------------------------------------------------------------
   // REAL PCM-WAV sample codec — 16-bit little-endian PCM needs no codec

@@ -237,6 +237,71 @@ object MultimodalQueries {
              |  CAST(min(s) AS BIGINT) AS min_s,
              |  CAST(max(s) AS BIGINT) AS max_s,
              |  CAST(sum(z) AS BIGINT) AS zero_cross
-             |FROM zz GROUP BY doc_id ORDER BY asset_id""".stripMargin))
+             |FROM zz GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
+    // REAL image feature extraction over DECODED pixels: 2×2 grid of
+    // exact per-cell channel sums (the mean-pooled patch-embedding
+    // shape) — the features ride the genuinely decoded image, not the
+    // payload bytes. The oracle groups the pixel formula by the same
+    // ⌊x·2/w⌋/⌊y·2/h⌋ cell map, so a defect in the decoder OR the
+    // pooling breaks the hash.
+    QuerySpec("q267_image_grid_features",
+      (s, d) => graft.multimodal.Multimodal.pngGridFeatures(
+        graft.multimodal.Multimodal.buildDecodablePngs(
+          t(s, d, "documents"), "doc_id"), gx = 2, gy = 2)
+        .orderBy("asset_id", "cx", "cy"),
+      Some("""WITH xs AS (
+             |  SELECT doc_id, unnest(range(16 + doc_id % 8)) AS x
+             |  FROM documents
+             |), ys AS (
+             |  SELECT doc_id, unnest(range(12 + doc_id % 5)) AS y
+             |  FROM documents
+             |), px AS (
+             |  SELECT xs.doc_id, x, y FROM xs JOIN ys
+             |    ON xs.doc_id = ys.doc_id
+             |)
+             |SELECT doc_id AS asset_id,
+             |  CAST(x * 2 // (16 + doc_id % 8) AS INTEGER) AS cx,
+             |  CAST(y * 2 // (12 + doc_id % 5) AS INTEGER) AS cy,
+             |  count(*) AS n_px,
+             |  CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT)
+             |    AS sum_r,
+             |  CAST(sum((2 * doc_id + 7 * x + y) % 256) AS BIGINT)
+             |    AS sum_g,
+             |  CAST(sum((5 * doc_id + x + 11 * y) % 256) AS BIGINT)
+             |    AS sum_b,
+             |  CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_a
+             |FROM px GROUP BY 1, 2, 3
+             |ORDER BY asset_id, cx, cy""".stripMargin)),
+
+    // REAL nearest-neighbor resize over DECODED pixels — the pixel half
+    // of the q53 resize plan: out(x',y') = in(⌊x'w/8⌋, ⌊y'h/6⌋),
+    // published as exact channel sums of the 8×6 result. The oracle
+    // samples the pixel formula at the mapped coordinates directly.
+    QuerySpec("q268_image_resize",
+      (s, d) => graft.multimodal.Multimodal.pngResizeStats(
+        graft.multimodal.Multimodal.buildDecodablePngs(
+          t(s, d, "documents"), "doc_id"), ow = 8, oh = 6)
+        .orderBy("asset_id"),
+      Some("""WITH xo AS (
+             |  SELECT doc_id, unnest(range(8)) AS x FROM documents
+             |), yo AS (
+             |  SELECT doc_id, unnest(range(6)) AS y FROM documents
+             |), m AS (
+             |  SELECT xo.doc_id,
+             |    x * (16 + xo.doc_id % 8) // 8 AS sx,
+             |    y * (12 + xo.doc_id % 5) // 6 AS sy
+             |  FROM xo JOIN yo ON xo.doc_id = yo.doc_id
+             |)
+             |SELECT doc_id AS asset_id, CAST(8 AS INTEGER) AS width,
+             |  CAST(6 AS INTEGER) AS height, count(*) AS n_px,
+             |  CAST(sum((doc_id + 3 * sx + 5 * sy) % 256) AS BIGINT)
+             |    AS sum_r,
+             |  CAST(sum((2 * doc_id + 7 * sx + sy) % 256) AS BIGINT)
+             |    AS sum_g,
+             |  CAST(sum((5 * doc_id + sx + 11 * sy) % 256) AS BIGINT)
+             |    AS sum_b,
+             |  CAST(sum((doc_id + sx * sy) % 256) AS BIGINT) AS sum_a
+             |FROM m GROUP BY 1 ORDER BY asset_id""".stripMargin))
   )
 }
