@@ -196,7 +196,11 @@ object ScaleProbe {
       // (cluster, shingle) — twin replicas inflate cluster volume like
       // every dedup pair consumer, so expect pair-shaped growth there
       "q260_label_kappa", "q261_heaps_law", "q262_source_cap",
-      "q263_embedding_card", "q264_cluster_medoid")
+      "q263_embedding_card", "q264_cluster_medoid",
+      // the real media codecs are pure per-partition map work (encode +
+      // decode per asset, no shuffle beyond the sort) — must be ~linear
+      "q265_png_decode", "q266_wav_decode",
+      "q267_image_grid_features", "q268_image_resize")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
