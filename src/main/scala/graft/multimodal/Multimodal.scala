@@ -604,4 +604,57 @@ object Multimodal {
       if (n == 0) return None
       Some(WavStats(id, ch, sr, n, sum, mn, mx, zc))
     } catch { case _: Exception => None }
+
+  /** Mixed-media fixture with DETERMINISTIC damage: even ids carry a
+    * decodable PNG, odd ids a PCM WAV, and every id ≡ 0 (mod 7) is
+    * corrupted the way its format actually breaks in the wild — a PNG
+    * gets one IDAT byte flipped (CRC mismatch on decode), a WAV is
+    * truncated below its header. The oracle can therefore state every
+    * asset's classification arithmetically. */
+  def buildMixedMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val base = if (id % 2 == 0) encodePng(id) else encodeWav(id)
+        val bytes =
+          if (id % 7 != 0) base
+          else if (id % 2 == 0) {
+            val c = base.clone(); c(45) = (c(45) ^ 0x1).toByte; c
+          } else base.take(30)
+        (id, bytes)
+      })
+      .toDF("asset_id", "bytes")
+  }
+
+  private[graft] case class MediaClass(asset_id: Long, bucket: String,
+      n_units: Long, checksum: Long)
+
+  /** Format sniff → decode → classify: healthy assets publish their
+    * decoded volume and an exact content checksum (PNG: Σ all channel
+    * sums; WAV: Σ samples); damaged or foreign assets classify into a
+    * quarantine bucket by failure mode instead of killing the task.
+    * The ingestion-gate primitive behind the q269 media card. */
+  def classifyMedia(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[MediaClass] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, b) =>
+          if (b.length >= 8 && b.take(8).sameElements(PngSignature))
+            decodeOnePng(id, b) match {
+              case Some(p) => MediaClass(id, "png", p.n_px,
+                p.sum_r + p.sum_g + p.sum_b + p.sum_a)
+              case None => MediaClass(id, "png_corrupt", 0L, 0L)
+            }
+          else if (b.length >= 4 &&
+            new String(b, 0, 4, "US-ASCII") == "RIFF")
+            decodeOneWav(id, b) match {
+              case Some(w) => MediaClass(id, "wav", w.n_samples, w.sum_s)
+              case None => MediaClass(id, "wav_corrupt", 0L, 0L)
+            }
+          else MediaClass(id, "unknown_format", 0L, 0L)
+        })
+    out.toDF()
+  }
 }

@@ -302,6 +302,67 @@ object MultimodalQueries {
              |  CAST(sum((5 * doc_id + sx + 11 * sy) % 256) AS BIGINT)
              |    AS sum_b,
              |  CAST(sum((doc_id + sx * sy) % 256) AS BIGINT) AS sum_a
-             |FROM m GROUP BY 1 ORDER BY asset_id""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY asset_id""".stripMargin)),
+
+    // The MEDIA ACCEPTANCE CARD — the ingestion gate a mixed multimodal
+    // column ships with: format sniff → REAL decode → per-bucket census
+    // (healthy png/wav with decoded volume + exact content checksum;
+    // corrupt assets quarantined by failure mode, never killing a
+    // task). The fixture is deterministically damaged (every id ≡ 0
+    // mod 7: PNGs get one IDAT byte flipped → CRC mismatch, WAVs are
+    // truncated below their header), so the oracle states every
+    // asset's classification AND the healthy buckets' checksums in
+    // closed form — the full sniff/decode/quarantine pipeline is
+    // hash-checked.
+    QuerySpec("q269_media_card",
+      (s, d) => graft.multimodal.Multimodal.classifyMedia(
+        graft.multimodal.Multimodal.buildMixedMedia(
+          t(s, d, "documents"), "doc_id"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_units")).as("sum_units"),
+          sum(col("checksum")).as("sum_checksum"))
+        .orderBy("bucket"),
+      Some("""WITH xs AS (
+             |  SELECT doc_id, unnest(range(16 + doc_id % 8)) AS x
+             |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+             |), ys AS (
+             |  SELECT doc_id, unnest(range(12 + doc_id % 5)) AS y
+             |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+             |), px AS (
+             |  SELECT xs.doc_id, x, y FROM xs JOIN ys
+             |    ON xs.doc_id = ys.doc_id
+             |), pok AS (
+             |  SELECT doc_id, count(*) AS n_units,
+             |    CAST(sum((doc_id + 3 * x + 5 * y) % 256
+             |      + (2 * doc_id + 7 * x + y) % 256
+             |      + (5 * doc_id + x + 11 * y) % 256
+             |      + (doc_id + x * y) % 256) AS BIGINT) AS checksum
+             |  FROM px GROUP BY 1
+             |), ss AS (
+             |  SELECT doc_id, unnest(range(800 + (doc_id % 50) * 2)) AS i
+             |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0
+             |), wok AS (
+             |  SELECT doc_id, count(*) AS n_units,
+             |    CAST(sum((7 * doc_id + 13 * i) % 65536 - 32768)
+             |      AS BIGINT) AS checksum
+             |  FROM ss GROUP BY 1
+             |), cls AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 7 = 0 THEN
+             |           CASE WHEN d.doc_id % 2 = 0 THEN 'png_corrupt'
+             |                ELSE 'wav_corrupt' END
+             |         WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'wav'
+             |    END AS bucket,
+             |    COALESCE(pok.n_units, wok.n_units, 0) AS n_units,
+             |    COALESCE(pok.checksum, wok.checksum, 0) AS checksum
+             |  FROM documents d
+             |  LEFT JOIN pok ON pok.doc_id = d.doc_id
+             |  LEFT JOIN wok ON wok.doc_id = d.doc_id
+             |)
+             |SELECT bucket, count(*) AS n_assets,
+             |  CAST(sum(n_units) AS BIGINT) AS sum_units,
+             |  CAST(sum(checksum) AS BIGINT) AS sum_checksum
+             |FROM cls GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }
