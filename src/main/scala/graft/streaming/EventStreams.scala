@@ -1298,6 +1298,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming media ingest with quarantine — the q269 acceptance gate
+    * as a sink: every arriving asset is format-sniffed and REALLY
+    * decoded (Multimodal.classifyMedia); healthy rows append to the
+    * stats corpus, damaged/foreign ones append to a quarantine log with
+    * their batch id and failure bucket instead of poisoning the stream.
+    * Classification is per-asset and stateless, so the accumulated
+    * corpus trivially equals the batch classification over all arrivals
+    * (spec-proven with damage planted mid-stream); at-least-once
+    * delivery means a replayed batch can duplicate log rows — dedupe on
+    * (asset_id, batch_id) at read, as with the other append-only
+    * logs. */
+  def mediaIngestSink(stream: DataFrame, corpusDir: String,
+                      quarantineDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = graft.multimodal.Multimodal.classifyMedia(batch)
+        classified.filter(!col("bucket").isin(
+            "png_corrupt", "wav_corrupt", "unknown_format"))
+          .write.mode("append").parquet(corpusDir)
+        classified.filter(col("bucket").isin(
+            "png_corrupt", "wav_corrupt", "unknown_format"))
+          .select(col("asset_id"), col("bucket"),
+            lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(quarantineDir)
+        ()
+      }
+      .start()
+
   def olsMonitorSink(stream: DataFrame, stateDir: String,
                      reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -1155,6 +1155,50 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming media ingest quarantines damage and matches batch " +
+      "classification") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    import graft.multimodal.Multimodal
+    val goodPng = Multimodal.encodePng(2L)
+    val goodWav = Multimodal.encodeWav(3L)
+    val badPng = {
+      val c = Multimodal.encodePng(4L).clone()
+      c(45) = (c(45) ^ 0x1).toByte; c
+    }
+    val wave1 = Seq((2L, goodPng), (3L, goodWav))
+      .toDF("asset_id", "bytes")
+    val wave2 = Seq((4L, badPng),
+      (5L, Array.tabulate[Byte](64)(i => (i * 37).toByte)),
+      (6L, Multimodal.encodeWav(6L)))
+      .toDF("asset_id", "bytes")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.mediaIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      s"$tmp/corpus", s"$tmp/quarantine", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.mediaIngestSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      s"$tmp/corpus", s"$tmp/quarantine", s"$tmp/ckpt")
+      .awaitTermination()
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .select("asset_id", "bucket", "n_units", "checksum")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val batch = Multimodal.classifyMedia(wave1.unionByName(wave2))
+      .filter(!org.apache.spark.sql.functions.col("bucket").isin(
+        "png_corrupt", "wav_corrupt", "unknown_format"))
+      .select("asset_id", "bucket", "n_units", "checksum")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(corpus === batch)
+    assert(corpus.map(r => (r._1, r._2)) ===
+      Seq((2L, "png"), (3L, "wav"), (6L, "wav")))
+    val q = spark.read.parquet(s"$tmp/quarantine")
+      .select("asset_id", "bucket").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(q === Seq((4L, "png_corrupt"), (5L, "unknown_format")))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming KS drift maintenance equals batch q225 over all arrivals") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // every source straddles both waves with overlapping lengths, so
