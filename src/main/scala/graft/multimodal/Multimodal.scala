@@ -564,8 +564,11 @@ object Multimodal {
     out.toDF()
   }
 
-  private[graft] def decodeOneWav(id: Long, b: Array[Byte])
-      : Option[WavStats] =
+  /** RIFF walk + PCM-16 sample extraction — the core every real-sample
+    * operator shares. Returns (channels, sample_rate, samples); None on
+    * any malformation. */
+  private[graft] def decodeWavSamples(b: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
     try {
       if (b.length < 44) return None
       val bb = java.nio.ByteBuffer.wrap(b)
@@ -590,20 +593,58 @@ object Multimodal {
       }
       if (ch <= 0 || sr <= 0 || bits != 16 || dataOff < 0) return None
       val n = dataLen / 2
+      if (n == 0) return None
+      val out = new Array[Short](n)
       var i = 0
+      while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+      Some((ch, sr, out))
+    } catch { case _: Exception => None }
+
+  private[graft] def decodeOneWav(id: Long, b: Array[Byte])
+      : Option[WavStats] =
+    decodeWavSamples(b).map { case (ch, sr, smp) =>
       var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
       var zc = 0L; var prevNeg = false
-      while (i < n) {
-        val s = bb.getShort(dataOff + 2 * i).toLong
+      var i = 0
+      while (i < smp.length) {
+        val s = smp(i).toLong
         sum += s; if (s < mn) mn = s; if (s > mx) mx = s
         val neg = s < 0
         if (i > 0 && neg != prevNeg) zc += 1
         prevNeg = neg
         i += 1
       }
-      if (n == 0) return None
-      Some(WavStats(id, ch, sr, n, sum, mn, mx, zc))
-    } catch { case _: Exception => None }
+      WavStats(id, ch, sr, smp.length, sum, mn, mx, zc)
+    }
+
+  private[graft] case class WavWindow(asset_id: Long, w: Long,
+      n_samples: Long, sum_abs: Long, max_abs: Long)
+
+  /** REAL audio feature extraction over DECODED samples: per fixed-size
+    * window, the exact L1 energy (Σ|s|) and peak (max|s|) — the cheap
+    * activity/silence profile a speech-data pipeline segments on.
+    * Long-form rows so the closed-form oracle checks every window. */
+  def wavEnergyWindows(assets: DataFrame, win: Int = 200): DataFrame = {
+    require(win >= 1, s"wavEnergyWindows: window $win")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out: Dataset[WavWindow] =
+      assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (id, b) =>
+          decodeWavSamples(b).toSeq.flatMap { case (_, _, smp) =>
+            smp.indices.groupBy(_ / win).toSeq.sortBy(_._1)
+              .map { case (w, idx) =>
+                var sa = 0L; var ma = 0L
+                idx.foreach { i =>
+                  val a = math.abs(smp(i).toLong)
+                  sa += a; if (a > ma) ma = a
+                }
+                WavWindow(id, w.toLong, idx.size.toLong, sa, ma)
+              }
+          }
+        })
+    out.toDF()
+  }
 
   /** Mixed-media fixture with DETERMINISTIC damage: even ids carry a
     * decodable PNG, odd ids a PCM WAV, and every id ≡ 0 (mod 7) is

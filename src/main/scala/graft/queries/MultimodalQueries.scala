@@ -363,6 +363,29 @@ object MultimodalQueries {
              |SELECT bucket, count(*) AS n_assets,
              |  CAST(sum(n_units) AS BIGINT) AS sum_units,
              |  CAST(sum(checksum) AS BIGINT) AS sum_checksum
-             |FROM cls GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM cls GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // REAL audio feature extraction over DECODED samples: per 200-sample
+    // window, exact L1 energy (Σ|s|) and peak (max|s|) — the cheap
+    // activity/silence profile a speech pipeline segments on, riding the
+    // genuinely decoded PCM stream. The oracle buckets the sample
+    // formula by the same i DIV 200 window map.
+    QuerySpec("q270_audio_energy",
+      (s, d) => graft.multimodal.Multimodal.wavEnergyWindows(
+        graft.multimodal.Multimodal.buildPcmWavs(
+          t(s, d, "documents"), "doc_id"), win = 200)
+        .orderBy("asset_id", "w"),
+      Some("""WITH ss AS (
+             |  SELECT doc_id, unnest(range(800 + (doc_id % 50) * 2)) AS i
+             |  FROM documents
+             |), sv AS (
+             |  SELECT doc_id, i // 200 AS w,
+             |    abs((7 * doc_id + 13 * i) % 65536 - 32768) AS a
+             |  FROM ss
+             |)
+             |SELECT doc_id AS asset_id, w, count(*) AS n_samples,
+             |  CAST(sum(a) AS BIGINT) AS sum_abs,
+             |  CAST(max(a) AS BIGINT) AS max_abs
+             |FROM sv GROUP BY 1, 2 ORDER BY asset_id, w""".stripMargin))
   )
 }

@@ -1316,15 +1316,20 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val classified = graft.multimodal.Multimodal.classifyMedia(batch)
-        classified.filter(!col("bucket").isin(
-            "png_corrupt", "wav_corrupt", "unknown_format"))
-          .write.mode("append").parquet(corpusDir)
-        classified.filter(col("bucket").isin(
-            "png_corrupt", "wav_corrupt", "unknown_format"))
-          .select(col("asset_id"), col("bucket"),
-            lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(quarantineDir)
+        // persist so the decode (the expensive half) runs once, not once
+        // per destination filter
+        val classified =
+          graft.multimodal.Multimodal.classifyMedia(batch).persist()
+        try {
+          classified.filter(!col("bucket").isin(
+              "png_corrupt", "wav_corrupt", "unknown_format"))
+            .write.mode("append").parquet(corpusDir)
+          classified.filter(col("bucket").isin(
+              "png_corrupt", "wav_corrupt", "unknown_format"))
+            .select(col("asset_id"), col("bucket"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(quarantineDir)
+        } finally classified.unpersist()
         ()
       }
       .start()

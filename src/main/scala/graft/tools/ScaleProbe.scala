@@ -200,7 +200,8 @@ object ScaleProbe {
       // the real media codecs are pure per-partition map work (encode +
       // decode per asset, no shuffle beyond the sort) — must be ~linear
       "q265_png_decode", "q266_wav_decode",
-      "q267_image_grid_features", "q268_image_resize", "q269_media_card")
+      "q267_image_grid_features", "q268_image_resize", "q269_media_card",
+      "q270_audio_energy")
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
