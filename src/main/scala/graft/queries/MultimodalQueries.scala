@@ -6,9 +6,15 @@ import graft.multimodal.Multimodal
 import Q._
 
 /** Multimodal-column surface: binary payloads + typed metadata, frame
-  * sampling via binary slicing, and the partition-batched decode stub.
-  * The byte/metadata/slicing plumbing is oracle-checked (pure arithmetic
-  * over the payload); the decode stub is rows-only + scalatest.
+  * sampling via binary slicing, real container-header parsing, and —
+  * since round 13 — the REAL media codecs: PNG pixel decode (q265),
+  * PCM-WAV sample decode (q266), real-pixel grid features (q267) and
+  * resize (q268), the sniff/decode/quarantine acceptance card (q269),
+  * and windowed audio energy (q270). Every entry here is hash-checked
+  * against a closed-form DuckDB oracle (the decoded content follows a
+  * pixel/sample formula the oracle can state without any decoder);
+  * only q52's generic byte-histogram stand-in remains a stub, and it
+  * too is oracle-checked as arithmetic.
   */
 object MultimodalQueries {
 
