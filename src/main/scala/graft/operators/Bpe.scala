@@ -145,6 +145,43 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Persist a trained merge table as ONE rank-ordered parquet frame
+    * (ord, a, b, cnt) — the artifact half of the tokenizer lifecycle,
+    * completing the persist→serve contract every other trained state in
+    * the engine already has (Postings.save, VectorIndex.save,
+    * DupGraph.save). A tokenizer is trained once and served by every
+    * downstream token-budget / packing / mixture decision, usually in a
+    * DIFFERENT session — the artifact, not the training lineage, is the
+    * hand-off. The table is merge-count-sized (thousands of rows), so
+    * one part file is the right physical shape. */
+  def save(spark: SparkSession,
+           merges: Seq[(Int, String, String, Long)], dir: String): Unit = {
+    require(merges.nonEmpty, "Bpe.save: empty merge table")
+    require(merges.map(_._1) == (1 to merges.length),
+      "Bpe.save: merge ranks must be contiguous 1..n in training order")
+    import spark.implicits._
+    merges.toDF("ord", "a", "b", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d merge table, re-validated: ranks must be the
+    * contiguous 1..n training order (BPE merges are ORDER-SENSITIVE —
+    * a silently reordered or truncated artifact would encode a
+    * different tokenizer, so a malformed frame fails loudly here rather
+    * than mis-tokenizing downstream). Serve-from-artifact encoding is
+    * spec-proven bit-equal to encoding with the in-memory table. */
+  def load(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val out = spark.read.parquet(dir)
+      .select(col("ord").cast("int"), col("a"), col("b"),
+        col("cnt").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    require(out.map(_._1) == (1 to out.length),
+      s"Bpe.load: ranks not contiguous 1..${out.length} — corrupt artifact at $dir")
+    out
+  }
+
   /** Sequential reference encoder for [[encodeTokenCounts]]'s spec:
     * greedy left-to-right application of the merges in training order to
     * one word. Never used at scale. */

@@ -169,11 +169,13 @@ object Dedup {
     * the sample (the 18 s → sub-second difference at sf0.1), and the
     * join is shuffle-partitionable by shingle at any sample size.
     *
-    * `docs` should still be a bounded evaluation sample (the
-    * deterministic md5-bucket slice of [[Transforms.hashSample]] keeps
-    * it reproducible): a corpus-wide truth pass pays the full
-    * co-occurrence mass that banding exists to avoid — measuring recall
-    * on a sample is the harness's standard privilege (q140's
+    * `docs` should be a bounded FIXED-SIZE evaluation sample (the
+    * deterministic md5-rank top-k of [[Transforms.hashTopK]] keeps it
+    * reproducible AND constant-size — a rate-bounded sample's pair set
+    * grows quadratically with the corpus, the scale-killer hashTopK's
+    * doctrine exists to prevent): a corpus-wide truth pass pays the
+    * full co-occurrence mass that banding exists to avoid — measuring
+    * recall on a sample is the harness's standard privilege (q140's
     * brute-force oracle, same deal). The banding under test runs
     * through the same pooled shingle/band frames as production
     * [[lshPairs]].

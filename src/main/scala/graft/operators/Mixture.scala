@@ -335,4 +335,47 @@ object Mixture {
     docs.select(col(srcCol), col(idCol), quality.as("quality"))
       .withColumn("rk", row_number().over(w).cast("long"))
   }
+
+  /** DATA-CONSTRAINED epoch scheduling (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models" regime): when the token
+    * budget exceeds the corpus, small sources are REPEATED — up to
+    * `maxEpochs` full passes, past which additional repeats stop paying
+    * (the paper's ~4-epoch value ceiling) — rather than letting big
+    * sources fill the gap and dominate the mix. Each source gets the
+    * UNIFORM target U = (total·num DIV den) DIV n_sources; it serves
+    * min(U, epochs·tokens) tokens with epochs = min(maxEpochs,
+    * ⌈U / tokens⌉). Per source the report carries epochs, served and
+    * UNMET tokens (the budget the cap refuses to fill with >maxEpochs
+    * repetition — the signal to go acquire more data), and the repeated
+    * share of what is served in basis points. All arithmetic is exact
+    * integer DIV — bit-identical in any engine.
+    *
+    * Scale shape: one |sources|-row aggregate broadcast back against the
+    * |sources|-row frame — the corpus is never touched past the token
+    * count the caller already owns. Input: (source, tokens). */
+  def epochSchedule(tok: DataFrame, num: Long = 2L, den: Long = 1L,
+                    maxEpochs: Int = 4): DataFrame = {
+    require(num > 0 && den > 0, "epochSchedule: budget factor must be positive")
+    require(maxEpochs >= 1, s"epochSchedule: maxEpochs must be >= 1, got $maxEpochs")
+    require(tok.filter(col("tokens") <= 0).isEmpty,
+      "epochSchedule: non-positive token volumes")
+    val tot = tok.agg(sum(col("tokens")).as("__total"),
+      count(lit(1)).as("__n"))
+    tok.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"(__total * $num DIV $den) DIV __n"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong),
+          expr("(target + tokens - 1) DIV tokens")).cast("long"))
+      .withColumn("served", least(col("target"), col("epochs") * col("tokens")))
+      .select(col("source"), col("tokens"), col("target"), col("epochs"),
+        col("served"),
+        (col("target") - col("served")).as("unmet"),
+        // repeated share of the served stream: everything past the first
+        // full pass (a source meeting its target inside one epoch
+        // reports 0; an empty target reports 0 by convention)
+        when(col("served") === 0L, lit(0L))
+          .otherwise(expr(
+            "(served - least(served, tokens)) * 10000 DIV served"))
+          .as("repeated_bp"))
+  }
 }

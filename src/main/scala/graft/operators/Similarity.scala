@@ -130,6 +130,16 @@ object Similarity {
     val den = pc.map(r => BigInt(r.getLong(2)) * r.getLong(2)).sum
     require(den > 0 && den <= BigInt("9000000000000000000"),
       s"abttRemoval: pc1 norm² $den outside (0, 9e18]")
+    // coef_q = Σ_pos cv·w accumulates in plain LONG and cv = n·q − sv
+    // scales with corpus size: |coef_q| ≤ d·2n·qmax·|w| = d·n·4·10¹⁰ at
+    // the documented |q| ≤ 2·10⁶, |w| ≤ 10⁴ grid — enforce the LONG
+    // ceiling LOUDLY instead of letting it wrap silently at n ≈ 10⁶⁺
+    // (the den/|q| guards' discipline). Past this, shard the corpus or
+    // widen coef_q to DECIMAL(38,0).
+    require(BigInt(n) * pc.length <= BigInt(200000000L),
+      s"abttRemoval: n·d = ${BigInt(n) * pc.length} exceeds the 2e8 " +
+        "LONG-safety ceiling for coef_q = sum(cv*w) " +
+        "(d*n*4e10 must stay under 9.2e18)")
     comp.join(pcF, "pos")
       .select(col("vid"),
         (lit(n) * col("q") - col("sv")).as("cv"), col("w"))

@@ -123,6 +123,33 @@ object Transforms {
   def hashSample(df: DataFrame, key: Column, pct: Column): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Deterministic FIXED-SIZE sample: the `k` rows with the smallest
+    * md5 rank of `key` (key itself as the tie-break), via orderBy+limit
+    * — Spark plans a TakeOrderedAndProject: a per-partition top-k heap
+    * and one k-row merge, O(n log k) map-side work and k rows of driver
+    * traffic at ANY corpus size. DuckDB twin:
+    * `ORDER BY ('0x' || substr(md5(key::VARCHAR),1,15))::BIGINT, key
+    * LIMIT k`.
+    *
+    * THE SAMPLING RULE FOR BRUTE-FORCE AUDITS: an evaluation frame that
+    * feeds all-pairs ground truth (LSH recall, JL distortion/recall)
+    * must bound the sample SIZE, not the sample RATE — a rate-bounded
+    * sample grows linearly with the corpus, so its pair set grows
+    * QUADRATICALLY (at 100× data a 5% sample does 10,000× the pair
+    * work). A fixed-k md5-rank sample keeps audit work O(k²) — constant
+    * at any scale — while staying reproducible, engine-portable, and
+    * reorder-stable like [[hashSample]]. Unlike [[hashSample]] it is
+    * NOT nested (k and k' samples share a prefix, which is fine for
+    * audits) and costs one bounded sort-limit instead of a free filter
+    * — use it exactly where the downstream work is superlinear in the
+    * sample. */
+  def hashTopK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"hashTopK: k must be positive, got $k")
+    df.orderBy(
+      graft.functions.TextFunctions.md5Long(key.cast("string")).asc,
+      key.asc).limit(k)
+  }
+
   /** Mixture/balance sampling — the data-MIXING step of a training
     * pipeline: downsample every category (source, language, domain) to
     * ≈ the smallest category's size, so no single crawl dominates the

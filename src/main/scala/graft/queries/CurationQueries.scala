@@ -1312,5 +1312,46 @@ object CurationQueries {
              |    AS BIGINT) AS dropped_tokens,
              |  CAST(min(CASE WHEN rk <= 30 THEN quality END) AS BIGINT)
              |    AS cutoff_tokens
-             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Data-constrained epoch scheduling (Muennighoff et al. 2023): the
+    // token budget is 2× the corpus, each source gets a uniform target,
+    // and small sources REPEAT up to 4 epochs to meet it instead of
+    // letting big sources dominate the mix — with the unmet remainder
+    // (what 4 epochs cannot fill) reported as the acquisition signal.
+    // Exact integer DIV end-to-end; |sources|-row frames only past the
+    // token count (Mixture.epochSchedule).
+    QuerySpec("q271_epoch_schedule",
+      (s, d) => {
+        val tok = t(s, d, "documents").groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"))
+        graft.operators.Mixture.epochSchedule(tok, num = 2L, den = 1L,
+          maxEpochs = 4).orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS tokens
+             |  FROM documents GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             |    count(*) AS n FROM tok
+             |), base AS (
+             |  SELECT source, tokens,
+             |    CAST((total * 2 // 1) // n AS BIGINT) AS target,
+             |    CAST(least(4, (((total * 2 // 1) // n) + tokens - 1)
+             |      // tokens) AS BIGINT) AS epochs
+             |  FROM tok, tot
+             |)
+             |SELECT source, tokens, target, epochs,
+             |  CAST(least(target, epochs * tokens) AS BIGINT) AS served,
+             |  CAST(target - least(target, epochs * tokens) AS BIGINT)
+             |    AS unmet,
+             |  CAST(CASE WHEN least(target, epochs * tokens) = 0 THEN 0
+             |    ELSE (least(target, epochs * tokens)
+             |          - least(least(target, epochs * tokens), tokens))
+             |         * 10000 // least(target, epochs * tokens)
+             |  END AS BIGINT) AS repeated_bp
+             |FROM base ORDER BY source""".stripMargin)))
 }

@@ -220,22 +220,26 @@ object DedupQueries {
       Some(lshCte +
         "\nSELECT a_id, b_id, jac FROM lsh_pairs WHERE jac >= 0.1 ORDER BY a_id, b_id")),
 
-    // LSH recall measurement on a deterministic 30% md5-bucket sample:
-    // exact all-pairs Jaccard ground truth (the sample's privilege — the
+    // LSH recall measurement on a deterministic FIXED-SIZE sample (the
+    // 1000 smallest md5-rank doc_ids — Transforms.hashTopK): exact
+    // all-pairs Jaccard ground truth (the sample's privilege — the
     // operator under test stays sub-quadratic) vs the same b×r banding
-    // production runs. Per-pair hit rows keep the metric hash-checked;
-    // precision is 1.0 by construction (lshPairs exact-confirms).
+    // production runs. Fixed SIZE, not fixed rate: a rate-bounded sample
+    // grows with the corpus and its pair set grows quadratically; a
+    // fixed-k sample keeps the audit O(k²) at any scale. Per-pair hit
+    // rows keep the metric hash-checked; precision is 1.0 by
+    // construction (lshPairs exact-confirms).
     QuerySpec("q150_lsh_recall",
       (s, d) => {
-        val sample = graft.operators.Transforms.hashSample(
-          t(s, d, "documents"), col("doc_id"), lit(30))
+        val sample = graft.operators.Transforms.hashTopK(
+          t(s, d, "documents"), col("doc_id"), 1000)
         graft.operators.Dedup.lshRecall(sample, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
           .orderBy("a_id", "b_id")
       },
       Some(lshCteFrom(
-        "(SELECT * FROM documents WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 30)") +
+        "(SELECT * FROM documents ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id LIMIT 1000)") +
         """
           |, truth AS (
           |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,

@@ -13,18 +13,19 @@ import Q._
   * and windowed audio energy (q270). Every entry here is hash-checked
   * against a closed-form DuckDB oracle (the decoded content follows a
   * pixel/sample formula the oracle can state without any decoder);
-  * only q52's generic byte-histogram stand-in remains a stub, and it
-  * too is oracle-checked as arithmetic.
+  * q52's byte-histogram fingerprint is the deliberately container-
+  * AGNOSTIC byte-level op (drift/triage/prefilter over opaque blobs,
+  * no decode by design) — oracle-checked as arithmetic like the rest.
   */
 object MultimodalQueries {
 
   private val DecodeDim = 16
 
-  /** DuckDB twin of Multimodal.stubDecodeFeatures → norm: the fixture text
-    * is pure ASCII (verified per scale factor), so byte == char and
-    * `unicode(text[i])` reproduces the stub's `(byte & 0xff)` exactly.
+  /** DuckDB twin of Multimodal.byteHistogramFeatures → norm: the fixture
+    * text is pure ASCII (verified per scale factor), so byte == char and
+    * `unicode(text[i])` reproduces the op's `(byte & 0xff)` exactly.
     * Parity discipline: the per-bin division is done in FLOAT (matching
-    * the stub's float hist), and the squared-norm sum is an explicit
+    * the op's float hist), and the squared-norm sum is an explicit
     * left-associated `f0²+f1²+…` chain — the same index-order fold Spark's
     * `aggregate` HOF performs — so no aggregation-order nondeterminism. */
   private val q52Oracle = {
@@ -35,7 +36,7 @@ object MultimodalQueries {
       s"    COALESCE(hv.f$j, CAST(0 AS FLOAT)) AS f$j").mkString(",\n")
     val ss = (0 until DecodeDim).map(j => s"f$j::DOUBLE * f$j::DOUBLE").mkString(" + ")
     // hv is LEFT-joined back to documents: range(1, len+1) yields no rows
-    // for empty text, but the Spark stub still emits a zero-norm feature
+    // for empty text, but the Spark op still emits a zero-norm feature
     // row for every asset — the join keeps row counts identical.
     s"""WITH chars AS (
        |  SELECT doc_id, greatest(len(text), 1) AS n,
@@ -96,8 +97,8 @@ object MultimodalQueries {
              |ORDER BY asset_id, frame_idx""".stripMargin)),
 
     // Resize planning: target dimensions fitting 224×224 while preserving
-    // aspect ratio — the metadata half of an image-resize stage (the pixel
-    // kernel itself is the decode stub's concern); identical double
+    // aspect ratio — the metadata half of an image-resize stage (the real
+    // pixel kernel is q268's resizePixels); identical double
     // arithmetic on both engines.
     QuerySpec("q53_resize_plan",
       (s, d) => {
@@ -122,13 +123,15 @@ object MultimodalQueries {
              |  CAST(greatest(1, floor(height * least(224.0 / width, 224.0 / height))) AS BIGINT) AS out_h
              |FROM m ORDER BY asset_id""".stripMargin)),
 
-    // Partition-batched decode stub → 16-dim byte-histogram features. The
-    // stub is deterministic arithmetic over the payload bytes, so it has a
-    // full SQL twin (hash-checked); the mapPartitions execution shape is
-    // additionally pinned by MultimodalSpec.
+    // Container-agnostic byte-level fingerprint: 16-bin histogram over
+    // the ENCODED payload (no decode BY DESIGN — this is what drift
+    // detection and corrupt-batch triage run on when the codec is
+    // unknown or damaged; the real decoders are q265/q266). Deterministic
+    // arithmetic → full SQL twin (hash-checked); the mapPartitions
+    // execution shape is additionally pinned by MultimodalSpec.
     QuerySpec("q52_decode_features",
       (s, d) => {
-        val feats = Multimodal.stubDecodeFeatures(
+        val feats = Multimodal.byteHistogramFeatures(
           Multimodal.fakeAssets(t(s, d, "documents")), dim = DecodeDim)
         feats.select(col("asset_id"), size(col("features")).as("dim"),
           round(sqrt(graft.functions.VectorFunctions.dot(

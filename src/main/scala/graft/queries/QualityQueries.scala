@@ -1438,6 +1438,76 @@ object QualityQueries {
              |    / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
              |     * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
              |    AS rho_spearman
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Code-vs-prose census: the curation split every pre-training mix
+    // needs (code and prose get different quality rules, dedup grains,
+    // and mixture weights). Deterministically code-wrapped docs
+    // (doc_id % 7 = 3, the q69 injection discipline) are detected by an
+    // exact integer symbol heuristic — brace + semicolon counts via
+    // length-difference (codegen'd, no regex in the hot path) — and the
+    // per-source report carries the code share and mean symbol density
+    // in basis points. One map-side pass + one |sources|-row aggregate.
+    QuerySpec("q272_code_prose",
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(lit("void f"), col("doc_id").cast("string"),
+              lit("() { int x = "),
+              pmod(col("doc_id"), lit(100)).cast("string"), lit("; "),
+              col("text"), lit("; return; }")))
+            .otherwise(col("text")).as("text"))
+        aug
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_brace", expr("CAST(length(text)" +
+            " - length(replace(text, '{', '')) + length(text)" +
+            " - length(replace(text, '}', '')) AS BIGINT)"))
+          .withColumn("n_semi", expr("CAST(length(text)" +
+            " - length(replace(text, ';', '')) AS BIGINT)"))
+          .withColumn("n_eq", expr("CAST(length(text)" +
+            " - length(replace(text, '=', '')) AS BIGINT)"))
+          .withColumn("is_code", col("n_brace") >= 2 && col("n_semi") >= 2)
+          .withColumn("sym_bp", expr("(n_brace + n_semi + n_eq) * 10000" +
+            " DIV greatest(n_chars, 1)"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+            expr("sum(CASE WHEN is_code THEN 1 ELSE 0 END) * 10000" +
+              " DIV count(1)").as("code_bp"),
+            expr("sum(sym_bp) DIV count(1)").as("mean_sym_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 3
+             |      THEN 'void f' || doc_id || '() { int x = '
+             |           || (doc_id % 100) || '; ' || text || '; return; }'
+             |      ELSE text END AS text
+             |  FROM documents
+             |), f AS (
+             |  SELECT source,
+             |    CAST(len(text) AS BIGINT) AS n_chars,
+             |    CAST(len(text) - len(replace(text, '{', ''))
+             |      + len(text) - len(replace(text, '}', '')) AS BIGINT)
+             |      AS n_brace,
+             |    CAST(len(text) - len(replace(text, ';', '')) AS BIGINT)
+             |      AS n_semi,
+             |    CAST(len(text) - len(replace(text, '=', '')) AS BIGINT)
+             |      AS n_eq
+             |  FROM aug
+             |), g AS (
+             |  SELECT source,
+             |    (n_brace >= 2 AND n_semi >= 2) AS is_code,
+             |    (n_brace + n_semi + n_eq) * 10000
+             |      // greatest(n_chars, 1) AS sym_bp
+             |  FROM f
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_code,
+             |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) * 10000
+             |    // count(*) AS BIGINT) AS code_bp,
+             |  CAST(sum(sym_bp) // count(*) AS BIGINT) AS mean_sym_bp
+             |FROM g GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -979,9 +979,11 @@ object SimilarityQueries {
         |FROM comp JOIN sm USING (pos)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin)),
 
-    // JL distance-preservation audit: for a deterministic md5 sample of
-    // vectors (≈5%, the q150 ground-truth discipline — the all-pairs here
-    // is over the SAMPLE, bounded by construction, never the corpus), the
+    // JL distance-preservation audit: for a deterministic FIXED-SIZE
+    // sample of vectors (the 256 smallest md5-rank vec_ids —
+    // Transforms.hashTopK; fixed SIZE, not rate, so the all-pairs audit
+    // is O(256²) at ANY corpus size — the q150 ground-truth discipline),
+    // the
     // ratio of projected to original squared distance in basis points
     // (E[dp2] = k·d2 for Rademacher signs, so ratio_bp concentrates
     // around 10⁴; identical-vector pairs report 10⁴ by convention). This
@@ -990,9 +992,8 @@ object SimilarityQueries {
     // 2e6)² ≈ 1e18 (BIGINT ✓), dp2·10⁴ via DECIMAL/HUGEINT, trunc DIV.
     QuerySpec("q257_jl_distortion",
       (s, d) => {
-        val sampled = t(s, d, "embeddings").filter(
-          graft.functions.TextFunctions.md5Long(
-            col("vec_id").cast("string")) % 20 === 0)
+        val sampled = graft.operators.Transforms.hashTopK(
+          t(s, d, "embeddings"), col("vec_id"), 256)
         val (comp, _) = graft.operators.Similarity.componentFrame(
           sampled, "vec_id", "embedding")
         val d2 = comp.as("a").join(comp.as("b"),
@@ -1017,8 +1018,8 @@ object SimilarityQueries {
       },
       Some("""WITH sam AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
-        |    % 20 = 0
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        |    vec_id LIMIT 256
         |), comp AS (
         |  SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
@@ -1116,13 +1117,13 @@ object SimilarityQueries {
     // ~0.43). The audit is the DECISION INSTRUMENT: at k=16 recall is
     // ~0.5 (too coarse for these tiny cosine gaps, as 1/eps^2 theory
     // predicts), rising with k — run it before trusting any reduced-
-    // dimension dedup sweep. The all-pairs runs on the bounded
-    // deterministic sample (the q150 ground-truth discipline).
+    // dimension dedup sweep. The all-pairs runs on the FIXED-SIZE
+    // deterministic sample (256 smallest md5-rank ids, hashTopK — O(k²)
+    // pair work at any corpus size; the q150 ground-truth discipline).
     QuerySpec("q259_jl_neardup_recall",
       (s, d) => {
-        val sampled = t(s, d, "embeddings").filter(
-          graft.functions.TextFunctions.md5Long(
-            col("vec_id").cast("string")) % 20 === 0)
+        val sampled = graft.operators.Transforms.hashTopK(
+          t(s, d, "embeddings"), col("vec_id"), 256)
         val (comp, _) = graft.operators.Similarity.componentFrame(
           sampled, "vec_id", "embedding")
         val nrm = comp.groupBy(col("vid"))
@@ -1192,8 +1193,8 @@ object SimilarityQueries {
       },
       Some("""WITH sam AS (
         |  SELECT vec_id, embedding FROM embeddings
-        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
-        |    % 20 = 0
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        |    vec_id LIMIT 256
         |), comp AS (
         |  SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
@@ -1449,7 +1450,74 @@ object SimilarityQueries {
           |    END
           |  FROM tot CROSS JOIN rc
           |) ORDER BY metric""".stripMargin
-      })
+      }),
+
+    // Per-label embedding DRIFT between two deterministic corpus halves
+    // (vec_id parity — the re-embed / re-crawl comparison a vector
+    // column's monitoring needs): squared centroid shift per label on
+    // the ×10³ trunc-DIV subgrid (q258's centroid discipline), per-term
+    // squares in DECIMAL/HUGEINT, scaled back to the q² grid by DIV 10⁶
+    // for a BIGINT output surface. Scale shape: two (label, pos)-keyed
+    // aggregates (|labels|·d rows each) joined on the tiny key frame —
+    // the corpus is touched twice map-side, never self-joined.
+    QuerySpec("q274_embedding_drift",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val (comp, _) = graft.operators.Similarity.componentFrame(
+          e, "vec_id", "embedding")
+        val lb = e.select(col("vec_id").as("vid"), col("label"))
+        val mu = comp.join(lb, "vid")
+          .withColumn("half", pmod(col("vid"), lit(2L)))
+          .groupBy(col("label"), col("half"), col("pos"))
+          .agg(expr("sum(q * 1000) DIV count(1)").as("mu"))
+        val m0 = mu.filter(col("half") === 0L)
+          .select(col("label"), col("pos"), col("mu").as("mu0"))
+        val m1 = mu.filter(col("half") === 1L)
+          .select(col("label"), col("pos"), col("mu").as("mu1"))
+        val drift = m0.join(m1, Seq("label", "pos"))
+          .groupBy(col("label"))
+          .agg(expr("CAST(sum(CAST(mu1 - mu0 AS DECIMAL(38,0))" +
+            " * (mu1 - mu0)) DIV 1000000 AS BIGINT)").as("drift_q2"))
+        val cnt = e.groupBy(col("label"))
+          .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L)
+            .otherwise(0L)).as("n0"),
+            sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L)
+              .otherwise(0L)).as("n1"))
+        cnt.join(drift, Seq("label"))
+          .select(col("label"), col("n0"), col("n1"), col("drift_q2"))
+          .orderBy("label")
+      },
+      Some("""WITH comp AS (
+             |  SELECT vec_id, label,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+             |      AS pos,
+             |    CAST(round(unnest(embedding)::DOUBLE * 1000000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings
+             |), mu AS (
+             |  SELECT label, vec_id % 2 AS half, pos,
+             |    CAST(sum(q * 1000) // count(*) AS BIGINT) AS mu
+             |  FROM comp GROUP BY 1, 2, 3
+             |), j AS (
+             |  SELECT m0.label, m0.pos, m0.mu AS mu0, m1.mu AS mu1
+             |  FROM (SELECT * FROM mu WHERE half = 0) m0
+             |  JOIN (SELECT * FROM mu WHERE half = 1) m1
+             |    ON m0.label = m1.label AND m0.pos = m1.pos
+             |), dr AS (
+             |  SELECT label,
+             |    CAST(sum(CAST(mu1 - mu0 AS HUGEINT) * (mu1 - mu0))
+             |      // 1000000 AS BIGINT) AS drift_q2
+             |  FROM j GROUP BY 1
+             |), cnt AS (
+             |  SELECT label,
+             |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1
+             |  FROM embeddings GROUP BY 1
+             |)
+             |SELECT label, n0, n1, drift_q2
+             |FROM cnt JOIN dr USING (label) ORDER BY label""".stripMargin))
   )
 
   /** DuckDB twin of the Similarity.scatterMoments → solveScatterFrames

@@ -21,7 +21,71 @@ object TextQueries {
   // lazy: cmsJoinSizeSpec is declared below (next to its term list) —
   // a strict val here would read it before initialization
   lazy val specs: Seq[QuerySpec] =
-    baseSpecs :+ cmsJoinSizeSpec :+ cmsDeleteSpec
+    baseSpecs :+ cmsJoinSizeSpec :+ cmsDeleteSpec :+ markupStripSpec
+
+  /** Markup stripping — the text-EXTRACTION stage upstream of every
+    * quality/dedup operator when the corpus arrives as HTML (the
+    * trafilatura/resiliparse step of a web-crawl pipeline, reduced to
+    * its deterministic core): drop script bodies and comments WHOLE
+    * (their content is not prose — a tag-only strip would leak
+    * `var x=1;` into the text), then strip tags, then collapse
+    * whitespace. The fixture wraps each document in a deterministic
+    * HTML shell (title/div/p/script/comment) so the whole rewrite is
+    * closed-form for the oracle; the md5 pins the extracted text
+    * byte-for-byte. One codegen'd map pass, no shuffle before the
+    * ordered output. Engine-parity note: Spark regexp_replace is
+    * global; DuckDB needs the explicit 'g' flag; the lazy `.*?`
+    * quantifiers are supported by both (java.util.regex / RE2). */
+  private lazy val markupStripSpec: QuerySpec =
+    QuerySpec("q273_markup_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><div class=\"c\"><p>"), col("text"),
+          lit("</p><script>var x = 1;</script><!-- footer --></div>" +
+            "</body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .withColumn("noscript", regexp_replace(
+            regexp_replace(col("html"), "<script>.*?</script>", " "),
+            "<!--.*?-->", " "))
+          .withColumn("stripped", trim(regexp_replace(
+            regexp_replace(col("noscript"), "<[^>]+>", " "), " +", " ")))
+          .select(col("doc_id"),
+            length(col("html")).cast("long").as("n_raw"),
+            length(col("stripped")).cast("long").as("n_text"),
+            (length(col("html")) -
+              length(expr("replace(html, '<', '')"))).cast("long")
+              .as("n_tags"),
+            md5(col("stripped")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>doc ' || doc_id
+             |    || '</title></head><body><div class="c"><p>' || text
+             |    || '</p><script>var x = 1;</script><!-- footer --></div>'
+             |    || '</body></html>' AS html
+             |  FROM documents
+             |), ns AS (
+             |  SELECT doc_id, html,
+             |    regexp_replace(regexp_replace(html,
+             |      '<script>.*?</script>', ' ', 'g'),
+             |      '<!--.*?-->', ' ', 'g') AS noscript
+             |  FROM h
+             |), st AS (
+             |  SELECT doc_id, html,
+             |    trim(regexp_replace(regexp_replace(noscript,
+             |      '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS stripped
+             |  FROM ns
+             |)
+             |SELECT doc_id,
+             |  CAST(len(html) AS BIGINT) AS n_raw,
+             |  CAST(len(stripped) AS BIGINT) AS n_text,
+             |  CAST(len(html) - len(replace(html, '<', '')) AS BIGINT)
+             |    AS n_tags,
+             |  md5(stripped) AS text_md5
+             |FROM st ORDER BY doc_id""".stripMargin))
 
   private lazy val baseSpecs: Seq[QuerySpec] = Seq(
 

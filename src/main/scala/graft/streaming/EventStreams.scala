@@ -1276,10 +1276,18 @@ object EventStreams {
         else if (NioFiles.exists(oldPath))
           graft.operators.Convert.deleteRecursively(oldPath)
         val arrivals = batch.dropDuplicates(Seq(srcCol, idCol))
+        // dedupe across the MERGE, not just within the batch: a
+        // checkpoint-replayed batch's rows are already in base, so the
+        // union would carry each key twice — both copies would rank
+        // (consuming two cap slots / minting a spurious audit eviction)
+        // and the keepIds join would multiply duplicate keys. One key =
+        // one row makes the replay truly re-derive the identical
+        // survivor set.
         val all =
-          if (NioFiles.exists(basePath))
-            spark.read.parquet(baseDir).unionByName(arrivals)
-          else arrivals
+          (if (NioFiles.exists(basePath))
+             spark.read.parquet(baseDir).unionByName(arrivals)
+           else arrivals)
+            .dropDuplicates(Seq(srcCol, idCol))
         val keepIds = graft.operators.Mixture.sourceCap(
             all, srcCol, idCol, col(qualityCol), cap)
           .filter(col("rk") <= cap)
@@ -1306,9 +1314,12 @@ object EventStreams {
     * Classification is per-asset and stateless, so the accumulated
     * corpus trivially equals the batch classification over all arrivals
     * (spec-proven with damage planted mid-stream); at-least-once
-    * delivery means a replayed batch can duplicate log rows — dedupe on
-    * (asset_id, batch_id) at read, as with the other append-only
-    * logs. */
+    * delivery means a replayed batch can duplicate rows in EITHER log —
+    * both the corpus and the quarantine rows carry `batch_id`, so the
+    * read-side remedy is the same for both: dedupe on
+    * (asset_id, batch_id), as with the other append-only logs
+    * (classification is deterministic per asset, so duplicate copies
+    * are identical). */
   def mediaIngestSink(stream: DataFrame, corpusDir: String,
                       quarantineDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -1323,6 +1334,7 @@ object EventStreams {
         try {
           classified.filter(!col("bucket").isin(
               "png_corrupt", "wav_corrupt", "unknown_format"))
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(corpusDir)
           classified.filter(col("bucket").isin(
               "png_corrupt", "wav_corrupt", "unknown_format"))

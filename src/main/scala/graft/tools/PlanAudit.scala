@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -15,13 +15,11 @@ object PlanAudit {
     graft.SparkEntry.allSpecs.foreach { s =>
       try {
         val plan = s.fn(spark, d).queryExecution.executedPlan.toString
-        def n(p: String) = p.r.findAllIn(plan).size
-        val counts = f"cart=${n("CartesianProduct")} " +
-          f"bnlj=${n("BroadcastNestedLoopJoin")} " +
-          f"single=${n("Exchange SinglePartition")}"
+        val c = PlanScreen.counts(plan)
+        val counts = f"cart=${c.cart} bnlj=${c.bnlj} " +
+          f"single=${c.single} exch=${c.exch}"
         PlanScreen.offenses(s.name, plan) match {
-          case Nil if n("BroadcastNestedLoopJoin") +
-            n("Exchange SinglePartition") > 0 =>
+          case Nil if c.bnlj + c.single > 0 =>
             println(f"AUDIT ${s.name}%-30s $counts")
           case Nil => ()
           case off => println(f"AUDIT ${s.name}%-30s $counts VIOLATION ${off.mkString("; ")}")

@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
 
 object PlanGolden {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // mirrors SparkTestBase's session config exactly: the recorded
+    // counts are parallelism-independent, but keeping the two sessions
+    // identical removes even the theoretical divergence class
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,8 +35,8 @@ object PlanGolden {
           if (c.cart > 0)
             println(s"WARN ${s.name}: CartesianProduct — NOT recorded " +
               "(never allowed; fix the query instead)")
-          Option.when(c.bnlj > 0 || c.single > 0)(
-            s"${s.name}\t${c.bnlj}\t${c.single}")
+          Option.when(c.bnlj > 0 || c.single > 0 || c.exch > 0)(
+            s"${s.name}\t${c.bnlj}\t${c.single}\t${c.exch}")
         } catch {
           case e: Throwable =>
             println(s"ERROR ${s.name}: plan build failed — ${e.getMessage}")
@@ -55,9 +58,10 @@ object PlanGolden {
     val out = Paths.get("src/main/resources/plan_golden.tsv")
     Files.createDirectories(out.getParent)
     Files.writeString(out,
-      "# Per-query golden plan-shape counts: name\\tBNLJ\\tsingle-partition\n" +
+      "# Per-query golden plan-shape counts: " +
+        "name\\tBNLJ\\tsingle-partition\\tshuffle-exchanges\n" +
         "# Regenerate with: sbt \"runMain graft.tools.PlanGolden\" (sf0.001)\n" +
-        "# Queries absent here are bound to 0\t0 by PlanScreen.\n" +
+        "# Queries absent here are bound to 0\t0\t0 by PlanScreen.\n" +
         rows.sorted.mkString("", "\n", "\n"))
     println(s"wrote ${rows.size} entries to $out")
     spark.stop()

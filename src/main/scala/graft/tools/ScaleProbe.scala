@@ -184,12 +184,17 @@ object ScaleProbe {
       // component frame to the anisotropy trajectory; JL projection is
       // that same pass against a broadcast d·k sign matrix; silhouette
       // fans each component row out |labels| ways map-side. The JL
-      // audits (q257/q259) run their all-pairs on the FIXED-RATE md5
-      // sample, so their pair counts grow ~replicas² BY DESIGN (twin
-      // replicas multiply sampled ids ~10×) — expected-superlinear in
-      // the probe, bounded by the sample rate in production
+      // audits (q257/q259) run their all-pairs on the FIXED-SIZE
+      // md5-rank sample (hashTopK K=256, round 14 — previously
+      // fixed-RATE, which grew the pair set quadratically with the
+      // corpus: the round-13 probe measured 3.8×/6.0×), so their pair
+      // work is O(K²) constant and the probe ratio must stay ~1×
+      // + the linear sample-selection scan
       "q255_abtt_removal", "q256_jl_projection", "q258_silhouette",
       "q257_jl_distortion", "q259_jl_neardup_recall",
+      // LSH recall audit: fixed-size sample (hashTopK K=1000) like the
+      // JL audits — pair work O(K²) constant, probe ratio must be ~1×
+      "q150_lsh_recall",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed

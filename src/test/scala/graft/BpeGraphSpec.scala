@@ -60,6 +60,33 @@ class BpeGraphSpec extends SparkSpec {
     OperatorCaches.release()
   }
 
+  test("merge-table artifact round-trips and serves encoding bit-equal") {
+    val tmp = java.nio.file.Files.createTempDirectory("bpeart").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val trained = Bpe.trainMerges(docs, "text", numMerges = 6)
+    Bpe.save(spark, trained, s"$tmp/merges")
+    val loaded = Bpe.load(spark, s"$tmp/merges")
+    assert(loaded === trained) // ranks, pairs, AND counts survive
+    // serve-from-artifact: encoding through the loaded table is
+    // bit-equal to encoding through the in-memory one
+    def enc(m: Seq[(Int, String, String, Long)]) =
+      Bpe.encodeTokenCounts(docs, "doc_id", "text",
+          m.map { case (_, a, b, _) => (a, b) }, checkpointEvery = 2)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(enc(loaded) === enc(trained))
+    // an artifact with a hole (rank 3 dropped) is a DIFFERENT tokenizer:
+    // load must fail loudly, never mis-tokenize
+    spark.createDataFrame(trained.filterNot(_._1 == 3))
+      .toDF("ord", "a", "b", "cnt")
+      .write.mode("overwrite").parquet(s"$tmp/bad")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.load(spark, s"$tmp/bad")
+    }
+    assert(ex.getMessage.contains("not contiguous"))
+    OperatorCaches.release()
+  }
+
   test("pageRank and bm25 plans: no single-partition exchange, no nested loop") {
     val e0 = spark.read.parquet(s"$sfDir/orders.parquet")
       .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),

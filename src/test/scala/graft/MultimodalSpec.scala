@@ -40,11 +40,11 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("stubDecodeFeatures emits deterministic fixed-dim features") {
+  test("byteHistogramFeatures emits deterministic fixed-dim features") {
     val a = Multimodal.fakeAssets(docs.limit(50))
-    val f1 = Multimodal.stubDecodeFeatures(a, dim = 16)
+    val f1 = Multimodal.byteHistogramFeatures(a, dim = 16)
       .select("asset_id", "features").as[(Long, Array[Float])].collect().toMap
-    val f2 = Multimodal.stubDecodeFeatures(a, dim = 16)
+    val f2 = Multimodal.byteHistogramFeatures(a, dim = 16)
       .select("asset_id", "features").as[(Long, Array[Float])].collect().toMap
     assert(f1.size === 50)
     f1.foreach { case (id, v) =>
