@@ -198,4 +198,33 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodePngStats(df).collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("PNG decode bounds header-declared dims before allocating") {
+    // a tiny crafted file with VALID chunk CRCs declaring 40000×40000:
+    // without the w*h bound the decoder would allocate multi-GB buffers
+    // and the OutOfMemoryError (an Error, not an Exception) would escape
+    // the poison-pill catch and kill the task
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val len = data.length
+      Array[Byte](((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        t ++ data ++ {
+          val v = crc.getValue.toInt
+          Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        }
+    }
+    val d = 40000
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(d).putInt(d).put(8.toByte).put(6.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val bomb = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(bomb).isEmpty) // dropped, not OOM
+  }
 }

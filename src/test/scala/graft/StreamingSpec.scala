@@ -1155,6 +1155,63 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("source cap survivor state is idempotent under checkpoint replay") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    val wave = Seq((1L, "a", 50L, "t1"), (2L, "a", 90L, "t2"),
+      (3L, "a", 70L, "t3"), (5L, "b", 7L, "t5"))
+      .toDF("doc_id", "source", "q", "text")
+    wave.write.parquet(s"$tmp/in")
+    EventStreams.sourceCapSink(
+      EventStreams.fileStream(spark, wave.schema, s"$tmp/in"),
+      "source", "doc_id", "q", 2, s"$tmp/base", s"$tmp/audit",
+      s"$tmp/ckpt1").awaitTermination()
+    val before = spark.read.parquet(s"$tmp/base")
+      .select("doc_id", "source", "q", "text")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    // REPLAY shape: a fresh checkpoint re-delivers the same batch whose
+    // rows are already merged into base. Without the across-the-merge
+    // dedupe each key would rank twice (two cap slots / spurious audit
+    // rows) and the keepIds join would multiply duplicates into the
+    // survivor state permanently.
+    EventStreams.sourceCapSink(
+      EventStreams.fileStream(spark, wave.schema, s"$tmp/in"),
+      "source", "doc_id", "q", 2, s"$tmp/base", s"$tmp/audit",
+      s"$tmp/ckpt2").awaitTermination()
+    val after = spark.read.parquet(s"$tmp/base")
+      .select("doc_id", "source", "q", "text")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(after === before) // identical survivor set, no duplicate rows
+    assert(after.map(_._1) === Seq(2L, 3L, 5L))
+    // the audit log is at-least-once BY CONTRACT: the replayed batch
+    // re-appends its evictions, and read-side dedupe on
+    // (source, id, batch_id) recovers the exact original log
+    val audit = spark.read.parquet(s"$tmp/audit")
+      .select("source", "doc_id", "batch_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(audit.distinct.sorted === Seq(("a", 1L, 0L)))
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("media ingest corpus rows carry batch_id for replay dedupe") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    import graft.multimodal.Multimodal
+    val wave = Seq((2L, Multimodal.encodePng(2L)),
+      (3L, Multimodal.encodeWav(3L))).toDF("asset_id", "bytes")
+    wave.write.parquet(s"$tmp/in")
+    EventStreams.mediaIngestSink(
+      EventStreams.fileStream(spark, wave.schema, s"$tmp/in"),
+      s"$tmp/corpus", s"$tmp/quarantine", s"$tmp/ckpt")
+      .awaitTermination()
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    // both append-only logs share the replay remedy: dedupe on
+    // (asset_id, batch_id) — which requires batch_id on the corpus side
+    // too, not just the quarantine log
+    assert(corpus.columns.contains("batch_id"))
+    assert(corpus.select("asset_id", "batch_id")
+      .as[(Long, Long)].collect().toSeq.sorted === Seq((2L, 0L), (3L, 0L)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming media ingest quarantines damage and matches batch " +
       "classification") {
     val tmp = Files.createTempDirectory("streamspec").toString

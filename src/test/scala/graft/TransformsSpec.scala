@@ -51,6 +51,26 @@ class TransformsSpec extends SparkSpec {
     assert(shuffled === p10a)
   }
 
+  test("hashTopK draws a fixed-SIZE deterministic sample, order-stable") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Transforms.hashTopK(df, col("doc_id"), k)
+        .select("doc_id").as[Long].collect().toSet
+    val a = ids(src, 100)
+    assert(a.size === 100)                       // exactly k
+    assert(ids(src, 100) === a)                  // reproducible
+    assert(ids(src.orderBy(rand(7L)), 100) === a) // reorder-stable
+    // the k rows ARE the k smallest md5 ranks (the DuckDB-twin contract)
+    val want = src.select(col("doc_id"),
+        graft.functions.TextFunctions.md5Long(col("doc_id").cast("string"))
+          .as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+      .take(100).map(_._1).toSet
+    assert(a === want)
+    // k > corpus: the whole corpus, no failure
+    assert(ids(src.limit(40), 100).size === 40)
+  }
+
   test("pivotWide produces one row per index, one column per key (A1)") {
     val long = Seq(
       ("duckdb", 100L, 1.7), ("polars", 100L, 1.2),
