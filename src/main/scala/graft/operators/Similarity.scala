@@ -289,6 +289,48 @@ object Similarity {
   def centroidsFromMoments(m: DataFrame): DataFrame =
     m.select(col("clbl"), col("pos"), expr("sq DIV ng").as("mu"))
 
+  /** Per-(label, half, pos) component moments for the q274 drift report
+    * — [[labelMoments]] with the deterministic id-parity HALF key added:
+    * ADDITIVE sums + counts, so partials over any split of the corpus
+    * merge by plain addition (the property the streaming monitor
+    * rides). Rows: (clbl, half, pos, sq = Σ q·10³, ng). */
+  def driftMoments(vectors: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val labeled = vectors.filter(col(labelCol).isNotNull)
+    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    comp.join(labeled.select(col(idCol).as("vid"),
+        col(labelCol).as("lbl")), "vid")
+      .groupBy(col("lbl").as("clbl"),
+        pmod(col("vid"), lit(2L)).as("half"), col("pos"))
+      .agg(sum(col("q") * 1000L).as("sq"), count(lit(1)).as("ng"))
+  }
+
+  /** Drift report from (possibly merged) drift moments: centroids on
+    * the ×10³ subgrid by the ONE trunc-DIV (performed only at serve, so
+    * merged partials ≡ full recompute — merging per-batch centroids
+    * would average truncations), per-term squared shift in
+    * DECIMAL(38,0), scaled back to the q² grid by DIV 10⁶ for a BIGINT
+    * output surface. n0/n1 are the per-half vector counts (ng at
+    * pos 0 — every vector owns every position). Labels missing a half
+    * drop (inner join) — drift needs both sides. */
+  def driftFromMoments(m: DataFrame): DataFrame = {
+    val mu = m.select(col("clbl"), col("half"), col("pos"),
+      expr("sq DIV ng").as("mu"), col("ng"))
+    val m0 = mu.filter(col("half") === 0L)
+      .select(col("clbl"), col("pos"), col("mu").as("mu0"),
+        col("ng").as("ng0"))
+    val m1 = mu.filter(col("half") === 1L)
+      .select(col("clbl"), col("pos"), col("mu").as("mu1"),
+        col("ng").as("ng1"))
+    m0.join(m1, Seq("clbl", "pos"))
+      .groupBy(col("clbl").as("label"))
+      .agg(max(when(col("pos") === 0, col("ng0"))).as("n0"),
+        max(when(col("pos") === 0, col("ng1"))).as("n1"),
+        expr("CAST(sum(CAST(mu1 - mu0 AS DECIMAL(38,0)) * (mu1 - mu0))" +
+          " DIV 1000000 AS BIGINT)").as("drift_q2"))
+      .select(col("label"), col("n0"), col("n1"), col("drift_q2"))
+  }
+
   /** Chance-corrected agreement (Cohen's κ) between the corpus's label
     * column and the NEAREST-CENTROID assignment those labels induce —
     * the label-quality audit for a curated corpus: κ near 10⁴ means the

@@ -1461,32 +1461,10 @@ object SimilarityQueries {
     // aggregates (|labels|·d rows each) joined on the tiny key frame —
     // the corpus is touched twice map-side, never self-joined.
     QuerySpec("q274_embedding_drift",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        val (comp, _) = graft.operators.Similarity.componentFrame(
-          e, "vec_id", "embedding")
-        val lb = e.select(col("vec_id").as("vid"), col("label"))
-        val mu = comp.join(lb, "vid")
-          .withColumn("half", pmod(col("vid"), lit(2L)))
-          .groupBy(col("label"), col("half"), col("pos"))
-          .agg(expr("sum(q * 1000) DIV count(1)").as("mu"))
-        val m0 = mu.filter(col("half") === 0L)
-          .select(col("label"), col("pos"), col("mu").as("mu0"))
-        val m1 = mu.filter(col("half") === 1L)
-          .select(col("label"), col("pos"), col("mu").as("mu1"))
-        val drift = m0.join(m1, Seq("label", "pos"))
-          .groupBy(col("label"))
-          .agg(expr("CAST(sum(CAST(mu1 - mu0 AS DECIMAL(38,0))" +
-            " * (mu1 - mu0)) DIV 1000000 AS BIGINT)").as("drift_q2"))
-        val cnt = e.groupBy(col("label"))
-          .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L)
-            .otherwise(0L)).as("n0"),
-            sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L)
-              .otherwise(0L)).as("n1"))
-        cnt.join(drift, Seq("label"))
-          .select(col("label"), col("n0"), col("n1"), col("drift_q2"))
-          .orderBy("label")
-      },
+      (s, d) => graft.operators.Similarity.driftFromMoments(
+        graft.operators.Similarity.driftMoments(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label"))
+        .orderBy("label"),
       Some("""WITH comp AS (
              |  SELECT vec_id, label,
              |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)

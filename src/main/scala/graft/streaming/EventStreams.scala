@@ -1241,6 +1241,85 @@ object EventStreams {
         .groupBy(col("clbl"), col("pos"))
         .agg(sum(col("sq")).as("sq"), sum(col("ng")).as("ng")))
 
+  /** Streaming twin of the q274 per-label embedding-drift report: each
+    * batch publishes its ADDITIVE (label, half, pos) component moments
+    * (Similarity.driftMoments), and the served report re-derives the
+    * half-centroids from the MERGED sums through the same trunc-DIV as
+    * the batch operator — merging per-batch centroids would average
+    * truncations (the spec plants a split where that differs). The live
+    * re-embed / re-crawl drift gauge a vector column's monitoring
+    * watches as a corpus streams in. */
+  def embeddingDriftMonitorSink(stream: DataFrame, idCol: String,
+                                vecCol: String, labelCol: String,
+                                stateDir: String, reportDir: String,
+                                checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          graft.operators.Similarity.driftMoments(
+              batch, idCol, vecCol, labelCol)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/moments/batch=$batchId")
+          servingEmbeddingDrift(spark, stateDir)
+            .write.mode("overwrite").parquet(reportDir)
+        } finally graft.operators.OperatorCaches.release()
+        ()
+      }
+      .start()
+
+  /** The queryable drift report over everything
+    * [[embeddingDriftMonitorSink]] has published — merged moment
+    * partials through the shared batch derivation (≡ batch q274 over
+    * all arrivals, spec-proven). */
+  def servingEmbeddingDrift(spark: SparkSession, stateDir: String)
+      : DataFrame =
+    graft.operators.Similarity.driftFromMoments(
+      spark.read.parquet(s"$stateDir/moments")
+        .groupBy(col("clbl"), col("half"), col("pos"))
+        .agg(sum(col("sq")).as("sq"), sum(col("ng")).as("ng")))
+
+  /** Streaming twin of the q271 data-constrained epoch schedule: each
+    * batch publishes its per-source token-count partial (counts merge
+    * by ADDITION), and the served schedule is Mixture.epochSchedule
+    * over the merged |sources|-row frame — integer-exact, so the
+    * streamed schedule equals batch q271 over all arrivals regardless
+    * of wave splits (spec-proven with a source whose per-wave schedules
+    * differ from the merged one). The live acquisition dashboard: as
+    * data streams in, `unmet` shrinking to 0 is the signal a source no
+    * longer needs >maxEpochs repetition. */
+  def epochScheduleMonitorSink(stream: DataFrame, srcCol: String,
+                               textCol: String, stateDir: String,
+                               reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.groupBy(col(srcCol).as("source"))
+          .agg(sum(size(split(col(textCol), " ")).cast("long"))
+            .as("tokens"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/tokens/batch=$batchId")
+        servingEpochSchedule(spark, stateDir)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
+  /** The queryable epoch schedule over everything
+    * [[epochScheduleMonitorSink]] has published — merged token partials
+    * through the shared batch operator. */
+  def servingEpochSchedule(spark: SparkSession, stateDir: String)
+      : DataFrame =
+    graft.operators.Mixture.epochSchedule(
+      spark.read.parquet(s"$stateDir/tokens")
+        .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
+
   /** Streaming enforcement of the q262 per-source retention cap: the
     * accumulated corpus holds at most `cap` documents per source AT ALL
     * TIMES — each batch merges its arrivals with the survivor state,

@@ -195,6 +195,12 @@ object ScaleProbe {
       // LSH recall audit: fixed-size sample (hashTopK K=1000) like the
       // JL audits — pair work O(K²) constant, probe ratio must be ~1×
       "q150_lsh_recall",
+      // round-14 additions: epoch scheduling is one token count into a
+      // |sources|-row spine; code census + markup strip are one
+      // codegen'd map pass + a keyed aggregate; embedding drift is two
+      // (label,pos)-keyed aggregates — all must track ~linear
+      "q271_epoch_schedule", "q272_code_prose", "q273_markup_strip",
+      "q274_embedding_drift",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed

@@ -1155,6 +1155,81 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming epoch schedule merges token COUNTS, not schedules") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // source a splits 10+90 tokens across the waves: scheduling wave 1
+    // alone would cap a at 4 epochs of 10 tokens; the merged 100-token
+    // count schedules differently — only count-merging gets this right
+    def doc(id: Long, src: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), src)
+    val wave1 = Seq(doc(1, "a", 10), doc(2, "b", 200), doc(3, "c", 50))
+      .toDF("doc_id", "text", "source")
+    val wave2 = Seq(doc(4, "a", 90), doc(5, "c", 30))
+      .toDF("doc_id", "text", "source")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.epochScheduleMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "text", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.epochScheduleMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "source", "text", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    val batch = rows(graft.operators.Mixture.epochSchedule(
+      wave1.unionByName(wave2).groupBy(col("source"))
+        .agg(org.apache.spark.sql.functions.sum(
+          size(split(col("text"), " ")).cast("long")).as("tokens"))))
+    assert(streamed === batch)
+    // total 380 tokens, budget 760, target 253: a (100 tok) needs 3
+    // epochs and still misses 253 → wave-1-only scheduling (4 epochs of
+    // 10 = 40 served) would differ everywhere
+    assert(streamed.find(_._1 == "a").get._4 === 3L)  // epochs
+    assert(streamed.find(_._1 == "a").get._5 === 253L) // served = target
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("streaming embedding drift merges MOMENTS, not centroids") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // label 0 / half 0 (even ids) splits across waves with a count-3
+    // division that truncates: merged mu0 = (1+2+4)e5·1000 // 3 =
+    // 233333333 — the per-wave centroids average to something else, so
+    // the assert only passes if the state merges raw sums
+    val wave1 = Seq((2L, Seq(0.1), 0), (4L, Seq(0.2), 0),
+      (1L, Seq(-0.5), 0)).toDF("vec_id", "v", "label")
+    val wave2 = Seq((6L, Seq(0.4), 0), (3L, Seq(0.3), 0))
+      .toDF("vec_id", "v", "label")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.embeddingDriftMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", "label", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.embeddingDriftMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "vec_id", "v", "label", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("label").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    val batch = rows(graft.operators.Similarity.driftFromMoments(
+      graft.operators.Similarity.driftMoments(
+        wave1.unionByName(wave2), "vec_id", "v", "label")))
+    assert(streamed === batch)
+    // exact trajectory: half-0 mu = 7e5·1000 // 3 = 233333333;
+    // half-1 mu = (−5e5 + 3e5)·1000 // 2 = −100000000;
+    // drift_q2 = 333333333² // 10⁶ = 111111110888
+    assert(streamed === Seq((0, 3L, 2L, 111111110888L)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("source cap survivor state is idempotent under checkpoint replay") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave = Seq((1L, "a", 50L, "t1"), (2L, "a", 90L, "t2"),
