@@ -1353,5 +1353,92 @@ object CurationQueries {
              |          - least(least(target, epochs * tokens), tokens))
              |         * 10000 // least(target, epochs * tokens)
              |  END AS BIGINT) AS repeated_bp
-             |FROM base ORDER BY source""".stripMargin)))
+             |FROM base ORDER BY source""".stripMargin)),
+
+    // Retrieval acceptance: MRR@10 of the q138 BM25 runs against an
+    // exact relevance rule (a document is relevant to a query iff its
+    // token set contains EVERY query term — the conjunctive-containment
+    // labeling both engines can state deterministically). Reciprocal
+    // rank rides the exact-integer grid (rr_bp = 10⁴ DIV first relevant
+    // rank; 0 when no relevant doc ranks in the top 10), so the
+    // classic ranking metric is hash-checkable — the acceptance gate a
+    // retrieval stack ships with next to recall@k (q140, vectors) and
+    // AUC (q220, classifiers). Work shape: the q138 scorer over pooled
+    // postings + one (term)-keyed relevance join; no new corpus pass.
+    QuerySpec("q276_retrieval_mrr",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val runs = graft.operators.InvertedIndex.bm25TopK(
+          docs, "doc_id", "text", Bm25Queries, k = 10)
+        val qt = Bm25Queries
+          .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term")
+        val nt = qt.groupBy(col("q_id"))
+          .agg(countDistinct(col("term")).as("n_terms"))
+        val dtok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term")).distinct()
+        val rel = dtok.join(broadcast(qt), "term")
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(countDistinct(col("term")).as("m"))
+          .join(broadcast(nt), "q_id")
+          .filter(col("m") === col("n_terms"))
+          .select(col("q_id"), col("doc_id"), lit(true).as("is_rel"))
+        runs.join(rel, Seq("q_id", "doc_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_rel_top10"),
+            min(when(col("is_rel"), col("rank").cast("long")))
+              .as("__fr"))
+          .select(col("q_id"), col("n_rel_top10"),
+            coalesce(col("__fr"), lit(0L)).as("first_rel_rank"),
+            when(col("__fr").isNull, lit(0L))
+              .otherwise(expr("10000 DIV __fr")).as("rr_bp"))
+          .orderBy("q_id")
+      },
+      Some("""WITH qt(q_id, term) AS (VALUES
+             |  ('q1','spark'),('q1','join'),('q2','window'),('q2','scan'),
+             |  ('q3','stream'),('q3','batch'),('q3','hash')),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |        FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             |       GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+             |       GROUP BY doc_id),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |g AS (SELECT count(*) AS n_docs FROM documents),
+             |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+             |sc AS (
+             |  SELECT q_id, tf.doc_id,
+             |    CAST(sum((22 * t_total * tf * ((n_docs * 1000) // df))
+             |      // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs))
+             |      AS BIGINT) AS score
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN g CROSS JOIN tt
+             |  GROUP BY q_id, tf.doc_id),
+             |r AS (SELECT q_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc),
+             |hits AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
+             |dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+             |nt AS (SELECT q_id, count(DISTINCT term) AS n_terms
+             |       FROM qt GROUP BY 1),
+             |relc AS (SELECT qt.q_id, dtok.doc_id,
+             |           count(DISTINCT dtok.term) AS m
+             |         FROM qt JOIN dtok USING (term) GROUP BY 1, 2),
+             |rel AS (SELECT relc.q_id, doc_id FROM relc
+             |        JOIN nt USING (q_id) WHERE m = n_terms),
+             |j AS (SELECT hits.q_id, hits.rank,
+             |        (rel.doc_id IS NOT NULL) AS is_rel
+             |      FROM hits LEFT JOIN rel
+             |        ON rel.q_id = hits.q_id AND rel.doc_id = hits.doc_id)
+             |SELECT q_id,
+             |  CAST(sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rel_top10,
+             |  CAST(COALESCE(min(CASE WHEN is_rel THEN rank END), 0)
+             |    AS BIGINT) AS first_rel_rank,
+             |  CAST(CASE WHEN min(CASE WHEN is_rel THEN rank END) IS NULL
+             |    THEN 0 ELSE 10000 // min(CASE WHEN is_rel THEN rank END)
+             |  END AS BIGINT) AS rr_bp
+             |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin)))
 }

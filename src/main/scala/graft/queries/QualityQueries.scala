@@ -1508,6 +1508,39 @@ object QualityQueries {
              |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) * 10000
              |    // count(*) AS BIGINT) AS code_bp,
              |  CAST(sum(sym_bp) // count(*) AS BIGINT) AS mean_sym_bp
-             |FROM g GROUP BY source ORDER BY source""".stripMargin))
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // l-diversity audit — the privacy-governance sibling of q210's
+    // k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    // yet still leak its members' SENSITIVE value when every member
+    // shares it. Per (nation, segment) group, l = distinct sensitive
+    // values (thousand-dollar balance bucket on the exact-cents grid —
+    // the ARCHITECTURE money rule, engine-identical); the report
+    // histograms groups by l with l < 3 flagged. Two keyed aggregates,
+    // group-count-shaped frames only.
+    QuerySpec("q275_l_diversity",
+      (s, d) => {
+        val g = t(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("gsz"),
+            countDistinct(expr("CAST(floor(c_acctbal * 100 + 0.5)" +
+              " AS BIGINT) DIV 100000")).as("l"))
+        g.groupBy(col("l").as("l_distinct"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"))
+          .select(col("l_distinct"), col("n_groups"), col("n_rows"),
+            (col("l_distinct") < 3L).as("risky"))
+          .orderBy("l_distinct")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS gsz,
+             |    count(DISTINCT CAST(floor(c_acctbal * 100 + 0.5)
+             |      AS BIGINT) // 100000) AS l
+             |  FROM customer GROUP BY 1, 2
+             |)
+             |SELECT CAST(l AS BIGINT) AS l_distinct,
+             |  count(*) AS n_groups,
+             |  CAST(sum(gsz) AS BIGINT) AS n_rows,
+             |  l < 3 AS risky
+             |FROM g GROUP BY l ORDER BY l_distinct""".stripMargin))
   )
 }

@@ -70,6 +70,16 @@ object ScaleProbe {
     // with its own), so order⋈lineitem joins keep per-order structure —
     // the q249 HITS bipartite graph grows to N disjoint purchase
     // universes, the more-customers-AND-more-catalog axis
+    // customer replicates on shifted custkey — N× the members of every
+    // (nation, segment) quasi-identifier group at constant group
+    // structure, the governance-audit growth axis (q275)
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until replicas).map(r =>
+        cust.select((col("c_custkey") + lit(r * 100000000L)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$big/customer.parquet")
     val ord = spark.read.parquet(s"$base/orders.parquet")
     (0 until replicas).map(r =>
         ord.select((col("o_orderkey") + lit(r * 1000000000L)).as("o_orderkey"),
@@ -201,6 +211,10 @@ object ScaleProbe {
       // (label,pos)-keyed aggregates — all must track ~linear
       "q271_epoch_schedule", "q272_code_prose", "q273_markup_strip",
       "q274_embedding_drift",
+      // l-diversity is two keyed aggregates over the (now replicated)
+      // customer axis; MRR rides the pooled posting frames + one
+      // term-keyed relevance join — both must track ~linear
+      "q275_l_diversity", "q276_retrieval_mrr",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed
