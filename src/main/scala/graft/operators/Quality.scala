@@ -437,4 +437,18 @@ object Quality {
     }
     df.filter(pmod(md5Long(concat(lit(salt + "|"), col(idCol))), lit(100L)) < rate)
   }
+
+  /** l-diversity report assembly from a per-group frame carrying
+    * `gsz` (member count) and `l` (distinct sensitive values): groups
+    * histogrammed by l with l < 3 flagged — the derivation SHARED by
+    * batch q275 and the streaming monitor's serving path, so the
+    * streamed report is the batch report by construction once the
+    * inputs merge (sizes are additive; the distinct (group, value)
+    * pair set unions — a group counts as diverse when its values span
+    * WAVES, which per-batch l's could never see). */
+  def lDiversityReport(groups: DataFrame): DataFrame =
+    groups.groupBy(col("l").as("l_distinct"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"))
+      .select(col("l_distinct"), col("n_groups"), col("n_rows"),
+        (col("l_distinct") < 3L).as("risky"))
 }

@@ -2122,7 +2122,65 @@ object MiscQueries {
              |  FROM p3
              |)
              |SELECT * FROM r1 UNION ALL SELECT * FROM r2
-             |UNION ALL SELECT * FROM r3 ORDER BY key""".stripMargin))
+             |UNION ALL SELECT * FROM r3 ORDER BY key""".stripMargin)),
+
+    // Late-arrival census — the WATERMARK-DESIGN instrument a streaming
+    // deployment runs before picking `withWatermark` bounds: per event,
+    // lateness = (max event-time seen at its arrival) − its event-time,
+    // bucketed by hour; the per-type max is exactly the disorder horizon
+    // a watermark must cover, and mass in high buckets is the state a
+    // tighter bound would DROP. Arrival order is a deterministic md5
+    // shuffle of event_id (the q69 injection discipline — the fixture
+    // stream is generation-ordered, so real disorder must be planted to
+    // exercise the operator; both engines state the same permutation).
+    // The strict-predecessor running max is the distributed
+    // PrefixSum.rankedRunningMax — range partitions + broadcast offsets,
+    // never an ORDER-BY-only window; the oracle's window frame is its
+    // single-node privilege. In-order events land in bucket −1.
+    QuerySpec("q277_lateness_profile",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        val arrival = graft.functions.TextFunctions.md5Long(
+          col("event_id").cast("string"))
+        val rm = graft.operators.PrefixSum.rankedRunningMax(
+          ev, Seq(arrival, col("event_id")), col("us"), "__rn", "pm")
+        rm.select(col("event_type"),
+            when(col("pm").isNotNull && col("pm") > col("us"),
+              col("pm") - col("us")).otherwise(0L).as("late_us"))
+          .groupBy(col("event_type"),
+            expr("CAST(CASE WHEN late_us = 0 THEN -1" +
+              " ELSE late_us DIV 3600000000 END AS BIGINT)")
+              .as("late_bucket_h"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late_us")).as("max_late_us"))
+          .orderBy("event_type", "late_bucket_h")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, epoch_us(ts) AS us
+             |  FROM events
+             |), r AS (
+             |  SELECT event_type, us,
+             |    max(us) OVER (
+             |      ORDER BY ('0x' || substr(md5(event_id::VARCHAR),1,15))
+             |        ::BIGINT, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pm
+             |  FROM e
+             |), l AS (
+             |  SELECT event_type,
+             |    CASE WHEN pm IS NOT NULL AND pm > us THEN pm - us
+             |         ELSE 0 END AS late_us
+             |  FROM r
+             |)
+             |SELECT event_type,
+             |  CAST(CASE WHEN late_us = 0 THEN -1
+             |       ELSE late_us // 3600000000 END AS BIGINT)
+             |    AS late_bucket_h,
+             |  count(*) AS n_events,
+             |  CAST(max(late_us) AS BIGINT) AS max_late_us
+             |FROM l GROUP BY 1, 2
+             |ORDER BY event_type, late_bucket_h""".stripMargin))
   )
 
   /** q224's fixed percentile list — shared with the streaming histogram

@@ -1525,11 +1525,7 @@ object QualityQueries {
           .agg(count(lit(1)).as("gsz"),
             countDistinct(expr("CAST(floor(c_acctbal * 100 + 0.5)" +
               " AS BIGINT) DIV 100000")).as("l"))
-        g.groupBy(col("l").as("l_distinct"))
-          .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"))
-          .select(col("l_distinct"), col("n_groups"), col("n_rows"),
-            (col("l_distinct") < 3L).as("risky"))
-          .orderBy("l_distinct")
+        graft.operators.Quality.lDiversityReport(g).orderBy("l_distinct")
       },
       Some("""WITH g AS (
              |  SELECT c_nationkey, c_mktsegment, count(*) AS gsz,

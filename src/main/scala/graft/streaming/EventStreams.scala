@@ -1320,6 +1320,56 @@ object EventStreams {
       spark.read.parquet(s"$stateDir/tokens")
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
 
+  /** Streaming twin of the q275 l-diversity audit: each batch publishes
+    * (a) its per-group member-count partial (ADDITIVE) and (b) its
+    * DISTINCT (group, sensitive-value) pairs (a set that merges by
+    * union — bounded at groups × value buckets, never corpus-sized).
+    * The served report derives l from the UNIONED pair set, so a group
+    * whose sensitive values only span WAVES is correctly diverse — the
+    * merge-closure trap per-batch l's would get wrong (spec plants
+    * exactly that group). `qidCols` are the quasi-identifier columns;
+    * `sensCol` is the PRE-BUCKETED sensitive-value column (the caller
+    * owns the bucket grid, as batch q275 does with the exact-cents
+    * rule). */
+  def lDiversityMonitorSink(stream: DataFrame, qidCols: Seq[String],
+                            sensCol: String, stateDir: String,
+                            reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val qc = qidCols.map(col)
+        batch.groupBy(qc: _*).agg(count(lit(1)).as("gsz"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/sizes/batch=$batchId")
+        batch.select((qc :+ col(sensCol).as("__sens")): _*).distinct()
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/pairs/batch=$batchId")
+        servingLDiversity(spark, qidCols, stateDir)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
+  /** The queryable l-diversity report over everything
+    * [[lDiversityMonitorSink]] has published — merged size partials +
+    * unioned distinct pair sets through the shared batch derivation
+    * (Quality.lDiversityReport; ≡ batch q275 over all arrivals,
+    * spec-proven). */
+  def servingLDiversity(spark: SparkSession, qidCols: Seq[String],
+                        stateDir: String): DataFrame = {
+    val qc = qidCols.map(col)
+    val sizes = spark.read.parquet(s"$stateDir/sizes")
+      .groupBy(qc: _*).agg(sum(col("gsz")).as("gsz"))
+    val lset = spark.read.parquet(s"$stateDir/pairs")
+      .select((qc :+ col("__sens")): _*).distinct()
+      .groupBy(qc: _*).agg(count(lit(1)).as("l"))
+    graft.operators.Quality.lDiversityReport(
+      sizes.join(lset, qidCols))
+  }
+
   /** Streaming enforcement of the q262 per-source retention cap: the
     * accumulated corpus holds at most `cap` documents per source AT ALL
     * TIMES — each batch merges its arrivals with the survivor state,

@@ -215,6 +215,9 @@ object ScaleProbe {
       // customer axis; MRR rides the pooled posting frames + one
       // term-keyed relevance join — both must track ~linear
       "q275_l_diversity", "q276_retrieval_mrr",
+      // lateness census rides the range-partitioned running max
+      // (events-family keyed spine) — must track ~linear
+      "q277_lateness_profile",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed

@@ -1230,6 +1230,42 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming l-diversity merges the PAIR SET, not per-batch l") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // group (1, A): wave 1 is all bucket 10, wave 2 adds bucket 20 —
+    // per-batch l would read 1 in both waves; only the unioned distinct
+    // pair set sees the cross-wave diversity (l = 2)
+    val wave1 = Seq((1, "A", 10L), (1, "A", 10L), (2, "B", 7L))
+      .toDF("nat", "seg", "sens")
+    val wave2 = Seq((1, "A", 20L), (2, "B", 7L))
+      .toDF("nat", "seg", "sens")
+    wave1.write.parquet(s"$tmp/in")
+    EventStreams.lDiversityMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      Seq("nat", "seg"), "sens", s"$tmp/state", s"$tmp/report",
+      s"$tmp/ckpt").awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    EventStreams.lDiversityMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      Seq("nat", "seg"), "sens", s"$tmp/state", s"$tmp/report",
+      s"$tmp/ckpt").awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_distinct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    val all = wave1.unionByName(wave2)
+    val batch = rows(graft.operators.Quality.lDiversityReport(
+      all.groupBy(col("nat"), col("seg"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("gsz"),
+          org.apache.spark.sql.functions.countDistinct(col("sens"))
+            .as("l"))))
+    assert(streamed === batch)
+    assert(streamed === Seq((1L, 1L, 2L, true), (2L, 1L, 3L, true)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("source cap survivor state is idempotent under checkpoint replay") {
     val tmp = Files.createTempDirectory("streamspec").toString
     val wave = Seq((1L, "a", 50L, "t1"), (2L, "a", 90L, "t2"),
