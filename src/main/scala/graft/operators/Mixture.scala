@@ -357,11 +357,16 @@ object Mixture {
                     maxEpochs: Int = 4): DataFrame = {
     require(num > 0 && den > 0, "epochSchedule: budget factor must be positive")
     require(maxEpochs >= 1, s"epochSchedule: maxEpochs must be >= 1, got $maxEpochs")
-    require(tok.filter(col("tokens") <= 0).isEmpty,
-      "epochSchedule: non-positive token volumes")
-    val tot = tok.agg(sum(col("tokens")).as("__total"),
+    // token-volume validation rides the plan (the assert_true pattern of
+    // pmiCollocations/labelPropagation) instead of an eager isEmpty
+    // action: servingEpochSchedule calls this on every micro-batch, and
+    // the old require() re-read the whole merged token state once per
+    // batch purely for validation (ADVICE r14)
+    val checked = tok.filter(isnull(assert_true(col("tokens") > 0L,
+      lit("epochSchedule: non-positive token volumes"))))
+    val tot = checked.agg(sum(col("tokens")).as("__total"),
       count(lit(1)).as("__n"))
-    tok.crossJoin(broadcast(tot))
+    checked.crossJoin(broadcast(tot))
       .withColumn("target", expr(s"(__total * $num DIV $den) DIV __n"))
       .withColumn("epochs",
         least(lit(maxEpochs.toLong),

@@ -69,22 +69,35 @@ object Similarity {
   }
 
   /** Quantized component frame (vid, pos, q = round(v·10⁶)) shared by the
-    * scatter/ABTT family, persisted, with the 2·10⁶ unit-scale magnitude
-    * contract enforced loudly at entry. Returns (frame, corpus count). */
+    * scatter/ABTT/silhouette/κ/drift family, with the 2·10⁶ unit-scale
+    * magnitude contract enforced loudly at first build. POOLED per
+    * corpus (FramePool keyed on the canonicalized (id, vec) projection
+    * plan — the Dedup.corpusKey discipline): the embedding health card
+    * (q263) runs three diagnostics over the same corpus, and before
+    * pooling each paid its own posexplode + persist; now the whole
+    * q250/q255–q263/q274 family pays ONE corpus explode per run. The
+    * magnitude check and the corpus count ride the pool too (checked /
+    * counted once per corpus — same-corpus callers can't disagree).
+    * Returns (frame, corpus count). */
   def componentFrame(vectors: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, Long) = {
-    val n = vectors.count()
-    val comp = OperatorCaches.persistTracked(
-      vectors.select(col(idCol).as("vid"),
+    val narrowed = vectors.select(col(idCol), col(vecCol))
+    val frames = FramePool.frames(
+      ("compframe", narrowed.queryExecution.analyzed.canonicalized)) {
+      val c = narrowed
+        .select(col(idCol).as("vid"),
           posexplode(col(vecCol)).as(Seq("pos", "vv")))
         .select(col("vid"), col("pos"),
-          round(col("vv").cast("double") * 1000000d).cast("long").as("q")))
-    val maxAbsRow = comp.agg(max(abs(col("q")))).head
-    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
-    require(maxAbs <= 2000000L,
-      s"dominantDirection: quantized component |q| = $maxAbs exceeds " +
-        "the 2·10⁶ unit-scale bound; normalize the vectors first")
-    (comp, n)
+          round(col("vv").cast("double") * 1000000d).cast("long").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxAbsRow = c.agg(max(abs(col("q")))).head
+      val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+      require(maxAbs <= 2000000L,
+        s"dominantDirection: quantized component |q| = $maxAbs exceeds " +
+          "the 2·10⁶ unit-scale bound; normalize the vectors first")
+      Seq(c, narrowed.agg(count(lit(1)).as("n")))
+    }
+    (frames.head, frames(1).head().getLong(0))
   }
 
   private def scatterMomentsFromComp(comp: DataFrame, n: Long)
@@ -250,9 +263,13 @@ object Similarity {
     val nLabels = labeled.select(labelCol).distinct().count()
     require(nLabels >= 2,
       s"centroidDistances: need >= 2 labels, got $nLabels")
-    val (comp, _) = componentFrame(labeled, idCol, vecCol)
     val labels = labeled.select(col(idCol).as("vid"),
       col(labelCol).as("lbl"))
+    // the POOLED full-corpus component frame, restricted to labeled
+    // rows by an id-join BEFORE the |labels| fan-out — shares one
+    // posexplode with the scatter family instead of paying its own
+    val (comp0, _) = componentFrame(vectors, idCol, vecCol)
+    val comp = comp0.join(labels.select(col("vid")), "vid")
     val mu = centroidsFromMoments(labelMomentsFromComp(comp, labels))
     val d2 = comp.join(broadcast(mu), "pos")
       .select(col("vid"), col("clbl"),
@@ -273,7 +290,9 @@ object Similarity {
   def labelMoments(vectors: DataFrame, idCol: String, vecCol: String,
                    labelCol: String): DataFrame = {
     val labeled = vectors.filter(col(labelCol).isNotNull)
-    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    // pooled full-corpus frame: the inner label join drops unlabeled
+    // rows, so restricting the explode input would only duplicate it
+    val (comp, _) = componentFrame(vectors, idCol, vecCol)
     labelMomentsFromComp(comp,
       labeled.select(col(idCol).as("vid"), col(labelCol).as("lbl")))
   }
@@ -297,7 +316,8 @@ object Similarity {
   def driftMoments(vectors: DataFrame, idCol: String, vecCol: String,
                    labelCol: String): DataFrame = {
     val labeled = vectors.filter(col(labelCol).isNotNull)
-    val (comp, _) = componentFrame(labeled, idCol, vecCol)
+    // pooled full-corpus frame (see labelMoments)
+    val (comp, _) = componentFrame(vectors, idCol, vecCol)
     comp.join(labeled.select(col(idCol).as("vid"),
         col(labelCol).as("lbl")), "vid")
       .groupBy(col("lbl").as("clbl"),

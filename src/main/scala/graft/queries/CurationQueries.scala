@@ -290,63 +290,41 @@ object CurationQueries {
              |FROM kk LEFT JOIN hit ON hit.q_id = kk.q_id
              |ORDER BY kk.q_id""".stripMargin)),
 
-    // Classifier calibration sweep: documents ranked by the q123 quality
-    // logit (score desc, doc_id tiebreak — a total order), with exact
-    // cumulative predicted-positive / true-positive counts at every 97th
-    // rank (decimated output; prime step so no stratum aliasing). Truth
-    // label: lang = 'en' (the wanted-language proxy). The cumulative
-    // counts run on the distributed range-partition prefix sum
-    // (PrefixSum.rankedRunningSum) — NOT a global window; the oracle's
-    // single window is the oracle's privilege.
+    // Classifier threshold sweep: documents ranked by the TRAINED
+    // quality logit (operators/Logit serving the q278 trajectory's
+    // final round; score desc, doc_id tiebreak — a total order), with
+    // exact cumulative true-positive counts at every 97th rank
+    // (decimated output; prime step so no stratum aliasing). Truth
+    // label: the planted clean/boilerplate axis the model was trained
+    // on — the trio now evaluates the model the engine itself produced.
+    // The cumulative counts run on the distributed range-partition
+    // prefix sum (PrefixSum.rankedRunningSum) — NOT a global window;
+    // the oracle's single window is the oracle's privilege. z is BIGINT
+    // fixed-point, so the whole sweep is exact integer arithmetic.
     QuerySpec("q141_threshold_sweep",
       (s, d) => {
-        val scored = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"),
-            size(filter(split(col("text"), " "),
-              x => x.isin("a", "the", "of", "to"))).cast("long").as("n_stop"))
-          .withColumn("mean_len",
-            (col("n_chars") - (col("n_tok") - 1)).cast("double")
-              / col("n_tok").cast("double"))
-          .withColumn("stop_frac",
-            col("n_stop").cast("double") / col("n_tok").cast("double"))
-          .withColumn("z",
-            lit(-1.5) + lit(0.02) * col("n_tok") + lit(1.6) * col("stop_frac")
-              - lit(0.12) * col("mean_len"))
-          .withColumn("is_pos", when(col("lang") === "en", 1L).otherwise(0L))
+        val scored = graft.operators.Logit.scoredDocs(s, d)
+          .select(col("doc_id"), col("z"), col("y").as("is_pos"))
         val (ranked, _) = graft.operators.PrefixSum.rankedRunningSum(
           scored, Seq(org.apache.spark.sql.functions.col("z").desc,
             col("doc_id").asc),
           col("is_pos"), rnCol = "rn", cumCol = "cum_tp")
         ranked.filter(col("rn") % 97 === 0)
-          .select(col("rn"), col("doc_id"), round(col("z"), 9).as("z9"),
+          .select(col("rn"), col("doc_id"), col("z"),
             col("cum_tp"), (col("rn") - col("cum_tp")).as("cum_fp"))
           .orderBy("rn")
       },
-      Some("""WITH f AS (
-             |  SELECT doc_id, lang, n_chars,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CAST(len(list_filter(string_split(text,' '),
-             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, lang,
-             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
-             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
-             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
-             |                / CAST(n_tok AS DOUBLE)) AS z
-             |  FROM f
-             |), r AS (
-             |  SELECT doc_id, z,
-             |    row_number() OVER (ORDER BY z DESC, doc_id) AS rn,
-             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
-             |      ORDER BY z DESC, doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |      AS cum_tp
-             |  FROM g)
-             |SELECT rn, doc_id, round(z, 9) AS z9, cum_tp,
-             |  rn - cum_tp AS cum_fp
-             |FROM r WHERE rn % 97 = 0 ORDER BY rn""".stripMargin)),
+      Some(LogitOracle.scored +
+        """, r AS (
+          |  SELECT doc_id, z,
+          |    row_number() OVER (ORDER BY z DESC, doc_id) AS rn,
+          |    CAST(sum(y) OVER (
+          |      ORDER BY z DESC, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum_tp
+          |  FROM scored)
+          |SELECT rn, doc_id, z, cum_tp, rn - cum_tp AS cum_fp
+          |FROM r WHERE rn % 97 = 0 ORDER BY rn""".stripMargin)),
 
     // Temperature-weighted mixture sampling (α = 0.5): per-source keep
     // rate ∝ √(n_min/n_s) — the standard multilingual/multi-source

@@ -14,27 +14,6 @@ object QualityQueries {
   /** PII injection: the fixture text is clean, so both engines append the
     * same synthetic PII to a deterministic subset of docs before
     * scrubbing — the scrub itself is then a real-work parity check. */
-  /** q123's fixed-weight linear quality logit, scored per doc —
-    * the SAME expression tree in both consumers (q220 AUC, q235
-    * calibration deciles) so the score is bit-equal across the whole
-    * evaluation trio. Returns (doc_id, text, z); the IEEE ops run in
-    * the association order both oracles mirror. */
-  private def dupLogitScores(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("text"),
-        size(col("tk")).cast("long").as("n_tok"),
-        size(filter(col("tk"), x => x.isin("a", "the", "of", "to")))
-          .cast("long").as("n_stop"),
-        col("n_chars"))
-      .withColumn("z",
-        lit(-1.5) + lit(0.02) * col("n_tok")
-          + lit(1.6) * (col("n_stop").cast("double") / col("n_tok").cast("double"))
-          - lit(0.12) * ((col("n_chars") - (col("n_tok") - 1)).cast("double")
-              / col("n_tok").cast("double")))
-
   private def injectPii(textCol: org.apache.spark.sql.Column,
                         idCol: org.apache.spark.sql.Column) = {
     val m = pmod(idCol, lit(7))
@@ -946,32 +925,29 @@ object QualityQueries {
              |  group_size < 5 AS risky
              |FROM h, t ORDER BY group_size""".stripMargin)),
 
-    // Exact AUC (Mann–Whitney, tie-corrected) of the quality logit as a
-    // detector of exact-duplicate boilerplate — the classifier
-    // EVALUATION metric next to q141's threshold sweep: score is
-    // q123's linear logit z (bit-equal in both engines by the fixed
-    // association-order contract), label is "doc has an exact twin"
-    // (md5(text) multiplicity > 1, the q30 axis). The rank statistic
-    // is computed on the DISTINCT-SCORE axis — group to (z, n_pos,
-    // n_neg) first, then one exclusive prefix sum of n_neg in score
-    // order via the distributed PrefixSum.rankedRunningSum (range
-    // partitions + broadcast offsets, never a single-partition
+    // Exact AUC (Mann–Whitney, tie-corrected) of the TRAINED quality
+    // logit on its planted boilerplate axis — the classifier
+    // EVALUATION metric next to q141's threshold sweep, now measuring
+    // the model the engine itself trained (operators/Logit, the q278
+    // trajectory's final round): score is the fixed-point logit z,
+    // positive class is "clean" (y = 1; docs whose text got the
+    // duplicated spam line are the negatives), so AUC ≈ 0.73 reads as
+    // "the trained keep-score ranks clean above boilerplate". The rank
+    // statistic is computed on the DISTINCT-SCORE axis — group to (z,
+    // n_pos, n_neg) first, then one exclusive prefix sum of n_neg in
+    // score order via the distributed PrefixSum.rankedRunningSum
+    // (range partitions + broadcast offsets, never a single-partition
     // window): 2·U = Σ_z n_pos(z)·(2·cumNegBelow(z) + n_neg(z)) counts
     // each (pos, neg) pair twice, ties once each — all exact longs,
     // with AUC = U / (n_pos·n_neg) assembled in ONE double division.
     // At 100 TB the windowed frame is |distinct scores|, not |docs|.
     QuerySpec("q220_auc_dup_detection",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val scored = dupLogitScores(docs)
-        val dupd = docs.groupBy(md5(col("text")).as("h"))
-          .agg(count(lit(1)).as("tw"))
-        val lab = scored
-          .withColumn("h", md5(col("text"))).join(dupd, "h")
-          .select(col("z"), (col("tw") > 1).as("dup"))
+        val lab = graft.operators.Logit.scoredDocs(s, d)
+          .select(col("z"), (col("y") === 1L).as("clean"))
         val byScore = lab.groupBy(col("z"))
-          .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_pos"),
-            sum(when(col("dup"), 0L).otherwise(1L)).as("n_neg"))
+          .agg(sum(when(col("clean"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("clean"), 0L).otherwise(1L)).as("n_neg"))
         val (cum, _) = graft.operators.PrefixSum.rankedRunningSum(
           byScore, Seq(col("z")), col("n_neg"), "__rn", "cum_neg")
         cum.agg(
@@ -986,28 +962,12 @@ object QualityQueries {
                 (lit(2L) * col("np") * col("nn")).cast("double"))
               .as("auc"))
       },
-      Some("""WITH f AS (
-             |  SELECT doc_id, text,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CAST(len(list_filter(string_split(text,' '),
-             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
-             |    n_chars
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, text,
-             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
-             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
-             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
-             |          / CAST(n_tok AS DOUBLE)) AS z
-             |  FROM f
-             |), lab AS (
-             |  SELECT z, count(*) OVER (PARTITION BY md5(text)) > 1 AS dup
-             |  FROM g
-             |), s AS (
+      Some(LogitOracle.scored +
+        """, s AS (
              |  SELECT z,
-             |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-             |    CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-             |  FROM lab GROUP BY z
+             |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+             |  FROM scored GROUP BY z
              |), c AS (
              |  SELECT n_pos, n_neg,
              |    CAST(sum(n_neg) OVER (ORDER BY z
@@ -1172,24 +1132,22 @@ object QualityQueries {
     // whether the score's LEVELS mean anything — per score-decile, the
     // observed duplicate rate next to the decile's score range. A
     // well-calibrated detector shows monotone rates; a flat column
-    // says the score ranks but its magnitudes lie. Deciles come from
-    // the DISTRIBUTED rank axis (rankedRunningSum over (z, doc_id) —
-    // the doc_id tiebreak makes bucket boundaries engine-deterministic
-    // even across equal scores; never an ntile() single-reducer
-    // window), the bucket formula ⌊(rn−1)·10/N⌋ is exact integer
-    // arithmetic, counts are exact longs, and the only doubles are
-    // min/max score per decile (order statistics, not sums) and ONE
-    // division for the rate.
+    // says the score ranks but its magnitudes lie. Score is the
+    // TRAINED fixed-point logit (operators/Logit, q278's final round)
+    // and the observed rate is the planted-boilerplate rate per decile
+    // (y = 0, the axis the model was trained on) — expected to FALL as
+    // z rises. Deciles come from the DISTRIBUTED rank axis
+    // (rankedRunningSum over (z, doc_id) — the doc_id tiebreak makes
+    // bucket boundaries engine-deterministic even across equal scores;
+    // never an ntile() single-reducer window), the bucket formula
+    // ⌊(rn−1)·10/N⌋ is exact integer arithmetic, counts are exact
+    // longs, z_lo/z_hi are exact BIGINT order statistics, and the only
+    // double is ONE division for the rate.
     QuerySpec("q235_calibration_deciles",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val scored = dupLogitScores(docs)
-        val dupd = docs.groupBy(md5(col("text")).as("h"))
-          .agg(count(lit(1)).as("tw"))
-        val lab = scored
-          .withColumn("h", md5(col("text"))).join(dupd, Seq("h"))
+        val lab = graft.operators.Logit.scoredDocs(s, d)
           .select(col("doc_id"), col("z"),
-            when(col("tw") > 1, 1L).otherwise(0L).as("pos"))
+            when(col("y") === 0L, 1L).otherwise(0L).as("pos"))
         val (ranked, n) = graft.operators.PrefixSum.rankedRunningSum(
           lab, Seq(col("z"), col("doc_id")), lit(1L),
           rnCol = "__rn", cumCol = "__cum")
@@ -1202,31 +1160,15 @@ object QualityQueries {
           .select(col("decile"), col("n"), col("n_dup"),
             (col("n_dup").cast("double") / col("n").cast("double"))
               .as("dup_rate"),
-            round(col("z_lo"), 4).as("z_lo4"),
-            round(col("z_hi"), 4).as("z_hi4"))
+            col("z_lo"), col("z_hi"))
           .orderBy("decile")
       },
-      Some("""WITH f AS (
-             |  SELECT doc_id, text,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CAST(len(list_filter(string_split(text,' '),
-             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
-             |    n_chars
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id,
-             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
-             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
-             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
-             |          / CAST(n_tok AS DOUBLE)) AS z,
-             |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
-             |         THEN 1 ELSE 0 END AS pos
-             |  FROM f
-             |), r AS (
-             |  SELECT z, pos,
+      Some(LogitOracle.scored +
+        """, r AS (
+             |  SELECT z, CASE WHEN y = 0 THEN 1 ELSE 0 END AS pos,
              |    row_number() OVER (ORDER BY z, doc_id) AS rn,
              |    count(*) OVER () AS n
-             |  FROM g
+             |  FROM scored
              |), b AS (
              |  SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile, z, pos
              |  FROM r
@@ -1234,7 +1176,7 @@ object QualityQueries {
              |SELECT decile, count(*) AS n,
              |  CAST(sum(pos) AS BIGINT) AS n_dup,
              |  CAST(sum(pos) AS DOUBLE) / count(*) AS dup_rate,
-             |  round(min(z), 4) AS z_lo4, round(max(z), 4) AS z_hi4
+             |  min(z) AS z_lo, max(z) AS z_hi
              |FROM b GROUP BY 1 ORDER BY decile""".stripMargin)),
 
     // The REFINERY COMPOSITE — pipelines/Refinery.run's query-expressible
@@ -1352,10 +1294,11 @@ object QualityQueries {
           |FROM core c LEFT JOIN nov USING (source)
           |ORDER BY c.source""".stripMargin)),
 
-    // Tie-corrected SPEARMAN rank correlation between the quality logit
-    // and raw document length — the length-confound audit run before
-    // trusting a quality signal ("is the classifier just measuring
-    // length?"). Fractional average ranks ride a ×2 integer grid so
+    // Tie-corrected SPEARMAN rank correlation between the TRAINED
+    // quality logit (operators/Logit's served round, like the rest of
+    // the trio) and document length — the length-confound audit run
+    // before trusting a quality signal ("is the classifier just
+    // measuring length?"). Fractional average ranks ride a ×2 integer grid so
     // everything stays exact: on each axis's DISTINCT-VALUE frame,
     // 2·avgRank(v) = 2·cumCount(<v) + count(=v) + 1 via the distributed
     // PrefixSum running sum (the q220 discipline — the windowed frame is
@@ -1371,7 +1314,7 @@ object QualityQueries {
     // docs.
     QuerySpec("q253_spearman_length_confound",
       (s, d) => {
-        val scored = dupLogitScores(t(s, d, "documents"))
+        val scored = graft.operators.Logit.scoredDocs(s, d)
           .select(col("doc_id"), col("n_chars"), col("z"))
         def ranks2(valCol: String, outCol: String) = {
           val byV = scored.groupBy(col(valCol)).agg(count(lit(1)).as("c"))
@@ -1398,36 +1341,25 @@ object QualityQueries {
             (col("num") / (sqrt(col("dx")) * sqrt(col("dy"))))
               .as("rho_spearman"))
       },
-      Some("""WITH f AS (
-             |  SELECT doc_id, n_chars,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CAST(len(list_filter(string_split(text,' '),
-             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, n_chars,
-             |    -1.5 + 0.02 * CAST(n_tok AS DOUBLE)
-             |      + 1.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
-             |      - 0.12 * (CAST(n_chars - (n_tok - 1) AS DOUBLE)
-             |          / CAST(n_tok AS DOUBLE)) AS z
-             |  FROM f
-             |), xv AS (
-             |  SELECT n_chars AS v, count(*) AS c FROM g GROUP BY 1
-             |), xr AS (
+      Some(LogitOracle.scored +
+        """, cxv AS (
+             |  SELECT n_chars AS v, count(*) AS c FROM scored GROUP BY 1
+             |), cxr AS (
              |  SELECT v,
              |    2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
              |      + c + 1 AS rx
-             |  FROM xv
-             |), yv AS (
-             |  SELECT z AS v, count(*) AS c FROM g GROUP BY 1
-             |), yr AS (
+             |  FROM cxv
+             |), cyv AS (
+             |  SELECT z AS v, count(*) AS c FROM scored GROUP BY 1
+             |), cyr AS (
              |  SELECT v,
              |    2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c)
              |      + c + 1 AS ry
-             |  FROM yv
+             |  FROM cyv
              |), j AS (
              |  SELECT CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
-             |  FROM g JOIN xr ON g.n_chars = xr.v JOIN yr ON g.z = yr.v
+             |  FROM scored g JOIN cxr ON g.n_chars = cxr.v
+             |  JOIN cyr ON g.z = cyr.v
              |), m AS (
              |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
              |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
@@ -1537,6 +1469,33 @@ object QualityQueries {
              |  count(*) AS n_groups,
              |  CAST(sum(gsz) AS BIGINT) AS n_rows,
              |  l < 3 AS risky
-             |FROM g GROUP BY l ORDER BY l_distinct""".stripMargin))
+             |FROM g GROUP BY l ORDER BY l_distinct""".stripMargin)),
+
+    // In-engine quality-classifier TRAINING trajectory — the model half
+    // the evaluation trio (q141 sweep, q220 AUC, q235 calibration) was
+    // missing: 4 rounds of batch gradient descent for logistic
+    // regression under the hard-sigmoid link, every step BIGINT on the
+    // 10⁶ fixed-point grid (trunc DIV identical in both engines), so
+    // the full weight trajectory hash-matches the oracle's unrolled
+    // 4-layer CTE suite — the q137 PageRank / q35 Lloyd discipline
+    // applied to model training. Labels come from the planted
+    // boilerplate axis (doc_id % 5, the q272 injection discipline);
+    // features are centered fixed-point (n_tok/100, stop_frac,
+    // mean_len/10). Work per round: ONE map-side-combined aggregation
+    // over the pooled id-sized feature frame; driver traffic is 4
+    // longs + a count per round (the Lloyd-step bound). The trained
+    // vector persists via Logit.save/load (the Bpe artifact pattern,
+    // loud on truncation — LogitSpec proves the round trip) and serves
+    // q123/q141/q220/q235/q253.
+    QuerySpec("q278_logit_training",
+      (s, d) => {
+        val traj = graft.operators.Logit.pooledTrajectory(s, d)
+        import s.implicits._
+        traj.toDF("round", "w0", "w1", "w2", "w3").orderBy("round")
+      },
+      Some(LogitOracle.prefix + "\n" +
+        (1 to graft.operators.Logit.Rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, w0, w1, w2, w3 FROM wr$r")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")))
   )
 }

@@ -388,54 +388,22 @@ object TextQueries {
              |FROM p WHERE host NOT IN ('src1.example.com', 'src3.example.com')
              |GROUP BY host, ref ORDER BY host, ref""".stripMargin)),
 
-    // Linear quality classifier: fixed-weight logistic regression over
-    // exact-rational text features. The published score is the LINEAR
-    // logit z (and its sign as the label) — sigmoid(z) ranks identically
-    // and exp()'s libm rounding is engine-private, so the monotone
-    // transform stays out of the contract. Feature arithmetic and the
-    // weighted sum are written with the same association order on both
-    // engines — every IEEE op is correctly rounded, so same order ⇒ same
-    // bits.
+    // Linear quality classifier, scored from the ENGINE-TRAINED weights
+    // (operators/Logit): the logit z the trio q141/q220/q235 evaluates
+    // is now the final round of the in-engine fixed-point batch-GD
+    // trajectory (q278), not hand-fixed literals — train → persist →
+    // serve like every other model state (BPE, k-means, PQ, IVF). The
+    // published score is the LINEAR fixed-point logit (BIGINT on the
+    // 10⁶ grid — bit-exact by construction, stronger than the old
+    // association-order double contract); keep = z > 0. Labels/spam
+    // axis are planted by the q272 injection discipline and the oracle
+    // re-trains the identical model in an unrolled CTE suite.
     QuerySpec("q123_quality_logit",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("t"))
-          .select(col("doc_id"),
-            size(col("t")).cast("long").as("n_tok"),
-            size(filter(col("t"), x => x.isin("a", "the", "of", "to")))
-              .cast("long").as("n_stop"),
-            col("n_chars"))
-        docs.select(
-          col("doc_id"), col("n_tok"),
-          ((col("n_chars") - (col("n_tok") - 1)).cast("double") /
-            col("n_tok").cast("double")).as("mean_len"),
-          (col("n_stop").cast("double") / col("n_tok").cast("double"))
-            .as("stop_frac"))
-          .withColumn("z",
-            lit(-1.5) + lit(0.02) * col("n_tok") + lit(1.6) * col("stop_frac")
-              - lit(0.12) * col("mean_len"))
-          .withColumn("keep", col("z") > 0.0)
-          .orderBy("doc_id")
-      },
-      Some("""WITH f AS (
-             |  SELECT doc_id,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CAST(len(list_filter(string_split(text,' '),
-             |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
-             |    n_chars
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, n_tok,
-             |    CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)
-             |      AS mean_len,
-             |    CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_frac
-             |  FROM f)
-             |SELECT doc_id, n_tok, mean_len, stop_frac,
-             |  -1.5 + 0.02 * CAST(n_tok AS DOUBLE) + 1.6 * stop_frac
-             |    - 0.12 * mean_len AS z,
-             |  (-1.5 + 0.02 * CAST(n_tok AS DOUBLE) + 1.6 * stop_frac
-             |    - 0.12 * mean_len) > 0.0 AS keep
-             |FROM g ORDER BY doc_id""".stripMargin)),
+      (s, d) => graft.operators.Logit.scoredDocs(s, d)
+        .select(col("doc_id"), col("y"), col("z"), (col("z") > 0L).as("keep"))
+        .orderBy("doc_id"),
+      Some(LogitOracle.scored +
+        "\nSELECT doc_id, y, z, z > 0 AS keep FROM scored ORDER BY doc_id")),
 
     // Unicode NFC canonicalization via the native codegen'd expression
     // (plans.UnicodeNormalizeExpr — Spark ships no normalizer built-in;

@@ -30,6 +30,27 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** The q277 late-arrival census's ACTUATOR — close the watermark-design
+    * loop: given the census frame (event_type, late_bucket_h, n_events,
+    * max_late_us), derive the `withWatermark` duration that covers every
+    * OBSERVED disorder horizon plus a 25% safety margin. A watermark is
+    * per-stream, not per-type, so the binding horizon is the max over
+    * types; the margin covers census-sample error (the census measured a
+    * finite arrival history); rounding is UP to a whole second (a
+    * readable duration, and rounding down could re-admit the exact
+    * worst observed straggler). All arithmetic exact integer; driver
+    * traffic is one long from a |types×buckets|-row frame. Spec-proven
+    * both directions over an arrival stream with planted late rows: the
+    * suggested bound drops none of them, a tighter bound drops exactly
+    * the stragglers past it. */
+  def suggestedWatermark(census: DataFrame): String = {
+    val row = census.agg(max(col("max_late_us")).as("m")).head()
+    val maxUs = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val withMargin = maxUs + maxUs / 4
+    val secs = (withMargin + 999999L) / 1000000L
+    s"$secs seconds"
+  }
+
   /** Streaming exact dedup: drop events whose `keys` were already seen,
     * with state pruned by the event-time watermark
     * (dropDuplicatesWithinWatermark) — the streaming twin of the batch
@@ -1182,7 +1203,13 @@ object EventStreams {
             .parquet(s"$stateDir/sums/batch=$batchId")
           servingAnisotropy(spark, stateDir, iterations)
             .write.mode("overwrite").parquet(reportDir)
-        } finally graft.operators.OperatorCaches.release()
+        } finally {
+          graft.operators.OperatorCaches.release()
+          // componentFrame pools per corpus plan; a stream's batches are
+          // each a distinct corpus, so release per batch (the ingest-sink
+          // discipline) rather than letting entries ride LRU eviction
+          graft.operators.FramePool.release()
+        }
         ()
       }
       .start()
@@ -1227,7 +1254,10 @@ object EventStreams {
             .parquet(s"$stateDir/moments/batch=$batchId")
           servingCentroids(spark, stateDir)
             .write.mode("overwrite").parquet(reportDir)
-        } finally graft.operators.OperatorCaches.release()
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release() // see anisotropy sink
+        }
         ()
       }
       .start()
@@ -1266,7 +1296,10 @@ object EventStreams {
             .parquet(s"$stateDir/moments/batch=$batchId")
           servingEmbeddingDrift(spark, stateDir)
             .write.mode("overwrite").parquet(reportDir)
-        } finally graft.operators.OperatorCaches.release()
+        } finally {
+          graft.operators.OperatorCaches.release()
+          graft.operators.FramePool.release() // see anisotropy sink
+        }
         ()
       }
       .start()
@@ -1320,17 +1353,25 @@ object EventStreams {
       spark.read.parquet(s"$stateDir/tokens")
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
 
-  /** Streaming twin of the q275 l-diversity audit: each batch publishes
-    * (a) its per-group member-count partial (ADDITIVE) and (b) its
+  /** Streaming twin of the q275 l-diversity audit: each batch merges
+    * (a) the per-group member-count partial (ADDITIVE) and (b) the
     * DISTINCT (group, sensitive-value) pairs (a set that merges by
-    * union — bounded at groups × value buckets, never corpus-sized).
-    * The served report derives l from the UNIONED pair set, so a group
-    * whose sensitive values only span WAVES is correctly diverse — the
-    * merge-closure trap per-batch l's would get wrong (spec plants
-    * exactly that group). `qidCols` are the quasi-identifier columns;
-    * `sensCol` is the PRE-BUCKETED sensitive-value column (the caller
-    * owns the bucket grid, as batch q275 does with the exact-cents
-    * rule). */
+    * union — bounded at groups × value buckets, never corpus-sized)
+    * into ONE COMPACTED base snapshot per state (the sourceCapSink
+    * base/.old/.staging rotation — ADVICE r14: the original
+    * one-directory-per-batch layout grew file count and serve cost
+    * unboundedly with stream lifetime; the compacted bases keep both
+    * O(groups) forever). The served report derives l from the UNIONED
+    * pair set, so a group whose sensitive values only span WAVES is
+    * correctly diverse — the merge-closure trap per-batch l's would get
+    * wrong (spec plants exactly that group). Counts are NOT naturally
+    * replay-idempotent (a re-delivered batch would re-add its gsz), so
+    * an applied-batch marker skips the state merge on checkpoint
+    * replay — the same exactly-once-state contract as sourceCapSink's
+    * across-the-merge dedupe. `qidCols` are the quasi-identifier
+    * columns; `sensCol` is the PRE-BUCKETED sensitive-value column (the
+    * caller owns the bucket grid, as batch q275 does with the
+    * exact-cents rule). */
   def lDiversityMonitorSink(stream: DataFrame, qidCols: Seq[String],
                             sensCol: String, stateDir: String,
                             reportDir: String, checkpointDir: String)
@@ -1339,14 +1380,39 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files => NioFiles, Paths}
         val spark = batch.sparkSession
         val qc = qidCols.map(col)
-        batch.groupBy(qc: _*).agg(count(lit(1)).as("gsz"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/sizes/batch=$batchId")
-        batch.select((qc :+ col(sensCol).as("__sens")): _*).distinct()
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/pairs/batch=$batchId")
+        val marker = Paths.get(s"$stateDir/applied/batch=$batchId")
+        if (!NioFiles.exists(marker)) {
+          // rotate one compacted base snapshot (recovery-safe swap:
+          // base → .old only after .staging is fully written)
+          def rotate(df: DataFrame, dir: String)
+                    (compact: DataFrame => DataFrame): Unit = {
+            val basePath = Paths.get(dir)
+            val oldPath = Paths.get(dir + ".old")
+            if (!NioFiles.exists(basePath) && NioFiles.exists(oldPath))
+              NioFiles.move(oldPath, basePath)
+            else if (NioFiles.exists(oldPath))
+              graft.operators.Convert.deleteRecursively(oldPath)
+            val merged =
+              if (NioFiles.exists(basePath))
+                spark.read.parquet(dir).unionByName(df)
+              else df
+            val staging = Paths.get(dir + ".staging")
+            graft.operators.Convert.deleteRecursively(staging)
+            compact(merged).write.mode("overwrite").parquet(staging.toString)
+            if (NioFiles.exists(basePath)) NioFiles.move(basePath, oldPath)
+            NioFiles.move(staging, basePath)
+            graft.operators.Convert.deleteRecursively(oldPath)
+          }
+          rotate(batch.groupBy(qc: _*).agg(count(lit(1)).as("gsz")),
+            s"$stateDir/sizes")(
+            _.groupBy(qc: _*).agg(sum(col("gsz")).as("gsz")))
+          rotate(batch.select((qc :+ col(sensCol).as("__sens")): _*)
+            .distinct(), s"$stateDir/pairs")(_.distinct())
+          NioFiles.createDirectories(marker)
+        }
         servingLDiversity(spark, qidCols, stateDir)
           .write.mode("overwrite").parquet(reportDir)
         ()
@@ -1354,10 +1420,14 @@ object EventStreams {
       .start()
 
   /** The queryable l-diversity report over everything
-    * [[lDiversityMonitorSink]] has published — merged size partials +
-    * unioned distinct pair sets through the shared batch derivation
+    * [[lDiversityMonitorSink]] has published — the COMPACTED size and
+    * pair base snapshots through the shared batch derivation
     * (Quality.lDiversityReport; ≡ batch q275 over all arrivals,
-    * spec-proven). */
+    * spec-proven). Serve cost is O(groups) rows and O(1) directories
+    * regardless of stream lifetime; the re-aggregation over the
+    * already-compacted bases is a no-op-shaped safety net (sums of
+    * one-row groups), kept so the derivation is identical whether the
+    * bases are freshly compacted or mid-recovery. */
   def servingLDiversity(spark: SparkSession, qidCols: Seq[String],
                         stateDir: String): DataFrame = {
     val qc = qidCols.map(col)

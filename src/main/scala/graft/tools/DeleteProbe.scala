@@ -144,6 +144,10 @@ object DeleteProbe {
       graft.operators.OperatorCaches.release()
       Postings.release()
       graft.operators.FramePool.release()
+      // the replicated corpus + artifacts can be multiple GB per call
+      // and /tmp may be RAM-backed — never leak them across the four
+      // probe() calls of a run (ADVICE r14)
+      graft.operators.Convert.deleteRecursively(java.nio.file.Paths.get(tmp))
       out.toMap
     }
 

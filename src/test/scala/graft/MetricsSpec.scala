@@ -20,25 +20,47 @@ class MetricsSpec extends SparkSpec {
 
   // q123's z, reimplemented independently (plain Scala doubles — the
   // same IEEE ops in the same order as both engine expressions)
-  private def zOf(text: String, nChars: Long): Double = {
-    val tk = text.split(" ", -1)
-    val nTok = tk.length.toDouble
-    val nStop = tk.count(Set("a", "the", "of", "to")).toDouble
-    -1.5 + 0.02 * nTok + 1.6 * (nStop / nTok) -
-      0.12 * ((nChars - (nTok - 1)) / nTok)
+  /** Driver-side replica of the WHOLE trained-logit pipeline (q278's
+    * plant → feature → center → train → score), all exact Long math —
+    * the independent reference q220/q235 are checked against. Returns
+    * (doc_id, z, y) with y = 1 for clean. */
+  private def refScores(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    import graft.operators.Logit
+    def tdiv(a: Long, b: Long): Long = a / b
+    val g = Logit.Grid
+    val aug = docs.map { case (id, text) =>
+      val t = if (id % 5 == 0)
+        text + (" " + Logit.SpamLine) * (1 + (id % 3)).toInt
+      else text
+      (id, t, if (id % 5 == 0) 0L else 1L)
+    }
+    val raw = aug.map { case (id, t, y) =>
+      val tk = t.split(" ", -1)
+      val nTok = tk.length.toLong
+      val nStop = tk.count(Set("a", "the", "of", "to")).toLong
+      val nChars = t.length.toLong
+      (id, y, tdiv(nTok * g, 100), tdiv(nStop * g, nTok),
+        tdiv((nChars - (nTok - 1)) * g, nTok * 10))
+    }
+    val n = raw.length.toLong
+    val (m1, m2, m3) = (tdiv(raw.map(_._3).sum, n),
+      tdiv(raw.map(_._4).sum, n), tdiv(raw.map(_._5).sum, n))
+    val feats = raw.map { case (_, y, r1, r2, r3) =>
+      (g, r1 - m1, r2 - m2, r3 - m3, y)
+    }
+    val w = Logit.referenceTrain(feats, Logit.Rounds, Logit.LrDen).last
+    raw.zip(feats).map { case ((id, y, _, _, _), (x0, x1, x2, x3, _)) =>
+      (id, tdiv(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3, g), y)
+    }
   }
 
   test("q220 AUC equals brute-force pairwise Mann-Whitney on a planted corpus") {
     val tmp = Files.createTempDirectory("metrics").toString
-    // 12 docs; duplicates planted by exact text repetition (dup label),
-    // with texts chosen so some scores collide across labels (ties)
-    val texts = Seq(
-      "the cat", "the cat", "the cat", // 3-way dup
-      "of dog bones here", "of dog bones here", // 2-way dup
-      "a b c", "x y z",
-      "unique one here", "unique two there", "w", "the the the", "lone doc")
-    val docs = texts.zipWithIndex.map { case (t, i) =>
-      (i.toLong, t, "en", s"src${i % 3}", t.length.toLong)
+    // 12 docs: ids 0/5/10 get the boilerplate plant (the doc_id % 5
+    // training axis), texts varied so scores spread and some tie
+    val docs = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(4 + i % 5)(s"w${i % 3}").mkString(" "),
+        "en", s"src${i % 3}", 10L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.parquet(s"$tmp/documents.parquet")
 
@@ -47,17 +69,18 @@ class MetricsSpec extends SparkSpec {
     val (np, nn, u2, auc) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
 
-    // brute force over all pos×neg pairs
-    val dupTexts = texts.groupBy(identity).filter(_._2.size > 1).keySet
-    val scored = texts.map(t => (zOf(t, t.length.toLong), dupTexts(t)))
-    val pos = scored.filter(_._2).map(_._1)
-    val neg = scored.filterNot(_._2).map(_._1)
+    // brute force over all pos×neg pairs of the reference-trained score
+    val scored = refScores((0 until 12).map(i =>
+      (i.toLong, Seq.fill(4 + i % 5)(s"w${i % 3}").mkString(" "))))
+    val pos = scored.filter(_._3 == 1L).map(_._2) // clean = positive class
+    val neg = scored.filter(_._3 == 0L).map(_._2)
     assert(np === pos.size.toLong && nn === neg.size.toLong)
     val u2Ref = (for (p <- pos; n <- neg) yield {
       if (p > n) 2L else if (p == n) 1L else 0L
     }).sum
     assert(u2 === u2Ref)
     assert(auc === u2Ref.toDouble / (2.0 * pos.size * neg.size))
+    graft.operators.FramePool.release()
   }
 
   test("q221 chi-squared recovers the textbook 2x2 value; every-doc tokens are excluded") {
@@ -379,22 +402,33 @@ class MetricsSpec extends SparkSpec {
 
   test("q235 buckets by exact global rank and reports per-decile dup rates") {
     val tmp = Files.createTempDirectory("metrics").toString
-    // 20 docs: 10 distinct low-z one-worders ("w0".."w9" — each text
-    // unique → neg) and one 10-way duplicated higher-z text (pos).
-    // Ranks 1-10 are the unique docs (z ≈ -1.54 each, doc_id breaks
-    // the tie), 11-20 the dup copies → deciles 0-4 pure negative,
-    // 5-9 pure positive: rate steps 0→1 exactly at decile 5.
-    val uniq = (0 until 10).map(i => (i.toLong, s"w$i", "en", "s", 2L))
-    val dups = (10 until 20).map(i =>
-      (i.toLong, "the a of to common text here", "en", "s", 28L))
-    (uniq ++ dups).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 20 docs, ids 0/5/10/15 planted (the doc_id % 5 axis); texts vary
+    // in length and stopword mix so the trained score spreads
+    val texts = (0 until 20).map(i =>
+      (i.toLong, (Seq.fill(3 + i % 7)(s"w$i") ++
+        Seq.fill(i % 3)("the")).mkString(" ")))
+    texts.map { case (id, t) => (id, t, "en", "s", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
 
     val got = SparkEntry.queries("q235_calibration_deciles")(spark, tmp)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got.keySet === (0L to 9L).toSet)
-    (0L to 4L).foreach(d => assert(got(d) === ((2L, 0L, 0.0)), s"decile $d"))
-    (5L to 9L).foreach(d => assert(got(d) === ((2L, 2L, 1.0)), s"decile $d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+
+    // independent reference: rank the reference-trained scores by
+    // (z, doc_id), decile = ((rn-1)*10)/n, exact per-decile aggregates
+    val ranked = refScores(texts).sortBy(s => (s._2, s._1)).zipWithIndex
+    val n = ranked.length.toLong
+    val ref = ranked.map { case ((_, z, y), i) =>
+      ((i.toLong * 10L) / n, z, if (y == 0L) 1L else 0L)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, rows) =>
+      (d, rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._3).sum.toDouble / rows.length,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got === ref)
+    assert(got.map(_._1) === (0L to 9L)) // all ten deciles present
+    assert(got.map(_._3).sum === 4L) // the four planted docs accounted for
+    graft.operators.FramePool.release()
   }
 }

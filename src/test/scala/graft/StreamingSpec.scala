@@ -1624,4 +1624,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).sum === src.count())
     assert(streamed.nonEmpty)
   }
+
+  test("census-derived watermark keeps every observed late row; a tighter " +
+      "bound drops exactly the stragglers past it") {
+    // the q277 → actuator loop closed end to end: a lateness census over
+    // the REAL arrival order feeds suggestedWatermark, and the
+    // watermarked hourly agg (q13's twin) runs over the same arrivals
+    val tmp = Files.createTempDirectory("streamspec").toString
+    def ev(id: Long, ts: String) =
+      (id, Timestamp.valueOf(ts), 1L, "view", 1.0)
+    val wave1 = Seq(ev(1, "2024-03-01 00:30:00"), ev(2, "2024-03-01 01:30:00"),
+      ev(3, "2024-03-01 02:30:00"), ev(4, "2024-03-01 04:30:00"))
+    val wave2 = Seq(
+      ev(5, "2024-03-01 03:30:00"), // 1h behind the running max
+      ev(6, "2024-02-29 20:30:00")) // the 8h straggler
+    // far-future sentinel: advances the watermark past every real
+    // window so Append mode finalizes them; its own window never emits
+    val wave3 = Seq(ev(7, "2024-03-03 12:00:00"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+    // lateness census over the actual arrival order — q277's derivation
+    // (distributed running max of event time at arrival)
+    val arrivals = (wave1 ++ wave2).zipWithIndex.map { case (e, i) =>
+      (i.toLong, e._4, e._2)
+    }.toDF("arr", "event_type", "ts")
+      .withColumn("us", expr("unix_micros(ts)"))
+    val (rm) = graft.operators.PrefixSum.rankedRunningMax(
+      arrivals, Seq(col("arr")), col("us"), "__rn", "pm")
+    val census = rm.select(col("event_type"),
+        when(col("pm").isNotNull && col("pm") > col("us"),
+          col("pm") - col("us")).otherwise(0L).as("late_us"))
+      .groupBy(col("event_type"),
+        expr("CAST(CASE WHEN late_us = 0 THEN -1" +
+          " ELSE late_us DIV 3600000000 END AS BIGINT)").as("late_bucket_h"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+    val suggested = EventStreams.suggestedWatermark(census)
+    // max observed lateness 8h (28800 s) + 25% margin = 36000 s
+    assert(suggested === "36000 seconds")
+
+    def deliver(dir: String, rows: Seq[(Long, Timestamp, Long, String, Double)],
+                first: Boolean): Unit =
+      rows.toDF(cols: _*).write.mode(if (first) "errorifexists" else "append")
+        .parquet(dir)
+    def run(tag: String, watermark: String): Map[String, Long] = {
+      val in = s"$tmp/in_$tag"
+      Seq(wave1, wave2, wave3).zipWithIndex.foreach { case (w, i) =>
+        deliver(in, w, first = i == 0)
+        val schema = wave1.toDF(cols: _*).schema
+        // parquet Append sink + one shared checkpoint: watermark state
+        // carries across the re-attached AvailableNow runs, so wave 2
+        // is filtered against the watermark wave 1 advanced
+        EventStreams.hourlyCounts(
+            EventStreams.fileStream(spark, schema, in), watermark)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out_$tag")
+          .option("checkpointLocation", s"$tmp/ckpt_$tag")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      spark.read.parquet(s"$tmp/out_$tag")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    }
+
+    // direction 1: the census-derived bound covers every OBSERVED
+    // straggler — nothing is dropped (all 6 real rows accounted for)
+    val kept = run("suggested", suggested)
+    assert(kept.values.sum === 6L, s"suggested bound dropped rows: $kept")
+    // direction 2: a 2h bound is tighter than the 8h straggler (but not
+    // the 1h late row) — exactly the straggler is dropped
+    val tight = run("tight", "2 hours")
+    assert(tight.values.sum === 5L, s"expected one dropped row: $tight")
+    assert(!tight.contains("2024-02-29 20:00:00.0")) // the straggler's window
+    assert(tight.contains("2024-03-01 03:00:00.0")) // the 1h-late row's window
+    assert(kept.contains("2024-02-29 20:00:00.0"))
+  }
 }
