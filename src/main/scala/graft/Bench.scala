@@ -338,27 +338,54 @@ object Bench {
     // every (loop, retime) pair with the pass's bracketing probes in
     // bench_full.json, so a window-poisoned per-query number is
     // self-adjudicating.
-    val RetimeCount = 10
+    // Round-15 extension (verdict item 3): the r14 v2 close ran its
+    // whole sweep inside a 27 MB/s window — a top-10 retime is too
+    // narrow when the WINDOW, not the query, is the outlier. The
+    // candidate set is now top-N slowest ∪ every query whose loop
+    // segment was BRACKETED by an unhealthy probe (loop_probes),
+    // capped; the healthy-window wait is longer (up to ~2.5 min); and
+    // the pass re-probes every 10 cells, pausing briefly if the window
+    // collapses mid-pass (min() keeps the headline safe regardless —
+    // the probes are recorded so the artifact self-adjudicates).
+    val RetimeCount = 16
+    val RetimeCap = 60
     var retimes = Seq.empty[(String, Double, Double)] // (name, loopSec, retimeSec)
     var retimeProbes = (-1.0, -1.0)
     var retimeSkippedUnhealthy = false
     if (!degraded && !pastDeadline) {
       val qmap = SparkEntry.queries
-      val slow = loopResults.filter(_._2._2).sortBy(-_._2._1).take(RetimeCount)
-      if (slow.nonEmpty) {
+      def probe(): Double =
+        try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }
+      val probeByDone = loopProbes.map(p => p._2 -> p._3).toMap
+      // a query at loop index i sits in the segment ending at the next
+      // probe point; it is window-suspect when either bracketing probe
+      // read unhealthy (before = segment start, after = segment end)
+      def bracketUnhealthy(idx: Int): Boolean = {
+        val segEnd = ((idx / LoopProbeEvery) + 1) * LoopProbeEvery
+        val before = probeByDone.get(segEnd - LoopProbeEvery)
+        val after = probeByDone.get(segEnd)
+        before.exists(_ < K2HealthyMbps) || after.exists(_ < K2HealthyMbps)
+      }
+      val windowSuspects = loopResults.zipWithIndex.collect {
+        case ((n, (_, ok)), i) if ok && bracketUnhealthy(i) => n
+      }.toSet
+      val slowSet = loopResults.filter(_._2._2).sortBy(-_._2._1)
+        .take(RetimeCount).map(_._1).toSet
+      val candNames = slowSet ++ windowSuspects
+      val cand = loopResults.filter(r => candNames(r._1) && r._2._2)
+        .sortBy(-_._2._1).take(RetimeCap)
+      if (cand.nonEmpty) {
         settleStorage()
-        def probe(): Double =
-          try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }
         var p = probe()
         var waits = 0
-        while (p < K2HealthyMbps && waits < 3 && !pastDeadline) {
+        while (p < K2HealthyMbps && waits < 7 && !pastDeadline) {
           Thread.sleep(20000)
           settleStorage()
           p = probe()
           waits += 1
         }
         if (p < K2HealthyMbps) {
-          // window never recovered: a retime now is 10 query re-runs in
+          // window never recovered: a retime now is N query re-runs in
           // a known-bad window — every r10 retime came back 2-3x slower
           // than its loop time behind 15-17 MB/s probes. min() keeps the
           // headline safe either way, so skip; the recorded probe pair
@@ -366,9 +393,20 @@ object Bench {
           retimeSkippedUnhealthy = true
           retimeProbes = (p, -1.0)
         } else {
-          val better = slow.map { case (name, (t0, _)) =>
+          var done2 = 0
+          val better = cand.map { case (name, (t0, _)) =>
+            if (done2 > 0 && done2 % 10 == 0 && !pastDeadline) {
+              // mid-pass health check: a pass that started healthy can
+              // degrade; pause (bounded) rather than retime into a hole
+              var pp = probe()
+              var w2 = 0
+              while (pp < K2HealthyMbps && w2 < 2 && !pastDeadline) {
+                Thread.sleep(15000); settleStorage(); pp = probe(); w2 += 1
+              }
+            }
             val r = timed { qmap(name)(spark, sfDir).count(); () }
             graft.operators.OperatorCaches.release()
+            done2 += 1
             val (t1, ok1) = r
             retimes :+= ((name, t0, if (ok1) t1 else -1.0))
             name -> (if (ok1) math.min(t0, t1) else t0)

@@ -47,27 +47,33 @@ object FramePool {
     * unpersisting one while an in-flight plan still references it is
     * unrecoverable, not a recompute. LRU keeps the active family's keys
     * at the back of the eviction order. */
-  def frames(key: Any)(build: => Seq[DataFrame]): Seq[DataFrame] = {
-    if (!pool.containsKey(key)) {
-      while (pool.size >= MaxEntries) {
-        val oldest = order.poll()
-        if (oldest == null) return pool.computeIfAbsent(key,
-          _ => build.map(_.persist(StorageLevel.MEMORY_AND_DISK)))
-        val dropped = pool.remove(oldest)
-        if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
+  def frames(key: Any)(build: => Seq[DataFrame]): Seq[DataFrame] =
+    // one REENTRANT monitor, not ConcurrentHashMap.computeIfAbsent: a
+    // builder may itself resolve pooled frames (Logit.pooledTrajectory
+    // builds from pooledFeatures; PqQueries.encoded from trained), and
+    // nested computeIfAbsent on one map throws IllegalStateException
+    // ("Recursive update") whenever the two keys land in the same bin —
+    // a nondeterministic landmine that fired in round 15. Intrinsic
+    // locks are reentrant, so nested frames() calls are safe; the pool
+    // is driven by single-threaded query loops, so one global monitor
+    // costs nothing.
+    pool.synchronized {
+      val hit = pool.get(key)
+      if (hit != null) {
+        // LRU touch: move the key to the back of the eviction order
+        if (order.remove(key)) order.add(key)
+        hit
+      } else {
+        while (pool.size >= MaxEntries && !order.isEmpty) {
+          val dropped = pool.remove(order.poll())
+          if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
+        }
+        val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+        pool.put(key, built)
+        order.add(key)
+        built
       }
     }
-    val hit = pool.get(key)
-    if (hit != null) {
-      // LRU touch: move the key to the back of the eviction order
-      if (order.remove(key)) order.add(key)
-      return hit
-    }
-    pool.computeIfAbsent(key, _ => {
-      order.add(key)
-      build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
-    })
-  }
 
   /** Unpersist and forget every pooled entry (non-blocking). */
   def release(): Unit = {

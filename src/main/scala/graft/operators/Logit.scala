@@ -84,10 +84,16 @@ object Logit {
 
   /** Centered fixed-point feature frame (doc_id, y, x0..x3):
     * x0 = G (bias), x1 = (n_tok/100)·G, x2 = stop_frac·G,
-    * x3 = (mean_len/10)·G, each minus its global fixed-point mean
-    * (bias uncentered). n_chars is length(text) — the augmented text,
-    * not the fixture column. One collect of 3 means + n (bounded). */
-  def features(aug: DataFrame): DataFrame = {
+    * x3 = (mean_len/10)·G, each minus its fixed-point mean (bias
+    * uncentered). `trainCond` restricts the MEAN computation to the
+    * training split (the proper holdout discipline — centering
+    * statistics are model state and must never see evaluation rows);
+    * every row is still centered and returned, so holdout rows score
+    * through train-fitted statistics. n_chars is length(text) — the
+    * augmented text, not the fixture column. One collect of 3 means
+    * (bounded). */
+  def features(aug: DataFrame,
+               trainCond: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val raw = aug
       .select(col("doc_id"), col("y"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
@@ -98,7 +104,7 @@ object Logit {
         expr(s"n_tok * $Grid DIV 100").as("r1"),
         expr(s"n_stop * $Grid DIV n_tok").as("r2"),
         expr(s"(n_chars - (n_tok - 1)) * $Grid DIV (n_tok * 10)").as("r3"))
-    val m = raw.agg(
+    val m = raw.filter(trainCond).agg(
       expr("sum(r1) DIV count(*)").as("m1"),
       expr("sum(r2) DIV count(*)").as("m2"),
       expr("sum(r3) DIV count(*)").as("m3")).head()
@@ -163,8 +169,11 @@ object Logit {
     * every other pooled artifact. */
   def pooledTrajectory(spark: SparkSession, sfDir: String,
                        rounds: Int = Rounds, lrDen: Long = LrDen): Seq[Weights] = {
+    // resolve the pooled feature frame BEFORE entering the trajectory
+    // builder (FramePool is reentrant, but not nesting at all is free)
+    val feat = pooledFeatures(spark, sfDir)
     val df = FramePool.frames(("logit-traj", sfDir, rounds, lrDen)) {
-      val traj = trainTrajectory(pooledFeatures(spark, sfDir), rounds, lrDen)
+      val traj = trainTrajectory(feat, rounds, lrDen)
       import spark.implicits._
       Seq(traj.toDF("round", "w0", "w1", "w2", "w3").coalesce(1))
     }.head

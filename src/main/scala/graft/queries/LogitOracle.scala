@@ -22,7 +22,16 @@ private[queries] object LogitOracle {
   /** The shared training prefix: aug → fr → xr → mu → x → wr0 →
     * (er/gr/wr)×Rounds. Append consumer SQL selecting FROM x and/or
     * [[FinalW]]. */
-  val prefix: String = {
+  val prefix: String = chain("")
+
+  /** Training chain restricted to a split: the centering means (mu)
+    * and every gradient pass (er/gr) aggregate only rows matching
+    * `trainWhere`, while `x` still carries EVERY row centered by the
+    * train-fitted means — the proper holdout discipline (q279). */
+  def trainRestrictedPrefix(trainWhere: String): String = chain(trainWhere)
+
+  private def chain(trainWhere: String): String = {
+    val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val head =
       s"""WITH aug AS (
          |  SELECT doc_id,
@@ -50,7 +59,7 @@ private[queries] object LogitOracle {
          |         CAST(sum(r2) AS BIGINT) // count(*) AS m2,
          |         CAST(sum(r3) AS BIGINT) // count(*) AS m3,
          |         CAST(count(*) AS BIGINT) AS n
-         |  FROM xr
+         |  FROM xr$tw
          |), x AS (
          |  SELECT doc_id, y, n_chars, CAST($Grid AS BIGINT) AS x0,
          |         r1 - m1 AS x1, r2 - m2 AS x2, r3 - m3 AS x3
@@ -65,7 +74,7 @@ private[queries] object LogitOracle {
          |    least($Grid, greatest(0, ${Grid / 2}
          |      + ((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $Grid) // 4))
          |      - y * $Grid AS e
-         |  FROM x, wr${r - 1}
+         |  FROM x, wr${r - 1}$tw
          |), gr$r AS (
          |  SELECT CAST(sum((e * x0) // $Grid) AS BIGINT) AS g0,
          |         CAST(sum((e * x1) // $Grid) AS BIGINT) AS g1,
