@@ -259,24 +259,35 @@ object Similarity {
     * d2 = (vid, clbl, d2)); loud on fewer than two labels. */
   private def centroidDistances(vectors: DataFrame, idCol: String,
       vecCol: String, labelCol: String): (DataFrame, DataFrame) = {
-    val labeled = vectors.filter(col(labelCol).isNotNull)
-    val nLabels = labeled.select(labelCol).distinct().count()
-    require(nLabels >= 2,
-      s"centroidDistances: need >= 2 labels, got $nLabels")
-    val labels = labeled.select(col(idCol).as("vid"),
-      col(labelCol).as("lbl"))
-    // the POOLED full-corpus component frame, restricted to labeled
-    // rows by an id-join BEFORE the |labels| fan-out — shares one
-    // posexplode with the scatter family instead of paying its own
-    val (comp0, _) = componentFrame(vectors, idCol, vecCol)
-    val comp = comp0.join(labels.select(col("vid")), "vid")
-    val mu = centroidsFromMoments(labelMomentsFromComp(comp, labels))
-    val d2 = comp.join(broadcast(mu), "pos")
-      .select(col("vid"), col("clbl"),
-        (col("q") * 1000L - col("mu")).as("dq"))
-      .groupBy(col("vid"), col("clbl"))
-      .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
-    (labels, d2)
+    // POOLED as a pair (labels, d2): silhouette and κ both start from
+    // this exact frame, and the health card (q263) runs both — without
+    // the pool each paid its own comp×|labels| fan-out, the dominant
+    // cost of either diagnostic. d2 is n·|labels| rows of 3 columns
+    // (MEMORY_AND_DISK; at 100 TB this is the frame worth persisting —
+    // both consumers are one keyed aggregate away from it).
+    val narrowed = vectors.select(col(idCol), col(vecCol), col(labelCol))
+    val frames = FramePool.frames(
+      ("centroid-d2", narrowed.queryExecution.analyzed.canonicalized)) {
+      val labeled = vectors.filter(col(labelCol).isNotNull)
+      val nLabels = labeled.select(labelCol).distinct().count()
+      require(nLabels >= 2,
+        s"centroidDistances: need >= 2 labels, got $nLabels")
+      val labels = labeled.select(col(idCol).as("vid"),
+        col(labelCol).as("lbl"))
+      // the POOLED full-corpus component frame, restricted to labeled
+      // rows by an id-join BEFORE the |labels| fan-out — shares one
+      // posexplode with the scatter family instead of paying its own
+      val (comp0, _) = componentFrame(vectors, idCol, vecCol)
+      val comp = comp0.join(labels.select(col("vid")), "vid")
+      val mu = centroidsFromMoments(labelMomentsFromComp(comp, labels))
+      val d2 = comp.join(broadcast(mu), "pos")
+        .select(col("vid"), col("clbl"),
+          (col("q") * 1000L - col("mu")).as("dq"))
+        .groupBy(col("vid"), col("clbl"))
+        .agg(sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("d2"))
+      Seq(labels, d2)
+    }
+    (frames.head, frames(1))
   }
 
   /** ADDITIVE label-centroid sufficient statistics — the property that

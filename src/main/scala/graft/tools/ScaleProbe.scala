@@ -218,6 +218,10 @@ object ScaleProbe {
       // lateness census rides the range-partitioned running max
       // (events-family keyed spine) — must track ~linear
       "q277_lateness_profile",
+      // round-15 training additions: both ride the pooled id-sized
+      // feature frame — one map-side aggregation per GD round (q278),
+      // plus 4 holdout scoring passes with |distinct z| windows (q279)
+      "q278_logit_training", "q279_logit_holdout_auc",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed
