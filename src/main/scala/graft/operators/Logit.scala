@@ -69,6 +69,11 @@ object Logit {
   val Rounds = 4
   val LrDen = 2L
 
+  /** Holdout split modulus: doc_id % HoldoutMod = 0 rows are held out
+    * of the validation training pass (centering means included) and
+    * used to pick the SERVED round by out-of-sample AUC. */
+  val HoldoutMod = 3L
+
   final case class Weights(round: Long, w0: Long, w1: Long, w2: Long, w3: Long)
 
   /** Plant the low-quality axis: doc_id % 5 = 0 docs get the spam line
@@ -181,47 +186,164 @@ object Logit {
       r.getLong(3), r.getLong(4))).sortBy(_.round).toSeq
   }
 
-  /** Docs scored by the SERVED model (the final trained round):
+  /** Pooled HOLDOUT-disciplined feature frame: centering means fitted
+    * on doc_id % HoldoutMod ≠ 0 only; every row still centered and
+    * returned. Shared by q279's curve and the serving-round selection
+    * (one frame, one text scan). */
+  def pooledHoldoutFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    FramePool.frames(s"logit-features-holdout:$sfDir") {
+      Seq(features(
+        augment(spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))),
+        pmod(col("doc_id"), lit(HoldoutMod)) =!= 0))
+    }.head
+
+  /** Exact Mann–Whitney AUC of each trajectory round on a HELD-OUT
+    * frame — the learning curve (round, n_pos, n_neg, u2, auc_bp).
+    * Per round: group the holdout to the distinct-score axis, one
+    * distributed exclusive prefix sum of n_neg in score order, then
+    * 2U = Σ n_pos·(2·cumNegBelow + n_neg) in exact longs. auc_bp is
+    * assembled through DECIMAL(38,0) (oracle twin: HUGEINT) so the
+    * ×10⁴ multiply cannot wrap even at u2 ≈ 2·n₊·n₋ for 10⁹-doc
+    * holdouts, where a raw Long product would exceed 2⁶³ near
+    * u2 ≳ 9.2·10¹⁴ — the one place q220's single-double-division
+    * escape hatch doesn't apply because the curve must stay on the
+    * exact integer grid for the round-selection tie rule. */
+  def holdoutAuc(hold: DataFrame, traj: Seq[Weights]): DataFrame = {
+    require(traj.nonEmpty, "Logit.holdoutAuc: empty trajectory")
+    traj.map { w =>
+      val byScore = hold
+        .select(zExpr(w).as("z"), col("y"))
+        .groupBy(col("z"))
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("y") === 1L, 0L).otherwise(1L)).as("n_neg"))
+      val (cum, _) = PrefixSum.rankedRunningSum(
+        byScore, Seq(col("z")), col("n_neg"), "__rn", "cum_neg")
+      cum.agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
+          sum(col("n_pos") * (lit(2L) * col("cum_neg") - col("n_neg")))
+            .as("u2"))
+        .select(lit(w.round).as("round"), col("np").as("n_pos"),
+          col("nn").as("n_neg"), col("u2"),
+          when(col("np") === 0L || col("nn") === 0L,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(CAST(u2 AS DECIMAL(38,0)) * 10000" +
+                " DIV (2 * np * nn) AS BIGINT)"))
+            .as("auc_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Pooled holdout learning curve for a corpus dir: train on the
+    * doc_id % HoldoutMod ≠ 0 split, score each round on the held-out
+    * rows (q279's frame, and the input to the serving-round pick).
+    * Rides the pool as a Rounds-row frame so the 4 scoring passes run
+    * once per (sfDir, JVM). */
+  def pooledHoldoutCurve(spark: SparkSession, sfDir: String): DataFrame =
+    FramePool.frames(s"logit-holdout-curve:$sfDir") {
+      val feat = pooledHoldoutFeatures(spark, sfDir)
+      val train = feat.filter(pmod(col("doc_id"), lit(HoldoutMod)) =!= 0)
+      val hold = feat.filter(pmod(col("doc_id"), lit(HoldoutMod)) === 0)
+      Seq(holdoutAuc(hold, trainTrajectory(train)).coalesce(1))
+    }.head
+
+  /** The deployment rule q279 exists to drive: serve the round with
+    * the highest holdout AUC, ties broken toward the LATER round
+    * (more training at equal validation quality). Loud when the curve
+    * is empty or no round has a defined AUC — serving an unvalidated
+    * model is the silent failure this selection exists to prevent. */
+  def selectServedRound(curve: Seq[(Long, Option[Long])]): Long = {
+    val defined = curve.collect { case (r, Some(a)) => (a, r) }
+    require(defined.nonEmpty,
+      "Logit.selectServedRound: no training round has a defined holdout " +
+        "AUC (single-class holdout?) — refusing to pick a served model")
+    defined.max._2
+  }
+
+  /** The holdout-selected round for a corpus dir (one bounded collect
+    * of the pooled Rounds-row curve). */
+  def selectedRound(spark: SparkSession, sfDir: String): Long =
+    selectServedRound(
+      pooledHoldoutCurve(spark, sfDir).collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+
+  /** The SERVED weight vector: the full-corpus trajectory evaluated at
+    * the holdout-selected round — q279's actuator. The validation pass
+    * picks WHICH round generalizes; the served weights themselves come
+    * from the all-data training run (standard train/validate/refit:
+    * the holdout chose a hyperparameter, then the model refits on
+    * everything). Oracle twin: LogitOracle.scored's ws CTE. */
+  def servingWeights(spark: SparkSession, sfDir: String): Weights = {
+    val traj = pooledTrajectory(spark, sfDir)
+    val r = selectedRound(spark, sfDir)
+    traj.find(_.round == r).getOrElse(
+      throw new IllegalArgumentException(
+        s"Logit.servingWeights: selected round $r not in trajectory " +
+          s"1..${traj.length}"))
+  }
+
+  /** Docs scored by the SERVED model (the holdout-selected round):
     * (doc_id, y, n_chars, z) with z the fixed-point logit — the one
     * scored frame the whole evaluation trio consumes. Oracle twin:
     * LogitOracle.scored. */
   def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = pooledTrajectory(spark, sfDir).last
+    val w = servingWeights(spark, sfDir)
     pooledFeatures(spark, sfDir)
       .select(col("doc_id"), col("y"), col("n_chars"), zExpr(w).as("z"))
   }
 
+  /** A [[load]]ed artifact: the full trajectory plus the round the
+    * holdout selection marked for serving. */
+  final case class Artifact(trajectory: Seq[Weights], servedRound: Long) {
+    def served: Weights = trajectory.find(_.round == servedRound).get
+  }
+
   /** Persist a trained trajectory as ONE round-ordered parquet frame —
     * the artifact half of the classifier lifecycle (the Bpe.save
-    * pattern). A quality filter is trained once and served by every
-    * downstream keep/drop decision, usually in a different session. */
-  def save(spark: SparkSession, traj: Seq[Weights], dir: String): Unit = {
+    * pattern) — WITH the holdout-selected serving round stamped as a
+    * `served` flag column. A quality filter is trained once and served
+    * by every downstream keep/drop decision, usually in a different
+    * session; the selection must travel WITH the weights or the
+    * consumer re-derives it from faith (the q279-without-actuator gap
+    * this column closes). */
+  def save(spark: SparkSession, traj: Seq[Weights], servedRound: Long,
+           dir: String): Unit = {
     require(traj.nonEmpty, "Logit.save: empty trajectory")
     require(traj.map(_.round) == (1L to traj.length.toLong),
       "Logit.save: rounds must be contiguous 1..T in training order")
+    require(traj.exists(_.round == servedRound),
+      s"Logit.save: served round $servedRound not in trajectory " +
+        s"1..${traj.length}")
     import spark.implicits._
-    traj.map(w => (w.round, w.w0, w.w1, w.w2, w.w3))
-      .toDF("round", "w0", "w1", "w2", "w3")
+    traj.map(w => (w.round, w.w0, w.w1, w.w2, w.w3, w.round == servedRound))
+      .toDF("round", "w0", "w1", "w2", "w3", "served")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Load a [[save]]d trajectory, re-validated LOUDLY: rounds must be
-    * the contiguous 1..T training order — a truncated or reordered
-    * artifact is a DIFFERENT model (the final round is the served
-    * weight vector), so it fails here rather than mis-scoring every
-    * downstream keep/drop decision. */
-  def load(spark: SparkSession, dir: String): Seq[Weights] = {
-    val out = spark.read.parquet(dir)
+    * the contiguous 1..T training order and EXACTLY one round must
+    * carry the served flag — a truncated, reordered, or
+    * ambiguously-marked artifact is a DIFFERENT model, so it fails
+    * here rather than mis-scoring every downstream keep/drop
+    * decision. */
+  def load(spark: SparkSession, dir: String): Artifact = {
+    val rows = spark.read.parquet(dir)
       .select(col("round").cast("long"), col("w0").cast("long"),
-        col("w1").cast("long"), col("w2").cast("long"), col("w3").cast("long"))
+        col("w1").cast("long"), col("w2").cast("long"),
+        col("w3").cast("long"), col("served").cast("boolean"))
       .collect()
-      .map(r => Weights(r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-      .sortBy(_.round).toSeq
+      .map(r => (Weights(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)), r.getBoolean(5)))
+      .sortBy(_._1.round).toSeq
+    val out = rows.map(_._1)
     require(out.map(_.round) == (1L to out.length.toLong),
       s"Logit.load: rounds not contiguous 1..${out.length} — corrupt or " +
         s"truncated artifact at $dir")
-    out
+    val served = rows.filter(_._2).map(_._1.round)
+    require(served.length == 1,
+      s"Logit.load: artifact at $dir marks ${served.length} rounds as " +
+        "served (want exactly 1) — ambiguous serving selection")
+    Artifact(out, served.head)
   }
 
   /** Sequential reference trainer for the spec: same fixed-point

@@ -1512,66 +1512,15 @@ object QualityQueries {
     // overfit alarm. Work: the pooled split feature frame + 4
     // |holdout|-sized scoring passes with |distinct z|-sized windows.
     QuerySpec("q279_logit_holdout_auc",
-      (s, d) => {
-        val feat = graft.operators.FramePool.frames(
-          s"logit-features-holdout:$d") {
-          Seq(graft.operators.Logit.features(
-            graft.operators.Logit.augment(
-              t(s, d, "documents").select(col("doc_id"), col("text"))),
-            pmod(col("doc_id"), lit(3)) =!= 0))
-        }.head
-        val train = feat.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-        val hold = feat.filter(pmod(col("doc_id"), lit(3)) === 0)
-        val traj = graft.operators.Logit.trainTrajectory(train)
-        traj.map { w =>
-          val byScore = hold
-            .select(graft.operators.Logit.zExpr(w).as("z"), col("y"))
-            .groupBy(col("z"))
-            .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
-              sum(when(col("y") === 1L, 0L).otherwise(1L)).as("n_neg"))
-          val (cum, _) = graft.operators.PrefixSum.rankedRunningSum(
-            byScore, Seq(col("z")), col("n_neg"), "__rn", "cum_neg")
-          cum.agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
-              sum(col("n_pos") * (lit(2L) * col("cum_neg") - col("n_neg")))
-                .as("u2"))
-            .select(lit(w.round).as("round"), col("np").as("n_pos"),
-              col("nn").as("n_neg"), col("u2"),
-              when(col("np") === 0L || col("nn") === 0L,
-                lit(null).cast("long"))
-                .otherwise(expr("u2 * 10000 DIV (2 * np * nn)"))
-                .as("auc_bp"))
-        }.reduce(_ unionByName _).orderBy("round")
-      },
-      Some(LogitOracle.trainRestrictedPrefix("doc_id % 3 <> 0") +
-        (1 to graft.operators.Logit.Rounds).map { r =>
-          s""", h$r AS (
-             |  SELECT (w0*x0 + w1*x1 + w2*x2 + w3*x3) // 1000000 AS z, y
-             |  FROM x, wr$r WHERE doc_id % 3 = 0
-             |), hs$r AS (
-             |  SELECT z,
-             |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             |      AS n_pos,
-             |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT)
-             |      AS n_neg
-             |  FROM h$r GROUP BY z
-             |), hc$r AS (
-             |  SELECT n_pos, n_neg,
-             |    CAST(sum(n_neg) OVER (ORDER BY z
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_neg
-             |  FROM hs$r
-             |), ha$r AS (
-             |  SELECT CAST($r AS BIGINT) AS round,
-             |    CAST(sum(n_pos) AS BIGINT) AS n_pos,
-             |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
-             |    CAST(sum(n_pos * (2 * cum_neg - n_neg)) AS BIGINT) AS u2
-             |  FROM hc$r
-             |)""".stripMargin
-        }.mkString + "\n" +
+      (s, d) => graft.operators.Logit.pooledHoldoutCurve(s, d)
+        .orderBy("round"),
+      Some(LogitOracle.trainRestrictedPrefix(
+        s"doc_id % ${graft.operators.Logit.HoldoutMod} <> 0") +
+        LogitOracle.holdoutAucCtes("",
+          s"doc_id % ${graft.operators.Logit.HoldoutMod} = 0") + "\n" +
         (1 to graft.operators.Logit.Rounds).map(r =>
           s"SELECT round, n_pos, n_neg, u2, " +
-            s"CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
-            s"ELSE CAST((u2 * 10000) // (2 * n_pos * n_neg) AS BIGINT) " +
-            s"END AS auc_bp FROM ha$r")
+            s"${LogitOracle.aucBpExpr} AS auc_bp FROM ha$r")
           .mkString("", "\nUNION ALL\n", "\nORDER BY round")))
   )
 }
