@@ -99,7 +99,15 @@ object Logit {
     * (bounded). */
   def features(aug: DataFrame,
                trainCond: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val raw = aug
+    val raw = rawFeatures(aug)
+    centered(raw, fitMeans(raw, trainCond))
+  }
+
+  /** Uncentered fixed-point features (doc_id, y, n_chars, r1, r2, r3)
+    * from an [[augment]]-shaped (doc_id, text, y) frame. Pure per-row
+    * map — no shuffle, no state. */
+  def rawFeatures(aug: DataFrame): DataFrame =
+    aug
       .select(col("doc_id"), col("y"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         size(filter(split(col("text"), " "),
@@ -109,24 +117,51 @@ object Logit {
         expr(s"n_tok * $Grid DIV 100").as("r1"),
         expr(s"n_stop * $Grid DIV n_tok").as("r2"),
         expr(s"(n_chars - (n_tok - 1)) * $Grid DIV (n_tok * 10)").as("r3"))
+
+  /** The fixed-point centering means over the `trainCond` split — MODEL
+    * STATE: serving a doc through other means is a different model.
+    * One collect of 3 longs (bounded). */
+  def fitMeans(raw: DataFrame,
+               trainCond: org.apache.spark.sql.Column): (Long, Long, Long) = {
     val m = raw.filter(trainCond).agg(
       expr("sum(r1) DIV count(*)").as("m1"),
       expr("sum(r2) DIV count(*)").as("m2"),
       expr("sum(r3) DIV count(*)").as("m3")).head()
-    raw.select(col("doc_id"), col("y"), col("n_chars"), lit(Grid).as("x0"),
-      (col("r1") - lit(m.getLong(0))).as("x1"),
-      (col("r2") - lit(m.getLong(1))).as("x2"),
-      (col("r3") - lit(m.getLong(2))).as("x3"))
+    (m.getLong(0), m.getLong(1), m.getLong(2))
   }
+
+  private def centered(raw: DataFrame, m: (Long, Long, Long)): DataFrame =
+    raw.select(col("doc_id"), col("y"), col("n_chars"), lit(Grid).as("x0"),
+      (col("r1") - lit(m._1)).as("x1"),
+      (col("r2") - lit(m._2)).as("x2"),
+      (col("r3") - lit(m._3)).as("x3"))
+
+  /** Pooled (features, means) pair for a corpus dir — ONE corpus scan
+    * feeds both the centered frame and the 1-row means frame (the
+    * serving-time model state [[servingModel]] reads back). */
+  private def pooledFeatureFrames(spark: SparkSession,
+                                  sfDir: String): Seq[DataFrame] =
+    FramePool.frames(s"logit-features:$sfDir") {
+      val raw = rawFeatures(augment(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))))
+      val m = fitMeans(raw, lit(true))
+      import spark.implicits._
+      Seq(centered(raw, m),
+        Seq(m).toDF("m1", "m2", "m3").coalesce(1))
+    }
 
   /** Pooled feature frame for a corpus dir — training rounds and every
     * serving query share one persisted copy (the pq-trained pattern). */
   def pooledFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    FramePool.frames(s"logit-features:$sfDir") {
-      Seq(features(augment(
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text")))))
-    }.head
+    pooledFeatureFrames(spark, sfDir).head
+
+  /** The training corpus's centering means (model state), off the same
+    * pooled scan as [[pooledFeatures]]. */
+  def trainedMeans(spark: SparkSession, sfDir: String): (Long, Long, Long) = {
+    val r = pooledFeatureFrames(spark, sfDir)(1).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
 
   /** The fixed-point linear logit z = (w·x) DIV G as a column
     * expression over a [[features]]-shaped frame. */
@@ -290,6 +325,75 @@ object Logit {
     val w = servingWeights(spark, sfDir)
     pooledFeatures(spark, sfDir)
       .select(col("doc_id"), col("y"), col("n_chars"), zExpr(w).as("z"))
+  }
+
+  /** The complete serving-time model: served weights PLUS the training
+    * corpus's centering means. Both are model state — a deployment
+    * ships them together (the [[save]] artifact carries the weights;
+    * the means ride the same training corpus). */
+  final case class Model(w: Weights, m1: Long, m2: Long, m3: Long)
+
+  /** The served model of a training-corpus dir, ready to score
+    * ARBITRARY documents via [[scoreCorpus]]. */
+  def servingModel(spark: SparkSession, sfDir: String): Model = {
+    val m = trainedMeans(spark, sfDir)
+    Model(servingWeights(spark, sfDir), m._1, m._2, m._3)
+  }
+
+  /** Score an arbitrary (id, text) frame through a trained [[Model]]:
+    * recompute the three raw fixed-point features from `textCol`,
+    * center with the TRAINED means, apply the served weights. Returns
+    * the input plus a `z` column. Pure per-row map — no shuffle, no
+    * collect; at 100 TB this is a projection fused into whatever scan
+    * feeds it. Oracle twin: the `rfq`/`zq` CTE shape in the refinery
+    * acceptance query. */
+  def scoreCorpus(docs: DataFrame, model: Model,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val raw = docs
+      .withColumn("__ntok", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__nstop", size(filter(split(col(textCol), " "),
+        x => x.isin("a", "the", "of", "to"))).cast("long"))
+      .withColumn("__nch", length(col(textCol)).cast("long"))
+    raw.withColumn("z", expr(
+        s"(${model.w.w0}L * ${Grid}L" +
+          s" + ${model.w.w1}L * (__ntok * $Grid DIV 100 - ${model.m1}L)" +
+          s" + ${model.w.w2}L * (__nstop * $Grid DIV __ntok - ${model.m2}L)" +
+          s" + ${model.w.w3}L * ((__nch - (__ntok - 1)) * $Grid" +
+          s" DIV (__ntok * 10) - ${model.m3}L)) DIV $Grid"))
+      .drop("__ntok", "__nstop", "__nch")
+  }
+
+  /** The max-F1 operating point of the served model on its training
+    * corpus — the q141 sweep's actuator: the fixed-point z cutoff a
+    * deployment gates at (keep = z ≥ threshold). Evaluated at every
+    * DISTINCT-score boundary (a z-threshold gate can only cut between
+    * score groups): for cutoff z, TP = positives scoring ≥ z and
+    * n = rows scoring ≥ z, so F1 = 2·TP/(n + P). The comparison runs
+    * on the 10¹² integer grid — f1_sc = (2·TP·10¹²) DIV (n + P),
+    * assembled through DECIMAL(38,0) (oracle: HUGEINT) since 2·TP·10¹²
+    * wraps a Long past TP ≈ 4.6·10⁶ — with ties broken toward the
+    * LARGER z (the conservative gate). One |distinct z|-sized frame,
+    * one distributed prefix sum, one 1-row reduction. */
+  def maxF1Threshold(spark: SparkSession, sfDir: String): Long = {
+    val scored = scoredDocs(spark, sfDir)
+    val byScore = scored.groupBy(col("z"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_all"))
+    // cumulate in z DESC order: cum_tp/cum_n = counts at cutoff "≥ z"
+    val (cum, _) = PrefixSum.rankedRunningSum(
+      byScore, Seq(col("z").desc), col("n_pos"), "__rn", "cum_tp")
+    val (cum2, _) = PrefixSum.rankedRunningSum(
+      cum, Seq(col("z").desc), col("n_all"), "__rn2", "cum_n")
+    val totalPos = scored.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L))).head().getLong(0)
+    val best = cum2
+      .select(col("z"), expr(
+        s"CAST(CAST(2 * cum_tp AS DECIMAL(38,0)) * 1000000000000" +
+          s" DIV (cum_n + ${totalPos}L) AS BIGINT)").as("f1_sc"))
+      .orderBy(col("f1_sc").desc, col("z").desc)
+      .limit(1).head()
+    best.getLong(0)
   }
 
   /** A [[load]]ed artifact: the full trajectory plus the round the

@@ -11,6 +11,60 @@ import Q._
   */
 object QualityQueries {
 
+  /** Shared DuckDB CTE chain for the refinery's query-expressible
+    * stages (q243's oracle, reused by q280): token gate → exact dedup
+    * → benchmark decontamination → containment drop, ending in `cur`
+    * (the post-containment survivor frame). `lead` is "WITH " at a
+    * statement head or ", " to append to an existing WITH list. */
+  private def refineryCurCtes(lead: String): String =
+    s"${lead}gated AS (\n" +
+      """  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+        |    FROM gated) GROUP BY nk
+        |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+        |sh8 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
+      (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
+      s"""), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        |        WHERE len(s) >= 8)
+        |), bm AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 10 = 0),
+        |cont AS (
+        |  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bm USING (h)
+        |  JOIN dd ON dd.doc_id = sh8.doc_id
+        |), cl AS (
+        |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
+        |  WHERE cont.doc_id IS NULL
+        |), sh3 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
+        |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM cl))
+        |), szs AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+        |pc AS (SELECT h60 FROM sh3 GROUP BY h60
+        |       HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxBucketSize}),
+        |cp AS (SELECT sh3.doc_id, sh3.h60 FROM sh3 JOIN pc USING (h60)),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM cp a JOIN cp b ON a.h60 = b.h60 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT a_id AS doc_id
+        |  FROM pr JOIN szs sa ON sa.doc_id = a_id
+        |  JOIN szs sb ON sb.doc_id = b_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+        |    AND (sa.n < sb.n OR (sa.n = sb.n AND a_id > b_id))
+        |), cur AS (
+        |  SELECT cl.* FROM cl LEFT JOIN dropped ON dropped.doc_id = cl.doc_id
+        |  WHERE dropped.doc_id IS NULL
+        |)""".stripMargin
+
   /** PII injection: the fixture text is clean, so both engines append the
     * same synthetic PII to a deterministic subset of docs before
     * scrubbing — the scrub itself is then a real-work parity check. */
@@ -1213,53 +1267,8 @@ object QualityQueries {
         graft.operators.CorpusStats.datasetCard(
           curated, "source", "text", k = 8).orderBy("source")
       },
-      Some("WITH gated AS (\n" +
-        """  SELECT doc_id, text, source FROM documents
-          |  WHERE doc_id % 10 <> 0
-          |    AND len(string_split(text, ' ')) BETWEEN 10 AND 1000
-          |), keep AS (
-          |  SELECT min(doc_id) AS doc_id FROM (
-          |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
-          |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS nk
-          |    FROM gated) GROUP BY nk
-          |), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
-          |sh8 AS (
-          |  SELECT doc_id, ('0x' || substr(md5(""".stripMargin +
-        (0 until 8).map(j => s"s[i+$j]").mkString(" || ' ' || ") +
-        s"""), 1, 15))::BIGINT AS h
-          |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS i
-          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
-          |        WHERE len(s) >= 8)
-          |), bm AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 10 = 0),
-          |cont AS (
-          |  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN bm USING (h)
-          |  JOIN dd ON dd.doc_id = sh8.doc_id
-          |), cl AS (
-          |  SELECT dd.* FROM dd LEFT JOIN cont ON cont.doc_id = dd.doc_id
-          |  WHERE cont.doc_id IS NULL
-          |), sh3 AS (
-          |  SELECT DISTINCT doc_id,
-          |    ('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]),1,15))::BIGINT AS h60
-          |  FROM (SELECT doc_id, s, unnest(range(1, len(s)-1)) AS i
-          |        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM cl))
-          |), szs AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
-          |pc AS (SELECT h60 FROM sh3 GROUP BY h60
-          |       HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxBucketSize}),
-          |cp AS (SELECT sh3.doc_id, sh3.h60 FROM sh3 JOIN pc USING (h60)),
-          |pr AS (
-          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-          |  FROM cp a JOIN cp b ON a.h60 = b.h60 AND a.doc_id <> b.doc_id
-          |  GROUP BY 1, 2
-          |), dropped AS (
-          |  SELECT DISTINCT a_id AS doc_id
-          |  FROM pr JOIN szs sa ON sa.doc_id = a_id
-          |  JOIN szs sb ON sb.doc_id = b_id
-          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
-          |    AND (sa.n < sb.n OR (sa.n = sb.n AND a_id > b_id))
-          |), cur AS (
-          |  SELECT cl.* FROM cl LEFT JOIN dropped ON dropped.doc_id = cl.doc_id
-          |  WHERE dropped.doc_id IS NULL
-          |), keyed AS (
+      Some(refineryCurCtes("WITH ") +
+        """, keyed AS (
           |  SELECT source, md5(text) AS k,
           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
           |  FROM cur
@@ -1521,6 +1530,85 @@ object QualityQueries {
         (1 to graft.operators.Logit.Rounds).map(r =>
           s"SELECT round, n_pos, n_neg, u2, " +
             s"${LogitOracle.aucBpExpr} AS auc_bp FROM ha$r")
-          .mkString("", "\nUNION ALL\n", "\nORDER BY round")))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round"))),
+
+    // REFINERY × TRAINED CLASSIFIER acceptance — the end-to-end
+    // deployment recipe composed as one oracle-gated chain: train the
+    // quality logit in-engine (q278), pick the served round by holdout
+    // AUC (q279's actuator), derive the max-F1 operating point from
+    // the threshold sweep (q141's actuator), then run the refinery's
+    // query-expressible stages (q243's gate → dedup → decontaminate →
+    // containment-drop) and GATE the survivors at z ≥ threshold —
+    // pipelines/Refinery.run's QualityGate stage, registry-proven.
+    // Report: per-source survivorship (n_curated → n_kept) plus the
+    // threshold, all exact integers. The scoring pass is a pure
+    // per-row projection over the survivor frame (no shuffle beyond
+    // the survivorship groupBy); the threshold derivation is one
+    // |distinct z| frame + a 1-row reduction — both 100 TB shapes.
+    QuerySpec("q280_refinery_quality_gate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val cleaned = graft.operators.CorpusClean.clean(
+          train, bench, "doc_id", "text")
+        val contained = graft.operators.Dedup.containmentPairs(
+            cleaned, "doc_id", "text", k = 3, minContainment = 0.8)
+          .filter(col("na") < col("nb") ||
+            (col("na") === col("nb") && col("a_id") > col("b_id")))
+          .select(col("a_id").as("doc_id")).distinct()
+        val cur = cleaned.join(contained, Seq("doc_id"), "left_anti")
+        val model = graft.operators.Logit.servingModel(s, d)
+        val thr = graft.operators.Logit.maxF1Threshold(s, d)
+        graft.operators.Logit.scoreCorpus(cur, model)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_curated"),
+            sum(when(col("z") >= thr, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("thr_z", lit(thr))
+          .orderBy("source")
+      },
+      Some(LogitOracle.scored + refineryCurCtes(", ") +
+        s""", bys AS (
+           |  SELECT z, CAST(sum(y) AS BIGINT) AS n_pos,
+           |    CAST(count(*) AS BIGINT) AS n_all
+           |  FROM scored GROUP BY z
+           |), cumz AS (
+           |  SELECT z,
+           |    CAST(sum(n_pos) OVER (ORDER BY z DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+           |    CAST(sum(n_all) OVER (ORDER BY z DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+           |  FROM bys
+           |), tpv AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM scored),
+           |f1 AS (
+           |  SELECT z, CAST((CAST(2 * cum_tp AS HUGEINT) * 1000000000000)
+           |    // (cum_n + p) AS BIGINT) AS f1_sc
+           |  FROM cumz, tpv
+           |), thrv AS (
+           |  SELECT z AS thr_z FROM f1
+           |  ORDER BY f1_sc DESC, z DESC LIMIT 1
+           |), rfq AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter(string_split(text,' '),
+           |      x -> x IN ('a','the','of','to'))) AS BIGINT) AS n_stop,
+           |    CAST(length(text) AS BIGINT) AS n_chars
+           |  FROM cur
+           |), zq AS (
+           |  SELECT doc_id, source,
+           |    (w0 * ${graft.operators.Logit.Grid}
+           |     + w1 * ((n_tok * ${graft.operators.Logit.Grid}) // 100 - m1)
+           |     + w2 * ((n_stop * ${graft.operators.Logit.Grid}) // n_tok - m2)
+           |     + w3 * (((n_chars - (n_tok - 1))
+           |         * ${graft.operators.Logit.Grid}) // (n_tok * 10) - m3))
+           |      // ${graft.operators.Logit.Grid} AS z
+           |  FROM rfq, ws, mu
+           |)
+           |SELECT zq.source, count(*) AS n_curated,
+           |  CAST(sum(CASE WHEN zq.z >= thr_z THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(min(thr_z) AS BIGINT) AS thr_z
+           |FROM zq, thrv GROUP BY zq.source
+           |ORDER BY zq.source""".stripMargin))
   )
 }
