@@ -75,13 +75,19 @@ object FramePool {
       }
     }
 
-  /** Unpersist and forget every pooled entry (non-blocking). */
-  def release(): Unit = {
+  /** Unpersist and forget every pooled entry (non-blocking). Takes the
+    * same monitor as [[frames]] so a lifecycle sweep (end of a Verify/
+    * Bench run, a streaming sink's per-batch release) cannot clear or
+    * unpersist frames another thread is resolving mid-plan — for
+    * localCheckpoint'ed entries that would be unrecoverable, not a
+    * recompute. NOTE the release is JVM-GLOBAL: concurrently running
+    * queries that share the pool must not interleave with it. */
+  def release(): Unit = pool.synchronized {
     pool.values.forEach(_.foreach(_.unpersist(blocking = false)))
     pool.clear()
     order.clear()
   }
 
   /** Currently pooled key count (test/monitoring hook). */
-  def pooledCount: Int = pool.size()
+  def pooledCount: Int = pool.synchronized { pool.size() }
 }

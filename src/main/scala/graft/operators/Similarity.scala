@@ -276,9 +276,16 @@ object Similarity {
         col(labelCol).as("lbl"))
       // the POOLED full-corpus component frame, restricted to labeled
       // rows by an id-join BEFORE the |labels| fan-out — shares one
-      // posexplode with the scatter family instead of paying its own
+      // posexplode with the scatter family instead of paying its own.
+      // NOTE the widened check scope this inherits: componentFrame's
+      // per-component magnitude require now sees UNLABELED rows too
+      // (the full corpus), where the pre-pooled build only validated
+      // labeled ones. The restriction join is on DISTINCT vids — an id
+      // carrying two labels must not double its component rows here
+      // (labelMomentsFromComp applies the (vid, lbl) pairing exactly
+      // once, via its own labels join).
       val (comp0, _) = componentFrame(vectors, idCol, vecCol)
-      val comp = comp0.join(labels.select(col("vid")), "vid")
+      val comp = comp0.join(labels.select(col("vid")).distinct(), "vid")
       val mu = centroidsFromMoments(labelMomentsFromComp(comp, labels))
       val d2 = comp.join(broadcast(mu), "pos")
         .select(col("vid"), col("clbl"),

@@ -1385,26 +1385,45 @@ object EventStreams {
         val qc = qidCols.map(col)
         val marker = Paths.get(s"$stateDir/applied/batch=$batchId")
         if (!NioFiles.exists(marker)) {
+          // The directory marker alone is NOT atomic with the swap: a
+          // crash after a rotate's staging→base move but before the
+          // marker would re-merge this batch's gsz on replay (permanent
+          // overcount — ADVICE r15). So each staged snapshot carries the
+          // batch id INSIDE it as a '_'-prefixed sentinel file (invisible
+          // to parquet readers): the applied evidence moves in the same
+          // rename as the state, and a per-rotate skip makes each rotate
+          // individually idempotent even when the crash lands BETWEEN
+          // the two rotates.
+          val sentinelName = s"_applied_batch_$batchId"
           // rotate one compacted base snapshot (recovery-safe swap:
           // base → .old only after .staging is fully written)
           def rotate(df: DataFrame, dir: String)
                     (compact: DataFrame => DataFrame): Unit = {
             val basePath = Paths.get(dir)
             val oldPath = Paths.get(dir + ".old")
-            if (!NioFiles.exists(basePath) && NioFiles.exists(oldPath))
-              NioFiles.move(oldPath, basePath)
-            else if (NioFiles.exists(oldPath))
+            if (NioFiles.exists(basePath.resolve(sentinelName))) {
+              // this batch's merge already swapped in — merging again
+              // would double-count; a leftover .old is just the
+              // completed swap's debris
               graft.operators.Convert.deleteRecursively(oldPath)
-            val merged =
-              if (NioFiles.exists(basePath))
-                spark.read.parquet(dir).unionByName(df)
-              else df
-            val staging = Paths.get(dir + ".staging")
-            graft.operators.Convert.deleteRecursively(staging)
-            compact(merged).write.mode("overwrite").parquet(staging.toString)
-            if (NioFiles.exists(basePath)) NioFiles.move(basePath, oldPath)
-            NioFiles.move(staging, basePath)
-            graft.operators.Convert.deleteRecursively(oldPath)
+            } else {
+              if (!NioFiles.exists(basePath) && NioFiles.exists(oldPath))
+                NioFiles.move(oldPath, basePath)
+              else if (NioFiles.exists(oldPath))
+                graft.operators.Convert.deleteRecursively(oldPath)
+              val merged =
+                if (NioFiles.exists(basePath))
+                  spark.read.parquet(dir).unionByName(df)
+                else df
+              val staging = Paths.get(dir + ".staging")
+              graft.operators.Convert.deleteRecursively(staging)
+              compact(merged).write.mode("overwrite")
+                .parquet(staging.toString)
+              NioFiles.createFile(staging.resolve(sentinelName))
+              if (NioFiles.exists(basePath)) NioFiles.move(basePath, oldPath)
+              NioFiles.move(staging, basePath)
+              graft.operators.Convert.deleteRecursively(oldPath)
+            }
           }
           rotate(batch.groupBy(qc: _*).agg(count(lit(1)).as("gsz")),
             s"$stateDir/sizes")(

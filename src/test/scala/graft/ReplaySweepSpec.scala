@@ -291,4 +291,43 @@ class ReplaySweepSpec extends SparkSpec {
       runCase(c)
     }
   }
+
+  test("lDiversityMonitorSink: crash AFTER the state swap but BEFORE " +
+      "the applied marker does not double-merge on replay (the batch " +
+      "stamp travels inside the base snapshot)") {
+    val tmp = Files.createTempDirectory("replaymid").toString
+    val w1 = Seq((1, "A", 10L), (2, "B", 7L)).toDF("nat", "seg", "sens")
+    val w2 = Seq((1, "A", 20L), (2, "B", 7L)).toDF("nat", "seg", "sens")
+    w1.write.parquet(s"$tmp/in")
+    def open() = EventStreams.lDiversityMonitorSink(
+      EventStreams.fileStream(spark, w1.schema, s"$tmp/in"),
+      Seq("nat", "seg"), "sens", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+    open().awaitTermination() // batch 0
+    w2.write.mode("append").parquet(s"$tmp/in")
+    open().awaitTermination() // batch 1
+    val before = spark.read.parquet(s"$tmp/report")
+      .toJSON.collect().sorted.toSeq
+    // the r15 ADVICE window: both rotates swapped their bases in, but
+    // the crash landed before the applied marker AND before the
+    // checkpoint commit — replay re-runs batch 1 with NO marker, so
+    // only the batch evidence stamped inside the snapshot itself can
+    // stop the additive gsz state from merging the batch twice
+    assert(new java.io.File(s"$tmp/state/applied/batch=1").isDirectory)
+    graft.operators.Convert.deleteRecursively(
+      java.nio.file.Paths.get(s"$tmp/state/applied/batch=1"))
+    val commit = new java.io.File(s"$tmp/ckpt/commits/1")
+    assert(commit.delete())
+    new java.io.File(s"$tmp/ckpt/commits/.1.crc").delete()
+    open().awaitTermination() // batch 1 REPLAYED, marker absent
+    val after = spark.read.parquet(s"$tmp/report")
+      .toJSON.collect().sorted.toSeq
+    assert(after === before, "served report changed under mid-window replay")
+    // and the raw additive state is EXACTLY one count per row ever
+    // arrived (2 groups × 2 waves) — no double-merge hiding behind the
+    // report's l-bucketing
+    val sizes = spark.read.parquet(s"$tmp/state/sizes")
+    assert(sizes.agg(sum(col("gsz"))).head().getLong(0) === 4L)
+    // the marker is re-established for the replayed batch
+    assert(new java.io.File(s"$tmp/state/applied/batch=1").isDirectory)
+  }
 }
