@@ -347,8 +347,37 @@ object Bench {
     // the pass re-probes every 10 cells, pausing briefly if the window
     // collapses mid-pass (min() keeps the headline safe regardless —
     // the probes are recorded so the artifact self-adjudicates).
+    // Round-16 extension (verdict item 3): RATIO-TRIGGERED retime — the
+    // r15 regression reading (q39 4.0×, q44 3.3×, q105 3.2×, q43 2.9×,
+    // all sub-0.7 s window noise) had to be hand-adjudicated because the
+    // top-N floor excluded small cells. Any cell whose loop time exceeds
+    // its PRIOR-ROUND artifact value (the committed bench_full.json this
+    // run will overwrite) by >1.5× joins the retime candidates with
+    // guaranteed capacity, so the artifact carries a same-run second
+    // opinion for every apparent regression it reports — the verdict can
+    // read regressions off the artifact alone.
     val RetimeCount = 16
     val RetimeCap = 60
+    val RatioTrigger = 1.5
+    val RatioCap = 20
+    val priorTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (Files.exists(p)) {
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+        val qStart = s.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = s.substring(qStart + 11, s.indexOf("}", qStart))
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val ratioSuspects = loopResults.collect {
+      case (n, (t, true)) if priorTimes.get(n)
+        .exists(p0 => p0 > 0 && t > RatioTrigger * p0) =>
+        (n, t / priorTimes(n))
+    }.sortBy(-_._2).take(RatioCap).map(_._1).toSet
     var retimes = Seq.empty[(String, Double, Double)] // (name, loopSec, retimeSec)
     var retimeProbes = (-1.0, -1.0)
     var retimeSkippedUnhealthy = false
@@ -371,9 +400,15 @@ object Bench {
       }.toSet
       val slowSet = loopResults.filter(_._2._2).sortBy(-_._2._1)
         .take(RetimeCount).map(_._1).toSet
-      val candNames = slowSet ++ windowSuspects
-      val cand = loopResults.filter(r => candNames(r._1) && r._2._2)
-        .sortBy(-_._2._1).take(RetimeCap)
+      // ratio suspects get GUARANTEED capacity (they are typically the
+      // small cells a time-sorted cap would cut); slow/window-suspect
+      // cells fill what remains
+      val ratioCand = loopResults.filter(r => ratioSuspects(r._1) && r._2._2)
+      val otherNames = slowSet ++ windowSuspects
+      val otherCand = loopResults
+        .filter(r => otherNames(r._1) && !ratioSuspects(r._1) && r._2._2)
+        .sortBy(-_._2._1).take(math.max(0, RetimeCap - ratioCand.size))
+      val cand = ratioCand ++ otherCand
       if (cand.nonEmpty) {
         settleStorage()
         var p = probe()
@@ -446,8 +481,15 @@ object Bench {
     val env = f""""io_mbps":${fmt(ioMbps)},"k2_io_mbps":${fmt(k2IoMbps)},"k2_runs":$k2RunsJson,"degraded_io":$degraded,"deadline_hit":$deadlineHit,"loop_probes":$loopProbesJson"""
 
     // Complete per-query map — the stdout line only carries the headline.
+    // ratio_suspects: every cell this artifact reports >RatioTrigger×
+    // its prior-round value (name → the prior seconds it was judged
+    // against); each has a same-run retime in `retimed` unless the
+    // window never recovered (retime_skipped_unhealthy says so)
+    val ratioJson = ratioSuspects.toSeq.sorted.map(n =>
+      s""""$n":${fmt(priorTimes.getOrElse(n, -1.0))}""")
+      .mkString("{", ",", "}")
     Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"retime_skipped_unhealthy":$retimeSkippedUnhealthy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"retime_skipped_unhealthy":$retimeSkippedUnhealthy,"ratio_trigger":$RatioTrigger,"ratio_suspects":$ratioJson,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,$env,"sf":"$sfDir"}""")

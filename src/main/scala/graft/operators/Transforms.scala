@@ -87,12 +87,27 @@ object Transforms {
   def sortAsc(df: DataFrame, cols: String*): DataFrame =
     df.orderBy(cols.map(col): _*)
 
-  /** O2: seeded exact-n random sample. A full sort by rand is a shuffle of
-    * the whole table; at 100 TB prefer a two-phase variant (per-partition
-    * top-n under rand, then a tiny global top-n), which Catalyst already
-    * produces for orderBy+limit via TakeOrderedAndProject. */
+  /** O2: seeded exact-n random sample (reference: pandas
+    * `df.sample(n, random_state)` — `utils.py:73`), as a SEEDED MD5-RANK
+    * top-n: rank = md5(seed || ':' || to_json(row)) and take the n
+    * smallest. Round-16 change (verdict item 7): the original
+    * `orderBy(rand(seed)).limit(n)` was NOT reproducible — Spark seeds
+    * `rand` per PARTITION (seed + partitionIndex), so the "same" seed
+    * drew a different sample whenever the partition count or row
+    * placement changed (file-split config, cluster size, compaction) — a
+    * real reproducibility bug for a pipeline that must re-derive its
+    * sample. The md5 rank is a pure function of (seed, row content):
+    * stable across runs, partitionings, and engines — the [[hashSample]]/
+    * [[hashTopK]]/q104 determinism discipline applied to seeded exact-n
+    * draws. `to_json(struct(*))` is the row key (null-safe, unambiguous,
+    * schema-named — concat would conflate ("a","b c")/("a b","c")); rows
+    * with identical JSON are identical rows and therefore interchangeable
+    * at the cut. Plan shape is unchanged: orderBy+limit →
+    * TakeOrderedAndProject (per-partition top-n heap + one n-row merge,
+    * O(rows·log n) map-side, n rows of driver traffic at ANY scale). */
   def sampleExactN(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.orderBy(rand(seed)).limit(n)
+    df.orderBy(md5(concat(lit(s"$seed:"),
+      to_json(struct(df.columns.map(col): _*)))).asc).limit(n)
 
   /** A1: pivot long→wide. `values` should be passed when known — it skips
     * the extra distinct-values job Spark otherwise runs. */

@@ -31,6 +31,19 @@ class TransformsSpec extends SparkSpec {
     assert(s1 !== s3) // overwhelmingly likely for distinct seeds
   }
 
+  test("sampleExactN is stable under partition-count changes (the rand() " +
+    "per-partition-seed trap the md5 rank exists to avoid)") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Transforms.sampleExactN(df, 100, 721L)
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val base = draw(src)
+    // same seed, same data, DIFFERENT physical layout → identical sample
+    assert(draw(src.repartition(3)) === base)
+    assert(draw(src.repartition(17)) === base)
+    assert(draw(src.coalesce(1)) === base)
+  }
+
   test("sampleExactN with n > count returns all rows") {
     val df = Seq(1, 2, 3).toDF("x")
     assert(Transforms.sampleExactN(df, 10, 1L).count() === 3)
