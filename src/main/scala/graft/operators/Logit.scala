@@ -130,6 +130,13 @@ object Logit {
     (m.getLong(0), m.getLong(1), m.getLong(2))
   }
 
+  /** Center a [[rawFeatures]] frame with fitted means — public so the
+    * streaming twin (EventStreams.servingLogit) can re-center the
+    * union of its per-batch raw-feature partials with serve-time means
+    * before re-training (the train-on-everything merge-closure rule). */
+  def centerFeatures(raw: DataFrame, m: (Long, Long, Long)): DataFrame =
+    centered(raw, m)
+
   private def centered(raw: DataFrame, m: (Long, Long, Long)): DataFrame =
     raw.select(col("doc_id"), col("y"), col("n_chars"), lit(Grid).as("x0"),
       (col("r1") - lit(m._1)).as("x1"),

@@ -1353,6 +1353,56 @@ object EventStreams {
       spark.read.parquet(s"$stateDir/tokens")
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
 
+  /** Streaming twin of the q278 classifier TRAINING state — the last
+    * trained model state to join §2.12's build→persist→serve→append→
+    * stream-maintain contract. Batch gradient descent has no per-batch
+    * additive gradient (each round's gradient depends on the evolving
+    * weights over ALL rows), so the merge-closed state is the id-sized
+    * RAW feature frame itself: each batch publishes
+    * Logit.rawFeatures(augment(batch)) — a pure per-row projection, no
+    * shuffle — and the serve step re-fits the centering means over the
+    * UNION and re-trains through the shared Logit.trainTrajectory tree
+    * (the q222 OLS-monitor pattern: partials merge trivially, SOLVE at
+    * read). That makes the streamed trajectory ≡ batch q278 over all
+    * arrivals regardless of wave splits — per-wave training would
+    * center per-wave means and diverge (spec plants exactly that).
+    * Replay-idempotent by construction: a re-delivered batch overwrites
+    * its own `feat/batch=<id>` partial with identical deterministic
+    * content. State grows id-sized (like the ingest corpus logs), never
+    * corpus-text-sized; serve cost is Rounds map-side-combined
+    * aggregations over it. */
+  def logitMonitorSink(stream: DataFrame, idCol: String, textCol: String,
+                       stateDir: String, reportDir: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Logit.rawFeatures(graft.operators.Logit.augment(
+            batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+          .write.mode("overwrite").parquet(s"$stateDir/feat/batch=$batchId")
+        servingLogit(spark, stateDir)
+          .write.mode("overwrite").parquet(reportDir)
+        ()
+      }
+      .start()
+
+  /** The queryable trained trajectory (round, w0..w3) over everything
+    * [[logitMonitorSink]] has published — serve-time means over the
+    * merged raw partials, then the SAME fixed-point training the batch
+    * operator runs (≡ q278 over all arrivals, spec-proven). */
+  def servingLogit(spark: SparkSession, stateDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$stateDir/feat")
+    val traj = graft.operators.Logit.trainTrajectory(
+      graft.operators.Logit.centerFeatures(
+        raw, graft.operators.Logit.fitMeans(raw, lit(true))))
+    import spark.implicits._
+    traj.map(w => (w.round, w.w0, w.w1, w.w2, w.w3))
+      .toDF("round", "w0", "w1", "w2", "w3").coalesce(1)
+  }
+
   /** Streaming twin of the q275 l-diversity audit: each batch merges
     * (a) the per-group member-count partial (ADDITIVE) and (b) the
     * DISTINCT (group, sensitive-value) pairs (a set that merges by

@@ -221,6 +221,12 @@ class ReplaySweepSpec extends SparkSpec {
       (s, t) => EventStreams.epochScheduleMonitorSink(s, "source", "text",
         s"$t/state", s"$t/report", s"$t/ckpt"),
       t => Seq(spark.read.parquet(s"$t/report"))),
+    SinkCase("logitMonitorSink", docsW1.select("doc_id", "text"),
+      docsW2.select("doc_id", "text"),
+      (s, t) => EventStreams.logitMonitorSink(s, "doc_id", "text",
+        s"$t/state", s"$t/report", s"$t/ckpt"),
+      t => Seq(spark.read.parquet(s"$t/report"),
+        spark.read.parquet(s"$t/state/feat"))),
     SinkCase("lDiversityMonitorSink",
       Seq((1, "A", 10L), (2, "B", 7L)).toDF("nat", "seg", "sens"),
       Seq((1, "A", 20L), (2, "B", 7L)).toDF("nat", "seg", "sens"),

@@ -1194,6 +1194,51 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OperatorCaches.release()
   }
 
+  test("streaming logit training merges raw FEATURE partials and " +
+      "re-trains at serve — per-wave training would center per-wave " +
+      "means and diverge") {
+    val tmp = Files.createTempDirectory("streamspec").toString
+    // waves with sharply different length/stopword profiles: the
+    // centering means over either wave alone truncate differently from
+    // the merged means, so only raw-partial merging + serve-time
+    // re-training reproduces batch training over all arrivals. doc 5
+    // takes the planted boilerplate label (doc_id % 5 = 0) so both
+    // classes are present in the merged training frame.
+    def doc(id: Long, words: Int, stop: Int) =
+      (id, (Seq.fill(stop)("the") ++ Seq.fill(words - stop)("word"))
+        .mkString(" "))
+    val wave1 = Seq(doc(1, 10, 5), doc(2, 12, 1), doc(3, 9, 0))
+      .toDF("doc_id", "text")
+    val wave2 = Seq(doc(4, 220, 40), doc(5, 180, 2), doc(6, 260, 10))
+      .toDF("doc_id", "text")
+    wave1.write.parquet(s"$tmp/in")
+    def open() = EventStreams.logitMonitorSink(
+      EventStreams.fileStream(spark, wave1.schema, s"$tmp/in"),
+      "doc_id", "text", s"$tmp/state", s"$tmp/report", s"$tmp/ckpt")
+    open().awaitTermination()
+    wave2.write.mode("append").parquet(s"$tmp/in")
+    open().awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val streamed = rows(spark.read.parquet(s"$tmp/report"))
+    // batch twin over ALL arrivals through the same operator tree
+    val all = wave1.unionByName(wave2)
+    val batch = graft.operators.Logit.trainTrajectory(
+      graft.operators.Logit.features(graft.operators.Logit.augment(all)))
+      .map(w => (w.round, w.w0, w.w1, w.w2, w.w3))
+    assert(streamed === batch)
+    // and the closure is non-trivial: training wave 2 alone (its own
+    // means) yields a DIFFERENT trajectory than the merged one
+    val w2only = graft.operators.Logit.trainTrajectory(
+      graft.operators.Logit.features(graft.operators.Logit.augment(
+        wave2)))
+      .map(w => (w.round, w.w0, w.w1, w.w2, w.w3))
+    assert(w2only !== batch)
+    graft.operators.OperatorCaches.release()
+  }
+
   test("streaming embedding drift merges MOMENTS, not centroids") {
     val tmp = Files.createTempDirectory("streamspec").toString
     // label 0 / half 0 (even ids) splits across waves with a count-3
