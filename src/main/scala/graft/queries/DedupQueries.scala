@@ -1860,7 +1860,6 @@ object DedupQueries {
     // small (and capped upstream); never corpus².
     QuerySpec("q264_cluster_medoid",
       (s, d) => {
-        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
         val docs = t(s, d, "documents")
         val pairs = graft.operators.Dedup.lshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
@@ -1869,11 +1868,18 @@ object DedupQueries {
         val mem = clu.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("n_members"))
           .filter(col("n_members") >= 2)
-        val sh = docs.select(col("doc_id"),
-          explode(shingleHashSeqFromTokens(tokens(col("text")), 3))
-            .as("h60")).distinct()
-        val msh = sh.join(clu, "doc_id").join(mem, "cluster_id")
-          .select(col("cluster_id"), col("doc_id"), col("h60"))
+        // the POOLED distinct-shingle sets (round 16, verdict item 5):
+        // lshPairs above already built and pooled exactly this frame —
+        // re-shingling the corpus here paid the registry's single most
+        // expensive row twice. Restrict to cluster members BY ID-JOIN
+        // BEFORE the explode (the q263 component-frame recipe): only
+        // clustered docs fan out to (cluster, shingle) rows. hset is
+        // per-doc DISTINCT by construction, so no post-explode distinct.
+        val msh = graft.operators.Dedup
+          .pooledShingleSets(docs, "doc_id", "text", 3)
+          .join(clu, "doc_id").join(mem, "cluster_id")
+          .select(col("cluster_id"), col("doc_id"),
+            explode(col("hset")).as("h60"))
         val aff = msh.as("a").join(msh.as("b"),
             col("a.cluster_id") === col("b.cluster_id") &&
               col("a.h60") === col("b.h60") &&

@@ -1518,8 +1518,14 @@ object QualityQueries {
     // This is how a curation deployment picks the served round —
     // validation AUC, not faith in the loss going down; a trajectory
     // whose holdout AUC degrades while training continues is the
-    // overfit alarm. Work: the pooled split feature frame + 4
-    // |holdout|-sized scoring passes with |distinct z|-sized windows.
+    // overfit alarm. Since round 16 the curve HAS its actuator:
+    // Logit.servingWeights serves the argmax round (ties → later), and
+    // every scored-docs consumer + its oracle re-selects identically
+    // (LogitSpec plants a round-2-peaked trajectory and proves round 2
+    // serves). auc_bp multiplies through DECIMAL(38,0)/HUGEINT so the
+    // ×10⁴ product cannot wrap past ~10⁹-doc holdouts. Work: the
+    // pooled split feature frame + 4 |holdout|-sized scoring passes
+    // with |distinct z|-sized windows.
     QuerySpec("q279_logit_holdout_auc",
       (s, d) => graft.operators.Logit.pooledHoldoutCurve(s, d)
         .orderBy("round"),

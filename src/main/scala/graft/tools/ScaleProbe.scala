@@ -222,6 +222,11 @@ object ScaleProbe {
       // feature frame — one map-side aggregation per GD round (q278),
       // plus 4 holdout scoring passes with |distinct z| windows (q279)
       "q278_logit_training", "q279_logit_holdout_auc",
+      // round-16 addition: the refinery acceptance chain — q243's
+      // posting-join shapes plus a per-row scoring projection and the
+      // |distinct z| threshold derivation; twin replicas inflate the
+      // containment pair mass like every dedup consumer
+      "q280_refinery_quality_gate",
       // κ and the card inherit the centroid fan-out (corpus-linear);
       // Heaps is two span-keyed aggregates; the source cap is one
       // source-keyed window; the medoid affinity join is keyed
