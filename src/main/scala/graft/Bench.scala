@@ -381,7 +381,15 @@ object Bench {
     var retimes = Seq.empty[(String, Double, Double)] // (name, loopSec, retimeSec)
     var retimeProbes = (-1.0, -1.0)
     var retimeSkippedUnhealthy = false
-    if (!degraded && !pastDeadline) {
+    // The retime pass runs EVEN when the sweep was degraded (round-16
+    // change): a reduced-I/O sweep is single-shot per query in a known-bad
+    // window, which makes it exactly the artifact most in need of a
+    // same-run second opinion — and this storage oscillates, so the
+    // healthy-window wait below often gets one. If the window never
+    // recovers, retime_skipped_unhealthy says so and the artifact reads
+    // "all numbers single-shot in a degraded window" instead of silently
+    // reporting phantom regressions with no defense.
+    if (!pastDeadline) {
       val qmap = SparkEntry.queries
       def probe(): Double =
         try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }

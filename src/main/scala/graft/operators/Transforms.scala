@@ -96,18 +96,25 @@ object Transforms {
     * drew a different sample whenever the partition count or row
     * placement changed (file-split config, cluster size, compaction) — a
     * real reproducibility bug for a pipeline that must re-derive its
-    * sample. The md5 rank is a pure function of (seed, row content):
-    * stable across runs, partitionings, and engines — the [[hashSample]]/
+    * sample. The hash rank is a pure function of (seed, row content):
+    * stable across runs and partitionings — the [[hashSample]]/
     * [[hashTopK]]/q104 determinism discipline applied to seeded exact-n
-    * draws. `to_json(struct(*))` is the row key (null-safe, unambiguous,
-    * schema-named — concat would conflate ("a","b c")/("a b","c")); rows
-    * with identical JSON are identical rows and therefore interchangeable
-    * at the cut. Plan shape is unchanged: orderBy+limit →
+    * draws. The rank is `xxhash64(seed, cols…)` — Spark's codegen'd
+    * row hash, which consumes each column's typed VALUE directly
+    * (null-safe, no string materialization; the first md5(to_json)
+    * version paid a per-row JSON serialization that benched 28× the
+    * rand() original on lineitem). A 64-bit collision between distinct
+    * rows at the cut boundary is broken deterministically by the row
+    * struct itself (comparator cost only on hash ties). Rows that are
+    * full duplicates rank identically and are interchangeable at the
+    * cut. Plan shape is unchanged: orderBy+limit →
     * TakeOrderedAndProject (per-partition top-n heap + one n-row merge,
     * O(rows·log n) map-side, n rows of driver traffic at ANY scale). */
-  def sampleExactN(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.orderBy(md5(concat(lit(s"$seed:"),
-      to_json(struct(df.columns.map(col): _*)))).asc).limit(n)
+  def sampleExactN(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    val cols = df.columns.map(col)
+    df.orderBy(xxhash64(lit(seed) +: cols: _*).asc,
+      struct(cols: _*).asc).limit(n)
+  }
 
   /** A1: pivot long→wide. `values` should be passed when known — it skips
     * the extra distinct-values job Spark otherwise runs. */

@@ -1251,7 +1251,11 @@ object QualityQueries {
         val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
         val cleaned = graft.operators.CorpusClean.clean(
           train, bench, "doc_id", "text")
-        val contained = graft.operators.Dedup.containmentPairs(
+        // the POOLED containment pairs (round 16): q280 chains the same
+        // cleaned corpus through the same posting self-join — the pair
+        // frame is the materialize-once artifact both acceptance queries
+        // read
+        val contained = graft.operators.Dedup.pooledContainmentPairs(
             cleaned, "doc_id", "text", k = 3, minContainment = 0.8)
           .filter(col("na") < col("nb") ||
             (col("na") === col("nb") && col("a_id") > col("b_id")))
@@ -1558,7 +1562,8 @@ object QualityQueries {
         val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
         val cleaned = graft.operators.CorpusClean.clean(
           train, bench, "doc_id", "text")
-        val contained = graft.operators.Dedup.containmentPairs(
+        // pooled with q243's identical chain — see the note there
+        val contained = graft.operators.Dedup.pooledContainmentPairs(
             cleaned, "doc_id", "text", k = 3, minContainment = 0.8)
           .filter(col("na") < col("nb") ||
             (col("na") === col("nb") && col("a_id") > col("b_id")))
