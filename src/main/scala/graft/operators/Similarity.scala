@@ -100,14 +100,27 @@ object Similarity {
     (frames.head, frames(1).head().getLong(0))
   }
 
+  /** The d²-row scatter moments are POOLED per component frame (round
+    * 16): the comp⋈comp self-join is the single expensive pass of the
+    * anisotropy family, and q250 (dominant direction), q255 (ABTT) and
+    * the q263 health card were each re-running it over the SAME pooled
+    * component frame. The moments are the family's additive sufficient
+    * statistics — exactly the artifact a deployment materializes once —
+    * and both output frames are tiny (d² and d rows), so pooling costs
+    * nothing. Streaming batches are safe: the anisotropy sink releases
+    * the pool per batch, so per-batch keys never accumulate. */
   private def scatterMomentsFromComp(comp: DataFrame, n: Long)
       : (DataFrame, DataFrame) = {
-    val sums = comp.groupBy(col("pos"))
-      .agg(sum(col("q")).as("sv")).withColumn("n", lit(n))
-    val mom = comp.as("a").join(comp.as("b"), "vid")
-      .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
-      .agg(sum(expr("CAST(a.q AS DECIMAL(38,0)) * b.q")).as("m"))
-    (mom, sums)
+    val frames = FramePool.frames(
+      ("scatter", comp.queryExecution.analyzed.canonicalized, n)) {
+      val sums = comp.groupBy(col("pos"))
+        .agg(sum(col("q")).as("sv")).withColumn("n", lit(n))
+      val mom = comp.as("a").join(comp.as("b"), "vid")
+        .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
+        .agg(sum(expr("CAST(a.q AS DECIMAL(38,0)) * b.q")).as("m"))
+      Seq(mom, sums)
+    }
+    (frames.head, frames(1))
   }
 
   /** "All-but-the-top" removal statistics (Mu & Viswanath 2018,
