@@ -422,8 +422,21 @@ object CorpusQueries {
         val sp = docs.select(col("doc_id"),
           explode(shingleHashSeqFromTokens(tokens(col("text")), 3))
             .as("fp"))
-        val occ = sp.groupBy(expr(s"doc_id * 10 DIV $nd").as("bucket"))
-          .agg(count(lit(1)).as("n_spans"))
+        // Per-bucket span MASS needs no explode: a doc's trigram count is
+        // pure arithmetic on its token count (n≥3 ? n−2 : 0, the exact
+        // cardinality of shingleHashSeqFromTokens), and a doc with zero
+        // spans contributes zero rows to the exploded stream — so the
+        // filter keeps the bucket row-presence identical to the explode
+        // formulation while the whole occ branch collapses from a second
+        // corpus explode + shuffle to one map-side-combined aggregation
+        // over one row per doc (guide §2.3/§2.4: the explode was
+        // recomputed per consumer; only the vocabulary branch needs it).
+        val occ = docs
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") >= 3)
+          .groupBy(expr(s"doc_id * 10 DIV $nd").as("bucket"))
+          .agg(sum(col("n") - 2).as("n_spans"))
         val nw = sp.groupBy(col("fp")).agg(min(col("doc_id")).as("f"))
           .groupBy(expr(s"f * 10 DIV $nd").as("bucket"))
           .agg(count(lit(1)).as("new_types"))

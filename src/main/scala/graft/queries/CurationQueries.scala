@@ -81,12 +81,9 @@ object CurationQueries {
     // float PageRank never could (partition-order-dependent sums).
     QuerySpec("q137_pagerank",
       (s, d) => {
-        val e0 = t(s, d, "orders")
-          .join(t(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
+        // pooled weighted co-purchase frame (Q.copurchaseEdgesWeighted);
+        // its key set IS the old distinct (src, dst) projection
+        val e0 = Q.copurchaseEdgesWeighted(s, d).select(col("src"), col("dst"))
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.Graphs.pageRank(edges, iterations = 3)
           .orderBy("node")
@@ -123,12 +120,8 @@ object CurationQueries {
     // base computed from the same two counts.
     QuerySpec("q175_personalized_pagerank",
       (s, d) => {
-        val e0 = t(s, d, "orders")
-          .join(t(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
+        // pooled weighted co-purchase frame — see q137
+        val e0 = Q.copurchaseEdgesWeighted(s, d).select(col("src"), col("dst"))
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.Graphs.personalizedPageRank(edges,
           isPreferred = col("node").startsWith("c"), iterations = 3)
@@ -754,12 +747,8 @@ object CurationQueries {
     // per iteration.
     QuerySpec("q193_weighted_pagerank",
       (s, d) => {
-        val e0 = t(s, d, "orders")
-          .join(t(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .agg(count(lit(1)).as("w"))
+        // pooled weighted co-purchase frame — see q137
+        val e0 = Q.copurchaseEdgesWeighted(s, d)
         val edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         graft.operators.Graphs.weightedPageRank(edges, iterations = 3)

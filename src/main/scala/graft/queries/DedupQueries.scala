@@ -1669,13 +1669,10 @@ object DedupQueries {
 
     QuerySpec("q223_link_prediction",
       (s, d) => {
-        val b = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val strong = b.as("a")
-          .join(b.as("bb"),
-            col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
-          .groupBy(col("a.pk").as("x"), col("bb.pk").as("y"))
+        // pooled basket pair stream (Q.basketPairOcc) — the distinct +
+        // basket self-join are shared with q194/q226
+        val strong = Q.basketPairOcc(s, d)
+          .groupBy(col("x"), col("y"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2L)
         val und = strong.select(explode(array(

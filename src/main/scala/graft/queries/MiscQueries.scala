@@ -1135,15 +1135,14 @@ object MiscQueries {
     // a broadcast-singleton cross.
     QuerySpec("q194_basket_pairs",
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        // pooled basket frames (Q.basketItems / Q.basketPairOcc) — the
+        // distinct + basket self-join are shared with q223/q226
+        val li = Q.basketItems(s, d)
         val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
         val nOrders = li.select(col("ok")).distinct()
           .agg(count(lit(1)).as("n_orders"))
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+        Q.basketPairOcc(s, d)
+          .groupBy(col("x").as("p_a"), col("y").as("p_b"))
           .agg(count(lit(1)).as("support"))
           .join(cnt.select(col("pk").as("p_a"), col("c").as("ca")), "p_a")
           .join(cnt.select(col("pk").as("p_b"), col("c").as("cb")), "p_b")
@@ -1874,14 +1873,10 @@ object MiscQueries {
     // threshold, is what transfers to 100 TB.
     QuerySpec("q226_frequent_triples",
       (s, d) => {
-        val b = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val occ2 = graft.operators.OperatorCaches.persistTracked(
-          b.as("a").join(b.as("bb"),
-              col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
-            .select(col("a.ok").as("ok"), col("a.pk").as("x"),
-              col("bb.pk").as("y")))
+        // pooled basket pair stream (Q.basketPairOcc, FramePool-persisted)
+        // — shared with q194/q223; the per-query persistTracked is gone
+        // because the pool already holds the frame
+        val occ2 = Q.basketPairOcc(s, d)
         val l2 = occ2.groupBy(col("x"), col("y"))
           .agg(count(lit(1)).as("s")).filter(col("s") >= 2L)
           .select(col("x"), col("y"))

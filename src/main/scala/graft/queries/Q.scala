@@ -59,4 +59,52 @@ object Q {
   /** Exact-arithmetic mean built from dsum / count; oracle twin:
     * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*)`. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Weighted customer↔supplier co-purchase edges (src='c'||custkey,
+    * dst='s'||suppkey, w = lineitem multiplicity), POOLED across queries
+    * ([[graft.operators.FramePool]], fixture-dir key): the link graph is
+    * the artifact a source-weighting pipeline materializes once, and the
+    * three centrality queries (q137 PageRank, q175 personalized, q193
+    * weighted) were each re-running the same orders⋈lineitem join +
+    * edge aggregation. The unweighted edge set the first two need is the
+    * weighted frame's key set (groupBy keys are unique by construction),
+    * so dropping `w` IS the old `.distinct()` — same rows, no second
+    * shuffle. Guide §2.4: two operations keyed the same way share one
+    * exchange; here they share the whole build. */
+  def copurchaseEdgesWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FramePool.frames(("copurchase_cs", sfDir)) {
+      Seq(t(spark, sfDir, "orders")
+        .join(t(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w")))
+    }.head
+
+  /** Distinct (ok = l_orderkey, pk = l_partkey) basket-item frame and the
+    * basket-keyed co-occurrence pair stream (ok, x, y), x < y — POOLED
+    * across the market-basket family (q194 pair mining, q223 link
+    * prediction, q226 Apriori triples), which was re-running the same
+    * distinct + basket self-join three times. Work is Σ basket² with
+    * baskets bounded by order size; the pooled pair stream is the L2
+    * candidate artifact an association-rules pipeline materializes once.
+    * Every consumer's aggregation (support counts, strong-edge filter,
+    * per-order occurrence probes) starts from these two frames. */
+  def basketItems(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FramePool.frames(("basket_items", sfDir)) {
+      Seq(t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    }.head
+
+  /** See [[basketItems]]; (ok, x, y) with x < y, one row per co-occurring
+    * part pair per order. */
+  def basketPairOcc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FramePool.frames(("basket_occ2", sfDir)) {
+      val b = basketItems(spark, sfDir)
+      Seq(b.as("a").join(b.as("bb"),
+          col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("x"),
+          col("bb.pk").as("y")))
+    }.head
 }
