@@ -98,8 +98,47 @@ object Dedup {
                                        textCol: String, k: Int): DataFrame =
     FramePool.frames(
       ("shingles", corpusKey(docs), idCol, textCol, k)) {
-      Seq(shingleSets(docs, idCol, textCol, k))
+      Seq(idFilterParent(docs, idCol) match {
+        // build the side by FILTERING the parent corpus's pooled frame
+        // (per-row work commutes with an id filter) — the side frame is
+        // still pooled itself, so its many downstream references scan a
+        // side-sized cache, not the full parent per reference
+        case Some((parent, pred)) =>
+          pooledShingleSets(parent, idCol, textCol, k).filter(pred)
+        case None => shingleSets(docs, idCol, textCol, k)
+      })
     }.head
+
+  /** When `docs` is a deterministic row-filter ON THE ID COLUMN over a
+    * parent corpus — the `doc_id % 10` split shape every incremental
+    * append/delete query uses — the per-row shingle/minhash/band work
+    * COMMUTES with the filter, so a side's frames are the PARENT corpus's
+    * pooled frames filtered by the same predicate. A 90/10 split's two
+    * sides then share ONE full-corpus build instead of paying two
+    * disjoint scans + md5 passes (and in a registry run the parent pool
+    * is already warm from the batch dedup family). Guards: the predicate
+    * must be deterministic, reference ONLY idCol (it must be applicable
+    * to the derived frames, which carry idCol but not the text), and
+    * contain no subquery; the filter is re-bound by NAME via its SQL
+    * form, which is unambiguous because every derived frame has exactly
+    * one column named idCol. Anything else falls back to a per-side
+    * build. Recursion handles a filter-of-a-filter. */
+  private def idFilterParent(docs: DataFrame,
+                             idCol: String): Option[(DataFrame, Column)] =
+    docs.queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.deterministic && f.condition.references.nonEmpty &&
+            f.condition.references.forall(_.name == idCol) &&
+            f.condition.find(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+              .isEmpty =>
+        scala.util.Try {
+          val parent = org.apache.spark.sql.GraftDatasetBridge
+            .ofRows(docs.sparkSession, f.child)
+          (parent, expr(f.condition.sql))
+        }.toOption
+      case _ => None
+    }
 
   /** Corpus identity for pool keys: the canonicalized analyzed plan
     * OBJECT — structural equality (Spark's `sameResult` comparison),
@@ -115,15 +154,48 @@ object Dedup {
     * shared across the dedup query family (pairs, clusters-by-two-
     * algorithms, dedup-apply, cluster sizes all start here). */
   private def lshSides(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+                       k: Int, numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) =
+  {
     val sets = pooledShingleSets(docs, idCol, textCol, k)
     val bands = FramePool.frames(
       ("lshbands", corpusKey(docs), idCol, textCol, k, numBands, rowsPerBand)) {
-      Seq(bandFrame(minhashSignatures(sets, idCol, numBands * rowsPerBand),
-        idCol, numBands, rowsPerBand))
+      Seq(idFilterParent(docs, idCol) match {
+        // band construction commutes with an id filter too — derive the
+        // side's band frame from the parent's pooled bands (one filtered
+        // cache scan) instead of re-running minhash over the side
+        case Some((parent, pred)) =>
+          lshSides(parent, idCol, textCol, k, numBands, rowsPerBand)
+            ._2.filter(pred)
+        case None =>
+          bandFrame(minhashSignatures(sets, idCol, numBands * rowsPerBand),
+            idCol, numBands, rowsPerBand)
+      })
     }.head
     (sets, bands)
   }
+
+  /** [[lshPairs]] pooled across queries ([[FramePool]], keyed by the
+    * corpus plan + every banding parameter): the CONFIRMED near-dup pair
+    * frame is the first half of the [[DupGraph]] artifact — the thing a
+    * curation deployment detects once and serves to every consumer — and
+    * a dozen registry queries (pairing report, clusters by two CC
+    * algorithms, dedup-apply, canonical select, label spread, leakage
+    * audits, modularity, cluster stars) were each re-running the
+    * candidate self-join + exact-Jaccard confirm over the same pooled
+    * side frames. Pair mass is bounded by the bucket caps, so the pooled
+    * frame is small. Streaming per-batch callers must keep using
+    * [[lshPairs]] directly (fresh batch plans would pool a key per
+    * batch). */
+  def pooledLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                     numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
+                     rowsPerBand: Int = 2,
+                     maxBucketSize: Long = DefaultMaxBucketSize): DataFrame =
+    FramePool.frames(
+      ("lshpairs", corpusKey(docs), idCol, textCol, numBands, minJaccard, k,
+        rowsPerBand, maxBucketSize)) {
+      Seq(lshPairs(docs, idCol, textCol, numBands, minJaccard, k,
+        rowsPerBand, maxBucketSize))
+    }.head
 
   def lshPairs(docs: DataFrame, idCol: String, textCol: String,
                numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
@@ -839,8 +911,24 @@ object Dedup {
     * [[dupClusters]]); convergence = the undirected edge set stops
     * changing (count + orientation-canonical checksum).
     */
+  /** [[dupClustersStar]] pooled across queries ([[FramePool]], keyed by
+    * the pairs frame's canonicalized plan) — the star-CC sibling of
+    * [[pooledDupClusters]]: the labels are the second half of the
+    * [[DupGraph]] artifact. */
+  def pooledDupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame =
+    FramePool.frames(
+      ("dupclusters_star", pairs.queryExecution.analyzed.canonicalized,
+        maxRounds)) {
+      Seq(dupClustersStar(pairs, maxRounds))
+    }.head
+
   def dupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Checkpoints are LAZY (the dupClusters discipline): each round's
+    // fingerprint probe is the ONE action that materializes that round's
+    // two checkpointed edge frames — eager checkpoints cost a separate
+    // materialization job per frame, and on contracted/near-converged
+    // graphs the loop is pure per-job overhead.
     var edges = pairs
       .select(explode(array(
         struct(col("a_id").as("u"), col("b_id").as("v")),
@@ -848,7 +936,7 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // orientation-canonical fingerprint of the undirected edge set:
     // (count, Σ md5_60(min‖max)) — decimal sum, overflow-safe
@@ -881,7 +969,7 @@ object Dedup {
         edges.filter(col("v") > col("u"))
           .join(mLarge, "u")
           .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // small-star: m(u) = min over SMALLER neighborhood ∪ self;
       // (v, m) for smaller v, plus (u, m)
       val smaller = afterLarge.filter(col("v") < col("u"))
@@ -892,7 +980,7 @@ object Dedup {
             struct(col("v").as("u"), col("m").as("v")),
             struct(col("u"), col("m").as("v")))).as("p"))
           .select(col("p.u").as("u"), col("p.v").as("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val fpNew = fingerprint(afterSmall)
       converged = fpNew == fp
       fp = fpNew

@@ -36,10 +36,13 @@ object DupGraph {
   def build(docs: DataFrame, idCol: String, textCol: String,
             numBands: Int = 4, minJaccard: Double = 0.1, k: Int = 3,
             rowsPerBand: Int = 2): Frames = {
-    val pairs = Dedup.lshPairs(docs, idCol, textCol,
+    // pooled pair + label frames: the graph IS the artifact this object
+    // documents — detect and cluster once per corpus per run, serve to
+    // every consumer (q203 writes it, q204 appends to it)
+    val pairs = Dedup.pooledLshPairs(docs, idCol, textCol,
       numBands = numBands, minJaccard = minJaccard, k = k,
       rowsPerBand = rowsPerBand)
-    Frames(pairs, Dedup.dupClustersStar(pairs))
+    Frames(pairs, Dedup.pooledDupClustersStar(pairs))
   }
 
   /** Append a NEW document batch to an existing graph artifact — the

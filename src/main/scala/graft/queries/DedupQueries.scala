@@ -213,7 +213,7 @@ object DedupQueries {
     // exact-Jaccard the survivors. The shingle sets are persisted inside
     // the operator (they feed signatures AND the final Jaccard join).
     QuerySpec("q32_minhash_lsh_pairs",
-      (s, d) => graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+      (s, d) => graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
         "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
         rowsPerBand = RowsPerBand)
         .orderBy("a_id", "b_id"),
@@ -280,7 +280,7 @@ object DedupQueries {
     // the same graph with a recursive reachability CTE.
     QuerySpec("q37_dup_clusters",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         graft.operators.Dedup.pooledDupClusters(pairs).orderBy("doc_id")
@@ -295,10 +295,10 @@ object DedupQueries {
     // interchangeable and both oracle-gated.
     QuerySpec("q111_dup_clusters_star",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
-        graft.operators.Dedup.dupClustersStar(pairs).orderBy("doc_id")
+        graft.operators.Dedup.pooledDupClustersStar(pairs).orderBy("doc_id")
       },
       Some(clustersOracle)),
 
@@ -311,7 +311,7 @@ object DedupQueries {
     QuerySpec("q154_leakage_safe_split",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs,
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
@@ -340,7 +340,7 @@ object DedupQueries {
     QuerySpec("q65_dedup_apply",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
         graft.operators.Dedup.applyClusters(docs, "doc_id", clusters)
@@ -372,7 +372,7 @@ object DedupQueries {
     QuerySpec("q89_cluster_sizes",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
         val withSingles = docs.select(col("doc_id"))
@@ -535,7 +535,7 @@ object DedupQueries {
     QuerySpec("q34_ngram_jaccard",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3, rowsPerBand = RowsPerBand)
         val meta = docs.select(col("doc_id"), col("lang"), col("source"))
         pairs
@@ -737,7 +737,7 @@ object DedupQueries {
     QuerySpec("q157_canonical_select",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs,
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
@@ -779,7 +779,7 @@ object DedupQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val docsL = docs.select(col("doc_id"), col("lang"))
-        val pairs = graft.operators.Dedup.lshPairs(docs,
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand).select("a_id", "b_id")
         val e = pairs.union(
@@ -840,7 +840,7 @@ object DedupQueries {
     // share a component by definition).
     QuerySpec("q172_dup_triangles",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val e = pairs.select(col("a_id"), col("b_id"))
@@ -917,7 +917,7 @@ object DedupQueries {
     QuerySpec("q173_dedup_threshold_sweep",
       (s, d) => {
         val thresholds = Seq(10, 20, 30, 40, 50)
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         // every per-threshold statistic aggregates KEYED BY thr_pct (5
@@ -990,7 +990,7 @@ object DedupQueries {
     // two keyed aggregations over the pooled pair stream.
     QuerySpec("q186_dupgraph_degrees",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         pairs.select(explode(array(col("a_id"), col("b_id"))).as("n"))
@@ -1094,7 +1094,7 @@ object DedupQueries {
     QuerySpec("q196_minhash_calibration",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs,
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val sig = graft.operators.Dedup.minhashSignatures(
@@ -1139,7 +1139,7 @@ object DedupQueries {
     // pair stream the family already pays for.
     QuerySpec("q202_degree_assortativity",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val und = pairs.select(explode(array(
@@ -1250,7 +1250,7 @@ object DedupQueries {
     QuerySpec("q206_dupgraph_source_modularity",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val src = docs.select(col("doc_id"), col("source"))
@@ -1313,7 +1313,7 @@ object DedupQueries {
     // same literal expression tree in both engines.
     QuerySpec("q207_local_clustering",
       (s, d) => {
-        val pairs = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val pairs = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val e = pairs.select(col("a_id"), col("b_id"))
@@ -1388,7 +1388,7 @@ object DedupQueries {
     // restriction of the one pooled pair frame.
     QuerySpec("q211_kcore_peel",
       (s, d) => {
-        val e = graft.operators.Dedup.lshPairs(t(s, d, "documents"),
+        val e = graft.operators.Dedup.pooledLshPairs(t(s, d, "documents"),
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
           .select(col("a_id"), col("b_id"))
@@ -1484,7 +1484,7 @@ object DedupQueries {
     QuerySpec("q216_dedup_survivorship",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val clusters = graft.operators.Dedup.pooledDupClusters(pairs)
@@ -1549,7 +1549,7 @@ object DedupQueries {
     QuerySpec("q238_label_propagation",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val und = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val und = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
             numBands = NumBands, minJaccard = 0.1, k = 3,
             rowsPerBand = RowsPerBand)
           .select(explode(array(
@@ -1732,7 +1732,7 @@ object DedupQueries {
         val docs = t(s, d, "documents")
         val split = graft.operators.Quality.hashSplit(docs, "doc_id")
           .select(col("doc_id"), (col("split") =!= "train").as("ev"))
-        val pairs = graft.operators.Dedup.lshPairs(docs, "doc_id", "text",
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs, "doc_id", "text",
           numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         pairs
@@ -1858,7 +1858,7 @@ object DedupQueries {
     QuerySpec("q264_cluster_medoid",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.lshPairs(docs,
+        val pairs = graft.operators.Dedup.pooledLshPairs(docs,
           "doc_id", "text", numBands = NumBands, minJaccard = 0.1, k = 3,
           rowsPerBand = RowsPerBand)
         val clu = graft.operators.Dedup.pooledDupClusters(pairs)
