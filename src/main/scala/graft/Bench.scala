@@ -214,7 +214,11 @@ object Bench {
     val K2TimedRuns = 3
     var k2Rows = 0L
     var k2IoMbps = -1.0
-    var k2Runs = Seq.empty[(Double, Double, Boolean)] // (probeMbps, sec, ok)
+    // (probeBefore, sec, ok, bytesWritten, probeAfter) per timed run —
+    // bytes + BRACKETING probes (r16 verdict item 5) let an adjudicator
+    // compute each run's achieved write MB/s and see the window it ran
+    // in from the artifact alone, no same-HEAD re-run needed.
+    var k2Runs = Seq.empty[(Double, Double, Boolean, Long, Double)]
     val matched = "k2_convert_csv_10m" -> (try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val n = math.max(1L, li.count())
@@ -230,12 +234,21 @@ object Bench {
       val outPath = java.nio.file.Paths.get(s"$convertOut/big_csv")
       deleteRecursively(java.nio.file.Paths.get(s"$convertOut/lineitem"))
       settleStorage() // replica writeback belongs to the untimed stage
-      def once(): (Double, Boolean) = {
-        val r = timed {
+      def dirBytes(p: Path): Long =
+        try {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(Files.isRegularFile(_))
+            .mapToLong(f => try Files.size(f) catch { case _: Throwable => 0L })
+            .sum()
+          finally s.close()
+        } catch { case _: Throwable => -1L }
+      def once(): (Double, Boolean, Long) = {
+        val (sec, ok) = timed {
           graft.operators.Convert.parquetToCsv(spark, bigPath, outPath.toString)
         }
+        val bytes = dirBytes(outPath)
         deleteRecursively(outPath)
-        r
+        (sec, ok, bytes)
       }
       def k2Probe(): Double =
         try probeWriteMbps(convertOutDir) catch { case _: Throwable => -1.0 }
@@ -244,8 +257,9 @@ object Bench {
       if (degraded) {
         once() // warm
         val p = k2Probe()
-        val (a, okA) = once()
-        k2Runs = Seq((p, a, okA))
+        val (a, okA, bytes) = once()
+        val pa = k2Probe()
+        k2Runs = Seq((p, a, okA, bytes, pa))
         k2IoMbps = p
         (a, okA)
       } else {
@@ -261,19 +275,23 @@ object Bench {
           w = k2Probe()
           waits += 1
         }
-        // (2) fixed N timed runs, each with its own adjacent probe — the
-        // first reuses the health-wait's probe (it IS adjacent to run 1)
-        k2Runs = (1 to K2TimedRuns).map { i =>
-          val p = if (i == 1) w else k2Probe()
-          val (sec, ok) = once()
-          (p, sec, ok)
+        // (2) fixed N timed runs, each BRACKETED by probes — run i's
+        // after-probe doubles as run i+1's before-probe (the output is
+        // deleted before probing, so its dirty pages don't depress it)
+        var prevProbe = w
+        k2Runs = (1 to K2TimedRuns).map { _ =>
+          val p = prevProbe
+          val (sec, ok, bytes) = once()
+          val pa = k2Probe()
+          prevProbe = pa
+          (p, sec, ok, bytes, pa)
         }
         val okRuns = k2Runs.filter(_._3)
         if (okRuns.isEmpty) (0.0, false)
         else {
-          val (p, sec, _) = okRuns.minBy(_._2)
-          k2IoMbps = p
-          (sec, k2Runs.forall(_._3))
+          val best = okRuns.minBy(_._2)
+          k2IoMbps = best._1
+          (best._2, k2Runs.forall(_._3))
         }
       }
     } catch { case _: Throwable => (0.0, false) })
@@ -461,6 +479,12 @@ object Bench {
       }
     }
     val results = loopResults :+ convert :+ matched
+    // Pool-build costs (VERDICT r16 item 7): pooled families report
+    // pool-warm per-cell numbers by design (min-of-two with the pool
+    // surviving); the artifact carries the build seconds they amortize
+    // so per-cell claims are adjudicable as build+serve. Captured BEFORE
+    // release() clears the ledger.
+    val poolBuilds = graft.operators.FramePool.buildSeconds
     graft.operators.Postings.release()
     graft.operators.FramePool.release()
 
@@ -477,8 +501,8 @@ object Bench {
 
     // Environment health, so a snapshot taken in a bad window says so
     // (round 5's 12.7 s q08 / 127 s k2 adjudications both reduce to this).
-    val k2RunsJson = k2Runs.map { case (p, sec, ok) =>
-      s"""{"mbps":${fmt(p)},"sec":${fmt(sec)},"ok":$ok}"""
+    val k2RunsJson = k2Runs.map { case (p, sec, ok, bytes, pa) =>
+      s"""{"mbps":${fmt(p)},"sec":${fmt(sec)},"ok":$ok,"bytes":$bytes,"mbps_after":${fmt(pa)}}"""
     }.mkString("[", ",", "]")
     val retimesJson = retimes.map { case (n, t0, t1) =>
       s""""$n":{"loop":${fmt(t0)},"retime":${fmt(t1)}}"""
@@ -496,8 +520,10 @@ object Bench {
     val ratioJson = ratioSuspects.toSeq.sorted.map(n =>
       s""""$n":${fmt(priorTimes.getOrElse(n, -1.0))}""")
       .mkString("{", ",", "}")
+    val poolBuildsJson = poolBuilds.toSeq.sortBy(_._1).map { case (tag, sec) =>
+      s""""$tag":${fmt(sec)}""" }.mkString("{", ",", "}")
     Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"retime_skipped_unhealthy":$retimeSkippedUnhealthy,"ratio_trigger":$RatioTrigger,"ratio_suspects":$ratioJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${entries(results)},"failed":$failed,"k2_rows":$k2Rows,$env,"retimed":$retimesJson,"retime_io_mbps":[${fmt(retimeProbes._1)},${fmt(retimeProbes._2)}],"retime_skipped_unhealthy":$retimeSkippedUnhealthy,"ratio_trigger":$RatioTrigger,"ratio_suspects":$ratioJson,"pool_builds":$poolBuildsJson,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(reported)},"others_total":${fmt(othersTotal)},"n_queries":${results.size},"failed":$failed,"k2_rows":$k2Rows,$env,"sf":"$sfDir"}""")

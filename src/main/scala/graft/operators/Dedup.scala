@@ -135,7 +135,15 @@ object Dedup {
         scala.util.Try {
           val parent = org.apache.spark.sql.GraftDatasetBridge
             .ofRows(docs.sparkSession, f.child)
-          (parent, expr(f.condition.sql))
+          val pred = expr(f.condition.sql)
+          // resolution probe: the predicate will be applied to DERIVED
+          // frames that carry idCol but not the text column — force
+          // analysis against an idCol-only projection here so a
+          // condition whose SQL form cannot re-resolve by name falls
+          // back to the per-side build instead of throwing at query
+          // time (the Try previously guarded only parsing, not binding)
+          parent.select(col(idCol)).filter(pred).queryExecution.analyzed
+          (parent, pred)
         }.toOption
       case _ => None
     }

@@ -33,6 +33,31 @@ object FramePool {
   private val pool = new ConcurrentHashMap[Any, Seq[DataFrame]]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
 
+  /** Build cost per pool TAG (the key tuple's leading string), summed
+    * across keys sharing the tag: seconds spent constructing AND
+    * materializing pooled frames on a miss. Recorded so a bench artifact
+    * can report `pool_builds` — pooled per-query numbers are pool-warm
+    * by design (the train-once/serve-many artifact pattern), and the
+    * adjudicator needs the build cost they amortize in the same artifact
+    * (VERDICT r16 item 7). Cleared by [[release]]. */
+  private val buildSecs = new ConcurrentHashMap[String, Double]()
+
+  private def tagOf(key: Any): String = key match {
+    case p: Product if p.productArity >= 1 => p.productElement(0) match {
+      case s: String => s
+      case other => other.getClass.getSimpleName
+    }
+    case s: String => s
+    case other => other.getClass.getSimpleName
+  }
+
+  /** Snapshot of accumulated pool-build seconds by tag (bench hook). */
+  def buildSeconds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildSecs.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+
   /** Get-or-build the named frame set; frames are persisted
     * MEMORY_AND_DISK on first build. The builder's frames may already be
     * persisted (e.g. so later frames in the set reuse earlier ones while
@@ -68,7 +93,17 @@ object FramePool {
           val dropped = pool.remove(order.poll())
           if (dropped != null) dropped.foreach(_.unpersist(blocking = false))
         }
+        val t0 = System.nanoTime()
         val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+        // Materialize eagerly so the recorded build seconds are the TRUE
+        // cost (plan construction + execution), not just plan-build time.
+        // Every pooled frame is fully scanned by its consumers anyway
+        // (that is why it is pooled), so the count() adds one cached read,
+        // never new work — and the cost still lands inside the FIRST
+        // consumer's timed region, exactly where it landed before.
+        built.foreach(_.count())
+        buildSecs.merge(tagOf(key), (System.nanoTime() - t0) / 1e9,
+          (a, b) => a + b)
         pool.put(key, built)
         order.add(key)
         built
@@ -86,6 +121,7 @@ object FramePool {
     pool.values.forEach(_.foreach(_.unpersist(blocking = false)))
     pool.clear()
     order.clear()
+    buildSecs.clear()
   }
 
   /** Currently pooled key count (test/monitoring hook). */

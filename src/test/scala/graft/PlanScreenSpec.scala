@@ -78,6 +78,36 @@ class PlanScreenSpec extends SparkSpec {
       .exists(_.contains("CartesianProduct")))
   }
 
+  test("physical dedupe: re-printed exchanges count once; planted shuffle on a pooled query still trips") {
+    // a pooled InMemoryRelation's build subtree is textually RE-PRINTED
+    // at every reference — the same physical node (same plan_id) must
+    // count once, or golden bounds inflate to the reference count and a
+    // real added shuffle can hide inside the slack (VERDICT r16 #2:
+    // q175 recorded 199 textual vs ~15 physical exchanges)
+    val reprint =
+      """+- Exchange hashpartitioning(k#1, 4), ENSURE_REQUIREMENTS, [plan_id=3]
+        |+- Exchange hashpartitioning(k#1, 4), ENSURE_REQUIREMENTS, [plan_id=3]
+        |+- Exchange hashpartitioning(k#9, 4), ENSURE_REQUIREMENTS, [plan_id=5]""".stripMargin
+    assert(PlanScreen.counts(reprint).exch == 2)
+    // ...and end-to-end on a real pooled query (q37 reads pooledLshPairs
+    // + pooledDupClusters): one planted repartition must trip the screen
+    // at the clean plan's own physical count — under textual counting
+    // the re-prints would swamp the +1.
+    val spec = SparkEntry.allSpecs.find(_.name == "q37_dup_clusters").get
+    val clean = spec.fn(spark, sfDir)
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+    val c0 = PlanScreen.counts(cleanPlan)
+    val bounds = (c0.bnlj, c0.single, c0.exch)
+    assert(PlanScreen.offensesAgainst(spec.name, cleanPlan, bounds).isEmpty)
+    val regressed = clean.repartition(8)
+    val offs = PlanScreen.offensesAgainst(spec.name,
+      regressed.queryExecution.executedPlan.toString, bounds)
+    assert(offs.nonEmpty, "planted repartition on a pooled query did not trip")
+    assert(offs.exists(_.contains("shuffle exchanges")))
+    graft.operators.OperatorCaches.release()
+    graft.operators.FramePool.release()
+  }
+
   test("planted repartition on a registered query trips the screen red") {
     val spec = SparkEntry.allSpecs.find(_.name == "q01_scan_sort").get
     val clean = spec.fn(spark, sfDir)
