@@ -101,9 +101,10 @@ object CorpusStats {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
     val posting = withToks
-      .select(col(idCol), explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+      .select(col(idCol), explode(graft.plans.GraftFunctions.shingleHashesNative(col("t"), k)).as("fp"))
     // one row per distinct span fingerprint, with its distinct-doc count
     val dupFps = posting.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
@@ -240,12 +241,13 @@ object CorpusStats {
     */
   def dsirAffinity(docs: DataFrame, idCol: String, textCol: String,
                    isTarget: Column, buckets: Int = 4096): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     require(buckets > 0, "buckets must be positive")
     // one tokenization; hashed-bigram feature stream (positions, not set)
     val feats = docs
       .select(col(idCol), isTarget.as("__tgt"), tokens(col(textCol)).as("t"))
       .select(col(idCol), col("__tgt"),
-        explode(shingleHashSeqFromTokens(col("t"), 2)).as("fp"))
+        explode(graft.plans.GraftFunctions.shingleHashesNative(col("t"), 2)).as("fp"))
       .select(col(idCol), col("__tgt"), (col("fp") % buckets).as("b"))
     // per-doc feature counts — the (doc, bucket) projection
     val kb = feats.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("k"))
@@ -293,10 +295,11 @@ object CorpusStats {
     */
   def spanContamination(docs: DataFrame, idCol: String, textCol: String,
                         isBench: Column, k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val withT = docs.select(col(idCol), isBench.as("__b"),
       tokens(col(textCol)).as("t"))
     val spans = withT.select(col(idCol), col("__b"),
-      explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+      explode(graft.plans.GraftFunctions.shingleHashesNative(col("t"), k)).as("fp"))
     val benchFps = spans.filter(col("__b")).select(col("fp")).distinct()
     val hits = spans.filter(!col("__b"))
       .join(benchFps, "fp")
@@ -571,11 +574,12 @@ object CorpusStats {
     * one final IEEE division per source. */
   def sourceNovelty(docs: DataFrame, sourceCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val withT = docs.select(col(sourceCol).as("source"),
       tokens(col(textCol)).as("t"))
     val fps = withT
       .select(col("source"),
-        explode(shingleHashSeqFromTokens(col("t"), k)).as("fp"))
+        explode(graft.plans.GraftFunctions.shingleHashesNative(col("t"), k)).as("fp"))
       .distinct()
     val ns = fps.groupBy("fp").agg(count(lit(1)).as("ns"))
     fps.join(ns, "fp")

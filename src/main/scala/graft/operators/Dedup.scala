@@ -323,8 +323,11 @@ object Dedup {
       s"threshold must be a rational in (0, 1] (got $jacNum/$jacDen)")
     val sets = pooledShingleSets(docs, idCol, textCol, k)
     val sizes = sets.select(col(idCol), size(col("hset")).cast("long").as("n"))
-    val posting = OperatorCaches.persistTracked(
-      sets.select(col(idCol), explode(col("hset")).as("h")))
+    // NOT persisted: re-exploding the pooled set arrays per consumer is
+    // cheaper than writing + rescanning the exploded rows (A/B'd at
+    // sf0.1 — the cached exploded form is wider than the arrays it came
+    // from, and the pooled sets frame it explodes is already cached)
+    val posting = sets.select(col(idCol), explode(col("hset")).as("h"))
     val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc rarity rank — the window partitions by doc, bounded by
     // the doc's own shingle count

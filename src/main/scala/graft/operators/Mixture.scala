@@ -48,6 +48,21 @@ object Mixture {
     * Coverage state is vocabulary-sized, never corpus-sized; the
     * cumulative coverage is the running sum of marginal gains, so no
     * count() action ever touches the covered frame. */
+  /** [[greedySourceCover]] POOLED across queries ([[FramePool]], keyed by
+    * the corpus plan + parameters): the pick list is the artifact a
+    * mixture pipeline selects once and then reads for the coverage curve
+    * (q241) and the budget allocation (q244) — both queries were each
+    * re-running the same shingle→source-set aggregation plus five greedy
+    * rounds of scans and argmax collects. The result is rounds-many rows,
+    * so the pooled frame is trivially small. */
+  def pooledGreedySourceCover(docs: DataFrame, idCol: String, textCol: String,
+                              srcCol: String, rounds: Int): DataFrame =
+    FramePool.frames(
+      ("greedy_cover", docs.queryExecution.analyzed.canonicalized,
+        idCol, textCol, srcCol, rounds)) {
+      Seq(greedySourceCover(docs, idCol, textCol, srcCol, rounds))
+    }.head
+
   def greedySourceCover(docs: DataFrame, idCol: String, textCol: String,
                         srcCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -116,6 +131,20 @@ object Mixture {
     * (id, d2); each round costs one broadcast 1×dim join + keyed sum —
     * k·corpus work, never corpus²; only the 1-row argmax crosses the
     * driver per round (the Bpe convention). */
+  /** [[kCenters]] POOLED across queries ([[FramePool]], keyed by the
+    * vector frame's plan + parameters) — the exemplar set is the
+    * artifact a diverse-selection pipeline traverses once and then reads
+    * for the radius curve (q245) and the corpus assignment (q247); both
+    * were re-running the same k greedy rounds (k·corpus work plus k
+    * argmax collects). The pooled frame is k rows. */
+  def pooledKCenters(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame =
+    FramePool.frames(
+      ("kcenters", vectors.queryExecution.analyzed.canonicalized,
+        idCol, vecCol, k)) {
+      Seq(kCenters(vectors, idCol, vecCol, k))
+    }.head
+
   def kCenters(vectors: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
     val spark = vectors.sparkSession

@@ -94,37 +94,49 @@ object Percentiles {
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
     val parts = spark.sessionState.conf.numShufflePartitions
+    // Local positions come from monotonically_increasing_id AFTER an
+    // in-partition (g, v) sort — NOT from a row_number window: the
+    // window's PARTITION BY (__pid, __g) required a hashpartitioning
+    // exchange + sort of the FULL frame on top of the range exchange
+    // (measured: one grouped rank selection 2.6 s warm at sf0.1, q208's
+    // cost center). mono_id is per-partition contiguous, so after the
+    // in-partition sort `__mid − min(__mid per (pid, g))` IS the local
+    // row number — same arbitrary tie order as row_number, and a
+    // percentile only reads the VALUE at a rank, which ties cannot
+    // change. One full-frame exchange total, plus the same tiny stats
+    // aggregation (now also carrying min(__mid)).
     val ranged = OperatorCaches.persistTracked(
       vals.repartitionByRange(parts, col("__g"), col("__v"))
-        .withColumn("__pid", spark_partition_id()))
+        .sortWithinPartitions(col("__g"), col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id()))
     // per-(partition, group) counts: ≈ |groups| + |partitions| rows,
     // aggregated AND prefix-summed distributed (window partitions by
     // group over the stats frame — each group touches ≤ |partitions|
     // stats rows, so no single task ever sees more than that)
     val stats = ranged.groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"), min(col("__mid")).as("__m0"))
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = stats.select(col("__pid"), col("__g"),
+    val offsets = stats.select(col("__pid"), col("__g"), col("__m0"),
       coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off"))
     val nPerG = stats.groupBy(col("__g")).agg(sum(col("__n")).as("__ng"))
     (ranged, offsets, nPerG)
   }
 
   /** Values at the requested (group, global in-group rank) pairs:
-    * per-(partition, group) local row numbers, lifted to global in-group
-    * ranks by the broadcast-joined offsets, filtered to the broadcast
-    * wishlist. Output (__g, __rn, __v), one row per wanted pair. */
+    * per-(partition, group) local row numbers (mono-id offsets — see
+    * [[rankedByGroup]]), lifted to global in-group ranks by the
+    * broadcast-joined offsets, filtered to the broadcast wishlist.
+    * Output (__g, __rn, __v), one row per wanted pair. */
   private def valuesAtRanks(ranged: DataFrame, offsets: DataFrame,
-                            wanted: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))
+                            wanted: DataFrame): DataFrame =
     ranged
-      .withColumn("__rnl", row_number().over(w).cast("long"))
       .join(broadcast(offsets), Seq("__pid", "__g"))
-      .withColumn("__rn", col("__rnl") + col("__off"))
+      .withColumn("__rn",
+        col("__mid") - col("__m0") + lit(1L) + col("__off"))
       .join(broadcast(wanted), Seq("__g", "__rn"))
       .select(col("__g"), col("__rn"), col("__v"))
-  }
 
   /** GROUPED exact interpolated percentiles — and unlike
     * `groupBy(g).agg(percentile(...))`, a giant group does not pin a

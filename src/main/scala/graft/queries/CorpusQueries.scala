@@ -359,15 +359,18 @@ object CorpusQueries {
     // walked once, the provenance join touches only the winners' rows.
     QuerySpec("q188_span_provenance",
       (s, d) => {
-        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
+        import graft.functions.TextFunctions.tokens
+        graft.plans.GraftFunctions.ensureRegistered(s)
         // persisted (tracked): the span stream feeds the top-10 aggregate
         // AND the provenance join — without it the corpus is tokenized
-        // and md5'd twice
+        // and md5'd twice. Hashing rides the native kernel (bit-identical
+        // to the HOF form, ShingleHashesSpec).
         val sp = graft.operators.OperatorCaches.persistTracked(
           t(s, d, "documents")
             .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
             .select(col("doc_id"), col("source"),
-              explode(shingleHashSeqFromTokens(col("t"), 8)).as("fp")))
+              explode(graft.plans.GraftFunctions.shingleHashesNative(
+                col("t"), 8)).as("fp")))
         val top = sp.groupBy(col("fp"))
           .agg(count(lit(1)).as("total_occ"),
             countDistinct(col("doc_id")).as("n_docs"))
@@ -416,12 +419,13 @@ object CorpusQueries {
     QuerySpec("q261_heaps_law",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        import graft.functions.TextFunctions.{tokens, shingleHashSeqFromTokens}
+        import graft.functions.TextFunctions.tokens
+        graft.plans.GraftFunctions.ensureRegistered(s)
         val docs = t(s, d, "documents")
         val nd = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
         val sp = docs.select(col("doc_id"),
-          explode(shingleHashSeqFromTokens(tokens(col("text")), 3))
-            .as("fp"))
+          explode(graft.plans.GraftFunctions.shingleHashesNative(
+            tokens(col("text")), 3)).as("fp"))
         // Per-bucket span MASS needs no explode: a doc's trigram count is
         // pure arithmetic on its token count (n≥3 ? n−2 : 0, the exact
         // cardinality of shingleHashSeqFromTokens), and a doc with zero

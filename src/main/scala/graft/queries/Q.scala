@@ -81,6 +81,21 @@ object Q {
         .agg(count(lit(1)).as("w")))
     }.head
 
+  /** Distinct customer→part purchase edges (src = o_custkey,
+    * dst = l_partkey), POOLED across queries ([[graft.operators.FramePool]],
+    * fixture-dir key) — the bipartite consumer×asset graph the HITS
+    * centrality (q249) ranks: the orders⋈lineitem join + distinct is the
+    * expensive derivation, built once per run (the copurchase pattern,
+    * different key pair). */
+  def custPartEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.FramePool.frames(("custpart_edges", sfDir)) {
+      Seq(t(spark, sfDir, "orders")
+        .join(t(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        .distinct())
+    }.head
+
   /** Distinct (ok = l_orderkey, pk = l_partkey) basket-item frame and the
     * basket-keyed co-occurrence pair stream (ok, x, y), x < y — POOLED
     * across the market-basket family (q194 pair mining, q223 link

@@ -704,7 +704,7 @@ object SimilarityQueries {
     // stop buying coverage. See operators/Mixture.kCenters for the
     // k·corpus (never corpus²) cost shape.
     QuerySpec("q245_kcenter_diverse",
-      (s, d) => graft.operators.Mixture.kCenters(
+      (s, d) => graft.operators.Mixture.pooledKCenters(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("round"),
       Some {
@@ -728,7 +728,9 @@ object SimilarityQueries {
     QuerySpec("q247_exemplar_assign",
       (s, d) => {
         val vecs = t(s, d, "embeddings")
-        val centers = graft.operators.Mixture.kCenters(
+        // pooled with q245's identical traversal — the five greedy
+        // rounds run once per corpus per run
+        val centers = graft.operators.Mixture.pooledKCenters(
           vecs, "vec_id", "embedding", k = 5)
           .select(col("vec_id").as("c_id"))
         graft.operators.Mixture.assignToCenters(

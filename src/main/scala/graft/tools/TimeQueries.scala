@@ -12,6 +12,14 @@ object TimeQueries {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // A/B knobs for AQE-coalescing probes. parallelismFirst=false was
+      // MEASURED WORSE at 32 cores on this fixture (q239 2.17→6.52 s,
+      // q155 2.17→3.40 s — compute-heavy post-shuffle stages collapse to
+      // ~1 partition and serialize), so the default stays Spark's.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",

@@ -95,7 +95,8 @@ class BpeGraphSpec extends SparkSpec {
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val ed = Graphs.edgesWithDeg(edges)
+    val ed = Graphs.edgesWithDeg(edges,
+      spark.sessionState.conf.numShufflePartitions)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val pr0 = nodes.withColumn("pr", lit(1000000000L))

@@ -30,7 +30,7 @@ class ShingleHashesSpec extends SparkSpec {
       ws <- Gen.listOfN(n, word)
     } yield ws
     val docs = sample(doc, 200, 31L)
-    for (k <- Seq(1, 2, 3, 5)) {
+    for (k <- Seq(1, 2, 3, 5, 8)) {
       val out = docs.map(d => Tuple1(d)).toDF("toks")
         .select(
           GraftFunctions.shingleHashesNative(col("toks"), k).as("native"),
